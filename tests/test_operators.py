@@ -1,0 +1,133 @@
+from __future__ import annotations
+
+from pyspark.sql import Row, functions as F
+
+from wde_spark.operators import dedup as D
+from wde_spark.operators import relational as R
+from wde_spark.operators import resolve as RS
+from wde_spark.operators import similarity as SIM
+
+
+def test_carry_forward(spark):
+    df = spark.createDataFrame(
+        [("c1", 0, "a"), ("c1", 1, None), ("c1", 2, "b"), ("c1", 3, None),
+         ("c2", 0, None)],
+        "cat string, pos int, val string",
+    )
+    out = {(r.cat, r.pos): r.val
+           for r in R.carry_forward(df, ["cat"], "pos", "val").collect()}
+    assert out[("c1", 1)] == "a"
+    assert out[("c1", 3)] == "b"
+    assert out[("c2", 0)] is None
+
+
+def test_last_write_wins(spark):
+    df = spark.createDataFrame(
+        [("x", 1, "old"), ("x", 2, "new"), ("y", 5, "only")],
+        "k string, ord int, v string",
+    )
+    out = {r.k: r.v for r in R.last_write_wins(df, ["k"], F.col("ord")).collect()}
+    assert out == {"x": "new", "y": "only"}
+
+
+def test_sessionize_gap(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:10:00"),
+         (1, "2024-01-01 02:00:00")],
+        "user_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = sorted(
+        (r.ts, r.session_id)
+        for r in R.sessionize(df, "user_id", "ts", 1800).collect()
+    )
+    # third event is >30min after the second → new session
+    assert [s for _, s in out] == [1, 1, 2]
+
+
+def test_positional_join(spark):
+    df = spark.createDataFrame(
+        [("i1", ["a", "b"], ["t1", "t2"])],
+        "id string, names array<string>, traits array<string>",
+    )
+    rows = R.positional_join(df, "names", "traits", ["id"]).collect()
+    assert [(r.pos, r.names, r.traits) for r in rows] == [
+        (0, "a", "t1"), (1, "b", "t2")]
+
+
+def test_resolve_ladder_rank_order(spark):
+    rows = spark.createDataFrame(
+        [("r1", ["miss", "hit_b", "hit_a"]), ("r2", ["nohit", "nope", "zilch"])],
+        "id string, cands array<string>",
+    )
+    cache = spark.createDataFrame(
+        [("hit_a", "A"), ("hit_b", "B")], "qstr string, res string"
+    )
+    out = RS.resolve_ladder(rows, F.col("cands"), cache, "id")
+    got = {r.id: (r.rank, r.res) for r in out.collect()}
+    # first hit by ladder rank wins: hit_b (rank 1) beats hit_a (rank 2)
+    assert got == {"r1": (1, "B")}
+
+
+def test_exact_dedup_groups_duplicates(spark):
+    docs = spark.createDataFrame(
+        [(1, "Hello, World!"), (2, "hello   world"), (3, "different")],
+        "doc_id long, text string",
+    )
+    out = {r.keep_id: r.dup_count for r in D.exact_dedup(docs).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_minhash_identical_docs_identical_sigs(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f g"), (3, "x y z w v u t")],
+        "doc_id long, text string",
+    )
+    sigs = {r.doc_id: tuple(r[f"mh_{j}"] for j in range(8))
+            for r in D.minhash_signatures(docs, num_hashes=8).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+
+
+def test_minhash_lsh_finds_neardups(spark):
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "the quick brown fox jumps over the lazy dog tonight"),
+         (3, "completely unrelated text about spark query engines")],
+        "doc_id long, text string",
+    )
+    pairs = {(r.id_a, r.id_b) for r in D.minhash_lsh_pairs(docs).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ngram_jaccard_exact_value(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e")],
+        "doc_id long, text string",
+    )
+    # 2-gram shingles: {ab,bc,cd} vs {ab,bc,ce} → J = 2/4 = 0.5
+    rows = D.ngram_jaccard_pairs(docs, shingle_k=2, threshold=0.4).collect()
+    assert len(rows) == 1 and abs(rows[0].jaccard - 0.5) < 1e-9
+
+
+def test_simhash_similar_docs_close(spark):
+    docs = spark.createDataFrame(
+        [(1, "spark query engine fast distributed columnar"),
+         (2, "spark query engine fast distributed columnar extra"),
+         (3, "violets are blue roses are red entirely other")],
+        "doc_id long, text string",
+    )
+    sh = {r.doc_id: r.simhash for r in D.simhash(docs).collect()}
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")
+    assert ham(sh[1], sh[2]) < ham(sh[1], sh[3])
+
+
+def test_cosine_topk_self_similarity(spark):
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = SIM.cosine_topk(vecs, vecs.filter(F.col("vec_id") == 0), k=2)
+    rows = sorted((r.rnk, r.item_id, r.cos_sim) for r in out.collect())
+    assert rows[0][1] == 1 and abs(rows[0][2] - 1.0) < 1e-9
+    assert rows[1][1] == 2 and abs(rows[1][2]) < 1e-9

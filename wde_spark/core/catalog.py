@@ -1,0 +1,76 @@
+"""Table catalog for the driver's synthetic test data (TESTDATA.md).
+
+`load_table` is the single entry point every query goes through, so scan
+hygiene lives here: plain `spark.read.parquet` (columnar, predicate/column
+pushdown free via Catalyst), plus the one environment quirk — events.parquet
+stores TIMESTAMP(NANOS), which Spark's parquet reader rejects. We read it
+with `nanosAsLong` and rebuild a microsecond timestamp, which matches what
+DuckDB does internally (ns truncated to µs), so oracle comparisons line up
+exactly.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _read_events(spark: SparkSession, path: str) -> DataFrame:
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    try:
+        df = spark.read.parquet(path)
+        df.schema  # force schema resolution now
+    except Exception:
+        # Last-resort fallback for a session where the legacy conf cannot be
+        # applied: read through Arrow and re-create. Events tables at test
+        # scale are small; the conf path is the normal one.
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(path)
+        pdf = tbl.to_pandas()
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        return spark.createDataFrame(pdf)
+    if dict(df.dtypes).get("ts") == "bigint":
+        # ns → µs truncation — identical to DuckDB's handling of ns parquet.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        return _read_events(spark, path)
+    return spark.read.parquet(path)
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> dict[str, DataFrame]:
+    """Register each table as a temp view so operators can be exercised from
+    `spark.sql` too. Returns the DataFrames keyed by name."""
+    out: dict[str, DataFrame] = {}
+    for name in names or TABLES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,214 @@
+"""Deduplication operators over the `documents` / `embeddings` tables.
+
+Five tiers, cheapest to most precise:
+  1. exact          — hash-groupBy on a canonical fingerprint
+  2. simhash        — 64-bit locality-sensitive bit signature, hamming buckets
+  3. minhash + LSH  — shingle → K minhashes → B bands → bucket join
+  4. n-gram Jaccard — shingle-overlap join with exact Jaccard verification
+  5. embedding      — cosine near-dup over vector columns (see similarity.py)
+
+All built from column expressions + joins; hashes are md5/xxhash64 (both
+deterministic across executors and across engines, which keeps the DuckDB
+oracle exact). At 100 TB the critical properties are:
+- signatures are computed row-locally in one scan (no shuffle);
+- candidate generation shuffles on *bucket keys* (band hash / shingle), so
+  only potential duplicates ever meet — never an all-pairs product;
+- verification (exact Jaccard) runs per candidate pair, not per pair of rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.strings import norm_compare, tokens
+
+
+def shingles(tok: Column, k: int = 3) -> Column:
+    """k-token shingles of a token array (array of space-joined k-grams)."""
+    n = F.size(tok)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.array_join(F.slice(tok, i + 1, k), " "),
+        ),
+    ).otherwise(F.array(F.array_join(tok, " ")))
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Tier 1 — exact dedup on the canonical text form; keeps the lowest id
+    per duplicate class (deterministic winner). One shuffle on the hash."""
+    return (
+        docs.select(F.col(id_col), F.md5(norm_compare(F.col(text_col))).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_hashes: int = 16,
+                       shingle_k: int = 3) -> DataFrame:
+    """Tier 3 — K-permutation minhash signature per document.
+
+    Permutation j is simulated by md5(j || shingle); the signature element is
+    the lexicographic min. md5 is engine-portable, so the oracle can compute
+    byte-identical signatures.
+
+    Shape: explode shingles → hash-agg K mins grouped by id. The explode
+    materializes each shingle exactly once (an array-expression formulation
+    re-evaluates the shingle-builder per element inside Catalyst's
+    interpreted higher-order functions — quadratic per row and ~50× slower,
+    measured); the groupBy shuffles only K partial mins per doc."""
+    sh = docs.select(
+        F.col(id_col), F.explode(shingles(tokens(F.col(text_col)), shingle_k)).alias("sh")
+    )
+    return sh.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("sh")))).alias(f"mh_{j}")
+            for j in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", num_hashes: int = 16,
+                      bands: int = 4, shingle_k: int = 3) -> DataFrame:
+    """Tier 3 — LSH banding: split the K minhashes into B bands, hash each
+    band, self-join on (band_index, band_hash). Pairs sharing >=1 band are
+    near-dup candidates. Shuffle key = band hash → only collisions meet."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_k)
+    band_cols = [
+        F.md5(F.concat_ws("|", *[F.col(f"mh_{b * rows_per_band + r}")
+                                 for r in range(rows_per_band)])).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), *band_cols)
+    stacked = banded.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(bands)]))
+        .alias("band_idx", "band_hash"),
+    )
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def neardup_lsh_verified(docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", num_hashes: int = 8,
+                         bands: int = 4, shingle_k: int = 2,
+                         threshold: float = 0.2) -> DataFrame:
+    """Tier 3+4 — the 100-TB near-dup pipeline: LSH banding proposes
+    candidate pairs (shuffle on band hash — no all-pairs product, no hot
+    shingle blow-up), then exact n-gram Jaccard verifies ONLY the candidates.
+    Returns (id_a, id_b, jaccard) for verified pairs. Recall is bounded by
+    the LSH parameters; precision is exact."""
+    cand = minhash_lsh_pairs(docs, text_col, id_col, num_hashes, bands, shingle_k)
+    sh = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(tokens(F.col(text_col)), shingle_k))
+                  ).alias("sh"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh"))
+    inter = (
+        cand.join(a, "id_a").join(b, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") /
+                    (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """Tier 2 — simhash: per token, a 64-bit hash votes +1/-1 on each bit
+    position weighted by occurrence; sign of the per-position sum is the
+    signature bit. Implemented as explode → groupBy(id, bit) is avoided:
+    instead a single higher-order-function fold keeps it row-local.
+
+    Returns (id, simhash BIGINT). Expressed in SQL because the SQL
+    shiftright/shiftleft accept column shift amounts (the Python wrappers
+    require literals)."""
+    assert bits == 64
+    sig = F.expr(
+        f"""
+        aggregate(
+          zip_with(
+            aggregate(
+              split(trim(lower({text_col})), '\\\\s+'),
+              array_repeat(0L, 64),
+              (acc, t) -> zip_with(
+                acc,
+                transform(sequence(0, 63),
+                          i -> (shiftright(xxhash64(t), i) & 1L) * 2 - 1),
+                (a, b) -> a + b)),
+            sequence(0, 63),
+            (v, i) -> IF(v > 0, shiftleft(1L, i), 0L)),
+          0L, (acc, x) -> acc | x)
+        """
+    )
+    return docs.select(F.col(id_col), sig.alias("simhash"))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", shingle_k: int = 3,
+                        threshold: float = 0.8) -> DataFrame:
+    """Tier 4 — exact n-gram Jaccard similarity join.
+
+    explode distinct shingles → self-join on shingle (equi, shuffles on the
+    shingle hash) → per-pair intersection count → Jaccard from per-doc
+    distinct-shingle counts. Exact but quadratic in bucket size; use after
+    an LSH prefilter at scale."""
+    sh = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(tokens(F.col(text_col)), shingle_k))
+                  ).alias("sh"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                 F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") /
+                    (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

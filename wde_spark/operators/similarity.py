@@ -1,0 +1,160 @@
+"""Similarity search over embedding columns (`embeddings` table:
+vec_id BIGINT, embedding ARRAY<FLOAT>, label INT).
+
+- `cosine_topk`   — brute-force exact top-k: broadcast the (small) query
+                    set, score every (query, item) pair with a JVM-side
+                    fold, window top-k. The baseline and the verifier.
+- `lsh_ann`       — random-hyperplane LSH: H deterministic hyperplanes →
+                    H-bit bucket signature → candidates share a bucket →
+                    exact re-rank within bucket. The 100-TB path: the
+                    all-pairs product is replaced by a shuffle on bucket id.
+- `embedding_neardup` — cosine near-duplicate pairs above a threshold
+                    (used as dedup tier 5).
+
+The dot product is a `zip_with` + `aggregate` fold over the array — stays
+inside codegen, no Python. Vectors are cast to double before any math so
+results are bit-comparable with the DuckDB oracle (which computes in
+double).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(c: Column) -> Column:
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2norm(a) * l2norm(b))
+
+
+def cosine_topk(items: DataFrame, queries: DataFrame, k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact brute-force top-k neighbors for each query vector.
+
+    `queries` is expected to be small (it is broadcast); `items` streams
+    through in one scan — at scale this is a broadcast-nested-loop with
+    row-local scoring, i.e. embarrassingly parallel, followed by a top-k
+    window shuffled on query_id (k rows per partition survive the partial
+    sort thanks to AQE + row_number pushdown)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    it = items.select(
+        F.col(id_col).alias("item_id"), _as_double(F.col(vec_col)).alias("iv")
+    )
+    scored = (
+        it.join(F.broadcast(q), F.col("item_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "item_id",
+            F.round(cosine(F.col("qv"), F.col("iv")), 6).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("item_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "item_id", "cos_sim", "rnk")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: str = "wde") -> list[list[float]]:
+    """Deterministic pseudo-random unit-free hyperplanes from md5 — no RNG
+    state, identical on every executor / engine / run."""
+    planes = []
+    for p in range(n_planes):
+        vals = []
+        for i in range(0, dim, 4):
+            h = hashlib.md5(f"{seed}|{p}|{i}".encode()).digest()
+            vals.extend(struct.unpack(">4i", h[:16]))
+        planes.append([v / 2**31 for v in vals[:dim]])
+    return planes
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """H-bit signature: bit j = sign(dot(vec, plane_j))."""
+    bits = [
+        F.when(dot(vec, F.array(*[F.lit(x) for x in p])) >= 0, F.lit("1"))
+        .otherwise(F.lit("0"))
+        for p in planes
+    ]
+    return F.concat(*bits)
+
+
+def lsh_ann(items: DataFrame, queries: DataFrame, k: int = 5,
+            n_planes: int = 6, dim: int = 64,
+            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: candidates = items in the query's LSH bucket,
+    re-ranked exactly. Recall < 1.0 by design; the candidate join shuffles
+    on the bucket signature instead of forming the full cross product."""
+    planes = hyperplanes(dim, n_planes)
+    it = items.select(
+        F.col(id_col).alias("item_id"),
+        _as_double(F.col(vec_col)).alias("iv"),
+    ).withColumn("bucket", lsh_bucket(F.col("iv"), planes))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    ).withColumn("bucket", lsh_bucket(F.col("qv"), planes))
+    scored = (
+        it.join(F.broadcast(q), "bucket")
+        .filter(F.col("item_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "item_id",
+            F.round(cosine(F.col("qv"), F.col("iv")), 6).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("item_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "item_id", "cos_sim", "rnk")
+    )
+
+
+def embedding_neardup(items: DataFrame, threshold: float = 0.95,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      n_planes: int = 6, dim: int = 64) -> DataFrame:
+    """Dedup tier 5 — pairs with cosine >= threshold, LSH-bucketed so only
+    same-bucket pairs are scored."""
+    planes = hyperplanes(dim, n_planes)
+    v = items.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("bucket", lsh_bucket(F.col("v"), planes))
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

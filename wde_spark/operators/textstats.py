@@ -1,0 +1,142 @@
+"""Text-analysis operators over the `documents` table.
+
+Generalizes the reference's word-frequency utility (A1,
+script/utils/traitcounter.py:27-60 — an O(n²) Python loop) into distributed
+column-expression pipelines, and adds the text-quality operators a
+large-scale training-data pipeline needs: language ID, quality scoring,
+token counting, document fingerprinting. Everything is built-in
+`pyspark.sql.functions` — no Python UDFs — so the hot path stays inside
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.strings import norm_compare, tokens
+
+# The reference strips 50 French stop words (script/utils/traitcounter.py:39-48).
+# For the generic engine we keep small per-language stopword profiles; they
+# double as the language-ID discriminators.
+STOPWORDS = {
+    "fr": ["le", "la", "les", "de", "des", "du", "un", "une", "et", "à", "au",
+           "aux", "ce", "ces", "dans", "en", "par", "pour", "sur", "qui", "que"],
+    "en": ["the", "a", "an", "and", "of", "to", "in", "is", "it", "that",
+           "for", "on", "with", "as", "was", "at", "by", "this"],
+    "es": ["el", "la", "los", "las", "de", "del", "un", "una", "y", "en",
+           "que", "por", "para", "con", "es"],
+    "de": ["der", "die", "das", "und", "von", "zu", "mit", "ist", "den",
+           "dem", "ein", "eine", "auf", "für"],
+}
+
+
+def word_count(docs: DataFrame, text_col: str = "text",
+               stopwords: list[str] | None = None,
+               drop_pattern: str = r"^(\d+|[A-Z]+)$") -> DataFrame:
+    """A1 + P3 + P4 + W3 — token frequency, stop-words and pattern-matched
+    tokens removed, sorted descending.
+
+    Plan shape: scan → explode (no shuffle) → partial hash agg → shuffle on
+    word → final agg → sort. The map-side partial aggregation means the
+    shuffle carries one row per distinct word per partition, not per token —
+    this is what makes it viable at 100 TB of text.
+    """
+    words = docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
+    words = words.filter(F.col("word") != "")
+    if stopwords:
+        words = words.filter(~F.col("word").isin(stopwords))
+    if drop_pattern:
+        words = words.filter(~F.col("word").rlike(drop_pattern))
+    return words.groupBy("word").count().orderBy(F.desc("count"), "word")
+
+
+def _lang_score(tok: Column, lang: str) -> Column:
+    """Number of tokens that are stopwords of `lang` (duplicates count)."""
+    wordset = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tok, lambda x: F.array_contains(wordset, x)))
+
+
+def lang_id(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """Language ID via stopword-profile scoring: the language whose stopword
+    list overlaps the token stream most wins; 'und' when nothing matches.
+    Purely row-local (no shuffle); ties broken by fixed language order."""
+    tok = tokens(F.col(text_col))
+    df = docs.select(
+        F.col(id_col),
+        *[_lang_score(tok, lg).alias(f"score_{lg}") for lg in STOPWORDS],
+    )
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in STOPWORDS])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lg in STOPWORDS:  # first language reaching the max wins
+        pred = pred.when(F.col(f"score_{lg}") == best, F.lit(lg))
+    return df.select(id_col, pred.alias("pred_lang"),
+                     best.cast("int").alias("best_score"))
+
+
+def quality_score(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Heuristic document quality: length, mean word length, punctuation
+    ratio, stopword ratio, alpha ratio — the standard pre-training filters.
+    All row-local column math."""
+    t = F.col(text_col)
+    tok = tokens(t)
+    n_chars = F.length(t)
+    n_tokens = F.size(tok)
+    all_stop = F.array(*[F.lit(w) for lst in STOPWORDS.values() for w in lst])
+    n_stop = F.size(F.filter(tok, lambda x: F.array_contains(all_stop, x)))
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    mean_wlen = (F.length(F.regexp_replace(t, r"\s+", "")) / n_tokens)
+    return docs.select(
+        id_col,
+        n_chars.alias("n_chars_q"),
+        n_tokens.alias("n_tokens"),
+        F.round(mean_wlen, 4).alias("mean_word_len"),
+        F.round(n_punct / n_chars, 4).alias("punct_ratio"),
+        F.round(n_stop / n_tokens, 4).alias("stopword_ratio"),
+        F.round(n_alpha / n_chars, 4).alias("alpha_ratio"),
+        (
+            (n_tokens >= 10)
+            & (mean_wlen >= 2) & (mean_wlen <= 12)
+            & ((n_stop / n_tokens) >= 0.01)
+        ).alias("passes_quality"),
+    )
+
+
+def token_stats(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish regex token
+    count (word pieces + digits + punctuation as separate tokens)."""
+    t = F.col(text_col)
+    ws = F.size(tokens(t))
+    bpe = F.size(F.regexp_extract_all(t, F.lit(r"[A-Za-z]+|\d+|[^\w\s]"), 0))
+    return docs.select(
+        id_col,
+        ws.cast("long").alias("ws_tokens"),
+        bpe.cast("long").alias("bpe_tokens"),
+        F.round(F.length(t) / F.greatest(bpe, F.lit(1)), 4).alias("chars_per_token"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprints: md5 of the canonical (norm_compare) form for
+    exact-dup detection, plus the min/max md5 over 3-token shingles — a
+    1-permutation minhash usable as a cheap near-dup prefilter.
+
+    Explode + agg shape (same rationale as minhash_signatures: each shingle
+    materialized once, tiny partial-min/max shuffle)."""
+    from .dedup import shingles
+
+    canon_fp = F.md5(norm_compare(F.col(text_col)))
+    sh = docs.select(
+        F.col(id_col),
+        canon_fp.alias("exact_fp"),
+        F.explode(shingles(tokens(F.col(text_col)), 3)).alias("sh"),
+    )
+    return sh.groupBy(id_col, "exact_fp").agg(
+        F.min(F.md5(F.col("sh"))).alias("min_shingle_fp"),
+        F.max(F.md5(F.col("sh"))).alias("max_shingle_fp"),
+    ).select(id_col, "exact_fp", "min_shingle_fp", "max_shingle_fp")

@@ -1,0 +1,1086 @@
+"""Query registry: every operator from SURVEY.md §2, exercised as a query
+over the driver's synthetic tables, paired with an ANSI-SQL oracle that
+DuckDB runs on the same parquet files.
+
+Determinism conventions (both sides, so value-hashes match exactly):
+- Monetary/quantity sums go through DECIMAL(12,2) casts → exact, order-
+  independent summation → cast to DOUBLE only at the output boundary.
+  (A raw double SUM is order-dependent; at 60k rows the float error is
+  larger than a 2-decimal rounding step, so rounding alone is NOT enough.)
+- Averages = exact decimal sum cast to double, divided by the count in
+  double → bit-identical on both engines.
+- Timestamps are formatted to 'yyyy-MM-dd HH:mm:ss' strings at the output.
+- Every set-valued aggregate is sorted and joined to a string.
+- Every top-k has a total-order tiebreak.
+- DuckDB regexp_replace needs the 'g' flag to match Spark's global-replace
+  semantics.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .core.catalog import load_table
+from .functions import strings as S
+from .operators import dedup as D
+from .operators import relational as R
+from .operators import resolve as RS
+from .operators import similarity as SIM
+from .operators import textstats as TS
+from .streaming import windows as SW
+
+DEC = "decimal(12,2)"
+
+
+def _dec(c):
+    return c.cast(DEC)
+
+
+# ---------------------------------------------------------------------------
+# registry plumbing
+# ---------------------------------------------------------------------------
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# §2.1 scans + §2.4 aggregations — TPC-H-shaped core
+# ---------------------------------------------------------------------------
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+             AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+                    * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE)
+             AS sum_charge,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape — scan → filter (pushed to parquet) → 8-agg hash
+    aggregate with map-side partials. The flagship 'does the core work' query."""
+    li = load_table(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast(DEC)
+    disc_price = _dec(F.col("l_extendedprice")) * (one - _dec(F.col("l_discount")))
+    charge = disc_price * (one + _dec(F.col("l_tax")))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+            F.sum(_dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.round(F.sum(_dec(F.col("l_quantity"))).cast("double") / F.count("*"), 6).alias("avg_qty"),
+            F.round(F.sum(_dec(F.col("l_extendedprice"))).cast("double") / F.count("*"), 6).alias("avg_price"),
+            F.round(F.sum(_dec(F.col("l_discount"))).cast("double") / F.count("*"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+             AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape — selective dimension filter, two joins (customer side
+    broadcastable), agg, deterministic top-10. Exact decimal revenue makes
+    the ORDER BY identical across engines."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    one = F.lit(1).cast(DEC)
+    rev = _dec(F.col("l_extendedprice")) * (one - _dec(F.col("l_discount")))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).alias("rev_dec"))
+        .select(
+            "l_orderkey",
+            F.col("rev_dec").cast("double").alias("revenue"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("rev_dec"),
+        )
+        .orderBy(F.desc("rev_dec"), F.asc("l_orderkey"))
+        .drop("rev_dec")
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    """
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+             AS revenue
+    FROM customer c
+      JOIN orders o   ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — 6-way join; nation/region are broadcast dims, the
+    fact-fact joins shuffle on their keys; AQE picks broadcast for customer
+    and supplier at test scale."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    one = F.lit(1).cast(DEC)
+    rev = _dec(F.col("l_extendedprice")) * (one - _dec(F.col("l_discount")))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "agg_order_stats",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           CAST(MIN(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS min_price,
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS max_price,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+           ROUND(CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+             AS pct_finished
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/A7/A8 — the full basic aggregate surface (count, count_distinct,
+    min, max, avg, conditional ratio) in one hash aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.min(_dec(F.col("o_totalprice"))).cast("double").alias("min_price"),
+        F.max(_dec(F.col("o_totalprice"))).cast("double").alias("max_price"),
+        F.round(F.sum(_dec(F.col("o_totalprice"))).cast("double") / F.count("*"), 6).alias("avg_price"),
+        F.round(
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("pct_finished"),
+    )
+
+
+@query(
+    "rollup_lineitem",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets surface — ROLLUP with subtotal rows labeled 'ALL'."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(_dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_rows",
+            "sum_qty",
+        )
+    )
+
+
+@query(
+    "pivot_order_status",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def pivot_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (no extra pass to discover values)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .na.fill(0, ["O", "F", "P"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins + §2.2 filters
+# ---------------------------------------------------------------------------
+
+@query(
+    "semi_join_active_customers",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+    """,
+)
+def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi — customers with at least one open order (EXISTS)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "anti_join_idle_customers",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def anti_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/SO2 — the reference's resume filter as a generic anti join
+    (script/itemtoid.py:348-353): rows not present in the done-set."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return R.anti_resume(c, o.withColumnRenamed("o_custkey", "c_custkey"), "c_custkey").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "outer_join_nation_coverage",
+    """
+    SELECT n.n_name,
+           COALESCE(x.n_cust, 0) AS n_cust
+    FROM nation n LEFT JOIN (
+      SELECT c_nationkey, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey
+    ) x ON n.n_nationkey = x.c_nationkey
+    """,
+)
+def outer_join_nation_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left outer join with an aggregated right side; NULL-fill for misses."""
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer").groupBy("c_nationkey").agg(
+        F.count("*").alias("n_cust")
+    )
+    return (
+        n.join(c, n.n_nationkey == c.c_nationkey, "left")
+        .select("n_name", F.coalesce("n_cust", F.lit(0)).alias("n_cust"))
+    )
+
+
+@query(
+    "lww_latest_order",
+    """
+    SELECT o_custkey, o_orderkey AS latest_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS latest_orderdate
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def lww_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — last-write-wins dedup (the reference's dict-overwrite mapper,
+    script/wd2tei.py:22-31): latest order per customer."""
+    o = load_table(spark, sf_dir, "orders")
+    # total order: (date, orderkey) so ties are deterministic
+    keyed = o.withColumn(
+        "__ord", F.struct(F.col("o_orderdate"), F.col("o_orderkey"))
+    )
+    return R.last_write_wins(keyed, ["o_custkey"], F.col("__ord")).select(
+        "o_custkey",
+        F.col("o_orderkey").alias("latest_orderkey"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("latest_orderdate"),
+    )
+
+
+@query(
+    "set_ops_segments",
+    """
+    SELECT 'only_building' AS tag, c_custkey FROM (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+    )
+    UNION ALL
+    SELECT 'building_big' AS tag, c_custkey FROM (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+    )
+    """,
+)
+def set_ops_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SO1-SO4 — EXCEPT / INTERSECT / UNION ALL in one result."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    big = o.filter(F.col("o_totalprice") > 100000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    only_b = building.exceptAll(big).distinct().select(
+        F.lit("only_building").alias("tag"), "c_custkey"
+    )
+    both = building.intersect(big).select(
+        F.lit("building_big").alias("tag"), "c_custkey"
+    )
+    return only_b.unionByName(both)
+
+
+@query(
+    "resolve_ladder_parts",
+    """
+    WITH cache AS (
+      SELECT p_name AS qstr, MIN(p_partkey) AS resolved_id
+      FROM part WHERE p_size >= 25 GROUP BY p_name
+      UNION ALL
+      SELECT DISTINCT split_part(p_name, ' ', 2) AS qstr, -1 AS resolved_id
+      FROM part WHERE p_size < 10
+    ),
+    cand AS (
+      SELECT p_partkey,
+             unnest([p_name, split_part(p_name, ' ', 2), split_part(p_name, ' ', 1)]) AS candidate,
+             unnest(generate_series(0, 2)) AS rank
+      FROM part
+    )
+    SELECT p_partkey, rank, candidate, resolved_id FROM (
+      SELECT c.p_partkey, c.rank, c.candidate, k.resolved_id,
+             ROW_NUMBER() OVER (PARTITION BY c.p_partkey ORDER BY c.rank) AS rn
+      FROM cand c JOIN cache k ON c.candidate = k.qstr
+    ) WHERE rn = 1
+    """,
+)
+def resolve_ladder_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 — the reference's query-relaxation ladder, batch formulation:
+    all candidates exploded at once, ONE join against the lookup, best rank
+    wins. Rank 0 = exact name (hits for large parts), rank 1 = relaxed
+    (noun), rank 2 = most-relaxed (adjective, never in cache)."""
+    p = load_table(spark, sf_dir, "part")
+    cache = (
+        p.filter(F.col("p_size") >= 25)
+        .groupBy(F.col("p_name").alias("qstr"))
+        .agg(F.min("p_partkey").alias("resolved_id"))
+        .unionByName(
+            p.filter(F.col("p_size") < 10)
+            .select(F.split("p_name", " ")[1].alias("qstr"))
+            .distinct()
+            .withColumn("resolved_id", F.lit(-1).cast("long"))
+        )
+    )
+    candidates = F.array(
+        F.col("p_name"), F.split("p_name", " ")[1], F.split("p_name", " ")[0]
+    )
+    return RS.resolve_ladder(p, candidates, cache, "p_partkey").select(
+        "p_partkey", F.col("rank").cast("long").alias("rank"), "candidate", "resolved_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 windows / order-dependent
+# ---------------------------------------------------------------------------
+
+@query(
+    "topk_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS totalprice, rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice, ROW_NUMBER() OVER (
+        PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 generalized — top-3 orders by price per customer."""
+    o = load_table(spark, sf_dir, "orders")
+    return R.top_k_per_group(
+        o, ["o_custkey"], [F.desc("o_totalprice"), F.asc("o_orderkey")], 3
+    ).select(
+        "o_custkey",
+        "o_orderkey",
+        _dec(F.col("o_totalprice")).cast("double").alias("totalprice"),
+        F.col("rn").cast("long").alias("rn"),
+    )
+
+
+@query(
+    "carry_forward_purchase",
+    """
+    SELECT event_id, user_id,
+           LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value
+    FROM events
+    """,
+)
+def carry_forward_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 — the reference's "le même" previous-row propagation
+    (script/utils/itemtoid_prep.py:57-62) as a generic carry-forward: each
+    event sees the value of the user's most recent purchase."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pv = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.last(pv, ignorenulls=True).over(w).alias("last_purchase_value"),
+    )
+
+
+@query(
+    "window_frames_running",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+           CAST(LAG(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS prev_price,
+           RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS spend_rank,
+           LEAD(o_orderkey) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_orderkey
+    FROM orders
+    """,
+)
+def window_frames_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function surface: running frame sum, lag, lead, rank — one
+    shuffle on o_custkey shared by all four (same partitioning)."""
+    o = load_table(spark, sf_dir, "orders")
+    wo = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    frame = wo.rowsBetween(Window.unboundedPreceding, 0)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(_dec(F.col("o_totalprice"))).over(frame).cast("double").alias("running_spend"),
+        F.lag(_dec(F.col("o_totalprice"))).over(wo).cast("double").alias("prev_price"),
+        F.rank().over(Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))).cast("long").alias("spend_rank"),
+        F.lead("o_orderkey").over(wo).alias("next_orderkey"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis (documents)
+# ---------------------------------------------------------------------------
+
+_STOP_EN_SQL = "', '".join(TS.STOPWORDS["en"])
+_ALL_STOP_SQL = "', '".join(w for lst in TS.STOPWORDS.values() for w in lst)
+
+@query(
+    "word_count_top100",
+    f"""
+    WITH words AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+      FROM documents
+    )
+    SELECT word, COUNT(*) AS count FROM words
+    WHERE word <> '' AND word NOT IN ('{_STOP_EN_SQL}')
+      AND NOT regexp_matches(word, '^(\\d+|[A-Z]+)$')
+    GROUP BY word
+    ORDER BY count DESC, word ASC
+    LIMIT 100
+    """,
+)
+def word_count_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+P3+P4+W3 — the reference's trait word-counter
+    (script/utils/traitcounter.py, an O(n²) loop) as explode → hash agg →
+    top-100 with deterministic tiebreak."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TS.word_count(docs, stopwords=TS.STOPWORDS["en"]).orderBy(
+        F.desc("count"), F.asc("word")
+    ).limit(100)
+
+
+@query(
+    "doc_source_stats",
+    """
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT lang) AS n_langs,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars,
+           ROUND(CAST(SUM(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+             AS pct_short
+    FROM documents
+    GROUP BY source
+    """,
+)
+def doc_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/A8 — counter/ratio aggregation (the reference's test-metrics
+    pattern, script/itemtoid_test.py:299-325)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.round(F.sum("n_chars").cast("double") / F.count("*"), 6).alias("avg_chars"),
+        F.round(
+            F.sum(F.when(F.col("n_chars") < 100, 1).otherwise(0)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("pct_short"),
+    )
+
+
+@query(
+    "group_collect_langs",
+    """
+    SELECT lang,
+           string_agg(DISTINCT source, ',' ORDER BY source) AS sources,
+           COUNT(DISTINCT source) AS n_sources
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def group_collect_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — normalized dedup of multi-valued results
+    (script/utils/classes.py:163-195): collect_set, sorted for determinism."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.array_join(F.array_sort(F.collect_set("source")), ",").alias("sources"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@query(
+    "lang_id_documents",
+    f"""
+    WITH scored AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                 x -> list_contains(['{"', '".join(TS.STOPWORDS['fr'])}'], x))) AS score_fr,
+             len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                 x -> list_contains(['{"', '".join(TS.STOPWORDS['en'])}'], x))) AS score_en,
+             len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                 x -> list_contains(['{"', '".join(TS.STOPWORDS['es'])}'], x))) AS score_es,
+             len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                 x -> list_contains(['{"', '".join(TS.STOPWORDS['de'])}'], x))) AS score_de
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(score_fr, score_en, score_es, score_de) <= 0 THEN 'und'
+                WHEN score_fr = greatest(score_fr, score_en, score_es, score_de) THEN 'fr'
+                WHEN score_en = greatest(score_fr, score_en, score_es, score_de) THEN 'en'
+                WHEN score_es = greatest(score_fr, score_en, score_es, score_de) THEN 'es'
+                ELSE 'de' END AS pred_lang,
+           CAST(greatest(score_fr, score_en, score_es, score_de) AS INTEGER) AS best_score
+    FROM scored
+    """,
+)
+def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID by stopword-profile scoring — row-local, no shuffle."""
+    return TS.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "token_stats_documents",
+    """
+    SELECT doc_id,
+           len(string_split_regex(trim(lower(text)), '\\s+')) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|\\d+|[^\\w\\s]')) AS bpe_tokens,
+           ROUND(CAST(len(text) AS DOUBLE) /
+                 greatest(len(regexp_extract_all(text, '[A-Za-z]+|\\d+|[^\\w\\s]')), 1), 4)
+             AS chars_per_token
+    FROM documents
+    """,
+)
+def token_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex) — pre-training pipeline op."""
+    return TS.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# dedup tiers (documents)
+# ---------------------------------------------------------------------------
+
+# DuckDB rendition of norm_compare (punct class → space, collapse ws, trim).
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower({0}), "
+    "'[!?,\\.;\\\\:/&\\(\\)\\[\\]\\{{\\}}\"''«»_^¨$£%§#~*`|-]', ' ', 'g'), "
+    "'\\s+', ' ', 'g'))"
+)
+
+
+@query(
+    "exact_dedup_documents",
+    f"""
+    SELECT md5({_NORM_SQL.format('text')}) AS fp,
+           MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+    FROM documents GROUP BY 1
+    """,
+)
+def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup tier 1 — exact dedup on canonical text hash, lowest id wins."""
+    return D.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "fingerprint_documents",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks, text
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3 THEN
+               list_transform(generate_series(1, len(toks) - 2),
+                              i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+             ELSE [md5(array_to_string(toks, ' '))] END AS hashes,
+             text
+      FROM tok
+    )
+    SELECT doc_id,
+           md5({_NORM_SQL.format('text')}) AS exact_fp,
+           list_min(hashes) AS min_shingle_fp,
+           list_max(hashes) AS max_shingle_fp
+    FROM sh
+    """,
+)
+def fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: canonical md5 + min/max 3-shingle hash
+    (1-permutation minhash)."""
+    return TS.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+def _minhash_oracle(num_hashes: int = 8) -> str:
+    mh_cols = ",\n           ".join(
+        f"MIN(md5('{j}|' || sh)) AS mh_{j}" for j in range(num_hashes)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(toks) >= 3 THEN
+          list_transform(generate_series(1, len(toks) - 2),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        ELSE [array_to_string(toks, ' ')] END) AS sh
+      FROM tok
+    )
+    SELECT doc_id,
+           {mh_cols}
+    FROM sh GROUP BY doc_id
+    """
+
+
+@query("minhash_signatures_documents", _minhash_oracle(8))
+def minhash_signatures_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup tier 3 (signature step) — 8-permutation minhash via salted md5;
+    engine-portable so the oracle reproduces it bit-for-bit."""
+    return D.minhash_signatures(
+        load_table(spark, sf_dir, "documents"), num_hashes=8
+    )
+
+
+@query(
+    "ngram_jaccard_pairs",
+    """
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(toks) >= 2 THEN
+          list_transform(generate_series(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i+1])
+        ELSE [array_to_string(toks, ' ')] END)) AS sh
+      FROM tok
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a
+               JOIN sizes sb ON sb.doc_id = id_b
+    WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.2
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup tier 4 — exact 2-gram Jaccard similarity join (shingle equi-join,
+    never an all-pairs product)."""
+    return D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), shingle_k=2, threshold=0.2
+    )
+
+
+def _lsh_verified_oracle(num_hashes: int = 8, bands: int = 4,
+                         threshold: float = 0.2) -> str:
+    rpb = num_hashes // bands
+    mh_cols = ",\n             ".join(
+        f"MIN(md5('{j}|' || sh)) AS mh_{j}" for j in range(num_hashes)
+    )
+    band_rows = "\n      UNION ALL\n".join(
+        "      SELECT doc_id, {b} AS band_idx, md5({expr}) AS band_hash FROM sigs".format(
+            b=b,
+            expr=" || '|' || ".join(f"mh_{b * rpb + r}" for r in range(rpb)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    shing AS (
+      SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(toks) >= 2 THEN
+          list_transform(generate_series(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i+1])
+        ELSE [array_to_string(toks, ' ')] END)) AS sh
+      FROM tok
+    ),
+    sigs AS (
+      SELECT doc_id, {mh_cols}
+      FROM shing GROUP BY doc_id
+    ),
+    banded AS (
+{band_rows}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shing GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+      FROM cand c JOIN shing a ON a.doc_id = c.id_a
+                  JOIN shing b ON b.doc_id = c.id_b AND b.sh = a.sh
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a
+               JOIN sizes sb ON sb.doc_id = id_b
+    WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= {threshold}
+    """
+
+
+@query("neardup_lsh_verified", _lsh_verified_oracle())
+def neardup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup tiers 3+4 composed — the scale path: LSH banding proposes
+    candidates, exact Jaccard verifies only those. Never an all-pairs or
+    hot-shingle product."""
+    return D.neardup_lsh_verified(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "quality_score_documents",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             string_split_regex(trim(lower(text)), '\\s+') AS toks,
+             len(text) AS n_chars
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, n_chars,
+             len(toks) AS n_tokens,
+             len(list_filter(toks, x -> list_contains(['{_ALL_STOP_SQL}'], x))) AS n_stop,
+             n_chars - len(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+             len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+             CAST(len(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / len(toks) AS mean_wlen
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n_chars AS INTEGER) AS n_chars_q,
+           CAST(n_tokens AS INTEGER) AS n_tokens,
+           ROUND(mean_wlen, 4) AS mean_word_len,
+           ROUND(CAST(n_punct AS DOUBLE) / n_chars, 4) AS punct_ratio,
+           ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stopword_ratio,
+           ROUND(CAST(n_alpha AS DOUBLE) / n_chars, 4) AS alpha_ratio,
+           (n_tokens >= 10 AND mean_wlen >= 2 AND mean_wlen <= 12
+            AND CAST(n_stop AS DOUBLE) / n_tokens >= 0.01) AS passes_quality
+    FROM m
+    """,
+)
+def quality_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-training quality filters: length, word-length, punctuation,
+    stopword and alpha ratios + a pass/fail gate. Row-local."""
+    return TS.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+@query("simhash_documents")  # xxhash64 is Spark-specific → rows-only check
+def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup tier 2 — 64-bit simhash signature (row-local fold, no shuffle).
+    No oracle: the bit mixing uses Spark's xxhash64."""
+    return D.simhash(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# similarity search (embeddings)
+# ---------------------------------------------------------------------------
+
+_DOT_SQL = """
+list_aggregate(list_transform(generate_series(1, len(a)), i -> a[i] * b[i]), 'sum')
+"""
+
+
+@query(
+    "cosine_topk_embeddings",
+    """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 8),
+    scored AS (
+      SELECT q.query_id, i.vec_id AS item_id,
+             ROUND(
+               list_aggregate(list_transform(generate_series(1, 64), k -> qv[k] * i.v[k]), 'sum')
+               / (sqrt(list_aggregate(list_transform(qv, x -> x * x), 'sum'))
+                  * sqrt(list_aggregate(list_transform(i.v, x -> x * x), 'sum'))), 6)
+               AS cos_sim
+      FROM v i CROSS JOIN q WHERE i.vec_id <> q.query_id
+    )
+    SELECT query_id, item_id, cos_sim, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, item_id ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    """,
+)
+def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for 8 query vectors — the ANN baseline.
+    JVM-side fold (zip_with + aggregate), broadcast query side."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+@query("lsh_ann_embeddings")  # rows-only: hyperplane literals too bulky for SQL
+def lsh_ann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via random-hyperplane LSH buckets — the scale path
+    (shuffle on bucket signature instead of a cross product)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.lsh_ann(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+# ---------------------------------------------------------------------------
+# event-time windows (events) — batch forms; streaming forms in streaming/
+# ---------------------------------------------------------------------------
+
+@query(
+    "tumbling_events",
+    """
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type, COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 4) AS sum_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+)
+def tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h event-time window per event_type."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+    return g.agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum(_dec(F.col("value"))).cast("double"), 4).alias("sum_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    ).select(
+        F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "event_type", "n_events", "sum_value", "n_users",
+    )
+
+
+@query(
+    "sliding_events",
+    """
+    WITH expanded AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS win_start, event_type, value
+      FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', event_type, value
+      FROM events
+    )
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 4) AS sum_value
+    FROM expanded GROUP BY 1, 2
+    """,
+)
+def sliding_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h/30m window — each event lands in 2 windows."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type")
+    return g.agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum(_dec(F.col("value"))).cast("double"), 4).alias("sum_value"),
+    ).select(
+        F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "event_type", "n_events", "sum_value",
+    )
+
+
+@query(
+    "session_events",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 4) AS sum_value,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def session_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap) — gaps-and-islands, one shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    return SW.session_agg(ev, gap_seconds=1800)
+
+
+# ---------------------------------------------------------------------------
+# string-function library (F1-F19) exercised end-to-end
+# ---------------------------------------------------------------------------
+
+@query(
+    "string_pipeline_documents",
+    f"""
+    SELECT doc_id,
+           regexp_replace('<b>' || source || '</b>', '<.*?>', '', 'g') AS stripped,
+           md5({_NORM_SQL.format('text')}) AS canon_fp,
+           regexp_extract('ref Q' || CAST(doc_id AS VARCHAR) || ' end', '(Q\\d+)', 1) AS qid,
+           trim(regexp_replace(regexp_replace(lower(substr(text, 1, 80)),
+                '[!\\.?;/\\\\:&\\(\\)\\[\\]#",''_]', '', 'g'), '\\s+', ' ', 'g')) AS qclean_nodedup
+    FROM documents
+    """,
+)
+def string_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 (striptag), F3 (norm_compare), F17 (QID extract), and the
+    punctuation-strip/collapse steps of F5 — as one column pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    qstr = F.lower(F.substring("text", 1, 80))
+    qstr = F.regexp_replace(qstr, S.QSTR_PUNCT_CLASS, "")
+    qstr = S.norm_ws(qstr)
+    return d.select(
+        "doc_id",
+        S.striptag(F.concat(F.lit("<b>"), F.col("source"), F.lit("</b>"))).alias("stripped"),
+        F.md5(S.norm_compare(F.col("text"))).alias("canon_fp"),
+        S.qid_extract(F.concat(F.lit("ref Q"), F.col("doc_id"), F.lit(" end"))).alias("qid"),
+        qstr.alias("qclean_nodedup"),
+    )
+
+
+@query(
+    "dedup_tokens_ordered",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split(trim(lower(substr(text, 1, 200))), ' ')) AS w,
+             unnest(generate_series(1, len(string_split(trim(lower(substr(text, 1, 200))), ' ')))) AS pos
+      FROM documents
+    ),
+    firsts AS (
+      SELECT doc_id, w, MIN(pos) AS mp FROM tok WHERE w <> '' GROUP BY doc_id, w
+    )
+    SELECT doc_id, string_agg(w, ' ' ORDER BY mp) AS deduped
+    FROM firsts GROUP BY doc_id
+    """,
+)
+def dedup_tokens_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/F5 — order-preserving token dedup (`sorted(set(s), key=s.index)`,
+    script/itemtoid.py:129-130) via array_distinct (which is order-preserving
+    in Spark; the oracle reproduces it with a min-position group-by)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.substring("text", 1, 200))), " ")
+    return d.select(
+        "doc_id",
+        F.array_join(
+            F.filter(F.array_distinct(toks), lambda x: x != ""), " "
+        ).alias("deduped"),
+    )

@@ -1,0 +1,164 @@
+"""Event-time windowing over the `events` table.
+
+The reference is strictly batch (SURVEY.md §2.9) — these are the *new*
+streaming capabilities of the engine. Each window shape exists in two
+equivalent forms:
+
+- a **batch** form (plain DataFrame ops, oracle-checkable against DuckDB),
+- a **streaming** form (readStream → watermark → windowed agg → memory
+  sink), exercised by the test suite via `processAllAvailable()`.
+
+Batch and streaming forms share the same aggregation spec so results are
+identical on a static input — that equivalence is itself a test.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.relational import sessionize
+
+EVENTS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),  # raw ns (nanosAsLong read path)
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def _sum_value():
+    # exact decimal sum → double: order-independent, so batch == streaming
+    # == DuckDB oracle bit-for-bit
+    return F.round(F.sum(F.col("value").cast("decimal(12,2)")).cast("double"), 4)
+
+
+def _agg(grouped):
+    return grouped.agg(
+        F.count("*").alias("n_events"),
+        _sum_value().alias("sum_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def tumbling(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Tumbling event-time window per event_type."""
+    g = events.groupBy(F.window("ts", width).alias("win"), "event_type")
+    return _agg(g).select(
+        F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "event_type", "n_events", "sum_value", "n_users",
+    )
+
+
+def sliding(events: DataFrame, width: str = "1 hour",
+            slide: str = "30 minutes") -> DataFrame:
+    """Sliding event-time window (each event lands in width/slide windows)."""
+    g = events.groupBy(F.window("ts", width, slide).alias("win"), "event_type")
+    return _agg(g).select(
+        F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "event_type", "n_events", "sum_value", "n_users",
+    )
+
+
+def session_agg(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Batch sessionization: per-user sessions split on inactivity gaps,
+    aggregated. Same semantics as streaming `session_window` for a static
+    input."""
+    s = sessionize(events, "user_id", "ts", gap_seconds)
+    return s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        _sum_value().alias("sum_value"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming forms
+# ---------------------------------------------------------------------------
+
+def _stream_dir(sf_dir: str) -> str:
+    """The file stream source requires a *directory*; testdata is read-only,
+    so expose events.parquet through a symlink dir under the repo."""
+    base = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".cache", "stream")
+    tag = sf_dir.strip("/").replace("/", "_")
+    d = os.path.join(base, tag)
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    return d
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the static events parquet: drives a real
+    streaming query to completion in tests. ts arrives as raw ns (the
+    nanosAsLong path) and is rebuilt exactly like the batch catalog."""
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_SCHEMA)
+        .load(_stream_dir(sf_dir))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def streaming_tumbling(spark: SparkSession, sf_dir: str,
+                       width: str = "1 hour",
+                       watermark: str = "2 hours") -> DataFrame:
+    """readStream → watermark → tumbling agg → memory sink; returns the
+    completed result as a DataFrame (complete mode, static input)."""
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", watermark)
+    # no countDistinct: distinct aggregation is unsupported on streams
+    agg = ev.groupBy(F.window("ts", width).alias("win"), "event_type").agg(
+        F.count("*").alias("n_events"),
+        _sum_value().alias("sum_value"),
+    )
+    out = agg.select(
+        F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "event_type", "n_events", "sum_value",
+    )
+    name = "wde_stream_tumbling"
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def streaming_session(spark: SparkSession, sf_dir: str,
+                      gap: str = "30 minutes",
+                      watermark: str = "2 hours") -> DataFrame:
+    """Native streaming session_window aggregation (complete per-user
+    sessions on a static input)."""
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", watermark)
+    agg = (
+        ev.groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"),
+             _sum_value().alias("sum_value"))
+    )
+    out = agg.select(
+        "user_id",
+        F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("win.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events", "sum_value",
+    )
+    name = "wde_stream_session"
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
