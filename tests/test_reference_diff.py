@@ -1,0 +1,138 @@
+"""Differential tests: the engine's classifier/ladder vs the reference
+implementation itself, executed in-process (no network).
+
+The reference repo at /root/reference is read-only PUBLIC content; these
+tests import its modules (stubbing its unavailable third-party deps) and
+compare outputs row-by-row over the 200-row golden test set it ships
+(script/tables/nametable_test_withid.tsv). Skipped when the reference tree
+is absent, so the repo remains standalone.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import csv
+import io
+import os
+import sys
+import types
+
+import pytest
+
+REF = "/root/reference"
+GOLDEN = os.path.join(REF, "script", "tables", "nametable_test_withid.tsv")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isfile(GOLDEN), reason="reference tree not available")
+
+
+@pytest.fixture(scope="module")
+def ref_modules():
+    """Import the reference's prep/query modules with fake third-party deps
+    (requests/tqdm/lxml/SPARQLWrapper are absent from this environment and
+    unused by the code paths under test)."""
+    for name in ("requests", "tqdm", "SPARQLWrapper"):
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            mod.tqdm = lambda x, **k: x
+            mod.SPARQLWrapper = object
+            mod.SPARQLExceptions = types.ModuleType("SPARQLWrapper.SPARQLExceptions")
+            mod.SPARQLExceptions.EndPointInternalError = type(
+                "EndPointInternalError", (Exception,), {})
+            mod.JSON = "json"
+            mod.XML = "xml"
+            mod.get = None
+            sys.modules[name] = mod
+            if name == "SPARQLWrapper":
+                sys.modules["SPARQLWrapper.SPARQLExceptions"] = mod.SPARQLExceptions
+    if "lxml" not in sys.modules:
+        lxml = types.ModuleType("lxml")
+        etree = types.ModuleType("lxml.etree")
+        lxml.etree = etree
+        sys.modules["lxml"] = lxml
+        sys.modules["lxml.etree"] = etree
+    sys.path.insert(0, REF)
+    import script.itemtoid as ref_itemtoid
+    import script.utils.itemtoid_prep as ref_prep
+
+    yield ref_prep, ref_itemtoid
+    sys.path.remove(REF)
+
+
+@pytest.fixture(scope="module")
+def golden_rows():
+    with open(GOLDEN, encoding="utf-8") as f:
+        rows = [r for r in csv.reader(f, delimiter="\t", quotechar='"')]
+    assert len(rows) == 200
+    return [(r[2], r[3]) for r in rows]  # (name, trait)
+
+
+def _ref_qdicts(ref_prep, rows):
+    out = []
+    prev = {k: "" for k in ("fname", "lname", "nobname_sts", "status",
+                            "dates", "function")} | {"rebuilt": False}
+    for name, trait in rows:
+        with contextlib.redirect_stdout(io.StringIO()):
+            qd, prev = ref_prep.prep_query([name, trait], prev)
+        out.append(dict(qd))
+    return out
+
+
+def _my_qdicts(rows):
+    from wde_spark.functions.classify import QDICT_FIELDS, prep_query
+
+    out = []
+    prev = None
+    for name, trait in rows:
+        q = prep_query(name, trait)
+        if q is None:  # "le même" → carry forward (W1)
+            q = prev
+        prev = q
+        out.append(dict(zip(QDICT_FIELDS, q.as_tuple())) if q is not None
+                   else {k: "" for k in QDICT_FIELDS})
+    return out
+
+
+def test_prep_query_matches_reference(ref_modules, golden_rows):
+    ref_prep, _ = ref_modules
+    ref = _ref_qdicts(ref_prep, golden_rows)
+    mine = _my_qdicts(golden_rows)
+    mismatches = [
+        (i, golden_rows[i][0], r, m)
+        for i, (r, m) in enumerate(zip(ref, mine)) if r != m
+    ]
+    assert not mismatches, f"{len(mismatches)} qdict mismatches; first: {mismatches[0]}"
+
+
+def test_ladder_matches_reference(ref_modules, golden_rows):
+    """Record every query string the reference's launch_query would probe
+    (forcing all-miss results) and compare with ladder_candidates()."""
+    ref_prep, ref_itemtoid = ref_modules
+    from wde_spark.functions.classify import (QDict, clean_query_string,
+                                              ladder_candidates)
+
+    ref_qd = _ref_qdicts(ref_prep, golden_rows)
+    mismatches = []
+    for i, qd in enumerate(ref_qd):
+        probed: list[str] = []
+
+        def fake_confrequest(qstr, qdict, config=None):
+            probed.append(clean_query_string(qstr))
+            return ["", "", "", False]
+
+        orig = ref_itemtoid.confrequest
+        ref_itemtoid.confrequest = fake_confrequest
+        try:
+            ref_itemtoid.launch_query(dict(qd), {"test": False, "fetch": False})
+        finally:
+            ref_itemtoid.confrequest = orig
+
+        ref_seq = []
+        for p in probed:
+            if p and p not in ref_seq:
+                ref_seq.append(p)
+        mine = ladder_candidates(QDict(**qd))
+        if ref_seq != mine:
+            mismatches.append((i, golden_rows[i][0], ref_seq, mine))
+    assert not mismatches, (
+        f"{len(mismatches)} ladder mismatches; first: {mismatches[0]}")
