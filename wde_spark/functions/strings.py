@@ -38,7 +38,7 @@ def striptag(c: Column) -> Column:
 def clean_entity(c: Column) -> Column:
     """F2 — drop the Wikidata entity-URI prefix and a trailing time-of-day."""
     c = F.regexp_replace(c, r"http://www\.wikidata\.org/entity/", "")
-    return F.regexp_replace(c, r"T\d{2}:\d{2}:\d{2}Z", "")
+    return F.regexp_replace(c, r"T\d{2}:\d{2}:\d{2}Z$", "")
 
 
 def norm_ws(c: Column) -> Column:
