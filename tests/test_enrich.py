@@ -7,7 +7,7 @@ import json
 import os
 import random
 import sys
-import types
+
 
 import pytest
 
@@ -20,22 +20,9 @@ pytestmark = pytest.mark.skipif(
 
 @pytest.fixture(scope="module")
 def ref_strings():
-    for name in ("requests", "tqdm"):
-        sys.modules.setdefault(name, types.ModuleType(name))
-    if "lxml" not in sys.modules:
-        lxml = types.ModuleType("lxml")
-        lxml.etree = types.ModuleType("lxml.etree")
-        sys.modules["lxml"] = lxml
-        sys.modules["lxml.etree"] = lxml.etree
-    if "SPARQLWrapper" not in sys.modules:
-        mod = types.ModuleType("SPARQLWrapper")
-        mod.SPARQLWrapper = object
-        mod.JSON, mod.XML = "json", "xml"
-        exc = types.ModuleType("SPARQLWrapper.SPARQLExceptions")
-        exc.EndPointInternalError = type("EndPointInternalError", (Exception,), {})
-        mod.SPARQLExceptions = exc
-        sys.modules["SPARQLWrapper"] = mod
-        sys.modules["SPARQLWrapper.SPARQLExceptions"] = exc
+    from conftest import stub_reference_deps
+
+    stub_reference_deps()
     if REF not in sys.path:
         sys.path.insert(0, REF)
     from script.utils.classes import Strings

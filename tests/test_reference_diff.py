@@ -31,26 +31,9 @@ def ref_modules():
     """Import the reference's prep/query modules with fake third-party deps
     (requests/tqdm/lxml/SPARQLWrapper are absent from this environment and
     unused by the code paths under test)."""
-    for name in ("requests", "tqdm", "SPARQLWrapper"):
-        if name not in sys.modules:
-            mod = types.ModuleType(name)
-            mod.tqdm = lambda x, **k: x
-            mod.SPARQLWrapper = object
-            mod.SPARQLExceptions = types.ModuleType("SPARQLWrapper.SPARQLExceptions")
-            mod.SPARQLExceptions.EndPointInternalError = type(
-                "EndPointInternalError", (Exception,), {})
-            mod.JSON = "json"
-            mod.XML = "xml"
-            mod.get = None
-            sys.modules[name] = mod
-            if name == "SPARQLWrapper":
-                sys.modules["SPARQLWrapper.SPARQLExceptions"] = mod.SPARQLExceptions
-    if "lxml" not in sys.modules:
-        lxml = types.ModuleType("lxml")
-        etree = types.ModuleType("lxml.etree")
-        lxml.etree = etree
-        sys.modules["lxml"] = lxml
-        sys.modules["lxml.etree"] = etree
+    from conftest import stub_reference_deps
+
+    stub_reference_deps()
     sys.path.insert(0, REF)
     import script.itemtoid as ref_itemtoid
     import script.utils.itemtoid_prep as ref_prep
