@@ -36,6 +36,9 @@ HEADLINE = [
     "lang_id_documents",
     "cosine_topk_embeddings",
     "lsh_ann_embeddings",
+    "embedding_neardup_exact",
+    "multimodal_frames",
+    "multimodal_features",
     "resolve_ladder_parts",
 ]
 

@@ -1,0 +1,115 @@
+"""Multimodal binary-column operators + the applyInPandasWithState
+stateful sessionizer (streamed over multiple triggers)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+
+
+def test_attach_media_and_frames_roundtrip(spark):
+    """Frame bytes must re-assemble to the original payload for videos
+    sampled with every=1 — proves the binary transport is lossless."""
+    from wde_spark.core.catalog import load_table
+    from wde_spark.operators.multimodal import attach_media, frame_sample
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(30)
+    media = attach_media(docs)
+    frames = frame_sample(media, every=1)
+
+    joined = (
+        frames.filter(F.col("kind") == "video")
+        .groupBy("media_id")
+        .agg(F.sum("frame_size").alias("n"))
+        .join(media.select("media_id", F.octet_length("payload").alias("L")),
+              "media_id")
+        .filter(F.col("n") != F.col("L"))
+    )
+    assert joined.count() == 0
+
+    sizes = frames.filter(F.col("kind") != "video").select(
+        (F.octet_length("frame_bytes") == F.col("frame_size")).alias("ok"))
+    assert all(r.ok for r in sizes.collect())
+
+
+def test_extract_features_shape(spark):
+    from wde_spark.core.catalog import load_table
+    from wde_spark.operators.multimodal import attach_media, extract_features
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(20)
+    feats = extract_features(attach_media(docs)).collect()
+    assert len(feats) == 20
+    for r in feats:
+        assert len(r.features) == 8
+        assert abs(sum(r.features) - 1.0) < 1e-6  # normalized histogram
+        assert r.n_frames == (r.n_bytes + 1023) // 1024
+
+
+def test_stateful_sessionize_matches_batch(spark, tmp_path):
+    """Split events into 3 time-ordered files → 3 triggers; every session
+    the stateful operator closes must match the batch sessionizer exactly,
+    and all but the last-open sessions per user must be emitted."""
+    from wde_spark.core.catalog import load_table
+    from wde_spark.operators.relational import sessionize
+    from wde_spark.streaming.stateful import sessionize_stateful
+    from wde_spark.streaming.windows import EVENTS_SCHEMA
+
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .filter(F.col("user_id") < 40)
+    )
+    # 3 chronological chunks as separate files
+    ordered = ev.orderBy("ts").collect()
+    third = len(ordered) // 3
+    src = tmp_path / "stream_src"
+    os.makedirs(src)
+    for i in range(3):
+        chunk = ordered[i * third: (i + 1) * third if i < 2 else len(ordered)]
+        spark.createDataFrame(chunk, ev.schema).coalesce(1).write.parquet(
+            str(src / f"chunk_{i}.parquet"))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+        .select("ts", "user_id", F.col("value").cast("double").alias("value"))
+    )
+    q = (
+        sessionize_stateful(stream, gap_seconds=1800, watermark="0 seconds")
+        .writeStream.outputMode("append")
+        .format("memory").queryName("stateful_sessions").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.user_id, r.session_start, r.session_end):
+            (r.n_events, round(r.sum_value, 2))
+        for r in spark.sql("SELECT * FROM stateful_sessions").collect()
+    }
+
+    batch = sessionize(ev, "user_id", "ts", 1800)
+    expected_all = {
+        (r.user_id, r.session_start, r.session_end):
+            (r.n_events, round(r.sum_value, 2))
+        for r in batch.groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("session_start"),
+             F.max("ts").alias("session_end"),
+             F.count("*").alias("n_events"),
+             F.round(F.sum(F.col("value").cast("double")), 2).alias("sum_value"))
+        .collect()
+    }
+
+    assert got, "stateful operator emitted nothing"
+    for k, v in got.items():
+        assert k in expected_all, (k, v)
+        assert expected_all[k] == v, (k, v, expected_all[k])
+    # all sessions except each user's final (possibly open) one must emit
+    n_users = len({u for (u, _, _) in expected_all})
+    assert len(got) >= len(expected_all) - n_users

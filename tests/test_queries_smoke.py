@@ -18,7 +18,8 @@ def test_query_runs(spark, name):
 def test_oracle_coverage():
     # every query either has an oracle or is explicitly engine-specific
     rows_only = set(QUERIES) - set(ORACLE)
-    assert rows_only <= {"simhash_documents", "lsh_ann_embeddings"}
+    assert rows_only <= {
+        "simhash_documents", "lsh_ann_embeddings", "multimodal_features"}
 
 
 def test_entry_contract(spark):

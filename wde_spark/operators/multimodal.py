@@ -1,0 +1,153 @@
+"""Multimodal (image/audio/video) column operators.
+
+Not present in the reference (a text-only pipeline) — this is the
+training-data-pipeline extension surface: media as opaque `binary` columns
+with typed metadata, processed by Arrow-batched `mapInPandas` kernels.
+
+Design for 100 TB:
+- payloads stay opaque bytes end-to-end; Spark never interprets them, so
+  they ride Tungsten/Arrow untouched and never inflate the driver;
+- every kernel is row-local (zero shuffle) and batch-oriented (one Arrow
+  batch in, one out);
+- frame sampling EXPLODES rows — the kernel emits frames incrementally per
+  batch so a long video never materializes all frames in memory at once.
+
+The actual codec decode is environment-dependent (no image/audio libraries
+ship in this container) and is STUBBED: `decode_stub` derives deterministic
+pseudo-pixels from the payload bytes. The Spark-side contract — schemas,
+binary transport, batch shapes, partitioning — is real and tested; swap
+`_decode_frame` for a real codec (PIL/ffmpeg) to productionize.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FRAME_BYTES = 1024  # stub "frame" granularity for the video kind
+
+MEDIA_META_TYPE = T.StructType([
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("codec", T.StringType()),
+])
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("frame_bytes", T.BinaryType()),
+    T.StructField("frame_size", T.IntegerType()),
+])
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("n_bytes", T.IntegerType()),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("features", T.ArrayType(T.DoubleType())),
+])
+
+
+def attach_media(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Deterministic media table for tests/bench: payload = utf-8 bytes of
+    the text (a stand-in for real image/audio/video bytes), kind cycling by
+    id, metadata derived from payload size. In production this column comes
+    straight from the lake (parquet/avro binary)."""
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col(id_col) % 3 + 1).cast("int"),
+    )
+    payload = F.encode(F.col(text_col), "UTF-8")
+    n = F.octet_length(payload)
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        kind.alias("kind"),
+        payload.alias("payload"),
+        F.struct(
+            (n % 640 + 16).cast("int").alias("width"),
+            (n % 480 + 16).cast("int").alias("height"),
+            F.lit(16000).alias("sample_rate"),
+            F.lit("stub").alias("codec"),
+        ).alias("meta"),
+    )
+
+
+def _decode_frame(payload: bytes, start: int, size: int) -> bytes:
+    """STUB decoder: a real implementation would hand `payload` to a codec
+    (PIL / libav). Deterministic here: the 'frame' is the raw byte slice."""
+    return payload[start: start + size]
+
+
+def frame_sample(media: DataFrame, every: int = 4) -> DataFrame:
+    """Sample every `every`-th FRAME_BYTES-sized frame of each video
+    payload; images/audio pass through as a single frame 0. Row-local,
+    streaming per Arrow batch."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[tuple] = []
+            for mid, kind, payload in zip(
+                    pdf["media_id"], pdf["kind"], pdf["payload"]):
+                payload = bytes(payload)
+                if kind == "video":
+                    n_frames = (len(payload) + FRAME_BYTES - 1) // FRAME_BYTES
+                    for fi in range(0, n_frames, every):
+                        fb = _decode_frame(payload, fi * FRAME_BYTES, FRAME_BYTES)
+                        out.append((mid, kind, fi, fb, len(fb)))
+                else:
+                    out.append((mid, kind, 0, payload, len(payload)))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        kernel, schema=FRAME_SCHEMA)
+
+
+def extract_features(media: DataFrame, n_buckets: int = 8) -> DataFrame:
+    """Per-payload feature vector: normalized byte histogram over
+    `n_buckets` buckets (stand-in for an embedding model), plus size and
+    stub frame count. Vectorized inside the batch via numpy."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload in zip(
+                    pdf["media_id"], pdf["kind"], pdf["payload"]):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n = int(b.size)
+                hist = np.bincount(b >> (8 - n_buckets.bit_length() + 1),
+                                   minlength=n_buckets)[:n_buckets]
+                feat = (hist / max(n, 1)).astype(float).tolist()
+                n_frames = (n + FRAME_BYTES - 1) // FRAME_BYTES
+                rows.append((mid, kind, n, n_frames, feat))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        kernel, schema=FEATURE_SCHEMA)
+
+
+def resize_meta(media: DataFrame, max_w: int = 256, max_h: int = 256) -> DataFrame:
+    """Resize planning as a pure column expression: clamp dimensions
+    preserving aspect ratio (the byte-level resample belongs to the stubbed
+    codec). Demonstrates typed-metadata transforms without touching
+    payloads."""
+    w, h = F.col("meta.width"), F.col("meta.height")
+    scale = F.least(F.lit(max_w) / w, F.lit(max_h) / h, F.lit(1.0))
+    return media.withColumn(
+        "meta",
+        F.struct(
+            F.floor(w * scale).cast("int").alias("width"),
+            F.floor(h * scale).cast("int").alias("height"),
+            F.col("meta.sample_rate").alias("sample_rate"),
+            F.col("meta.codec").alias("codec"),
+        ),
+    )

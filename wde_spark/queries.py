@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from .core.catalog import load_table
 from .functions import strings as S
 from .operators import dedup as D
+from .operators import multimodal as MM
 from .operators import relational as R
 from .operators import resolve as RS
 from .operators import similarity as SIM
@@ -935,6 +936,116 @@ def lsh_ann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     (shuffle on bucket signature instead of a cross product)."""
     emb = load_table(spark, sf_dir, "embeddings", spread=True)
     return SIM.lsh_ann(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+@query(
+    "embedding_neardup_exact",
+    """
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings WHERE vec_id % 4 = 0)
+    SELECT * FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND(list_aggregate(list_transform(generate_series(1, 64), k -> a.v[k] * b.v[k]), 'sum')
+               / (sqrt(list_aggregate(list_transform(a.v, x -> x*x), 'sum'))
+                  * sqrt(list_aggregate(list_transform(b.v, x -> x*x), 'sum'))), 6) AS cos_sim
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+    ) WHERE cos_sim >= 0.2
+    """,
+)
+def embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup tier 5 (exact form) — cosine near-duplicate pairs above a
+    threshold over a deterministic 1/4 subset; brute-force all-pairs with a
+    JVM-side fold. The production path at scale is the LSH-bucketed
+    `embedding_neardup` (same verification math, bucket-join instead of a
+    cross product), exercised in tests; this exact form is the oracle
+    anchor for it."""
+    emb = load_table(spark, sf_dir, "embeddings", spread=True).filter(
+        F.col("vec_id") % 4 == 0)
+    v = emb.select(F.col("vec_id"),
+                   F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(SIM.cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal binary columns (documents-derived media) — operators/multimodal
+# ---------------------------------------------------------------------------
+
+@query(
+    "multimodal_frames",
+    """
+    WITH m AS (SELECT doc_id AS media_id,
+        CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+             ELSE 'video' END AS kind,
+        octet_length(encode(text)) AS L FROM documents),
+    fr AS (
+      SELECT media_id, kind, 0 AS frame_idx, L AS frame_size
+      FROM m WHERE kind <> 'video'
+      UNION ALL
+      SELECT media_id, kind, CAST(fi AS INT) AS frame_idx,
+             CAST(least(1024, L - fi*1024) AS INT) AS frame_size
+      FROM m, unnest(range(0, CAST(ceil(L/1024.0) AS BIGINT), 4)) AS t(fi)
+      WHERE kind = 'video')
+    SELECT kind, count(*) AS n_frames, sum(frame_size) AS total_bytes,
+           min(frame_size) AS min_frame, max(frame_size) AS max_frame
+    FROM fr GROUP BY kind
+    """,
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media columns + frame sampling: payloads ride Arrow into a
+    mapInPandas kernel that slices video payloads into frames (stubbed
+    codec, real plumbing); the oracle checks the emitted frame geometry."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    frames = MM.frame_sample(MM.attach_media(docs), every=4)
+    return frames.groupBy("kind").agg(
+        F.count("*").alias("n_frames"),
+        F.sum("frame_size").alias("total_bytes"),
+        F.min("frame_size").alias("min_frame"),
+        F.max("frame_size").alias("max_frame"),
+    )
+
+
+@query(
+    "multimodal_resize",
+    """
+    WITH m AS (SELECT doc_id AS media_id,
+        octet_length(encode(text)) AS L FROM documents),
+    d AS (SELECT media_id, CAST(L % 640 + 16 AS INT) AS w,
+                 CAST(L % 480 + 16 AS INT) AS h FROM m),
+    s AS (SELECT media_id, w, h,
+                 least(256.0 / w, 256.0 / h, 1.0) AS scale FROM d)
+    SELECT media_id, CAST(floor(w * scale) AS INT) AS width,
+           CAST(floor(h * scale) AS INT) AS height
+    FROM s
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-metadata transform: aspect-preserving resize planning as pure
+    column arithmetic over the media meta struct."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    resized = MM.resize_meta(MM.attach_media(docs), 256, 256)
+    return resized.select(
+        "media_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+
+
+@query("multimodal_features")  # rows-only: byte-histogram over blobs is not
+#                               practical in SQL; gate = rows + schema
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction from binary payloads (normalized byte histogram as
+    the embedding-model stand-in) — numpy-vectorized mapInPandas kernel."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return MM.extract_features(MM.attach_media(docs))
 
 
 # ---------------------------------------------------------------------------
