@@ -97,6 +97,37 @@ def test_enrich_matches_reference(spark, ref_strings):
         assert mine == expected, (qid, mine, expected)
 
 
+def test_sparql_xml_to_json_roundtrip(spark):
+    """F18 — SPARQL-XML → SPARQL-JSON conversion feeds the same enrich
+    plan and produces identical stores."""
+    from wde_spark.plans.enrich import enrich_offline, sparql_xml_to_json
+    import json as _json
+
+    xml = """<?xml version="1.0"?>
+    <sparql xmlns="http://www.w3.org/2005/sparql-results#">
+      <head><variable name="occ"/><variable name="occL"/><variable name="never"/></head>
+      <results>
+        <result>
+          <binding name="occ"><uri>http://www.wikidata.org/entity/Q36180</uri></binding>
+          <binding name="occL"><literal xml:lang="en">writer</literal></binding>
+        </result>
+        <result>
+          <binding name="occ"><uri>http://www.wikidata.org/entity/Q36180</uri></binding>
+          <binding name="occL"><literal xml:lang="en">Writer!</literal></binding>
+        </result>
+      </results>
+    </sparql>"""
+    doc = sparql_xml_to_json(xml)
+    assert doc["head"]["vars"] == ["occ", "occL", "never"]
+    assert len(doc["results"]["bindings"]) == 2
+    assert doc["results"]["bindings"][0]["occL"]["xml:lang"] == "en"
+
+    raw = spark.createDataFrame(
+        [("Q42", 1, _json.dumps(doc))], "qid string, query_idx int, json string")
+    store = {r.qid: dict(r.enrichment) for r in enrich_offline(raw).collect()}
+    assert store == {"Q42": {"occ": ["Q36180"], "occL": ["writer"], "never": []}}
+
+
 def test_enrichment_store_upsert(spark):
     """S5 upsert semantics on the store (last write wins per qid)."""
     from wde_spark.sources.cache import upsert

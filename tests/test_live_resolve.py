@@ -74,7 +74,9 @@ def test_resolve_live_matches_offline(spark):
         _candidates_batch,
         schema=T.StructType(list(qd.schema.fields)
                             + [T.StructField("candidates",
-                                             T.ArrayType(T.StringType()))]))
+                                             T.ArrayType(T.StringType())),
+                               T.StructField("cand_certs",
+                                             T.ArrayType(T.BooleanType()))]))
     all_cands = set()
     n_first = 0
     for r in wc.select("candidates").collect():

@@ -97,6 +97,23 @@ def test_quality_metrics_vs_published(spark, golden_df, cache_df):
     assert 0.4 <= m.f1_result <= 0.9, m
 
 
+def test_computed_certitude_agrees_with_cached(spark, golden_df, cache_df):
+    """Q3 rescoring vs the certitude the reference recorded at fetch time.
+    Not exact by construction: a cache entry's recorded certitude belongs
+    to whichever qdict FIRST issued that query string; rows sharing a
+    string can legitimately score differently. Expect high agreement."""
+    from wde_spark.plans.resolve import resolve_offline
+
+    cached = resolve_offline(golden_df, cache_df, certitude_source="cache")
+    computed = resolve_offline(golden_df, cache_df, certitude_source="computed")
+    a = {r.row_pos: (r.wd_id, r.wd_certitude) for r in cached.collect()}
+    b = {r.row_pos: (r.wd_id, r.wd_certitude) for r in computed.collect()}
+    assert {k: v[0] for k, v in a.items()} == {k: v[0] for k, v in b.items()}
+    hits = [k for k, v in a.items() if v[0] != ""]
+    agree = sum(1 for k in hits if a[k][1] == b[k][1])
+    assert agree / len(hits) >= 0.85, f"{agree}/{len(hits)}"
+
+
 def test_nametable_vs_reference_csvbuilder(spark):
     """TEI scan + 5-case nametable plan vs the reference's csvbuilder run
     in-process over the first catalogue batch (409 files is slow in

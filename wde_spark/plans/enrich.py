@@ -128,3 +128,35 @@ def enrichment_store(values: DataFrame, qid: str = "qid") -> DataFrame:
 def enrich_offline(raw_results: DataFrame, qid: str = "qid") -> DataFrame:
     """Full offline stage `-s` from recorded SPARQL-JSON documents."""
     return enrichment_store(normalized_values(parse_bindings(raw_results, qid), qid), qid)
+
+
+def sparql_xml_to_json(xml_text: str) -> dict:
+    """F18 — convert W3C SPARQL-XML results to the SPARQL-JSON shape
+    (classes.py:116-160's fallback path for endpoints that garble JSON).
+    Pure function, used inside the S9 client's error ladder."""
+    import xml.etree.ElementTree as ET
+
+    ns = "{http://www.w3.org/2005/sparql-results#}"
+    root = ET.fromstring(xml_text)
+    out: dict = {"head": {"vars": []}, "results": {"bindings": []}}
+    head = root.find(f"{ns}head")
+    if head is not None:
+        out["head"]["vars"] = [v.get("name") for v in head.findall(f"{ns}variable")]
+    results = root.find(f"{ns}results")
+    if results is not None:
+        for res in results.findall(f"{ns}result"):
+            bind: dict = {}
+            for b in res.findall(f"{ns}binding"):
+                child = next(iter(b), None)
+                if child is None:
+                    continue
+                tag = child.tag.removeprefix(ns)
+                entry = {"type": tag, "value": child.text or ""}
+                lang = child.get("{http://www.w3.org/XML/1998/namespace}lang")
+                if lang:
+                    entry["xml:lang"] = lang
+                if child.get("datatype"):
+                    entry["datatype"] = child.get("datatype")
+                bind[b.get("name")] = entry
+            out["results"]["bindings"].append(bind)
+    return out

@@ -28,7 +28,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.classify import QDICT_FIELDS, QDict, ladder_candidates, prep_query
+from ..functions.classify import (QDICT_FIELDS, QDict, certitude,
+                                  ladder_candidates, prep_query)
 
 QDICT_SPARK_TYPE = T.StructType(
     [T.StructField(f, T.StringType()) for f in QDICT_FIELDS[:-1]]
@@ -56,22 +57,27 @@ def _qdict_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def _candidates_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: qdict columns → candidate list + expanded fname
-    (ladder_candidates mutates fname; certitude depends on the mutation)."""
+    """mapInPandas kernel: qdict columns → candidate list + per-candidate
+    certitude + expanded fname (ladder_candidates mutates fname; certitude
+    depends on the mutation)."""
     for pdf in it:
-        cands, fnames = [], []
+        cands, certs, fnames = [], [], []
         for vals in zip(*[pdf[f] for f in QDICT_FIELDS]):
             q = QDict(**dict(zip(QDICT_FIELDS, vals)))
             if q.lname is None and all(
                 not (v if isinstance(v, str) else "") for v in vals[:-1]
             ):
                 cands.append([])
+                certs.append([])
                 fnames.append(q.fname)
                 continue
-            cands.append(ladder_candidates(q))
+            cs = ladder_candidates(q)
+            cands.append(cs)
+            certs.append([certitude(q, c) for c in cs])
             fnames.append(q.fname)
         out = pdf.copy()
         out["candidates"] = cands
+        out["cand_certs"] = certs
         out["fname"] = fnames
         yield out
 
@@ -103,16 +109,23 @@ def attach_qdicts(nametable: DataFrame) -> DataFrame:
 
 
 def resolve_offline(nametable: DataFrame, cache: DataFrame,
-                    broadcast_cache: bool = True) -> DataFrame:
+                    broadcast_cache: bool = True,
+                    certitude_source: str = "cache") -> DataFrame:
     """Offline stage `-i`: every ladder candidate joins the cache table at
     once; the best-ranked hit per row wins (J2 + W2). Returns the 7-column
-    nametable_out (S4 shape, itemtoid.py:331-333) plus ordering columns."""
+    nametable_out (S4 shape, itemtoid.py:331-333) plus ordering columns.
+
+    certitude_source: 'cache' replays the certitude recorded when the
+    query was originally fetched (byte-parity with the reference's cache
+    files); 'computed' rescores with Q3 from this run's qdict — required in
+    live mode, where fresh fetches carry no recorded certitude."""
     qd = attach_qdicts(nametable)
     with_cands = qd.mapInPandas(
         _candidates_batch,
         schema=T.StructType(
             list(qd.schema.fields)
-            + [T.StructField("candidates", T.ArrayType(T.StringType()))]
+            + [T.StructField("candidates", T.ArrayType(T.StringType())),
+               T.StructField("cand_certs", T.ArrayType(T.BooleanType()))]
         ),
     )
 
@@ -132,21 +145,23 @@ def resolve_offline(nametable: DataFrame, cache: DataFrame,
     best = (
         hits.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .select(*key, "qid", "title", "snippet", "cert")
+        .select(*key, "rank", "qid", "title", "snippet", "cert")
     )
 
-    return (
-        with_cands.join(best, key, "left")
-        .select(
-            *key,
-            F.col("xml_id").alias("tei_xml_id"),
-            F.coalesce("qid", F.lit("")).alias("wd_id"),
-            F.col("name").alias("tei_name"),
-            F.coalesce("title", F.lit("")).alias("wd_name"),
-            F.coalesce("snippet", F.lit("")).alias("wd_snippet"),
-            F.col("trait").alias("tei_trait"),
-            F.coalesce("cert", F.lit(False)).alias("wd_certitude"),
-        )
+    joined = with_cands.join(best, key, "left")
+    if certitude_source == "computed":
+        cert_col = F.try_element_at("cand_certs", F.col("rank") + 1)
+    else:
+        cert_col = F.col("cert")
+    return joined.select(
+        *key,
+        F.col("xml_id").alias("tei_xml_id"),
+        F.coalesce("qid", F.lit("")).alias("wd_id"),
+        F.col("name").alias("tei_name"),
+        F.coalesce("title", F.lit("")).alias("wd_name"),
+        F.coalesce("snippet", F.lit("")).alias("wd_snippet"),
+        F.col("trait").alias("tei_trait"),
+        F.coalesce(cert_col, F.lit(False)).alias("wd_certitude"),
     )
 
 

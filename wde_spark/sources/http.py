@@ -148,7 +148,8 @@ def resolve_live(nametable: DataFrame, cache: DataFrame,
         _candidates_batch,
         schema=T.StructType(
             list(qd.schema.fields)
-            + [T.StructField("candidates", T.ArrayType(T.StringType()))]),
+            + [T.StructField("candidates", T.ArrayType(T.StringType())),
+               T.StructField("cand_certs", T.ArrayType(T.BooleanType()))]),
     )
     n_ranks = max_waves or (with_cands.agg(
         F.max(F.size("candidates"))).collect()[0][0] or 0)
@@ -178,5 +179,7 @@ def resolve_live(nametable: DataFrame, cache: DataFrame,
         if remaining.isEmpty():
             break
     # with the cache now covering every candidate any unresolved row can
-    # reach, the offline plan computes the final assignment in one pass
-    return resolve_offline(nametable, cur_cache), cur_cache
+    # reach, the offline plan computes the final assignment in one pass;
+    # certitude is rescored (fresh fetches carry no recorded certitude)
+    return resolve_offline(nametable, cur_cache,
+                           certitude_source="computed"), cur_cache
