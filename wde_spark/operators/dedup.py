@@ -198,6 +198,46 @@ def simhash(docs: DataFrame, text_col: str = "text",
     return docs.select(F.col(id_col), sig.alias("simhash"))
 
 
+def simhash_pairs(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", max_hamming: int = 3,
+                  n_bands: int = 4) -> DataFrame:
+    """Tier 2 pairing — near-duplicate candidates by simhash hamming
+    distance. Pigeonhole: two 64-bit signatures within hamming distance
+    d < n_bands must agree exactly on at least one of n_bands contiguous
+    16-bit bands → self-join per band (shuffle on the band value, never
+    all-pairs), then verify popcount(xor) <= max_hamming exactly.
+
+    Requires max_hamming < n_bands for completeness (3 < 4 holds)."""
+    assert max_hamming < n_bands
+    sig = simhash(docs, text_col, id_col)
+    width = 64 // n_bands
+    banded = sig.select(
+        F.col(id_col), F.col("simhash"),
+        F.posexplode(F.array(*[
+            (F.shiftright("simhash", b * width)
+             .bitwiseAND(F.lit((1 << width) - 1))).alias(f"b{b}")
+            for b in range(n_bands)
+        ])).alias("band_idx", "band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.band_val") == F.col("b.band_val"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.col("a.simhash").alias("sig_a"),
+                F.col("b.simhash").alias("sig_b"))
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming",
+                        F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", shingle_k: int = 3,
                         threshold: float = 0.8) -> DataFrame:
