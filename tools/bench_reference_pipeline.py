@@ -27,12 +27,25 @@ def main() -> None:
     from wde_spark.sources.cache import read_query_cache
     from wde_spark.sources.tei import read_tei_items
 
+    multiply = int(sys.argv[sys.argv.index("--multiply") + 1]) \
+        if "--multiply" in sys.argv else 1
+
     spark = get_session("wde_ref_bench")
-    out: dict = {"metric": "reference_pipeline_full_corpus", "unit": "sec"}
+    out: dict = {"metric": "reference_pipeline_full_corpus", "unit": "sec",
+                 "multiply": multiply}
 
     t0 = time.time()
     items = read_tei_items(
-        spark, os.path.join(REF, "Catalogues", "*", "CAT_*.xml")).cache()
+        spark, os.path.join(REF, "Catalogues", "*", "CAT_*.xml"))
+    if multiply > 1:
+        # scale stress: replicate the corpus with distinct catalogue ids so
+        # windows/joins see genuinely more groups, not bigger ones
+        copies = spark.range(multiply).select(
+            F.col("id").cast("string").alias("copy"))
+        items = items.crossJoin(copies).withColumn(
+            "catalogue_id", F.concat_ws("_", "catalogue_id", "copy")
+        ).drop("copy")
+    items = items.cache()
     n_items = items.count()
     out["stage_n_scan"] = round(time.time() - t0, 2)
 
