@@ -87,6 +87,36 @@ def test_prep_query_matches_reference(ref_modules, golden_rows):
     assert not mismatches, f"{len(mismatches)} qdict mismatches; first: {mismatches[0]}"
 
 
+def test_corpus_sample_qdicts_match_reference(ref_modules, spark):
+    """qdict parity over real corpus rows (every 16th of 82.9k — ~5.2k
+    rows spanning all 409 catalogues), built through the REAL TEI scan +
+    nametable plan. Full-corpus run: WDE_FULL_DIFF=1."""
+    ref_prep, _ = ref_modules
+    from wde_spark.plans.nametable import nametable_rows
+    from wde_spark.sources.tei import read_tei_items
+
+    items = read_tei_items(spark, REF + "/Catalogues/*/CAT_*.xml")
+    nt = (
+        nametable_rows(items)
+        .orderBy("catalogue_id", "item_pos", "row_pos")
+        .select("name", "trait").collect()
+    )
+    step = 1 if os.environ.get("WDE_FULL_DIFF") else 16
+    rows = [(r.name, r.trait) for r in nt]
+
+    # the reference threads prev sequentially; replay it faithfully, then
+    # compare only the sampled offsets
+    ref = _ref_qdicts(ref_prep, rows)
+    mine = _my_qdicts(rows)
+    idx = range(0, len(rows), step)
+    mismatches = [(i, rows[i][0], ref[i], mine[i])
+                  for i in idx if ref[i] != mine[i]]
+    assert len(rows) > 80_000
+    assert not mismatches, (
+        f"{len(mismatches)} mismatches of {len(range(0, len(rows), step))};"
+        f" first: {mismatches[0]}")
+
+
 def test_ladder_matches_reference(ref_modules, golden_rows):
     """Record every query string the reference's launch_query would probe
     (forcing all-miss results) and compare with ladder_candidates()."""
