@@ -116,6 +116,34 @@ def test_corpus_sample_qdicts_match_reference(ref_modules, spark):
         f"{len(mismatches)} mismatches of {len(range(0, len(rows), step))};"
         f" first: {mismatches[0]}")
 
+    # ladder (probe-sequence) parity on a sparser sample of real qdicts
+    _, ref_itemtoid = ref_modules
+    from wde_spark.functions.classify import (QDict, clean_query_string,
+                                              ladder_candidates)
+
+    ladder_mism = []
+    for i in range(0, len(rows), step * 4):
+        probed: list[str] = []
+
+        def fake_confrequest(qstr, qdict, config=None):
+            probed.append(clean_query_string(qstr))
+            return ["", "", "", False]
+
+        orig = ref_itemtoid.confrequest
+        ref_itemtoid.confrequest = fake_confrequest
+        try:
+            ref_itemtoid.launch_query(dict(ref[i]),
+                                      {"test": False, "fetch": False})
+        finally:
+            ref_itemtoid.confrequest = orig
+        ref_seq = []
+        for p in probed:
+            if p and p not in ref_seq:
+                ref_seq.append(p)
+        if ref_seq != ladder_candidates(QDict(**ref[i])):
+            ladder_mism.append((i, rows[i][0]))
+    assert not ladder_mism, f"{len(ladder_mism)} ladder mismatches: {ladder_mism[:3]}"
+
 
 def test_ladder_matches_reference(ref_modules, golden_rows):
     """Record every query string the reference's launch_query would probe
