@@ -131,3 +131,37 @@ def test_cosine_topk_self_similarity(spark):
     rows = sorted((r.rnk, r.item_id, r.cos_sim) for r in out.collect())
     assert rows[0][1] == 1 and abs(rows[0][2] - 1.0) < 1e-9
     assert rows[1][1] == 2 and abs(rows[1][2]) < 1e-9
+
+
+def test_ivf_ann_recall_vs_bruteforce(spark):
+    """IVF with nprobe=4/8 cells on the real sf0.001 embeddings: recall@5
+    must be high, and nprobe=n_cells must equal exact brute force."""
+    from wde_spark.core.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings",
+                     spread=True)
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = {(r.query_id, r.item_id)
+             for r in SIM.cosine_topk(emb, queries, k=5).collect()}
+    approx = {(r.query_id, r.item_id)
+              for r in SIM.ivf_ann(emb, queries, k=5, n_cells=8,
+                                   nprobe=4).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.55, f"IVF recall@5 too low: {recall:.2f}"
+
+    full = {(r.query_id, r.item_id)
+            for r in SIM.ivf_ann(emb, queries, k=5, n_cells=8,
+                                 nprobe=8).collect()}
+    assert full == exact, "nprobe=n_cells must degenerate to exact search"
+
+
+def test_ivf_centroids_deterministic(spark):
+    vecs = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 13) for j in range(4)])
+         for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    c1 = SIM.train_ivf_centroids(vecs, n_cells=4, iters=2)
+    c2 = SIM.train_ivf_centroids(vecs, n_cells=4, iters=2)
+    assert c1 == c2
+    assert len(c1) == 4 and all(len(c) == 4 for c in c1)

@@ -938,6 +938,17 @@ def lsh_ann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_ann(emb, emb.filter(F.col("vec_id") < 8), k=5)
 
 
+@query("ivf_ann_embeddings")  # rows-only: k-means quantizer has no SQL form
+def ivf_ann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via an IVF coarse quantizer (deterministic k-means
+    cells, nprobe=4 of 16) — the second ANN scale path: each query scans
+    ~nprobe/n_cells of the data instead of all of it. Verified against
+    brute force in tests (nprobe=n_cells degenerates to exact)."""
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    return SIM.ivf_ann(emb, emb.filter(F.col("vec_id") < 8), k=5,
+                       n_cells=16, nprobe=4)
+
+
 @query(
     "embedding_neardup_exact",
     """
