@@ -52,11 +52,15 @@ def main() -> None:
     from wde_spark.queries import QUERIES
 
     spark = get_session("wde_bench")
-    # Warm the JVM + file listing so per-query numbers measure the queries.
+    # Warm the JVM (executor pool, codegen compiler, parquet footers, noop
+    # sink) with one real but tiny job per table so per-query numbers
+    # measure the queries, not first-job start-up — the baseline's own
+    # figures are likewise means of warm runs (BASELINE.md).
     from wde_spark.core.catalog import TABLES, load_table
 
     for t in TABLES:
-        load_table(spark, sf_dir, t).schema
+        load_table(spark, sf_dir, t) \
+            .write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
