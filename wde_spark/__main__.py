@@ -108,9 +108,24 @@ def main(argv=None) -> int:
         print(f"[-i] nametable_out.tsv: {n} resolved")
 
     if a.sparql:
-        print("[-s] live WDQS enrichment: use sources/http.sparql_fetcher + "
-              "plans/enrich.enrich_offline on the fetched documents; offline "
-              "demo covered by tests/test_enrich.py", file=sys.stderr)
+        if a.live:
+            from .sources.http import sparql_fetcher
+            from .sources.wdqs import enrich_live
+
+            qids = build_idset(resolved)
+            store = enrich_live(qids, sparql_fetcher(), n_workers=4)
+            out_path = os.path.join(a.out, "wikidata_enrichments.json")
+            rows = store.select(F.to_json(F.struct("qid", "enrichment"))
+                                .alias("j")).collect()
+            with open(out_path, "w", encoding="utf-8") as f:
+                f.write("[" + ",\n".join(r.j for r in rows) + "]\n")
+            print(f"[-s] enriched {len(rows)} QIDs -> {out_path}")
+        else:
+            print("[-s] offline: no recorded SPARQL responses ship with the "
+                  "reference; run with --live to fetch from WDQS "
+                  "(sources/wdqs.enrich_live), or feed recorded documents to "
+                  "plans/enrich.enrich_offline (tests/test_enrich.py).",
+                  file=sys.stderr)
 
     if a.wd2tei:
         from .plans.reinject import reinject
