@@ -165,3 +165,14 @@ def test_ivf_centroids_deterministic(spark):
     c2 = SIM.train_ivf_centroids(vecs, n_cells=4, iters=2)
     assert c1 == c2
     assert len(c1) == 4 and all(len(c) == 4 for c in c1)
+
+
+def test_simhash_agg_form_matches_fold_form(spark):
+    """The 64-column aggregation form of simhash must produce bit-identical
+    signatures to the row-local fold form on real documents."""
+    from wde_spark.core.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    fold = {r.doc_id: r.simhash for r in D.simhash(docs).collect()}
+    agg = {r.doc_id: r.simhash for r in D.simhash_agg(docs).collect()}
+    assert fold == agg

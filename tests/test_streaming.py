@@ -22,3 +22,21 @@ def test_streaming_session_runs(spark):
     assert out.count() > 0
     cols = set(out.columns)
     assert {"user_id", "session_start", "session_end", "n_events"} <= cols
+
+
+def test_streaming_dedup_matches_batch(spark):
+    """dropDuplicatesWithinWatermark on the static events stream keeps
+    exactly one row per (user_id, event_type) — the batch dropDuplicates
+    key set — with bounded state."""
+    from wde_spark.core.catalog import load_table
+    from wde_spark.streaming.windows import streaming_dedup
+
+    sf = "/root/testdata/sf0.001"
+    got = streaming_dedup(spark, sf).select("user_id", "event_type").collect()
+    keys = {(r.user_id, r.event_type) for r in got}
+    assert len(got) == len(keys), "streaming dedup emitted a duplicate key"
+    batch = load_table(spark, sf, "events") \
+        .dropDuplicates(["user_id", "event_type"])
+    expected = {(r.user_id, r.event_type)
+                for r in batch.select("user_id", "event_type").collect()}
+    assert keys == expected

@@ -198,6 +198,41 @@ def simhash(docs: DataFrame, text_col: str = "text",
     return docs.select(F.col(id_col), sig.alias("simhash"))
 
 
+def simhash_agg(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Tier 2, aggregation form — identical signatures to `simhash` but
+    computed as explode(tokens) → 64 conditional-sum aggregates → one
+    row-local bit-pack. Trades the row-local higher-order-function fold
+    (interpreted per element) for a columnar whole-stage-codegen hash agg
+    with map-side partial aggregation: the shuffle carries 64 longs per doc
+    per partition regardless of document length.
+
+    Measured at sf0.1 (50k short docs): the fold form wins ~5× warm — 64
+    sum aggregates cost more than the per-row fold, and the fold needs no
+    shuffle at all. This form exists for the regime where a single row's
+    fold would dominate a task (pathologically long documents): the explode
+    spreads one document's tokens across a partition's batches. Default to
+    `simhash`. (Difference: a NULL text yields no output row here vs a NULL
+    signature in the fold form — explode drops the row.)"""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("t"),
+    ).withColumn("h", F.xxhash64("t"))
+    votes = toks.groupBy(id_col).agg(*[
+        F.sum(
+            (F.shiftright("h", i).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+        ).alias(f"v{i}")
+        for i in range(64)
+    ])
+    sig = None
+    for i in range(64):
+        mask = (1 << i) if i < 63 else -(1 << 63)  # signed-64 wrap for bit 63
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(mask).cast("long")) \
+            .otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig.bitwiseOR(bit)
+    return votes.select(F.col(id_col), sig.alias("simhash"))
+
+
 def simhash_pairs(docs: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", max_hamming: int = 3,
                   n_bands: int = 4) -> DataFrame:

@@ -135,6 +135,32 @@ def streaming_tumbling(spark: SparkSession, sf_dir: str,
     return spark.sql(f"SELECT * FROM {name}")
 
 
+def streaming_dedup(spark: SparkSession, sf_dir: str,
+                    keys: list[str] | None = None,
+                    watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact deduplication — the training-pipeline dedup tier 1
+    in streaming form: `dropDuplicatesWithinWatermark` keeps the first
+    arrival per key and bounds the dedup state by the watermark horizon
+    (state for a key is dropped once the watermark passes it, so unbounded
+    streams don't accumulate unbounded state — the property that matters
+    on a week-long 100 TB ingest).
+
+    On a static input this equals batch `dropDuplicates(keys)` up to which
+    duplicate wins; the test compares key sets and counts."""
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", watermark)
+    out = ev.dropDuplicatesWithinWatermark(keys or ["user_id", "event_type"])
+    name = "wde_stream_dedup"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
 def streaming_session(spark: SparkSession, sf_dir: str,
                       gap: str = "30 minutes",
                       watermark: str = "2 hours") -> DataFrame:
