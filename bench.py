@@ -40,6 +40,13 @@ HEADLINE = [
     "multimodal_frames",
     "multimodal_features",
     "resolve_ladder_parts",
+    "q6_forecast_revenue",
+    "q18_large_volume_orders",
+    "asof_join_purchase_view",
+    "range_join_error_clicks",
+    "funnel_signup_view_purchase",
+    "pack_token_budget_documents",
+    "stratified_sample_documents",
 ]
 
 

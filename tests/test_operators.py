@@ -176,3 +176,46 @@ def test_simhash_agg_form_matches_fold_form(spark):
     fold = {r.doc_id: r.simhash for r in D.simhash(docs).collect()}
     agg = {r.doc_id: r.simhash for r in D.simhash_agg(docs).collect()}
     assert fold == agg
+
+
+def test_asof_join_edges(spark):
+    # right row exactly AT left.ts is visible; ties on ts pick max tie_col;
+    # a left row before any right row gets NULL.
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:10", 100),
+         (1, "2024-01-01 00:00:00", 101),
+         (2, "2024-01-01 00:05:00", 102)],
+        "user_id long, ts string, event_id long",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:10", 7, 1.0),   # == left ts → visible
+         (1, "2024-01-01 00:00:10", 9, 2.0),   # same ts, larger tie → wins
+         (1, "2024-01-01 00:00:05", 8, 3.0)],
+        "user_id long, ts string, event_id long, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r.event_id: (r.asof.event_id if r.asof else None,
+                        r.asof.value if r.asof else None)
+           for r in R.asof_join(left, right, "user_id", "ts",
+                                ["value"], tie_col="event_id").collect()}
+    assert out[100] == (9, 2.0)     # ts tie → event_id 9 beats 7
+    assert out[101] == (None, None) # no right row at or before
+    assert out[102] == (None, None) # user with no right rows at all
+
+
+def test_range_join_boundaries(spark):
+    # window [l.ts - W, l.ts): a right row exactly W before is IN, a right
+    # row exactly at l.ts is OUT, and bucket straddling works.
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:10:00", 500)],
+        "user_id long, ts string, event_id long",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:05:00"),   # exactly W=300s before → in
+         (1, "2024-01-01 00:09:59"),   # just before → in (different bucket)
+         (1, "2024-01-01 00:10:00"),   # at l.ts → out
+         (1, "2024-01-01 00:04:59")],  # just outside → out
+        "user_id long, cts string",
+    ).withColumn("cts", F.to_timestamp("cts"))
+    pairs = R.range_join(left, right, "user_id", "ts", "cts", 300).collect()
+    got = sorted(str(r.cts) for r in pairs)
+    assert got == ["2024-01-01 00:05:00", "2024-01-01 00:09:59"]

@@ -99,6 +99,81 @@ def sessionize(
     ).drop("__new")
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str,
+    payload_cols: Sequence[str],
+    tie_col: str | None = None,
+    out_col: str = "asof",
+) -> DataFrame:
+    """As-of (backward) join: attach to each left row the payload of the
+    most recent right row with `right.ts <= left.ts`, matched on `on`.
+    Ties on ts are broken by the greatest `tie_col`.
+
+    Formulated as union-tag + carry-forward — ONE shuffle on `on` and a
+    linear scan per partition, never a range-join pair explosion: with R
+    right rows per key and L left rows, work is O(L + R), not O(L·R).
+    Right rows sort before left rows at an equal timestamp, so a right row
+    exactly at left.ts is visible to it. Left columns absent from right
+    ride as NULLs through `unionByName(allowMissingColumns=True)`.
+    """
+    order = [ts_col] + ([tie_col] if tie_col else [])
+    r2 = right.select(
+        on,
+        *order,
+        F.struct(*[F.col(c) for c in dict.fromkeys(order + list(payload_cols))])
+        .alias("__asof_p"),
+    ).withColumn("__side", F.lit(0))
+    l2 = left.withColumn("__side", F.lit(1))
+    u = l2.unionByName(r2, allowMissingColumns=True)
+    # (ts, side, tie): ALL right rows at a timestamp precede the left rows
+    # at it (side 0 < 1), and among same-ts right rows the greatest tie is
+    # last — so carry-forward picks it.
+    w = (
+        Window.partitionBy(on)
+        .orderBy(ts_col, "__side", *([tie_col] if tie_col else []))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        u.withColumn(out_col, F.last("__asof_p", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+        .drop("__side", "__asof_p")
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    l_ts: str,
+    r_ts: str,
+    window_seconds: int,
+) -> DataFrame:
+    """Bounded-interval join: pairs (l, r) matching on `on` with
+    `r.ts ∈ [l.ts - window, l.ts)`. `right` must share no column name with
+    `left` except `on` (pre-rename the rest).
+
+    The naive form is a non-equi join Catalyst can only execute as a
+    broadcast nested loop (O(L·R) per key). Here both sides are bucketed to
+    `window_seconds`-wide epochs and the left side probes its own and the
+    previous bucket, turning it into an equi shuffle join on
+    (key, bucket) + an exact residual filter: each right row lands in
+    exactly one bucket, so no post-join dedup is needed.
+    """
+    wus = window_seconds * 1_000_000
+    lb = F.floor(F.unix_micros(F.col(l_ts)) / F.lit(wus))
+    l2 = left.withColumn("__b", F.explode(F.array(lb - 1, lb)))
+    r2 = right.withColumn("__b", F.floor(F.unix_micros(F.col(r_ts)) / F.lit(wus)))
+    win = F.expr(f"INTERVAL {window_seconds} SECONDS")
+    return (
+        l2.join(r2, [on, "__b"])
+        .filter((F.col(r_ts) >= F.col(l_ts) - win) & (F.col(r_ts) < F.col(l_ts)))
+        .drop("__b")
+    )
+
+
 def positional_join(
     df: DataFrame, arr_a: str, arr_b: str, key_cols: Sequence[str]
 ) -> DataFrame:

@@ -1206,3 +1206,9 @@ def dedup_tokens_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter(F.array_distinct(toks), lambda x: x != ""), " "
         ).alias("deduped"),
     )
+
+
+# Extension queries (TPC-H shapes, temporal joins, training-data utilities)
+# register themselves into QUERIES/ORACLE on import. Bottom-of-module so the
+# registry plumbing above exists when they do.
+from . import queries_ext  # noqa: E402,F401

@@ -1,0 +1,705 @@
+"""Extension queries: the rest of the generic relational surface.
+
+Registered into the same `QUERIES`/`ORACLE` registry as queries.py (which
+imports this module at its bottom). Three families:
+
+1. TPC-H-shaped queries q2/q4/q6/q10/q11/q12/q14/q18/q19/q22 adapted to the
+   driver's star schema (no partsupp table; q2/q11/q16 shapes re-targeted at
+   part/lineitem) — they widen the proven join/subquery/predicate surface:
+   correlated EXISTS / NOT EXISTS, scalar subqueries, min-per-group join-
+   back, disjunctive multi-column predicates, HAVING.
+2. Temporal/event analytics: as-of join, bounded range join, sequential
+   funnel — the operators a training-data/event pipeline needs that the
+   TPC-H shapes don't cover. The Spark forms are the scalable ones
+   (union+carry-forward as-of, bucketed range join); the oracles state the
+   same semantics naively.
+3. Training-data utilities: deterministic stratified sampling,
+   context-window token packing, exact percentiles, histograms, CUBE.
+
+Determinism conventions follow queries.py (decimal sums, rounded doubles,
+string-formatted timestamps, total-order tiebreaks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .core.catalog import load_table
+from .operators import relational as R
+from .operators import skew as SK
+from .queries import DEC, _dec, query
+
+TS_FMT = "%Y-%m-%d %H:%M:%S"
+_REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))"
+)
+
+
+def _rev():
+    one = F.lit(1).cast(DEC)
+    return _dec(F.col("l_extendedprice")) * (one - _dec(F.col("l_discount")))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H shapes
+# ---------------------------------------------------------------------------
+
+@query(
+    "q2_cheapest_part_per_brand",
+    """
+    SELECT p.p_brand, p.p_partkey, p.p_name,
+           CAST(CAST(p.p_retailprice AS DECIMAL(12,2)) AS DOUBLE) AS retailprice
+    FROM part p JOIN (
+      SELECT p_brand, MIN(CAST(p_retailprice AS DECIMAL(12,2))) AS mn
+      FROM part GROUP BY p_brand
+    ) m ON p.p_brand = m.p_brand
+     AND CAST(p.p_retailprice AS DECIMAL(12,2)) = m.mn
+    """,
+)
+def q2_cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (min-cost-per-group correlated subquery, re-targeted
+    at part since the schema has no partsupp): min per group + join back,
+    keeping every tie. The min side is tiny after aggregation → broadcast."""
+    p = load_table(spark, sf_dir, "part")
+    mins = (
+        p.groupBy(F.col("p_brand").alias("mb"))
+        .agg(F.min(_dec(F.col("p_retailprice"))).alias("mn"))
+    )
+    return (
+        p.join(
+            F.broadcast(mins),
+            (p.p_brand == mins.mb) & (_dec(p.p_retailprice) == mins.mn),
+        )
+        .select(
+            "p_brand",
+            "p_partkey",
+            "p_name",
+            _dec(F.col("p_retailprice")).cast("double").alias("retailprice"),
+        )
+    )
+
+
+@query(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 — correlated EXISTS as a left-semi join whose condition
+    mixes an equi key with a cross-side inequality (shipped after ordered)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    f"""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 — the pushdown showcase: every predicate reaches the parquet
+    scan (date/discount/quantity are all plain column comparisons), then a
+    single global aggregate. No shuffle beyond the final 1-row reduce."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice")) * _dec(F.col("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "q10_returned_items",
+    f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+    FROM customer c
+      JOIN orders o   ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY SUM({_REV_SQL}) DESC, c.c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 — returned-item revenue per customer, top 20. Exact decimal
+    revenue gives a total order; custkey breaks ties deterministically."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_rev()).alias("rev_dec"))
+        .orderBy(F.desc("rev_dec"), F.asc("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey", "c_name", "n_name",
+            F.col("rev_dec").cast("double").alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q11_supplier_share",
+    f"""
+    WITH sv AS (
+      SELECT l_suppkey, SUM({_REV_SQL}) AS val
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT l_suppkey, CAST(val AS DOUBLE) AS value
+    FROM sv
+    WHERE CAST(val AS DOUBLE) > (SELECT CAST(SUM(val) AS DOUBLE) * 0.0105 FROM sv)
+    """,
+)
+def q11_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — per-key value filtered against a scalar subquery
+    over the SAME aggregate (suppliers holding > 1.05% of total revenue).
+    The per-supplier aggregate is computed once and reused for both the
+    total and the filter; the 1-row total is a broadcast cross join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sv = li.groupBy("l_suppkey").agg(F.sum(_rev()).alias("val"))
+    total = sv.agg((F.sum("val").cast("double") * F.lit(0.0105)).alias("__thr"))
+    return (
+        sv.join(F.broadcast(total))
+        .filter(F.col("val").cast("double") > F.col("__thr"))
+        .select("l_suppkey", F.col("val").cast("double").alias("value"))
+    )
+
+
+@query(
+    "q12_priority_by_status",
+    """
+    SELECT l.l_linestatus,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_linestatus
+    """,
+)
+def q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape — conditional CASE counting over a fact-fact join."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_count"),
+        )
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    f"""
+    SELECT ROUND(
+             100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                                   THEN {_REV_SQL}
+                                   ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+                   / CAST(SUM({_REV_SQL}) AS DOUBLE), 6) AS promo_pct,
+           COUNT(*) AS n_rows
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-06-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 — promo revenue share: conditional ratio of two exact
+    decimal sums over a lineitem↔part join (part side broadcastable)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-06-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    promo = F.when(F.col("p_type") == "PROMO", _rev()).otherwise(F.lit(0).cast(DEC))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0) * F.sum(promo).cast("double")
+                / F.sum(_rev()).cast("double"),
+                6,
+            ).alias("promo_pct"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "q18_large_volume_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 185
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS totalprice,
+           CAST(b.total_qty AS DOUBLE) AS total_qty
+    FROM big b JOIN orders o ON b.l_orderkey = o.o_orderkey
+               JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 — HAVING over a fact aggregate, joined back to its
+    dimensions. The aggregate output (~2% of orders) is the build side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec(F.col("l_quantity"))).alias("total_qty"))
+        .filter(F.col("total_qty") > 185)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            _dec(F.col("o_totalprice")).cast("double").alias("totalprice"),
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    f"""
+    SELECT CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue, COUNT(*) AS n_rows
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 — OR-of-ANDs predicates spanning both join sides; Catalyst
+    extracts the common `p_brand IN (...)` conjunct for pushdown."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & sz.between(1, 15) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & sz.between(1, 25) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & sz.between(1, 35) & q.between(20, 30))
+    )
+    return j.filter(cond).agg(
+        F.sum(_rev()).cast("double").alias("revenue"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "q22_idle_rich_customers",
+    """
+    SELECT c.c_nationkey, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+    FROM customer c
+    WHERE CAST(CAST(c.c_acctbal AS DECIMAL(12,2)) AS DOUBLE) >
+          (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+           FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c.c_nationkey
+    """,
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — scalar-subquery threshold (above-average balance)
+    + NOT EXISTS anti join (no recent order), grouped by nation."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (F.sum(_dec(F.col("c_acctbal"))).cast("double") / F.count("*"))
+            .alias("__avg")
+        )
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(_dec(F.col("c_acctbal")).cast("double") > F.col("__avg"))
+        .join(o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(_dec(F.col("c_acctbal"))).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# grouping sets / percentiles / histograms
+# ---------------------------------------------------------------------------
+
+@query(
+    "cube_orders",
+    """
+    SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+           COALESCE(o_orderstatus, 'ALL') AS status,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+    FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+)
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (priority, status) — all 4 grouping sets in one pass."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec(F.col("o_totalprice"))).cast("double").alias("sum_price"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n_orders", "sum_price",
+        )
+    )
+
+
+@query(
+    "percentile_prices",
+    """
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+           ROUND(quantile_cont(o_totalprice, 0.90), 4) AS p90
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` and
+    DuckDB `quantile_cont` both use the p·(n−1) linear-interpolation
+    definition). The production path for heavy keys is approx_percentile
+    (t-digest, mergeable map-side) — exercised in tests; exact is the
+    oracle anchor."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        *[
+            F.round(F.expr(f"percentile(o_totalprice, {p})"), 4).alias(name)
+            for p, name in [(0.25, "p25"), (0.50, "p50"), (0.75, "p75"), (0.90, "p90")]
+        ]
+    )
+
+
+@query(
+    "histogram_order_prices",
+    """
+    SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+           COUNT(*) AS n_orders,
+           CAST(MIN(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS min_price,
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS max_price
+    FROM orders GROUP BY 1
+    """,
+)
+def histogram_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram as pure column arithmetic + hash agg."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 50000.0).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min(_dec(F.col("o_totalprice"))).cast("double").alias("min_price"),
+            F.max(_dec(F.col("o_totalprice"))).cast("double").alias("max_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# temporal / event analytics
+# ---------------------------------------------------------------------------
+
+@query(
+    "asof_join_purchase_view",
+    f"""
+    WITH v AS (SELECT user_id, ts, event_id, value FROM events
+               WHERE event_type = 'view'),
+    p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+    pairs AS (
+      SELECT p.event_id AS purchase_id, p.user_id, p.ts AS pts,
+             v.ts AS vts, v.value AS vval,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                ORDER BY v.ts DESC, v.event_id DESC) AS rn
+      FROM p LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+    )
+    SELECT purchase_id, user_id,
+           strftime(pts, '{TS_FMT}') AS purchase_ts,
+           strftime(vts, '{TS_FMT}') AS view_ts,
+           ROUND(vval, 4) AS view_value
+    FROM pairs WHERE rn = 1
+    """,
+)
+def asof_join_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase sees the user's most recent view at or
+    before it (ties → greatest event_id). The engine form is union-tag +
+    carry-forward (operators/relational.py::asof_join): O(L+R) per key and
+    one shuffle, vs the oracle's naive O(L·R) range join."""
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    out = R.asof_join(
+        purchases, views, on="user_id", ts_col="ts",
+        payload_cols=["value"], tie_col="event_id",
+    )
+    return out.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format("asof.ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+        F.round("asof.value", 4).alias("view_value"),
+    )
+
+
+@query(
+    "range_join_error_clicks",
+    """
+    WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+    c AS (SELECT user_id, ts AS cts FROM events WHERE event_type = 'click')
+    SELECT e.event_id, COUNT(c.cts) AS n_recent_clicks
+    FROM e LEFT JOIN c ON c.user_id = e.user_id
+      AND c.cts >= e.ts - INTERVAL 5 MINUTE AND c.cts < e.ts
+    GROUP BY e.event_id
+    """,
+)
+def range_join_error_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded range join: clicks in the 5 minutes before each error.
+    Engine form buckets both sides to the window width and probes two
+    buckets (operators/relational.py::range_join) — an equi shuffle join,
+    never a per-key cross product."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts")
+    )
+    pairs = R.range_join(errors, clicks, "user_id", "ts", "cts", 300)
+    counts = pairs.groupBy("event_id").agg(F.count("*").alias("n"))
+    return errors.join(counts, "event_id", "left").select(
+        "event_id", F.coalesce("n", F.lit(0)).alias("n_recent_clicks")
+    )
+
+
+@query(
+    "funnel_signup_view_purchase",
+    f"""
+    WITH t1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                WHERE event_type = 'signup' GROUP BY user_id),
+    t2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+           JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t1
+           WHERE e.event_type = 'view' GROUP BY e.user_id),
+    t3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+           JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t2
+           WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT t1.user_id,
+           strftime(t1.t1, '{TS_FMT}') AS signup_ts,
+           strftime(t2.t2, '{TS_FMT}') AS first_view_ts,
+           strftime(t3.t3, '{TS_FMT}') AS first_purchase_ts,
+           CAST(CASE WHEN t3.t3 IS NOT NULL THEN 3
+                     WHEN t2.t2 IS NOT NULL THEN 2 ELSE 1 END AS INT) AS stage_reached
+    FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
+            LEFT JOIN t3 ON t1.user_id = t3.user_id
+    """,
+)
+def funnel_signup_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel (signup → first view after it → first purchase
+    after that). Stage frontiers are tiny per-user aggregates: each step is
+    a broadcast join back to events + a min-aggregate, so the fact table is
+    scanned once per stage and never self-joined at row grain."""
+    ev = load_table(spark, sf_dir, "events")
+    t1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id").agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "view")
+        .join(F.broadcast(t1), "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(t2), "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+    stage = (
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .otherwise(1)
+    )
+    return (
+        t1.join(t2, "user_id", "left")
+        .join(t3, "user_id", "left")
+        .select(
+            "user_id",
+            F.date_format("t1", "yyyy-MM-dd HH:mm:ss").alias("signup_ts"),
+            F.date_format("t2", "yyyy-MM-dd HH:mm:ss").alias("first_view_ts"),
+            F.date_format("t3", "yyyy-MM-dd HH:mm:ss").alias("first_purchase_ts"),
+            stage.cast("int").alias("stage_reached"),
+        )
+    )
+
+
+@query(
+    "skew_salted_event_types",
+    """
+    WITH dim AS (SELECT event_type, COUNT(*) AS type_total FROM events GROUP BY 1)
+    SELECT e.event_id, e.event_type, d.type_total
+    FROM events e JOIN dim d USING (event_type)
+    """,
+)
+def skew_salted_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join on a pathologically skewed key (5 distinct event_type
+    values over the whole fact table): the dim side is exploded across 8
+    salts so no single reducer owns a hot key
+    (operators/skew.py::salted_join). Oracle = the plain equi join."""
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.groupBy("event_type").agg(F.count("*").alias("type_total"))
+    return SK.salted_join(
+        ev.select("event_id", "event_type"), dim, "event_type", n_salts=8
+    ).select("event_id", "event_type", "type_total")
+
+
+# ---------------------------------------------------------------------------
+# training-data utilities
+# ---------------------------------------------------------------------------
+
+@query(
+    "stratified_sample_documents",
+    """
+    SELECT doc_id, lang, source FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':' || lang), 1, 1)
+          IN ('0', '1', '2')
+    """,
+)
+def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: a salted md5 of (doc_id, stratum)
+    keeps 3/16 of each language — reproducible across engines, runs, and
+    cluster sizes (unlike rand()-based sampling), row-local, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("lang"))),
+        1, 1,
+    )
+    return d.filter(bucket.isin("0", "1", "2")).select("doc_id", "lang", "source")
+
+
+@query(
+    "pack_token_budget_documents",
+    """
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tok
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, lang, n_tok,
+             SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t
+    )
+    SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(floor((cum - n_tok) / 2048.0) AS BIGINT) AS pack_id
+    FROM c
+    """,
+)
+def pack_token_budget_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: documents are assigned to 2048-token packs by
+    a running token cumsum per language shard (a doc starting inside pack k
+    belongs to pack k — the standard streaming-greedy approximation). One
+    shuffle on the shard key; pack ids are deterministic because the order
+    (doc_id) is explicit."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t = d.select("doc_id", "lang", n_tok.alias("n_tok"))
+    return t.select(
+        "doc_id", "lang",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / 2048.0)
+        .cast("long")
+        .alias("pack_id"),
+    )
