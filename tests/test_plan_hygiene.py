@@ -67,3 +67,52 @@ def test_exact_dedup_single_shuffle(spark):
     plan = _plan(QUERIES["exact_dedup_documents"](spark, SF_CORRECT))
     # repartition (spread) + the agg exchange; no join/sort exchanges
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q6_all_predicates_pushed(spark):
+    """Q6: every filter (date range, discount band, quantity cap) must reach
+    the parquet scan as a pushed filter AND only the 4 needed columns of 11
+    are read."""
+    from wde_spark.queries import QUERIES
+
+    plan = QUERIES["q6_forecast_revenue"](spark, SF_CORRECT) \
+        ._jdf.queryExecution().toString()
+    scan = next(ln for ln in plan.splitlines() if "FileScan parquet" in ln)
+    # column pruning: the scan reads exactly the 4 needed columns of 11
+    cols = scan.split("[", 1)[1].split("]", 1)[0]
+    assert sorted(c.split("#")[0] for c in cols.split(",")) == [
+        "l_discount", "l_extendedprice", "l_quantity", "l_shipdate"]
+    # all three predicate families are in the scan's data filters (the
+    # PushedFilters list itself is elided in toString after ~100 chars)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"isnotnull({col}" in scan, f"filter on {col} not at the scan"
+    assert "PushedFilters: [IsNotNull(" in scan
+
+
+def test_asof_join_single_shuffle(spark):
+    """The as-of join must be ONE exchange (the union shuffled on the key) —
+    never a range-join pair explosion or a nested-loop join."""
+    from wde_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["asof_join_purchase_view"](spark, SF_CORRECT))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_range_join_is_equi_not_nested_loop(spark):
+    """Bucketed range join must execute as a hash/sort-merge equi join on
+    (key, bucket), not a broadcast nested loop."""
+    from wde_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["range_join_error_clicks"](spark, SF_CORRECT))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) \
+        or ("BroadcastHashJoin" in plan)
+
+
+def test_q2_min_side_broadcasts(spark):
+    from wde_spark.queries import QUERIES
+
+    df = QUERIES["q2_cheapest_part_per_brand"](spark, SF_CORRECT)
+    df.collect()
+    assert "BroadcastHashJoin" in _plan(df)
