@@ -40,3 +40,36 @@ def test_streaming_dedup_matches_batch(spark):
     expected = {(r.user_id, r.event_type)
                 for r in batch.select("user_id", "event_type").collect()}
     assert keys == expected
+
+
+def test_stream_stream_interval_join_matches_batch(spark):
+    """The stream-stream interval join emits exactly the pairs the batch
+    range_join produces (static input, watermarks fully advanced)."""
+    from wde_spark.operators import relational as R
+    from pyspark.sql import functions as F
+
+    got = {(r.l_event_id, r.r_event_id)
+           for r in SW.streaming_interval_join(spark, SF_SMOKE).collect()}
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts"), F.col("event_id").alias("cid"))
+    batch = {(r.event_id, r.cid)
+             for r in R.range_join(errors, clicks, "user_id", "ts", "cts",
+                                   300).collect()}
+    assert got == batch and batch
+
+
+def test_stream_static_enrich_matches_batch(spark):
+    from pyspark.sql import functions as F
+
+    got = {(r.event_id, r.type_total)
+           for r in SW.streaming_static_enrich(spark, SF_SMOKE).collect()}
+    ev = load_table(spark, SF_SMOKE, "events")
+    dim = ev.groupBy("event_type").agg(F.count("*").alias("type_total"))
+    expected = {(r.event_id, r.type_total)
+                for r in ev.join(dim, "event_type")
+                           .select("event_id", "type_total").collect()}
+    assert got == expected and expected

@@ -161,6 +161,87 @@ def streaming_dedup(spark: SparkSession, sf_dir: str,
     return spark.sql(f"SELECT * FROM {name}")
 
 
+def streaming_interval_join(spark: SparkSession, sf_dir: str,
+                            left_type: str = "error",
+                            right_type: str = "click",
+                            window_seconds: int = 300,
+                            watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream inner join with an interval condition — the streaming
+    form of operators/relational.py::range_join: for each `left_type` event,
+    the `right_type` events of the same user in [l.ts - W, l.ts).
+
+    Both sides carry watermarks and the join condition bounds event-time
+    skew between them, which is what lets Spark expire buffered rows from
+    the join state store instead of holding both streams forever — the
+    property that matters on an unbounded 100 TB ingest. Append mode: pairs
+    emit once both watermarks pass them."""
+    left = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == left_type)
+        .select(
+            F.col("event_id").alias("l_event_id"),
+            F.col("user_id").alias("l_user"),
+            F.col("ts").alias("l_ts"),
+        )
+        .withWatermark("l_ts", watermark)
+    )
+    right = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == right_type)
+        .select(
+            F.col("event_id").alias("r_event_id"),
+            F.col("user_id").alias("r_user"),
+            F.col("ts").alias("r_ts"),
+        )
+        .withWatermark("r_ts", watermark)
+    )
+    win = F.expr(f"INTERVAL {window_seconds} SECONDS")
+    joined = left.join(
+        right,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("l_ts") - win)
+        & (F.col("r_ts") < F.col("l_ts")),
+    ).select("l_event_id", "r_event_id", "l_user")
+    name = "wde_stream_interval_join"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def streaming_static_enrich(spark: SparkSession, sf_dir: str,
+                            watermark: str = "2 hours") -> DataFrame:
+    """Stream-static broadcast enrichment: the event stream joined to a
+    static dimension (per-type totals from the batch table). The static
+    side broadcasts; the stream never shuffles — the standard shape for
+    joining a firehose against reference data."""
+    from ..core.catalog import load_table
+
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type").agg(F.count("*").alias("type_total"))
+    )
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", watermark)
+    out = ev.join(F.broadcast(dim), "event_type").select(
+        "event_id", "event_type", "type_total"
+    )
+    name = "wde_stream_static_enrich"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
 def streaming_session(spark: SparkSession, sf_dir: str,
                       gap: str = "30 minutes",
                       watermark: str = "2 hours") -> DataFrame:
