@@ -22,8 +22,11 @@ from __future__ import annotations
 import hashlib
 import struct
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def _as_double(c: Column) -> Column:
@@ -94,14 +97,22 @@ def hyperplanes(dim: int, n_planes: int, seed: str = "wde") -> list[list[float]]
     return planes
 
 
-def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """H-bit signature: bit j = sign(dot(vec, plane_j))."""
-    bits = [
-        F.when(dot(vec, F.array(*[F.lit(x) for x in p])) >= 0, F.lit("1"))
-        .otherwise(F.lit("0"))
-        for p in planes
-    ]
-    return F.concat(*bits)
+def _lsh_bucket_udf(spark, planes: list[list[float]]):
+    """H-bit signature (bit j = sign(dot(vec, plane_j))) computed per Arrow
+    batch as one matmul against the BROADCAST hyperplane matrix — like the
+    IVF quantizer, the model rides as data, not as plan literals, so plan
+    size is independent of (dims × planes)."""
+    P = np.asarray(planes, dtype=np.float64)
+    bc = spark.sparkContext.broadcast(P)
+
+    @pandas_udf("string")
+    def bucket(v: pd.Series) -> pd.Series:
+        Pb = bc.value
+        M = np.stack(v.to_numpy()).astype(np.float64)
+        bits = (M @ Pb.T) >= 0
+        return pd.Series(["".join("1" if b else "0" for b in row) for row in bits])
+
+    return bucket
 
 
 def lsh_ann(items: DataFrame, queries: DataFrame, k: int = 5,
@@ -110,15 +121,15 @@ def lsh_ann(items: DataFrame, queries: DataFrame, k: int = 5,
     """Approximate top-k: candidates = items in the query's LSH bucket,
     re-ranked exactly. Recall < 1.0 by design; the candidate join shuffles
     on the bucket signature instead of forming the full cross product."""
-    planes = hyperplanes(dim, n_planes)
+    bucket = _lsh_bucket_udf(items.sparkSession, hyperplanes(dim, n_planes))
     it = items.select(
         F.col(id_col).alias("item_id"),
         _as_double(F.col(vec_col)).alias("iv"),
-    ).withColumn("bucket", lsh_bucket(F.col("iv"), planes))
+    ).withColumn("bucket", bucket(F.col("iv")))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("qv"),
-    ).withColumn("bucket", lsh_bucket(F.col("qv"), planes))
+    ).withColumn("bucket", bucket(F.col("qv")))
     scored = (
         it.join(F.broadcast(q), "bucket")
         .filter(F.col("item_id") != F.col("query_id"))
@@ -143,41 +154,43 @@ def _normalize(c: Column) -> Column:
     return F.transform(c, lambda x: x / n)
 
 
-def _cell_dists(vec: Column, centroids: list[list[float]]) -> Column:
-    """array<struct<d,cell>> of squared-L2 distances to every centroid —
-    a pure column expression over a literal centroid array, evaluated
-    row-locally inside codegen (no join, no Python)."""
-    cents = F.array(*[
-        F.struct(
-            F.array(*[F.lit(float(x)) for x in cv]).alias("cv"),
-            F.lit(i).alias("cell"),
-        )
-        for i, cv in enumerate(centroids)
-    ])
-    return F.transform(
-        cents,
-        lambda c: F.struct(
-            F.aggregate(
-                F.zip_with(vec, c["cv"], lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0), lambda acc, x: acc + x,
-            ).alias("d"),
-            c["cell"].alias("cell"),
-        ),
-    )
+def _probe_cells_udf(spark, centroids: list[list[float]], nprobe: int):
+    """Arrow-vectorized nearest-cell assignment against a BROADCAST centroid
+    matrix — the quantizer model ships to executors as data, never as plan
+    literals, so plan size (and codegen compile time) is independent of
+    model size: a real IVF quantizer (4096 cells × 1024 dims = 4M floats)
+    would be unplannable as a literal expression but is a 32 MB broadcast
+    here. Per Arrow batch the distance matrix is one BLAS matmul
+    (‖x‖² − 2x·Cᵀ + ‖c‖²); ties break to the lowest cell id (stable
+    argsort), matching lexicographic (d, cell) order."""
+    C = np.asarray(centroids, dtype=np.float64)
+    c_sq = (C * C).sum(axis=1)
+    bc = spark.sparkContext.broadcast((C, c_sq))
+
+    @pandas_udf("array<int>")
+    def probe(v: pd.Series) -> pd.Series:
+        Cb, c_sqb = bc.value
+        M = np.stack(v.to_numpy()).astype(np.float64)
+        d = (M * M).sum(axis=1)[:, None] - 2.0 * (M @ Cb.T) + c_sqb[None, :]
+        idx = np.argsort(d, axis=1, kind="stable")[:, :nprobe].astype(np.int32)
+        return pd.Series(list(idx))
+
+    return probe
 
 
 def train_ivf_centroids(items: DataFrame, n_cells: int = 16, iters: int = 2,
                         id_col: str = "vec_id",
                         vec_col: str = "embedding") -> list[list[float]]:
     """Deterministic Lloyd's k-means over L2-normalized vectors, expressed
-    as DataFrame plans (assignment = row-local argmin over a broadcast
-    centroid literal; update = posexplode + (cell,dim) hash agg — one
-    shuffle of n_cells×dim groups per iteration). Seeding is md5-ordered
-    vector ids: no RNG state, identical on every run/engine.
+    as DataFrame plans (assignment = Arrow-vectorized argmin against the
+    broadcast centroid matrix, row-local; update = posexplode + (cell,dim)
+    hash agg — one shuffle of n_cells×dim groups per iteration). Seeding is
+    md5-ordered vector ids: no RNG state, identical on every run.
 
     Centroids (n_cells × dim doubles) are driver-side between iterations —
     they are the *model*, not the data; at 100 TB the data never leaves the
     executors."""
+    spark = items.sparkSession
     v = items.select(
         F.col(id_col).alias("vid"), _normalize(_as_double(F.col(vec_col))).alias("v")
     )
@@ -187,9 +200,8 @@ def train_ivf_centroids(items: DataFrame, n_cells: int = 16, iters: int = 2,
     )
     centroids = [list(r.v) for r in seed_rows]
     for _ in range(iters):
-        assigned = v.withColumn(
-            "cell", F.array_min(_cell_dists(F.col("v"), centroids))["cell"]
-        )
+        probe = _probe_cells_udf(spark, centroids, nprobe=1)
+        assigned = v.withColumn("cell", probe(F.col("v"))[0])
         means = (
             assigned.select("cell", F.posexplode("v").alias("pos", "x"))
             .groupBy("cell", "pos").agg(F.avg("x").alias("m"))
@@ -213,25 +225,19 @@ def ivf_ann(items: DataFrame, queries: DataFrame, k: int = 5,
     cells. The candidate join shuffles on `cell` (≈ nprobe/n_cells of the
     data per query) instead of forming the full cross product; the exact
     cosine re-rank runs only inside probed cells. Recall tunable via
-    nprobe — nprobe=n_cells degenerates to exact search."""
+    nprobe — nprobe=n_cells degenerates to exact search.
+    Assignment is Arrow-vectorized against the broadcast quantizer (see
+    `_probe_cells_udf`); the exact re-rank stays a JVM column fold."""
+    spark = items.sparkSession
     centroids = train_ivf_centroids(items, n_cells, iters, id_col, vec_col)
+    assign1 = _probe_cells_udf(spark, centroids, nprobe=1)
+    probe_n = _probe_cells_udf(spark, centroids, nprobe=nprobe)
     it = items.select(
         F.col(id_col).alias("item_id"), _as_double(F.col(vec_col)).alias("iv")
-    ).withColumn(
-        "cell",
-        F.array_min(_cell_dists(_normalize(F.col("iv")), centroids))["cell"],
-    )
+    ).withColumn("cell", assign1(_normalize(F.col("iv")))[0])
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    ).withColumn(
-        "cell",
-        F.explode(
-            F.slice(
-                F.array_sort(_cell_dists(_normalize(F.col("qv")), centroids)),
-                1, nprobe,
-            )["cell"]
-        ),
-    )
+    ).withColumn("cell", F.explode(probe_n(_normalize(F.col("qv")))))
     scored = (
         it.join(F.broadcast(q), "cell")
         .filter(F.col("item_id") != F.col("query_id"))
@@ -255,10 +261,10 @@ def embedding_neardup(items: DataFrame, threshold: float = 0.95,
                       n_planes: int = 6, dim: int = 64) -> DataFrame:
     """Dedup tier 5 — pairs with cosine >= threshold, LSH-bucketed so only
     same-bucket pairs are scored."""
-    planes = hyperplanes(dim, n_planes)
+    bucket = _lsh_bucket_udf(items.sparkSession, hyperplanes(dim, n_planes))
     v = items.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("v")
-    ).withColumn("bucket", lsh_bucket(F.col("v"), planes))
+    ).withColumn("bucket", bucket(F.col("v")))
     a, b = v.alias("a"), v.alias("b")
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
