@@ -219,3 +219,20 @@ def test_range_join_boundaries(spark):
     pairs = R.range_join(left, right, "user_id", "ts", "cts", 300).collect()
     got = sorted(str(r.cts) for r in pairs)
     assert got == ["2024-01-01 00:05:00", "2024-01-01 00:09:59"]
+
+
+def test_connected_components_chain_and_cliques(spark):
+    """A 5-node chain (diameter 4 → needs multiple propagation rounds), a
+    separate triangle, and an isolated pair all resolve to min-id labels."""
+    from wde_spark.operators import graph as G
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),      # chain
+         (10, 11), (11, 12), (10, 12),        # triangle
+         (20, 21)],                           # pair
+        "id_a long, id_b long",
+    )
+    out = {r.node: r.component
+           for r in G.connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}

@@ -795,6 +795,39 @@ def skew_salted_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 # training-data utilities
 # ---------------------------------------------------------------------------
 
+def _components_oracle() -> str:
+    from .queries import _lsh_verified_oracle
+
+    return f"""
+    WITH RECURSIVE pairs AS ({_lsh_verified_oracle()}),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT src, src FROM sym
+      UNION
+      SELECT s.src, t.r FROM sym s JOIN reach t ON t.node = s.dst
+    )
+    SELECT node, MIN(r) AS component FROM reach GROUP BY node
+    """
+
+
+@query("neardup_components_documents", _components_oracle())
+def neardup_components_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering: connected components over the LSH-verified near-dup
+    pair graph — each document labeled with its class representative (min
+    member id), so keep-one-per-class is a groupBy. Iterative min-label
+    propagation (operators/graph.py), O(diameter) shuffle rounds; the
+    oracle states the same fixpoint as a recursive CTE."""
+    from .operators import graph as G
+    from .operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    edges = D.neardup_lsh_verified(docs).select("id_a", "id_b")
+    return G.connected_components(edges)
+
 @query(
     "stratified_sample_documents",
     """
