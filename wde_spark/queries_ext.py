@@ -772,6 +772,33 @@ def funnel_signup_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "json_props_stats_events",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def json_props_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured columns: the event payload is a JSON string; parse it
+    with a declared schema (`from_json` — typed struct, vectorized, no
+    Python) and aggregate a field. At scale this beats schema-on-read
+    string functions: the parse happens once per row inside codegen and
+    Catalyst prunes unaccessed fields."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", "k long")["k"]
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@query(
     "skew_salted_event_types",
     """
     WITH dim AS (SELECT event_type, COUNT(*) AS type_total FROM events GROUP BY 1)
