@@ -1007,6 +1007,58 @@ def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "zscore_outliers_documents",
+    """
+    WITH m AS (
+      SELECT lang, COUNT(*) AS n,
+             SUM(CAST(n_chars AS BIGINT)) AS s,
+             SUM(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT)) AS sq
+      FROM documents GROUP BY lang
+    ),
+    stats AS (
+      SELECT lang, n,
+             CAST(s AS DOUBLE) / n AS mean,
+             sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)) AS sd
+      FROM m WHERE n > 1
+    )
+    SELECT d.doc_id, d.lang,
+           ROUND((d.n_chars - st.mean) / st.sd, 4) AS z
+    FROM documents d JOIN stats st ON d.lang = st.lang
+    WHERE abs((d.n_chars - st.mean) / st.sd) > 1.5
+    """,
+)
+def zscore_outliers_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum outlier detection for quality filtering: documents whose
+    length z-score within their language exceeds 1.5. Moments come from
+    EXACT integer sums (sum, sum-of-squares are exact in int64/double for
+    any realistic corpus), not stddev_samp — the streaming variance
+    algorithms of different engines differ in final bits, exact sums never
+    do. One aggregate pass + a broadcast join back: the single-pass shape
+    that works at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    nc = F.col("n_chars").cast("long")
+    m = d.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum(nc).alias("s"),
+        F.sum(nc * nc).alias("sq"),
+    ).filter(F.col("n") > 1)
+    stats = m.select(
+        "lang",
+        (F.col("s").cast("double") / F.col("n")).alias("mean"),
+        F.sqrt(
+            (F.col("sq").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("sd"),
+    )
+    z = (F.col("n_chars") - F.col("mean")) / F.col("sd")
+    return (
+        d.join(F.broadcast(stats), "lang")
+        .filter(F.abs(z) > 1.5)
+        .select("doc_id", "lang", F.round(z, 4).alias("z"))
+    )
+
+
+@query(
     "pack_token_budget_documents",
     """
     WITH t AS (
