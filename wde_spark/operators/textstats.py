@@ -140,3 +140,42 @@ def fingerprint(docs: DataFrame, text_col: str = "text",
         F.min(F.md5(F.col("sh"))).alias("min_shingle_fp"),
         F.max(F.md5(F.col("sh"))).alias("max_shingle_fp"),
     ).select(id_col, "exact_fp", "min_shingle_fp", "max_shingle_fp")
+
+
+def tfidf_topk(docs: DataFrame, k: int = 3, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Top-k terms per document by smoothed tf-idf.
+
+    Plan: ONE tokenize+explode feeds both the per-(doc,term) tf aggregate
+    and the document-frequency aggregate (Catalyst reuses the exchange);
+    idf = ln((N+1)/(df+1)) + 1 from exact integer counts; rank on the
+    ROUNDED score (6 dp) with a term tiebreak so ordering is reproducible
+    across engines and libm implementations (raw doubles from different
+    ln() implementations can differ in the last ulp). Shuffles: terms agg,
+    df agg, rank window — all on bounded-cardinality keys."""
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        F.col(id_col),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.select(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1), 6),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "term", F.col("tf").cast("long").alias("tf"),
+                "score", "rnk")
+    )

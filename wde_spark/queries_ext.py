@@ -1007,6 +1007,42 @@ def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tfidf_top_terms_documents",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok
+      WHERE term <> '' GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             ROUND(tf.tf * (ln(CAST(n.n_docs + 1 AS DOUBLE) / (df.df + 1)) + 1), 6)
+               AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, score, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """,
+)
+def tfidf_top_terms_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per document by smoothed tf-idf
+    (operators/textstats.py::tfidf_topk): one tokenize feeds both the tf and
+    df aggregates; ranking is on the rounded score so the order is
+    libm-independent."""
+    from .operators import textstats as TS
+
+    return TS.tfidf_topk(load_table(spark, sf_dir, "documents", spread=True), k=3)
+
+
+@query(
     "zscore_outliers_documents",
     """
     WITH m AS (
