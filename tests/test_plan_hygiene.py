@@ -116,3 +116,14 @@ def test_q2_min_side_broadcasts(spark):
     df = QUERIES["q2_cheapest_part_per_brand"](spark, SF_CORRECT)
     df.collect()
     assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_global_sort_uses_range_partitioning(spark):
+    """A global ORDER BY must execute as sampled range partitioning (every
+    partition sorted AND partitions globally ordered) — never a single-task
+    global sort."""
+    from wde_spark.core.catalog import load_table
+
+    df = load_table(spark, SF_CORRECT, "orders").orderBy("o_totalprice")
+    plan = _plan(df)
+    assert "rangepartitioning" in plan.lower()

@@ -10,6 +10,11 @@ State model: one row of (open-session start/end/count/sum) per user key.
 An incoming batch merges into state; sessions whose gap has lapsed
 relative to the event-time watermark are emitted and evicted; on timeout
 (watermark passed with no new data) the remaining open session flushes.
+
+(Spark 4's successor API, `transformWithStateInPandas`, is the same
+operator shape with typed state handles; its Python driver worker needs
+`google.protobuf`, absent from this environment, so the engine standardizes
+on `applyInPandasWithState` — identical capability surface.)
 """
 
 from __future__ import annotations
