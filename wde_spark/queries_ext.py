@@ -338,7 +338,7 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("s_suppkey").alias("l_suppkey"))
     return (
         li.join(bad, "l_suppkey", "left_anti")
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -360,8 +360,10 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 — correlated scalar AVG subquery, decorrelated into a
-    per-part aggregate joined back to the fact (the aggregate side is tiny
-    after grouping → broadcast)."""
+    per-part aggregate joined back to the fact. The part dim (filtered,
+    bounded) broadcasts; the per-partkey threshold scales WITH the data,
+    so it gets no broadcast hint — AQE picks broadcast only when it
+    actually fits."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
     thr = (
@@ -369,8 +371,8 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_thr"))
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(thr), li.l_partkey == F.col("t_partkey"))
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(thr, li.l_partkey == F.col("t_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_thr"))
         .agg(
             (F.sum(_dec(F.col("l_extendedprice"))).cast("double") / 7.0)
@@ -404,7 +406,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     promo = F.when(F.col("p_type") == "PROMO", _rev()).otherwise(F.lit(0).cast(DEC))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             F.round(
                 F.lit(100.0) * F.sum(promo).cast("double")
@@ -473,7 +475,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     extracts the common `p_brand IN (...)` conjunct for pushdown."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+    j = li.join(p, p.p_partkey == li.l_partkey)
     q = F.col("l_quantity")
     sz = F.col("p_size")
     cond = (
@@ -671,7 +673,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.lit(0.6).cast(DEC)
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -864,9 +866,11 @@ def range_join_error_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def funnel_signup_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential funnel (signup → first view after it → first purchase
-    after that). Stage frontiers are tiny per-user aggregates: each step is
-    a broadcast join back to events + a min-aggregate, so the fact table is
-    scanned once per stage and never self-joined at row grain."""
+    after that). Stage frontiers are one-row-per-user aggregates: each step
+    joins the frontier back to events + a min-aggregate, so the fact table
+    is scanned once per stage and never self-joined at row grain. The
+    frontier scales with |users| — no broadcast hint; AQE broadcasts it
+    exactly when it fits."""
     ev = load_table(spark, sf_dir, "events")
     t1 = (
         ev.filter(F.col("event_type") == "signup")
@@ -874,13 +878,13 @@ def funnel_signup_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t2 = (
         ev.filter(F.col("event_type") == "view")
-        .join(F.broadcast(t1), "user_id")
+        .join(t1, "user_id")
         .filter(F.col("ts") > F.col("t1"))
         .groupBy("user_id").agg(F.min("ts").alias("t2"))
     )
     t3 = (
         ev.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(t2), "user_id")
+        .join(t2, "user_id")
         .filter(F.col("ts") > F.col("t2"))
         .groupBy("user_id").agg(F.min("ts").alias("t3"))
     )
@@ -1118,7 +1122,9 @@ def pack_token_budget_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     a running token cumsum per language shard (a doc starting inside pack k
     belongs to pack k — the standard streaming-greedy approximation). One
     shuffle on the shard key; pack ids are deterministic because the order
-    (doc_id) is explicit."""
+    (doc_id) is explicit. A window partition holds one whole shard — at
+    real scale the shard key must be finer than `lang` (any deterministic
+    doc_id bucket composes with it) so no partition outgrows a task."""
     d = load_table(spark, sf_dir, "documents")
     n_tok = F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
     w = (
