@@ -125,9 +125,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape — selective dimension filter, two joins (customer side
-    broadcastable), agg, deterministic top-10. Exact decimal revenue makes
-    the ORDER BY identical across engines."""
+    """TPC-H Q3 shape — selective dimension filter, two joins, agg,
+    deterministic top-10. Exact decimal revenue makes the ORDER BY identical
+    across engines. The filtered customer side scales with SF, so no forced
+    broadcast — AQE broadcasts it while it fits."""
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
@@ -139,7 +140,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = _dec(F.col("l_extendedprice")) * (one - _dec(F.col("l_discount")))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.sum(rev).alias("rev_dec"))
         .select(
