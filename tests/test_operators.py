@@ -236,3 +236,40 @@ def test_connected_components_chain_and_cliques(spark):
            for r in G.connected_components(edges).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
                    10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_ann_null_and_missized_vectors_degrade_not_crash(spark):
+    """A NULL or wrong-dimension embedding must fall out of LSH/IVF paths
+    (NULL bucket/cell → dropped by the equi-join), never kill the job."""
+    rows = [(0, [1.0] * 64), (1, None), (2, [1.0, 2.0]), (3, [0.5] * 64)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = SIM.lsh_ann(df, df.filter(F.col("vec_id") == 0), k=5).collect()
+    assert {r.item_id for r in got} <= {3}
+    got_ivf = SIM.ivf_ann(df, df.filter(F.col("vec_id") == 0), k=5,
+                          n_cells=2, nprobe=2).collect()
+    assert {r.item_id for r in got_ivf} <= {3}
+
+
+def test_ivf_fewer_vectors_than_cells(spark):
+    """n_cells larger than the table: clamps to one centroid per vector
+    instead of IndexError."""
+    rows = [(i, [float(i), 1.0, 0.0]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = SIM.ivf_ann(df, df.filter(F.col("vec_id") == 0), k=3,
+                      n_cells=16, nprobe=16)
+    ids = {r.item_id for r in out.collect()}
+    assert ids and ids <= {1, 2, 3, 4}
+
+
+def test_connected_components_raises_past_max_iter(spark):
+    """A chain longer than max_iter propagation rounds must raise, not
+    silently return split components."""
+    import pytest as _pytest
+    from wde_spark.operators import graph as G
+
+    chain = [(i, i + 1) for i in range(12)]
+    df = spark.createDataFrame(chain, "id_a long, id_b long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        G.connected_components(df, max_iter=2)
+    ok = {r.component for r in G.connected_components(df, max_iter=20).collect()}
+    assert ok == {0}

@@ -115,15 +115,40 @@ def tokens(c: Column) -> Column:
 # ---------------------------------------------------------------------------
 # SQL snippet registry: the same functions as ANSI-ish SQL template strings,
 # in Spark-SQL dialect ({0} = input expression). Lets `spark.sql` queries and
-# tests exercise the library without Python composition.
+# tests exercise the library without Python composition; sql_registry.py
+# turns each into a named SQL function. Each entry lives HERE, next to its
+# Column twin above, so a regex edit changes both or neither.
 # ---------------------------------------------------------------------------
 SPARK_SQL_EXPRS = {
     "striptag": "regexp_replace({0}, '<.*?>', '')",
+    "clean_entity": (
+        r"regexp_replace(regexp_replace({0}, "
+        r"'http://www\\.wikidata\\.org/entity/', ''), "
+        r"'T\\d{{2}}:\\d{{2}}:\\d{{2}}Z$', '')"
+    ),
     "norm_ws": r"trim(regexp_replace({0}, '\\s+', ' '))",
     "norm_compare": (
         r"trim(regexp_replace(regexp_replace(lower({0}), "
         r"'[!?,\\.;\\\\:/&\\(\\)\\[\\]\\{{\\}}\"''«»\\-_\\^¨$£%§#~*`|]', ' '), "
         r"'\\s+', ' '))"
     ),
+    "dedup_tokens": "array_join(array_distinct(split({0}, ' ')), ' ')",
+    "clean_query_string": (
+        r"trim(regexp_replace(regexp_replace("
+        r"array_join(array_distinct(split(lower({0}), ' ')), ' '), "
+        r"'[!\\.?;/\\\\:&\\(\\)\\[\\]#\",''_]', ''), '\\s+', ' '))"
+    ),
+    "paren_extract": r"regexp_extract({0}, '\\((.+?)\\)', 1)",
+    "extract_birth_year": (
+        r"regexp_extract({0}, '(?:N\\.|[Nn][ée]e?\\.?)\\s*.{{0,10}}?(\\d{{4}})', 1)"),
+    "extract_death_year": (
+        r"regexp_extract({0}, '(?:M\\.|[Mm]orte?\\.?)\\s*.{{0,10}}?(\\d{{4}})', 1)"),
+    "extract_violent_death_year": (
+        r"regexp_extract({0}, "
+        r"'(?:Décap|Assa|Tuée?|Fusi|Guil)\\S*\\s*.{{0,10}}?(\\d{{4}})', 1)"),
+    "roman_numeral": (
+        r"regexp_extract({0}, '\\b([IVXLCDM]+(?:er|nd|ème|eme|e)?)\\b', 1)"),
     "qid_extract": r"regexp_extract({0}, '(Q\\d+)', 1)",
+    "catalogue_id_extract": r"regexp_extract({0}, '(CAT_\\d+)', 1)",
+    "tokens": r"split(trim(lower({0})), '\\s+')",
 }

@@ -32,18 +32,22 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b", max_iter: int = 20) -> DataFrame:
     """(node, component) for every node in `edges`; component = min node id
     reachable. Deterministic for any input order."""
+    # checkpoint the symmetrized edge table ONCE — every round joins it
     sym = edges.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).unionByName(
         edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("src").alias("node")).distinct()
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum("label")).first()[0]
+    converged = prev_sum is None  # no nodes → nothing to propagate
     for _ in range(max_iter):
+        if converged:
+            break
         nbr = (
             sym.join(labels, sym.dst == labels.node)
             .groupBy("src").agg(F.min("label").alias("nbr_label"))
@@ -60,6 +64,11 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
         )
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
-            break
+            converged = True
         prev_sum = cur_sum
+    if not converged:
+        # silent truncation would return WRONG components — fail loudly
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"(component diameter exceeds max_iter); raise max_iter")
     return labels.select("node", F.col("label").alias("component"))

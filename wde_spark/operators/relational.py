@@ -130,10 +130,13 @@ def asof_join(
     u = l2.unionByName(r2, allowMissingColumns=True)
     # (ts, side, tie): ALL right rows at a timestamp precede the left rows
     # at it (side 0 < 1), and among same-ts right rows the greatest tie is
-    # last — so carry-forward picks it.
+    # last — so carry-forward picks it. Without a caller tie column, the
+    # payload struct itself is the tiebreak (lexicographic) so same-ts
+    # duplicates still resolve deterministically under any partitioning.
+    tie = [tie_col] if tie_col else [F.col("__asof_p")]
     w = (
         Window.partitionBy(on)
-        .orderBy(ts_col, "__side", *([tie_col] if tie_col else []))
+        .orderBy(ts_col, "__side", *tie)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return (

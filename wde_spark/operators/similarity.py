@@ -101,17 +101,26 @@ def _lsh_bucket_udf(spark, planes: list[list[float]]):
     """H-bit signature (bit j = sign(dot(vec, plane_j))) computed per Arrow
     batch as one matmul against the BROADCAST hyperplane matrix — like the
     IVF quantizer, the model rides as data, not as plan literals, so plan
-    size is independent of (dims × planes)."""
+    size is independent of (dims × planes). NULL/mis-sized vectors map to
+    a NULL bucket and fall out of the bucket equi-join instead of crashing
+    the batch."""
     P = np.asarray(planes, dtype=np.float64)
     bc = spark.sparkContext.broadcast(P)
 
     @pandas_udf("string")
     def bucket(v: pd.Series) -> pd.Series:
         Pb = bc.value
-        M = np.stack(v.to_numpy()).astype(np.float64)
-        bits = (M @ Pb.T) >= 0
-        return pd.Series(["".join("1" if b else "0" for b in row) for row in bits])
+        dim = Pb.shape[1]
+        ok = v.map(lambda x: x is not None and len(x) == dim)
+        out = pd.Series([None] * len(v), dtype=object)
+        if ok.any():
+            M = np.stack(v[ok].to_numpy()).astype(np.float64)
+            bits = (M @ Pb.T) >= 0
+            out[np.flatnonzero(ok.to_numpy())] = [
+                "".join("1" if b else "0" for b in row) for row in bits]
+        return out
 
+    bucket.bc = bc
     return bucket
 
 
@@ -154,7 +163,8 @@ def _normalize(c: Column) -> Column:
     return F.transform(c, lambda x: x / n)
 
 
-def _probe_cells_udf(spark, centroids: list[list[float]], nprobe: int):
+def _probe_cells_udf(spark, centroids: list[list[float]], nprobe: int,
+                     bc=None):
     """Arrow-vectorized nearest-cell assignment against a BROADCAST centroid
     matrix — the quantizer model ships to executors as data, never as plan
     literals, so plan size (and codegen compile time) is independent of
@@ -162,19 +172,31 @@ def _probe_cells_udf(spark, centroids: list[list[float]], nprobe: int):
     would be unplannable as a literal expression but is a 32 MB broadcast
     here. Per Arrow batch the distance matrix is one BLAS matmul
     (‖x‖² − 2x·Cᵀ + ‖c‖²); ties break to the lowest cell id (stable
-    argsort), matching lexicographic (d, cell) order."""
-    C = np.asarray(centroids, dtype=np.float64)
-    c_sq = (C * C).sum(axis=1)
-    bc = spark.sparkContext.broadcast((C, c_sq))
+    argsort), matching lexicographic (d, cell) order.
+
+    NULL vectors map to NULL (they then fall out of the cell equi-join) —
+    a single bad row must degrade, not kill, a 100 TB job. Pass `bc` to
+    share one broadcast across several UDFs of the same model; the
+    returned UDF exposes it as `.bc` so callers that fully materialize
+    their output can `bc.unpersist()`."""
+    if bc is None:
+        C = np.asarray(centroids, dtype=np.float64)
+        bc = spark.sparkContext.broadcast((C, (C * C).sum(axis=1)))
 
     @pandas_udf("array<int>")
     def probe(v: pd.Series) -> pd.Series:
         Cb, c_sqb = bc.value
-        M = np.stack(v.to_numpy()).astype(np.float64)
-        d = (M * M).sum(axis=1)[:, None] - 2.0 * (M @ Cb.T) + c_sqb[None, :]
-        idx = np.argsort(d, axis=1, kind="stable")[:, :nprobe].astype(np.int32)
-        return pd.Series(list(idx))
+        dim = Cb.shape[1]
+        ok = v.map(lambda x: x is not None and len(x) == dim)
+        out = pd.Series([None] * len(v), dtype=object)
+        if ok.any():
+            M = np.stack(v[ok].to_numpy()).astype(np.float64)
+            d = (M * M).sum(axis=1)[:, None] - 2.0 * (M @ Cb.T) + c_sqb[None, :]
+            idx = np.argsort(d, axis=1, kind="stable")[:, :nprobe].astype(np.int32)
+            out[np.flatnonzero(ok.to_numpy())] = list(idx)
+        return out
 
+    probe.bc = bc
     return probe
 
 
@@ -198,7 +220,12 @@ def train_ivf_centroids(items: DataFrame, n_cells: int = 16, iters: int = 2,
         v.orderBy(F.md5(F.col("vid").cast("string")), F.col("vid"))
         .limit(n_cells).select("v").collect()
     )
-    centroids = [list(r.v) for r in seed_rows]
+    centroids = [list(r.v) for r in seed_rows if r.v is not None]
+    # fewer vectors than requested cells: every vector is its own centroid
+    n_cells = min(n_cells, len(centroids))
+    if n_cells == 0:
+        return []
+    centroids = centroids[:n_cells]
     for _ in range(iters):
         probe = _probe_cells_udf(spark, centroids, nprobe=1)
         assigned = v.withColumn("cell", probe(F.col("v"))[0])
@@ -210,6 +237,9 @@ def train_ivf_centroids(items: DataFrame, n_cells: int = 16, iters: int = 2,
             .select("cell", F.col("pm.m").alias("cv"))
             .collect()
         )
+        # collect() fully materialized this iteration's assignment — the
+        # per-iteration model broadcast can be released immediately.
+        probe.bc.unpersist()
         new = dict((r.cell, list(r.cv)) for r in means)
         centroids = [new.get(i, centroids[i]) for i in range(n_cells)]
     return centroids
@@ -230,8 +260,12 @@ def ivf_ann(items: DataFrame, queries: DataFrame, k: int = 5,
     `_probe_cells_udf`); the exact re-rank stays a JVM column fold."""
     spark = items.sparkSession
     centroids = train_ivf_centroids(items, n_cells, iters, id_col, vec_col)
+    if not centroids:
+        empty = "query_id long, item_id long, cos_sim double, rnk long"
+        return spark.createDataFrame([], empty)
+    # one model broadcast shared by both assignment UDFs (query lifetime)
     assign1 = _probe_cells_udf(spark, centroids, nprobe=1)
-    probe_n = _probe_cells_udf(spark, centroids, nprobe=nprobe)
+    probe_n = _probe_cells_udf(spark, centroids, nprobe=nprobe, bc=assign1.bc)
     it = items.select(
         F.col(id_col).alias("item_id"), _as_double(F.col(vec_col)).alias("iv")
     ).withColumn("cell", assign1(_normalize(F.col("iv")))[0])
