@@ -58,6 +58,12 @@ HEADLINE = [
     "funnel_signup_view_purchase",
     "pack_token_budget_documents",
     "stratified_sample_documents",
+    "q13_customer_distribution",
+    "q16_supplier_part_counts",
+    "json_props_stats_events",
+    "tfidf_top_terms_documents",
+    "zscore_outliers_documents",
+    "neardup_components_documents",
 ]
 
 
