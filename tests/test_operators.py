@@ -244,10 +244,18 @@ def test_ann_null_and_missized_vectors_degrade_not_crash(spark):
     rows = [(0, [1.0] * 64), (1, None), (2, [1.0, 2.0]), (3, [0.5] * 64)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     got = SIM.lsh_ann(df, df.filter(F.col("vec_id") == 0), k=5).collect()
-    assert {r.item_id for r in got} <= {3}
+    # item 3 is collinear with the query: it MUST be found (an empty result
+    # would mean the bad rows poisoned the whole path, not just themselves)
+    assert {r.item_id for r in got} == {3}
     got_ivf = SIM.ivf_ann(df, df.filter(F.col("vec_id") == 0), k=5,
                           n_cells=2, nprobe=2).collect()
-    assert {r.item_id for r in got_ivf} <= {3}
+    assert {r.item_id for r in got_ivf} == {3}
+    # a zero vector is finite-length but has NaN cosine with everything —
+    # it must never outrank a real neighbor (Spark sorts NaN above doubles)
+    rows_z = [(0, [1.0] * 64), (1, [0.0] * 64), (2, [0.5] * 64)]
+    dfz = spark.createDataFrame(rows_z, "vec_id long, embedding array<double>")
+    topz = SIM.cosine_topk(dfz, dfz.filter(F.col("vec_id") == 0), k=1).collect()
+    assert [r.item_id for r in topz] == [2]
 
 
 def test_ivf_fewer_vectors_than_cells(spark):

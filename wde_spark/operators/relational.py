@@ -132,8 +132,28 @@ def asof_join(
     # at it (side 0 < 1), and among same-ts right rows the greatest tie is
     # last — so carry-forward picks it. Without a caller tie column, the
     # payload struct itself is the tiebreak (lexicographic) so same-ts
-    # duplicates still resolve deterministically under any partitioning.
-    tie = [tie_col] if tie_col else [F.col("__asof_p")]
+    # duplicates still resolve deterministically — unless the payload
+    # contains an unorderable type (map), where Spark can't sort structs;
+    # then ties fall back to arbitrary (pass tie_col for determinism).
+    if tie_col:
+        tie = [tie_col]
+    else:
+        def _unorderable(dt) -> bool:
+            import pyspark.sql.types as T
+
+            if isinstance(dt, T.MapType):
+                return True
+            if isinstance(dt, T.StructType):
+                return any(_unorderable(f.dataType) for f in dt.fields)
+            if isinstance(dt, T.ArrayType):
+                return _unorderable(dt.elementType)
+            return False
+
+        payload_types = [
+            f.dataType for f in right.schema.fields if f.name in payload_cols
+        ]
+        tie = [] if any(_unorderable(t) for t in payload_types) \
+            else [F.col("__asof_p")]
     w = (
         Window.partitionBy(on)
         .orderBy(ts_col, "__side", *tie)

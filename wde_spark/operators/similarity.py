@@ -46,7 +46,11 @@ def l2norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2norm(a) * l2norm(b))
+    # try_divide: a zero-norm vector yields NULL similarity (ranked last /
+    # dropped by thresholds) instead of an ANSI DIVIDE_BY_ZERO error killing
+    # the job — and NULL is exactly what DuckDB returns for x/0, so oracle
+    # comparisons agree.
+    return F.try_divide(dot(a, b), l2norm(a) * l2norm(b))
 
 
 def cosine_topk(items: DataFrame, queries: DataFrame, k: int = 5,
@@ -78,7 +82,8 @@ def cosine_topk(items: DataFrame, queries: DataFrame, k: int = 5,
         F.desc("cos_sim"), F.asc("item_id")
     )
     return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        scored.filter(~F.isnan("cos_sim"))  # NaN sorts above ALL doubles
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= k)
         .select("query_id", "item_id", "cos_sim", "rnk")
     )
@@ -97,27 +102,38 @@ def hyperplanes(dim: int, n_planes: int, seed: str = "wde") -> list[list[float]]
     return planes
 
 
+def _finite_matrix(v: pd.Series, dim: int):
+    """(row indices, float64 matrix) of the vectors in `v` that are
+    non-NULL, exactly `dim` wide, and fully finite (no NULL/NaN/inf
+    elements — a zero-norm vector normalizes to NULLs, and NaN similarities
+    would sort ABOVE every real neighbor under Spark's NaN ordering)."""
+    ok = v.map(lambda x: x is not None and len(x) == dim)
+    idx = np.flatnonzero(ok.to_numpy())
+    if len(idx) == 0:
+        return idx, np.empty((0, dim))
+    M = np.array(v.iloc[idx].tolist(), dtype=np.float64)  # None -> nan
+    finite = np.isfinite(M).all(axis=1)
+    return idx[finite], M[finite]
+
+
 def _lsh_bucket_udf(spark, planes: list[list[float]]):
     """H-bit signature (bit j = sign(dot(vec, plane_j))) computed per Arrow
     batch as one matmul against the BROADCAST hyperplane matrix — like the
     IVF quantizer, the model rides as data, not as plan literals, so plan
-    size is independent of (dims × planes). NULL/mis-sized vectors map to
-    a NULL bucket and fall out of the bucket equi-join instead of crashing
-    the batch."""
+    size is independent of (dims × planes). NULL/mis-sized/non-finite
+    vectors map to a NULL bucket and fall out of the bucket equi-join
+    instead of crashing the batch or polluting the ranking."""
     P = np.asarray(planes, dtype=np.float64)
     bc = spark.sparkContext.broadcast(P)
 
     @pandas_udf("string")
     def bucket(v: pd.Series) -> pd.Series:
         Pb = bc.value
-        dim = Pb.shape[1]
-        ok = v.map(lambda x: x is not None and len(x) == dim)
         out = pd.Series([None] * len(v), dtype=object)
-        if ok.any():
-            M = np.stack(v[ok].to_numpy()).astype(np.float64)
+        idx, M = _finite_matrix(v, Pb.shape[1])
+        if len(idx):
             bits = (M @ Pb.T) >= 0
-            out[np.flatnonzero(ok.to_numpy())] = [
-                "".join("1" if b else "0" for b in row) for row in bits]
+            out[idx] = ["".join("1" if b else "0" for b in row) for row in bits]
         return out
 
     bucket.bc = bc
@@ -152,7 +168,8 @@ def lsh_ann(items: DataFrame, queries: DataFrame, k: int = 5,
 
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("item_id"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        scored.filter(~F.isnan("cos_sim"))  # NaN sorts above ALL doubles
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= k)
         .select("query_id", "item_id", "cos_sim", "rnk")
     )
@@ -186,14 +203,12 @@ def _probe_cells_udf(spark, centroids: list[list[float]], nprobe: int,
     @pandas_udf("array<int>")
     def probe(v: pd.Series) -> pd.Series:
         Cb, c_sqb = bc.value
-        dim = Cb.shape[1]
-        ok = v.map(lambda x: x is not None and len(x) == dim)
         out = pd.Series([None] * len(v), dtype=object)
-        if ok.any():
-            M = np.stack(v[ok].to_numpy()).astype(np.float64)
+        idx, M = _finite_matrix(v, Cb.shape[1])
+        if len(idx):
             d = (M * M).sum(axis=1)[:, None] - 2.0 * (M @ Cb.T) + c_sqb[None, :]
-            idx = np.argsort(d, axis=1, kind="stable")[:, :nprobe].astype(np.int32)
-            out[np.flatnonzero(ok.to_numpy())] = list(idx)
+            cells = np.argsort(d, axis=1, kind="stable")[:, :nprobe].astype(np.int32)
+            out[idx] = list(cells)
         return out
 
     probe.bc = bc
@@ -216,11 +231,26 @@ def train_ivf_centroids(items: DataFrame, n_cells: int = 16, iters: int = 2,
     v = items.select(
         F.col(id_col).alias("vid"), _normalize(_as_double(F.col(vec_col))).alias("v")
     )
+    # seed only from vectors of the table's dominant dimension, with every
+    # element finite — one NULL/zero-norm/mis-sized row must not poison the
+    # quantizer (a mixed-dim centroid list can't even form a matrix)
+    dim_row = (
+        v.filter(F.col("v").isNotNull())
+        .groupBy(F.size("v").alias("d")).count()
+        .orderBy(F.desc("count"), F.asc("d")).first()
+    )
+    if dim_row is None:
+        return []
+    dim = dim_row.d
+    clean = v.filter(
+        (F.size("v") == dim)
+        & ~F.exists("v", lambda x: x.isNull() | F.isnan(x))
+    )
     seed_rows = (
-        v.orderBy(F.md5(F.col("vid").cast("string")), F.col("vid"))
+        clean.orderBy(F.md5(F.col("vid").cast("string")), F.col("vid"))
         .limit(n_cells).select("v").collect()
     )
-    centroids = [list(r.v) for r in seed_rows if r.v is not None]
+    centroids = [list(r.v) for r in seed_rows]
     # fewer vectors than requested cells: every vector is its own centroid
     n_cells = min(n_cells, len(centroids))
     if n_cells == 0:
@@ -261,8 +291,15 @@ def ivf_ann(items: DataFrame, queries: DataFrame, k: int = 5,
     spark = items.sparkSession
     centroids = train_ivf_centroids(items, n_cells, iters, id_col, vec_col)
     if not centroids:
-        empty = "query_id long, item_id long, cos_sim double, rnk long"
-        return spark.createDataFrame([], empty)
+        from pyspark.sql import types as T
+
+        idt = items.schema[id_col].dataType
+        return spark.createDataFrame([], T.StructType([
+            T.StructField("query_id", idt),
+            T.StructField("item_id", idt),
+            T.StructField("cos_sim", T.DoubleType()),
+            T.StructField("rnk", T.LongType()),
+        ]))
     # one model broadcast shared by both assignment UDFs (query lifetime)
     assign1 = _probe_cells_udf(spark, centroids, nprobe=1)
     probe_n = _probe_cells_udf(spark, centroids, nprobe=nprobe, bc=assign1.bc)
@@ -284,7 +321,8 @@ def ivf_ann(items: DataFrame, queries: DataFrame, k: int = 5,
 
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("item_id"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        scored.filter(~F.isnan("cos_sim"))  # NaN sorts above ALL doubles
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= k)
         .select("query_id", "item_id", "cos_sim", "rnk")
     )
@@ -308,5 +346,5 @@ def embedding_neardup(items: DataFrame, threshold: float = 0.95,
             F.col(f"b.{id_col}").alias("id_b"),
             F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
         )
-        .filter(F.col("cos_sim") >= threshold)
+        .filter(~F.isnan("cos_sim") & (F.col("cos_sim") >= threshold))
     )

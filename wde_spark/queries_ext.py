@@ -1052,7 +1052,7 @@ def tfidf_top_terms_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH m AS (
       SELECT lang, COUNT(*) AS n,
              SUM(CAST(n_chars AS BIGINT)) AS s,
-             SUM(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT)) AS sq
+             SUM(CAST(n_chars AS DECIMAL(15,0)) * CAST(n_chars AS DECIMAL(15,0))) AS sq
       FROM documents GROUP BY lang
     ),
     stats AS (
@@ -1077,10 +1077,14 @@ def zscore_outliers_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     that works at any scale."""
     d = load_table(spark, sf_dir, "documents")
     nc = F.col("n_chars").cast("long")
+    # squares accumulate in decimal: int64 would wrap silently on Spark at
+    # corpus scale while the oracle's engine errors — decimal is exact and
+    # overflow-safe on both
+    ncd = F.col("n_chars").cast("decimal(15,0)")
     m = d.groupBy("lang").agg(
         F.count("*").alias("n"),
         F.sum(nc).alias("s"),
-        F.sum(nc * nc).alias("sq"),
+        F.sum(ncd * ncd).alias("sq"),
     ).filter(F.col("n") > 1)
     stats = m.select(
         "lang",
