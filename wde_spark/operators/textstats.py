@@ -94,9 +94,11 @@ def quality_score(docs: DataFrame, text_col: str = "text",
         n_chars.alias("n_chars_q"),
         n_tokens.alias("n_tokens"),
         F.round(mean_wlen, 4).alias("mean_word_len"),
-        F.round(n_punct / n_chars, 4).alias("punct_ratio"),
+        # try_divide: an empty document (n_chars=0) gets NULL ratios — the
+        # same as DuckDB's x/0 — instead of an ANSI DIVIDE_BY_ZERO error
+        F.round(F.try_divide(n_punct, n_chars), 4).alias("punct_ratio"),
         F.round(n_stop / n_tokens, 4).alias("stopword_ratio"),
-        F.round(n_alpha / n_chars, 4).alias("alpha_ratio"),
+        F.round(F.try_divide(n_alpha, n_chars), 4).alias("alpha_ratio"),
         (
             (n_tokens >= 10)
             & (mean_wlen >= 2) & (mean_wlen <= 12)

@@ -1094,7 +1094,9 @@ def zscore_outliers_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n") - 1)
         ).alias("sd"),
     )
-    z = (F.col("n_chars") - F.col("mean")) / F.col("sd")
+    # try_divide: an all-same-length stratum has sd=0 → NULL z (dropped by
+    # the threshold on both engines) instead of an ANSI error
+    z = F.try_divide(F.col("n_chars") - F.col("mean"), F.col("sd"))
     return (
         d.join(F.broadcast(stats), "lang")
         .filter(F.abs(z) > 1.5)
