@@ -957,6 +957,44 @@ def skew_salted_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 # training-data utilities
 # ---------------------------------------------------------------------------
 
+def _hybrid_neardup_oracle() -> str:
+    from .queries import ORACLE
+
+    text_pairs = ORACLE["ngram_jaccard_pairs"]
+    emb_pairs = ORACLE["embedding_neardup_exact"]
+    return f"""
+    SELECT id_a, id_b, 'text' AS signal, jaccard AS score
+    FROM ({text_pairs})
+    UNION ALL
+    SELECT id_a, id_b, 'embedding' AS signal, cos_sim AS score
+    FROM ({emb_pairs})
+    """
+
+
+@query("hybrid_neardup_pairs", _hybrid_neardup_oracle())
+def hybrid_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal near-dup: the union of text-shingle Jaccard pairs and
+    embedding-cosine pairs, each tagged with its signal — the composition a
+    real dedup pipeline runs (lexical overlap catches verbatim reuse,
+    embeddings catch paraphrase). Pairs flagged by both signals appear
+    twice, once per signal, so downstream policy can weight agreement.
+    Both legs are the independently-oracled operators composed by
+    unionByName — no new shuffle shape."""
+    from .operators import dedup as D
+    from .queries import QUERIES
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    text_pairs = D.ngram_jaccard_pairs(docs, shingle_k=2, threshold=0.2).select(
+        "id_a", "id_b", F.lit("text").alias("signal"),
+        F.col("jaccard").alias("score"),
+    )
+    emb_pairs = QUERIES["embedding_neardup_exact"](spark, sf_dir).select(
+        "id_a", "id_b", F.lit("embedding").alias("signal"),
+        F.col("cos_sim").alias("score"),
+    )
+    return text_pairs.unionByName(emb_pairs)
+
+
 def _components_oracle() -> str:
     from .queries import _lsh_verified_oracle
 
