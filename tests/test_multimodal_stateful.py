@@ -113,3 +113,26 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path):
     # all sessions except each user's final (possibly open) one must emit
     n_users = len({u for (u, _, _) in expected_all})
     assert len(got) >= len(expected_all) - n_users
+
+
+def test_audio_chunks_edges(spark):
+    """Empty payload -> one zero-size chunk; exact-window payload -> one
+    chunk; window+1 -> two overlapping chunks; non-audio rows never emit."""
+    from pyspark.sql import functions as F
+    from wde_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame(
+        [(1, "a" * 2048),      # audio (1 % 3 == 1), exactly one window
+         (4, ""),              # audio, empty payload
+         (7, "b" * 2049),      # audio, one byte over -> 2 chunks
+         (0, "c" * 9999)],     # image -> filtered out
+        "doc_id long, text string",
+    )
+    out = MM.audio_chunks(MM.attach_media(docs), window=2048, hop=1024)
+    rows = {(r.media_id, r.chunk_idx): (r.start_byte, r.chunk_size)
+            for r in out.collect()}
+    assert rows == {
+        (1, 0): (0, 2048),
+        (4, 0): (0, 0),
+        (7, 0): (0, 2048), (7, 1): (1024, 1025),
+    }

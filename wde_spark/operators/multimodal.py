@@ -151,3 +151,45 @@ def resize_meta(media: DataFrame, max_w: int = 256, max_h: int = 256) -> DataFra
             F.col("meta.codec").alias("codec"),
         ),
     )
+
+
+CHUNK_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("chunk_idx", T.IntegerType()),
+    T.StructField("start_byte", T.IntegerType()),
+    T.StructField("chunk_bytes", T.BinaryType()),
+    T.StructField("chunk_size", T.IntegerType()),
+])
+
+
+def audio_chunks(media: DataFrame, window: int = 2048,
+                 hop: int = 1024) -> DataFrame:
+    """Overlapping windowed segmentation of audio payloads (the speech
+    analogue of video frame sampling): chunks of `window` bytes every `hop`
+    bytes, last partial chunk kept. Non-audio rows are filtered BEFORE the
+    Python stage so only audio payloads cross the Arrow boundary. Row-local,
+    emits incrementally per batch — a long recording never materializes all
+    its chunks at once."""
+    assert hop > 0 and window >= hop
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[tuple] = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload)
+                n = len(payload)
+                ci = 0
+                for start in range(0, max(n, 1), hop):
+                    cb = _decode_frame(payload, start, window)
+                    out.append((mid, ci, start, cb, len(cb)))
+                    ci += 1
+                    if start + window >= n:
+                        break
+            yield pd.DataFrame(
+                out, columns=[f.name for f in CHUNK_SCHEMA.fields])
+
+    return (
+        media.filter(F.col("kind") == "audio")
+        .select("media_id", "payload")
+        .mapInPandas(kernel, schema=CHUNK_SCHEMA)
+    )

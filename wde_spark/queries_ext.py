@@ -934,6 +934,33 @@ def json_props_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_audio_chunks",
+    """
+    WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS L
+               FROM documents WHERE doc_id % 3 = 1),
+    st AS (SELECT media_id, L,
+                  CAST(unnest(range(0, CAST(greatest(L, 1) AS BIGINT), 1024)) AS INT) AS s
+           FROM m)
+    SELECT media_id,
+           CAST(s / 1024 AS INT) AS chunk_idx,
+           s AS start_byte,
+           CAST(least(2048, L - s) AS INT) AS chunk_size
+    FROM st WHERE s = 0 OR s + 1024 < L
+    """,
+)
+def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping audio segmentation (2048-byte window, 1024-byte hop) via
+    the mapInPandas chunk kernel; non-audio rows never cross the Arrow
+    boundary. The oracle re-derives the emitted chunk geometry
+    arithmetically."""
+    from .operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    ch = MM.audio_chunks(MM.attach_media(docs), window=2048, hop=1024)
+    return ch.select("media_id", "chunk_idx", "start_byte", "chunk_size")
+
+
+@query(
     "skew_salted_event_types",
     """
     WITH dim AS (SELECT event_type, COUNT(*) AS type_total FROM events GROUP BY 1)
