@@ -764,6 +764,95 @@ def histogram_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "grouping_sets_orders",
+    """
+    SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+           COALESCE(o_orderstatus, 'ALL') AS status,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+    """,
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither rollup nor cube): per-priority and
+    per-status marginals in ONE pass over the fact table."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__gs_orders")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+               COALESCE(o_orderstatus, 'ALL') AS status,
+               COUNT(*) AS n_orders
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+        """
+    )
+
+
+@query(
+    "set_ops_all_forms",
+    """
+    SELECT 'except_all' AS op, o_custkey FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      EXCEPT ALL
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    UNION ALL
+    SELECT 'intersect_all' AS op, o_custkey FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      INTERSECT ALL
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    """,
+)
+def set_ops_all_forms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set operations — EXCEPT ALL / INTERSECT ALL keep
+    per-row multiplicity (the distinct forms are in set_ops_segments)."""
+    o = load_table(spark, sf_dir, "orders")
+    open_keys = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    done_keys = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return (
+        open_keys.exceptAll(done_keys)
+        .select(F.lit("except_all").alias("op"), "o_custkey")
+        .unionByName(
+            open_keys.intersectAll(done_keys)
+            .select(F.lit("intersect_all").alias("op"), "o_custkey")
+        )
+    )
+
+
+@query(
+    "window_range_frame_orders",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+             PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS spend_30d
+    FROM orders
+    """,
+)
+def window_range_frame_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-RANGE window frame (vs the ROWS frames in
+    window_frames_running): each order sums the customer's spend in the 30
+    days up to and including it — frame bounds are VALUES of the ordering
+    key, so same-timestamp peers aggregate together regardless of row
+    order, which is what makes the result deterministic without a tie
+    column."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-2592000, 0)
+    )
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.sum(_dec(F.col("o_totalprice"))).over(w).cast("double")
+        .alias("spend_30d"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # temporal / event analytics
 # ---------------------------------------------------------------------------
