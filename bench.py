@@ -64,6 +64,10 @@ HEADLINE = [
     "tfidf_top_terms_documents",
     "zscore_outliers_documents",
     "neardup_components_documents",
+    "fuzzy_name_pairs",
+    "cohort_retention_events",
+    "gapfill_daily_orders",
+    "scd2_order_status_history",
 ]
 
 

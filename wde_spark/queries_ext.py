@@ -1300,3 +1300,203 @@ def pack_token_budget_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("pack_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# entity-resolution fuzzy matching / time-series analytics
+# ---------------------------------------------------------------------------
+
+@query(
+    "fuzzy_name_pairs",
+    """
+    WITH names AS (
+      SELECT p_name, COUNT(*) AS n_parts,
+             list_extract(string_split(p_name, ' '), -1) AS block
+      FROM part GROUP BY p_name
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b, a.block AS block,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist,
+           a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+    FROM names a JOIN names b
+      ON a.block = b.block AND a.p_name < b.p_name
+     AND levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3
+    """,
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked Levenshtein fuzzy-match join — the generic form of the
+    reference's name-resolution problem (`script/itemtoid.py` resolves
+    free-text names against an index; here near-identical names resolve
+    against each other). Scale design is tiered like the dedup pipeline:
+    exact-collapse to DISTINCT names first (the part table is ~99.7%
+    exact-duplicate names), THEN the quadratic edit-distance only runs
+    inside blocking buckets (last name token) over the tiny survivor set.
+    The edit-distance join never touches the fact-table cardinality; the
+    n_parts multiplicities let a consumer re-expand pair weights."""
+    p = load_table(spark, sf_dir, "part")
+    names = p.groupBy("p_name").agg(F.count("*").alias("n_parts")).select(
+        "p_name", "n_parts",
+        F.element_at(F.split("p_name", " "), -1).alias("block"),
+    )
+    a = names.alias("a")
+    b = names.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .filter(dist.between(1, 3))
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.col("a.block").alias("block"),
+            dist.cast("int").alias("dist"),
+            F.col("a.n_parts").alias("n_parts_a"),
+            F.col("b.n_parts").alias("n_parts_b"),
+        )
+    )
+
+
+@query(
+    "cohort_retention_events",
+    """
+    WITH f AS (
+      SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS DATE) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    a AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS act_day
+      FROM events
+    )
+    SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(a.act_day - f.cohort_day AS INT) AS day_offset,
+           COUNT(DISTINCT f.user_id) AS n_users
+    FROM f JOIN a USING (user_id)
+    GROUP BY f.cohort_day, a.act_day - f.cohort_day
+    """,
+)
+def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-seen day, counted on each
+    later active day (offset in days). ONE shuffle on user_id computes
+    both the cohort anchor and the distinct activity set
+    (`min` + `collect_set` in the same hash agg), then explode + re-agg on
+    the tiny (cohort, offset) key — vs the naive two-agg + join-back. The
+    per-user state is bounded by the number of distinct active days, so
+    the agg cannot blow up on heavy users."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("day", F.min("ts"))).alias("cohort_day"),
+        F.collect_set(F.to_date(F.date_trunc("day", F.col("ts")))).alias("act_days"),
+    )
+    return (
+        per_user.select(
+            "user_id", "cohort_day",
+            F.explode("act_days").alias("act_day"),
+        )
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("act_day", "cohort_day").cast("int").alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+@query(
+    "ntile_customer_spend",
+    """
+    SELECT o_custkey,
+           CAST(spend AS DOUBLE) AS spend,
+           CAST(NTILE(10) OVER (ORDER BY spend, o_custkey) AS INT) AS decile
+    FROM (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS spend
+      FROM orders GROUP BY o_custkey
+    )
+    """,
+)
+def ntile_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE decile bucketing over per-customer spend (deterministic via
+    the custkey tiebreak; Spark and DuckDB share the front-loaded-remainder
+    NTILE definition). A global NTILE is inherently a global sort — fine
+    here because the input is already one-row-per-customer; for bucketing
+    at fact-table cardinality use percentile cutpoints instead
+    (`percentile_prices`) so the data never single-partitions."""
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(_dec(F.col("o_totalprice"))).alias("spend")
+    )
+    w = Window.orderBy("spend", "o_custkey")
+    return spend.select(
+        "o_custkey",
+        F.col("spend").cast("double").alias("spend"),
+        F.ntile(10).over(w).cast("int").alias("decile"),
+    )
+
+
+@query(
+    "gapfill_daily_orders",
+    """
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n
+      FROM orders GROUP BY 1
+    ),
+    b AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM d),
+    cal AS (
+      SELECT UNNEST(generate_series(mn, mx, INTERVAL 1 DAY))::DATE AS day FROM b
+    )
+    SELECT strftime(cal.day, '%Y-%m-%d') AS day, COALESCE(d.n, 0) AS n_orders
+    FROM cal LEFT JOIN d USING (day)
+    """,
+)
+def gapfill_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample with gap fill: daily order counts with every
+    missing calendar day materialized as an explicit zero row. The fact
+    table collapses to per-day counts first (one hash agg); the calendar
+    spine is `sequence()` over the aggregated min/max — generated, never
+    scanned — and the final join is tiny-vs-tiny."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    cal = (
+        d.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+        .select(F.explode(F.sequence("mn", "mx")).alias("day"))
+    )
+    return (
+        cal.join(d, "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n", F.lit(0)).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "scd2_order_status_history",
+    """
+    SELECT o_custkey, o_orderkey, o_orderstatus,
+           strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+           COALESCE(
+             strftime(
+               LEAD(o_orderdate) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+               '%Y-%m-%d'),
+             '9999-12-31') AS valid_to
+    FROM orders
+    """,
+)
+def scd2_order_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build: each order's status becomes
+    a validity interval [its date, next order's date) per customer, open
+    intervals closed with a sentinel. One shuffle (the per-customer
+    window); deterministic via the orderkey tiebreak."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey", "o_orderkey", "o_orderstatus",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("valid_from"),
+        F.coalesce(
+            F.date_format(F.lead("o_orderdate").over(w), "yyyy-MM-dd"),
+            F.lit("9999-12-31"),
+        ).alias("valid_to"),
+    )
