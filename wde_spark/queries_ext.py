@@ -1500,3 +1500,30 @@ def scd2_order_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("9999-12-31"),
         ).alias("valid_to"),
     )
+
+
+@query(
+    "unpivot_part_metrics",
+    """
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS metric,
+           CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE) AS value
+    FROM part
+    """,
+)
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt) — wide numeric columns to long (metric, value) form,
+    the inverse of pivot_order_status. Spark's native `unpivot` emits the
+    long form in one scan (the oracle states the same semantics as a
+    UNION ALL of per-column scans, which would read the table per metric)."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("p_size"),
+            _dec(F.col("p_retailprice")).cast("double").alias("p_retailprice"),
+        )
+        .unpivot(["p_partkey"], ["p_size", "p_retailprice"], "metric", "value")
+    )
