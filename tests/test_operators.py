@@ -122,6 +122,25 @@ def test_simhash_similar_docs_close(spark):
     assert ham(sh[1], sh[2]) < ham(sh[1], sh[3])
 
 
+def test_simhash_md5_portable_form(spark):
+    """The md5-portable 60-bit form: signatures fit in 60 bits, are
+    locality-sensitive like the xxhash64 form, and reproduce the reference
+    hash of a known token (first 15 md5 hex chars of 'hello')."""
+    docs = spark.createDataFrame(
+        [(1, "spark query engine fast distributed columnar"),
+         (2, "spark query engine fast distributed columnar extra"),
+         (3, "violets are blue roses are red entirely other"),
+         (4, "hello")],
+        "doc_id long, text string",
+    )
+    sh = {r.doc_id: r.simhash for r in D.simhash_md5(docs).collect()}
+    assert all(0 <= v < 2**60 for v in sh.values())
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(sh[1], sh[2]) < ham(sh[1], sh[3])
+    # single token: signature == the token's own 60-bit hash
+    assert sh[4] == int("5d41402abc4b2a7", 16)
+
+
 def test_cosine_topk_self_similarity(spark):
     vecs = spark.createDataFrame(
         [(0, [1.0, 0.0, 0.0]), (1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0])],

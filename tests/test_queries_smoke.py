@@ -19,8 +19,7 @@ def test_oracle_coverage():
     # every query either has an oracle or is explicitly engine-specific
     rows_only = set(QUERIES) - set(ORACLE)
     assert rows_only <= {
-        "simhash_documents", "lsh_ann_embeddings", "multimodal_features",
-        "ivf_ann_embeddings"}
+        "lsh_ann_embeddings", "multimodal_features", "ivf_ann_embeddings"}
 
 
 def test_entry_contract(spark):

@@ -198,6 +198,43 @@ def simhash(docs: DataFrame, text_col: str = "text",
     return docs.select(F.col(id_col), sig.alias("simhash"))
 
 
+def simhash_md5(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", bits: int = 60) -> DataFrame:
+    """Tier 2, engine-portable form — a 60-bit simhash whose per-token hash
+    is the first 15 hex chars of md5 (60 bits fits a signed 64-bit int, and
+    md5 is byte-identical in every engine, unlike xxhash64). Same row-local
+    fold shape as `simhash`: zero shuffles, one scan. Use this form when a
+    signature must be reproducible across engines (e.g. an external system
+    verifies or extends the dedup index); use `simhash` (xxhash64) when
+    speed matters more than portability.
+
+    The token hash is hoisted into its own `transform` so md5 runs once per
+    token, not inside the per-bit lambda — measured ~2.5× faster warm at
+    sf0.1 (for the cheap xxhash64 in `simhash` the same hoist measures
+    slower, so each form keeps its empirically faster shape)."""
+    assert bits == 60
+    sig = F.expr(
+        f"""
+        aggregate(
+          zip_with(
+            aggregate(
+              transform(split(trim(lower({text_col})), '\\\\s+'),
+                        t -> cast(conv(substr(md5(t), 1, 15), 16, 10)
+                                  as bigint)),
+              array_repeat(0L, 60),
+              (acc, h) -> zip_with(
+                acc,
+                transform(sequence(0, 59),
+                          i -> (shiftright(h, i) & 1L) * 2 - 1),
+                (a, b) -> a + b)),
+            sequence(0, 59),
+            (v, i) -> IF(v > 0, shiftleft(1L, i), 0L)),
+          0L, (acc, x) -> acc | x)
+        """
+    )
+    return docs.select(F.col(id_col), sig.alias("simhash"))
+
+
 def simhash_agg(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Tier 2, aggregation form — identical signatures to `simhash` but

@@ -884,11 +884,37 @@ def quality_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.quality_score(load_table(spark, sf_dir, "documents", spread=True))
 
 
-@query("simhash_documents")  # xxhash64 is Spark-specific → rows-only check
+@query(
+    "simhash_documents",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             list_sum(list_transform(generate_series(1, 15),
+               j -> (strpos('0123456789abcdef', substr(md5(t), j, 1)) - 1)::BIGINT
+                    << (4 * (15 - j))))::BIGINT AS h
+      FROM tok
+    ),
+    votes AS (
+      SELECT doc_id, i, SUM(((h >> i) & 1) * 2 - 1) AS v
+      FROM h, generate_series(0, 59) AS g(i)
+      GROUP BY doc_id, i
+    )
+    SELECT doc_id,
+           SUM(CASE WHEN v > 0 THEN 1::BIGINT << i ELSE 0 END)::BIGINT AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
 def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dedup tier 2 — 64-bit simhash signature (row-local fold, no shuffle).
-    No oracle: the bit mixing uses Spark's xxhash64."""
-    return D.simhash(load_table(spark, sf_dir, "documents", spread=True))
+    """Dedup tier 2 — engine-portable 60-bit simhash signature (row-local
+    fold, no shuffle; per-token hash = first 15 md5 hex chars, byte-identical
+    in DuckDB, so the signature itself is oracled bit-for-bit). The
+    xxhash64 form (`D.simhash`) remains the fast path for Spark-only
+    pipelines — same shape, cheaper mixing."""
+    return D.simhash_md5(load_table(spark, sf_dir, "documents", spread=True))
 
 
 # ---------------------------------------------------------------------------
