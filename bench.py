@@ -68,6 +68,7 @@ HEADLINE = [
     "cohort_retention_events",
     "gapfill_daily_orders",
     "scd2_order_status_history",
+    "merge_changeset_orders",
 ]
 
 

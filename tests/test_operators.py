@@ -122,6 +122,27 @@ def test_simhash_similar_docs_close(spark):
     assert ham(sh[1], sh[2]) < ham(sh[1], sh[3])
 
 
+def test_merge_changeset_verbs(spark):
+    """All three MERGE verbs plus the NULL-cell rule: a 'U' cell left NULL
+    keeps the snapshot's value; 'D' removes; 'I' appends; untouched rows
+    pass through."""
+    from wde_spark.operators.relational import merge_changeset
+
+    snap = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "k long, name string, val double",
+    )
+    ch = spark.createDataFrame(
+        [(2, "U", None, 99.0),   # update val, keep name (NULL cell)
+         (3, "D", None, None),   # delete
+         (5, "I", "e", 50.0)],   # insert
+        "k long, op string, name string, val double",
+    )
+    out = {r.k: (r.name, r.val) for r in merge_changeset(snap, ch, "k").collect()}
+    assert out == {1: ("a", 10.0), 2: ("b", 99.0), 4: ("d", 40.0),
+                   5: ("e", 50.0)}
+
+
 def test_simhash_md5_portable_form(spark):
     """The md5-portable 60-bit form: signatures fit in 60 bits, are
     locality-sensitive like the xxhash64 form, and reproduce the reference

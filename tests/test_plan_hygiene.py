@@ -118,6 +118,20 @@ def test_q2_min_side_broadcasts(spark):
     assert "BroadcastHashJoin" in _plan(df)
 
 
+def test_merge_changeset_never_shuffles_snapshot(spark):
+    """MERGE must broadcast the changeset side (left join + union shape) —
+    zero exchanges, so a 100 TB snapshot is merged in one scan. A full-outer
+    formulation would force a shuffle of both sides (Spark cannot broadcast
+    full outer joins)."""
+    from wde_spark.queries import QUERIES
+
+    df = QUERIES["merge_changeset_orders"](spark, SF_CORRECT)
+    df.collect()  # let AQE finalize join strategies
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 0
+
+
 def test_global_sort_uses_range_partitioning(spark):
     """A global ORDER BY must execute as sampled range partitioning (every
     partition sorted AND partitions globally ordered) — never a single-task

@@ -197,6 +197,53 @@ def range_join(
     )
 
 
+def merge_changeset(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """MERGE — apply an insert/update/delete changeset to a snapshot (the
+    warehouse upsert the reference performs dict-wise on its JSON cache,
+    script/itemtoid.py:159 overwrite + script/utils/classes.py:39-55 resume
+    sets, generalized to three verbs).
+
+    `changes` carries `key`, `op_col` ('I' | 'U' | 'D'), and any subset of
+    the snapshot's non-key columns. Per key: 'D' removes the row, 'U'
+    overwrites the columns the changeset provides (NULL cells keep the old
+    value), 'I' appends a new row. Keys must be unique within `changes`,
+    'I' keys must be absent from the snapshot, and 'U'/'D' on absent keys
+    are no-ops — the contract a CDC-extracted changeset satisfies by
+    construction.
+
+    Shape: a LEFT join on the key plus a union of the inserts — chosen over
+    the full-outer join (which expresses the same thing in one operator)
+    because Spark cannot broadcast a full outer join: full-outer forces a
+    shuffle of BOTH sides, while left-outer lets AQE broadcast the
+    (typically vastly smaller) changeset, so the 100 TB snapshot is never
+    shuffled at all — one scan, map-side merge, plus a free union of the
+    new rows. Never a read-modify-write of the whole table per change (the
+    reference's JSON rewrite) and never N per-row lookups."""
+    other = [c for c in snapshot.columns if c != key]
+    op = F.col(f"c.{op_col}")
+    survivors = (
+        snapshot.alias("s").join(changes.alias("c"), key, "left")
+        .filter(op.isNull() | (op != "D"))
+        .select(
+            F.col(key),
+            *[
+                F.when(op == "U",
+                       F.coalesce(F.col(f"c.{c}"), F.col(f"s.{c}")))
+                .otherwise(F.col(f"s.{c}"))
+                .alias(c)
+                for c in other
+            ],
+        )
+    )
+    inserts = changes.filter(F.col(op_col) == "I").select(key, *other)
+    return survivors.unionByName(inserts)
+
+
 def positional_join(
     df: DataFrame, arr_a: str, arr_b: str, key_cols: Sequence[str]
 ) -> DataFrame:

@@ -1503,6 +1503,69 @@ def scd2_order_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "merge_changeset_orders",
+    """
+    WITH snap AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice, o_orderdate
+      FROM orders
+    ),
+    upd AS (
+      SELECT o_orderkey,
+             CAST(ROUND(o_totalprice * CAST(1.1 AS DECIMAL(3,2)), 2)
+                  AS DECIMAL(12,2)) AS new_price
+      FROM snap WHERE o_orderkey % 17 IN (1, 5)
+    )
+    SELECT s.o_orderkey, s.o_custkey,
+           CASE WHEN u.o_orderkey IS NOT NULL THEN 'M'
+                ELSE s.o_orderstatus END AS o_orderstatus,
+           CASE WHEN u.o_orderkey IS NOT NULL THEN u.new_price
+                ELSE s.o_totalprice END AS o_totalprice,
+           s.o_orderdate
+    FROM snap s LEFT JOIN upd u ON s.o_orderkey = u.o_orderkey
+    WHERE s.o_orderkey % 17 <> 0
+    UNION ALL
+    SELECT o_orderkey + 1000000000, o_custkey, 'N', o_totalprice, o_orderdate
+    FROM snap WHERE o_orderkey % 17 = 3
+    """,
+)
+def merge_changeset_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE (upsert/delete) — a deterministic I/U/D changeset applied to the
+    orders snapshot through the generic `merge_changeset` operator (one
+    full-outer join, changeset side broadcast by AQE). The oracle states the
+    same semantics as LEFT JOIN + anti-filter + UNION ALL. Deletes keys
+    ≡0 (mod 17), reprices+flags keys ≡1,5, inserts shifted copies of keys
+    ≡3 — every verb exercised, including U cells left NULL to prove
+    column-preserving updates."""
+    o = load_table(spark, sf_dir, "orders")
+    snap = o.select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        _dec(F.col("o_totalprice")).alias("o_totalprice"), "o_orderdate",
+    )
+    m = F.col("o_orderkey") % 17
+    nulls = {c: F.lit(None).cast(t).alias(c)
+             for c, t in snap.dtypes if c != "o_orderkey"}
+    upd = snap.filter(m.isin(1, 5)).select(
+        "o_orderkey", F.lit("U").alias("op"), nulls["o_custkey"],
+        F.lit("M").alias("o_orderstatus"),
+        F.round(F.col("o_totalprice") * F.lit("1.1").cast("decimal(3,2)"), 2)
+        .cast(DEC).alias("o_totalprice"),
+        nulls["o_orderdate"],
+    )
+    dels = snap.filter(m == 0).select(
+        "o_orderkey", F.lit("D").alias("op"), nulls["o_custkey"],
+        nulls["o_orderstatus"], nulls["o_totalprice"], nulls["o_orderdate"],
+    )
+    ins = snap.filter(m == 3).select(
+        (F.col("o_orderkey") + 1000000000).alias("o_orderkey"),
+        F.lit("I").alias("op"), "o_custkey",
+        F.lit("N").alias("o_orderstatus"), "o_totalprice", "o_orderdate",
+    )
+    ch = upd.unionByName(dels).unionByName(ins)
+    return R.merge_changeset(snap, ch, "o_orderkey")
+
+
+@query(
     "unpivot_part_metrics",
     """
     SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value
