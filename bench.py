@@ -69,6 +69,7 @@ HEADLINE = [
     "gapfill_daily_orders",
     "scd2_order_status_history",
     "merge_changeset_orders",
+    "mixture_sample_documents",
 ]
 
 

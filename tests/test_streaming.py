@@ -107,3 +107,50 @@ def test_file_sink_exactly_once_across_restarts(spark, tmp_path):
     assert got.select("event_id").distinct().count() == n_first
     expected = load_table(spark, SF_SMOKE, "events").count()
     assert n_first == expected
+
+
+def test_streaming_cdc_apply_matches_sequential_merge(spark, tmp_path):
+    """A changeset stream applied through foreachBatch + merge_changeset
+    yields the same snapshot as applying the batches sequentially in batch
+    mode, and replaying the stream from its checkpoint changes nothing
+    (idempotent versions → exactly-once effect)."""
+    from wde_spark.operators.relational import merge_changeset
+    from wde_spark.streaming.cdc import read_snapshot, streaming_cdc_apply
+
+    snap = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, val double",
+    )
+    b0 = [(2, "U", None, 99.0), (4, "I", "d", 40.0)]
+    b1 = [(1, "D", None, None), (4, "U", "dd", None)]
+    schema = "k long, op string, name string, val double"
+    chdir = tmp_path / "changes"
+    for i, rows in enumerate((b0, b1)):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("overwrite").parquet(str(chdir / f"f{i}.parquet"))
+    # file-source streams read files in order; one file per micro-batch
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(chdir / "*.parquet"))
+    )
+    target, ckpt = str(tmp_path / "snap"), str(tmp_path / "ckpt")
+
+    streaming_cdc_apply(stream, snap, "k", target, ckpt)
+    got = {r.k: (r.name, r.val) for r in read_snapshot(spark, target).collect()}
+
+    expected_df = snap
+    for rows in (b0, b1):
+        expected_df = merge_changeset(
+            expected_df, spark.createDataFrame(rows, schema), "k")
+    expected = {r.k: (r.name, r.val) for r in expected_df.collect()}
+    assert got == expected
+    assert got[4] == ("dd", 40.0)  # U after I, NULL cell kept the 40.0
+
+    # replay from the same checkpoint: no new versions, same content
+    import os
+    versions_before = sorted(os.listdir(target))
+    streaming_cdc_apply(stream, snap, "k", target, ckpt)
+    assert sorted(os.listdir(target)) == versions_before
+    got2 = {r.k: (r.name, r.val) for r in read_snapshot(spark, target).collect()}
+    assert got2 == got

@@ -1164,6 +1164,41 @@ def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(bucket.isin("0", "1", "2")).select("doc_id", "lang", "source")
 
 
+# target mixture: fraction per source in 1/256 units, expressed as the
+# 2-hex-digit threshold the doc's hash bucket must stay below (md5 hex is
+# uniform, so substr(md5,1,2) < 'c0' keeps exactly the 192/256 = 75% band).
+_MIXTURE = {"src0": "c0", "src1": "80", "src2": "40"}  # 75% / 50% / 25%
+_MIXTURE_DEFAULT = "20"  # 12.5% for every other source
+
+
+@query(
+    "mixture_sample_documents",
+    f"""
+    SELECT doc_id, source, lang FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR) || '@' || source), 1, 2) <
+          CASE source
+            {' '.join(f"WHEN '{s}' THEN '{t}'" for s, t in _MIXTURE.items())}
+            ELSE '{_MIXTURE_DEFAULT}' END
+    """,
+)
+def mixture_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum/mixture sampling — each source is down-sampled to its own
+    target fraction (the training-data op that rebalances a corpus toward a
+    prescribed source mixture). Deterministic: a salted md5 bucket per doc
+    compared against a per-source 2-hex-digit threshold, so the sample is
+    reproducible across engines, runs, and cluster sizes, and a doc's fate
+    never depends on which executor saw it. Row-local — no shuffle, no
+    per-stratum pass; scales as one scan at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("@"),
+                       F.col("source"))), 1, 2)
+    thr = F.lit(_MIXTURE_DEFAULT)
+    for s, t in reversed(list(_MIXTURE.items())):
+        thr = F.when(F.col("source") == s, F.lit(t)).otherwise(thr)
+    return d.filter(bucket < thr).select("doc_id", "source", "lang")
+
+
 @query(
     "tfidf_top_terms_documents",
     """
