@@ -45,7 +45,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalent for each query (omitted for the
-    engine-specific ops: simhash / LSH-ANN, which get rows-only checks)."""
+    engine-specific ops — LSH/IVF-ANN and the stubbed multimodal
+    featurizer — which get rows-only checks)."""
     from wde_spark.queries import ORACLE
 
     return dict(ORACLE)

@@ -60,3 +60,64 @@ def test_approx_percentile_within_bound(spark):
         F.expr("percentile(o_totalprice, 0.5)").alias("exact"),
     ).first()
     assert abs(row.approx - row.exact) / row.exact < 0.01
+
+
+def test_zorder_clustering_enables_file_skipping(spark, tmp_path):
+    """Z-ordering orders on (o_custkey, order day) must let a two-column
+    predicate skip most files by min/max stats, where the natural layout
+    (clustered by o_orderkey only) cannot skip on either column. Counted
+    mechanically from the parquet footers via pyarrow."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from wde_spark.operators.layout import write_zordered
+
+    o = load_table(spark, SF_CORRECT, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.datediff("o_orderdate", F.lit("1992-01-01")).alias("o_day"),
+    )
+    nat, zord = str(tmp_path / "nat"), str(tmp_path / "zord")
+    o.repartitionByRange(16, "o_orderkey").write.mode("overwrite").parquet(nat)
+    write_zordered(o, zord, "o_custkey", "o_day", n_files=16)
+
+    # a two-column range predicate: one customer band, one date band
+    ck_lo, ck_hi, day_lo, day_hi = 100, 200, 1000, 1100
+
+    def files_surviving(path):
+        n_total, n_match = 0, 0
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            cols = {md.row_group(0).column(i).path_in_schema: i
+                    for i in range(md.num_columns)}
+            ck = [(md.row_group(g).column(cols["o_custkey"]).statistics.min,
+                   md.row_group(g).column(cols["o_custkey"]).statistics.max)
+                  for g in range(md.num_row_groups)]
+            dy = [(md.row_group(g).column(cols["o_day"]).statistics.min,
+                   md.row_group(g).column(cols["o_day"]).statistics.max)
+                  for g in range(md.num_row_groups)]
+            n_total += 1
+            if any(c[0] <= ck_hi and c[1] >= ck_lo and
+                   d[0] <= day_hi and d[1] >= day_lo
+                   for c, d in zip(ck, dy)):
+                n_match += 1
+        return n_total, n_match
+
+    nat_total, nat_match = files_surviving(nat)
+    z_total, z_match = files_surviving(zord)
+    assert nat_total >= 8 and z_total >= 8
+    # natural layout clusters by o_orderkey: the date half-prunes (keys
+    # correlate with time) but custkey is unclustered, so most files survive
+    assert nat_match >= nat_total // 2, (nat_match, nat_total)
+    # z-order: the predicate touches a small corner of the curve — strictly
+    # better than natural, and at most half the files survive
+    assert z_match < nat_match and z_match <= z_total // 2, (
+        z_match, z_total, nat_match)
+
+    # correctness: the clustered copy still answers the query identically
+    got = (spark.read.parquet(zord)
+           .filter((F.col("o_custkey").between(ck_lo, ck_hi))
+                   & (F.col("o_day").between(day_lo, day_hi))).count())
+    exact = o.filter((F.col("o_custkey").between(ck_lo, ck_hi))
+                     & (F.col("o_day").between(day_lo, day_hi))).count()
+    assert got == exact
