@@ -208,10 +208,11 @@ def merge_changeset(
     script/itemtoid.py:159 overwrite + script/utils/classes.py:39-55 resume
     sets, generalized to three verbs).
 
-    `changes` carries `key`, `op_col` ('I' | 'U' | 'D'), and any subset of
-    the snapshot's non-key columns. Per key: 'D' removes the row, 'U'
-    overwrites the columns the changeset provides (NULL cells keep the old
-    value), 'I' appends a new row. Keys must be unique within `changes`,
+    `changes` carries `key`, `op_col` ('I' | 'U' | 'D'), and every non-key
+    column of the snapshot (schema-aligned; cells the change does not touch
+    are NULL). Per key: 'D' removes the row, 'U' overwrites the non-NULL
+    cells (NULL cells keep the old value), 'I' appends the row. Keys must
+    be unique within `changes`,
     'I' keys must be absent from the snapshot, and 'U'/'D' on absent keys
     are no-ops — the contract a CDC-extracted changeset satisfies by
     construction.
