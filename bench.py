@@ -70,6 +70,7 @@ HEADLINE = [
     "scd2_order_status_history",
     "merge_changeset_orders",
     "mixture_sample_documents",
+    "q21_single_late_supplier",
 ]
 
 

@@ -1538,6 +1538,71 @@ def scd2_order_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q21_single_late_supplier",
+    """
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND n.n_name = 'NATION_3'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+)
+def q21_single_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q21 re-targeted (no l_receiptdate/l_commitdate in this schema:
+    "late" = shipped >60 days after the order date) — suppliers who were the
+    ONLY late shipper on a multi-supplier 'F' order. The oracle keeps q21's
+    double-correlated EXISTS / NOT EXISTS; the Spark form de-correlates into
+    one per-order aggregate (distinct suppliers, distinct LATE suppliers) —
+    the subqueries become two counters on a groupBy the plan already needs,
+    and the join-back to the late rows reuses the orderkey partitioning, so
+    the whole query is two shuffles + broadcast dims at any scale."""
+    o = load_table(spark, sf_dir, "orders") \
+        .filter(F.col("o_orderstatus") == "F") \
+        .select("o_orderkey", "o_orderdate")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn(
+            "late",
+            F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAYS"),
+        )
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey")))
+        .alias("n_late_supp"),
+    ).filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    blamed = (
+        li.filter("late")
+        .join(per_order, "l_orderkey")
+        .groupBy("l_suppkey").agg(F.count("*").alias("numwait"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    return (
+        blamed.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+@query(
     "merge_changeset_orders",
     """
     WITH snap AS (
