@@ -71,6 +71,8 @@ HEADLINE = [
     "merge_changeset_orders",
     "mixture_sample_documents",
     "q21_single_late_supplier",
+    "window_rank_variants_orders",
+    "embedding_vector_stats",
 ]
 
 

@@ -1,1 +1,1 @@
-from . import relational, textstats, dedup, similarity, resolve  # noqa: F401
+from . import relational, textstats, dedup, similarity, resolve, layout  # noqa: F401

@@ -1666,6 +1666,70 @@ def merge_changeset_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_rank_variants_orders",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cume,
+           CAST(nth_value(o_orderkey, 2) OVER
+                (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                AS BIGINT) AS second_cheapest_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_rank_variants_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-rank window surface: percent_rank, cume_dist, nth_value over
+    an explicit full frame. The (o_totalprice, o_orderkey) ordering is total,
+    so every rank is deterministic under any parallelism; one shuffle on the
+    partition key serves all three functions."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority") \
+        .orderBy("o_totalprice", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey", "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.nth_value("o_orderkey", 2).over(wfull).cast("bigint")
+        .alias("second_cheapest_key"),
+    )
+
+
+@query(
+    "embedding_vector_stats",
+    """
+    SELECT vec_id,
+           len(embedding) AS dim,
+           ROUND(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+           len(list_filter(embedding, x -> x > 0)) AS n_pos,
+           ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS max_val
+    FROM embeddings
+    """,
+)
+def embedding_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions as declared query surface: transform /
+    aggregate (fold) / filter / array_max over the embedding column. All
+    row-local — zero shuffles, one scan — and the fold order is the array
+    order in both engines, so the double sums are bit-identical (hash-
+    matched, not just approximately equal)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)), 6)
+        .alias("l2_norm"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_val"),
+    )
+
+
+@query(
     "unpivot_part_metrics",
     """
     SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value

@@ -1,1 +1,1 @@
-from . import windows  # noqa: F401
+from . import windows, cdc  # noqa: F401
