@@ -73,6 +73,7 @@ HEADLINE = [
     "q21_single_late_supplier",
     "window_rank_variants_orders",
     "embedding_vector_stats",
+    "snm_neardup_documents",
 ]
 
 

@@ -122,6 +122,23 @@ def test_simhash_similar_docs_close(spark):
     assert ham(sh[1], sh[2]) < ham(sh[1], sh[3])
 
 
+def test_sorted_neighborhood_finds_adjacent_neardups(spark):
+    """SNM pairs near-identical docs that sort adjacently within a block,
+    and ignores docs in other blocks (different first token) even when the
+    window would otherwise reach them."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),
+         (2, "alpha beta gamma delta zeta"),     # near-dup of 1, same block
+         (3, "alpha completely different text here now"),  # same block, far
+         (4, "omega beta gamma delta epsilon")],  # near text, other block
+        "doc_id long, text string",
+    )
+    rows = D.sorted_neighborhood_pairs(docs, window=2, threshold=0.3).collect()
+    pairs = {tuple(sorted((r.id_a, r.id_b))) for r in rows}
+    assert (1, 2) in pairs
+    assert all(4 not in p for p in pairs)
+
+
 def test_merge_changeset_verbs(spark):
     """All three MERGE verbs plus the NULL-cell rule: a 'U' cell left NULL
     keeps the snapshot's value; 'D' removes; 'I' appends; untouched rows

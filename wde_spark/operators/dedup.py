@@ -18,7 +18,7 @@ oracle exact). At 100 TB the critical properties are:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.strings import norm_compare, tokens
@@ -157,6 +157,67 @@ def neardup_lsh_verified(docs: DataFrame, text_col: str = "text",
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
         inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") /
+                    (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def sorted_neighborhood_pairs(docs: DataFrame, text_col: str = "text",
+                              id_col: str = "doc_id", window: int = 2,
+                              shingle_k: int = 2,
+                              threshold: float = 0.2) -> DataFrame:
+    """Tier 3-alternative — blocked sorted-neighborhood method (SNM): block
+    on the first token of the normalized text, sort each block, and compare
+    every row only with its next `window` neighbors in sort order; exact
+    n-gram Jaccard verifies the candidates. The classic entity-resolution
+    counterpart to LSH banding: recall comes from sort locality instead of
+    hash collisions, candidate count is ≤ window·n by construction (LSH's
+    depends on band-collision rates).
+
+    Scale shape: the sort is PER BLOCK (window partitioned by the blocking
+    key — never a global single-task sort); neighbor pairing is an
+    equi-join on (block, rank+k) for k = 1..window, so it shuffles on the
+    same key the window already partitioned by; verification joins only
+    candidate shingles. 100 TB caveat a user must know: a hot block (many
+    rows sharing the first token) serializes its block's sort into one
+    task — pick a blocking key with bounded block size, or compose keys."""
+    norm = F.trim(F.lower(F.col(text_col)))
+    ranked = docs.select(
+        F.col(id_col),
+        F.split_part(norm, F.lit(" "), F.lit(1)).alias("blk"),
+        norm.alias("norm_text"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("blk").orderBy("norm_text", id_col)),
+    ).drop("norm_text")
+    a = ranked.select(
+        F.col(id_col).alias("id_a"), "blk", "rn",
+        F.explode(F.array(*[F.lit(k) for k in range(1, window + 1)]))
+        .alias("k"),
+    ).withColumn("rn_b", F.col("rn") + F.col("k"))
+    b = ranked.select(F.col(id_col).alias("id_b"), "blk",
+                      F.col("rn").alias("rn_b"))
+    cand = a.join(b, ["blk", "rn_b"]).select("id_a", "id_b")
+
+    sh = distinct_shingle_table(docs, text_col, id_col, shingle_k)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    sa_ = sh.select(F.col(id_col).alias("id_a"), F.col("sh"))
+    sb_ = sh.select(F.col(id_col).alias("id_b"), F.col("sh"))
+    inter = (
+        cand.join(sa_, "id_a").join(sb_, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sza = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    szb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sza, "id_a").join(szb, "id_b")
         .withColumn(
             "jaccard",
             F.round(F.col("n_inter") /

@@ -786,6 +786,60 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "snm_neardup_documents",
+    """
+    WITH ranked AS (
+      SELECT doc_id,
+             split_part(trim(lower(text)), ' ', 1) AS blk,
+             row_number() OVER (
+               PARTITION BY split_part(trim(lower(text)), ' ', 1)
+               ORDER BY trim(lower(text)), doc_id) AS rn
+      FROM documents
+    ),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM ranked a JOIN ranked b
+        ON a.blk = b.blk AND b.rn - a.rn BETWEEN 1 AND 2
+    ),
+    tok AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(toks) >= 2 THEN
+          list_transform(generate_series(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i+1])
+        ELSE [array_to_string(toks, ' ')] END)) AS sh
+      FROM tok
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+      FROM cand c JOIN sh a ON a.doc_id = c.id_a
+                  JOIN sh b ON b.doc_id = c.id_b AND b.sh = a.sh
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6)
+             AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a
+               JOIN sizes sb ON sb.doc_id = id_b
+    WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6)
+          >= 0.2
+    """,
+)
+def snm_neardup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup tier 3-alternative — blocked sorted-neighborhood method:
+    sort-locality candidates (first-token blocks, window 2) + exact Jaccard
+    verification. Complements LSH: candidate count bounded by window·n."""
+    return D.sorted_neighborhood_pairs(
+        load_table(spark, sf_dir, "documents", spread=True),
+        window=2, shingle_k=2, threshold=0.2,
+    )
+
+
 def _lsh_verified_oracle(num_hashes: int = 8, bands: int = 4,
                          threshold: float = 0.2) -> str:
     rpb = num_hashes // bands
