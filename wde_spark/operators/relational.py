@@ -26,6 +26,15 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _micros(ts_col: str) -> Column:
+    """Epoch microseconds of a timestamp column, tolerant of TIMESTAMP_NTZ
+    (parquet writers that set isAdjustedToUTC=false make Spark 4 infer NTZ,
+    which `unix_micros` rejects). The NTZ→TZ cast interprets the value in
+    the session timezone; gap/bucket arithmetic only uses differences, so
+    the absolute offset is irrelevant."""
+    return F.unix_micros(F.col(ts_col).cast("timestamp"))
+
+
 def top_k_per_group(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -90,7 +99,7 @@ def sessionize(
     One shuffle on user_col; the cumulative sum stays within the same
     window partitioning so no second shuffle."""
     w = Window.partitionBy(user_col).orderBy(ts_col)
-    us = F.unix_micros(F.col(ts_col))
+    us = _micros(ts_col)
     gap = us - F.lag(us).over(w)
     is_new = F.when(gap.isNull() | (gap > gap_seconds * 1_000_000), 1).otherwise(0)
     return df.withColumn("__new", is_new).withColumn(
@@ -186,9 +195,9 @@ def range_join(
     exactly one bucket, so no post-join dedup is needed.
     """
     wus = window_seconds * 1_000_000
-    lb = F.floor(F.unix_micros(F.col(l_ts)) / F.lit(wus))
+    lb = F.floor(_micros(l_ts) / F.lit(wus))
     l2 = left.withColumn("__b", F.explode(F.array(lb - 1, lb)))
-    r2 = right.withColumn("__b", F.floor(F.unix_micros(F.col(r_ts)) / F.lit(wus)))
+    r2 = right.withColumn("__b", F.floor(_micros(r_ts) / F.lit(wus)))
     win = F.expr(f"INTERVAL {window_seconds} SECONDS")
     return (
         l2.join(r2, [on, "__b"])

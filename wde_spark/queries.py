@@ -1086,7 +1086,8 @@ def embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(least(1024, L - fi*1024) AS INT) AS frame_size
       FROM m, unnest(range(0, CAST(ceil(L/1024.0) AS BIGINT), 4)) AS t(fi)
       WHERE kind = 'video')
-    SELECT kind, count(*) AS n_frames, sum(frame_size) AS total_bytes,
+    SELECT kind, count(*) AS n_frames,
+           CAST(sum(frame_size) AS BIGINT) AS total_bytes,
            min(frame_size) AS min_frame, max(frame_size) AS max_frame
     FROM fr GROUP BY kind
     """,
@@ -1131,13 +1132,42 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_features")  # rows-only: byte-histogram over blobs is not
-#                               practical in SQL; gate = rows + schema
+@query(
+    "multimodal_features",
+    """
+    WITH m AS (SELECT doc_id AS media_id,
+        CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+             ELSE 'video' END AS kind,
+        hex(encode(text)) AS hx,
+        octet_length(encode(text)) AS n FROM documents),
+    byt AS (
+      SELECT media_id,
+             (strpos('0123456789ABCDEF',
+                     substr(hx, CAST(2*i+1 AS INT), 1)) - 1) // 2 AS bucket
+      FROM m, unnest(range(0, n)) AS t(i)),
+    cnt AS (SELECT media_id, bucket, count(*) AS c FROM byt GROUP BY 1, 2),
+    grid AS (SELECT m.media_id, m.kind, m.n, b.bucket
+             FROM m, unnest(range(0, 8)) AS b(bucket))
+    SELECT g.media_id, g.kind, CAST(g.n AS INT) AS n_bytes,
+           CAST(ceil(g.n / 1024.0) AS INT) AS n_frames,
+           CAST(g.bucket AS INT) AS bucket,
+           ROUND(COALESCE(c.c, 0) * 1.0 / greatest(g.n, 1), 6) AS feat
+    FROM grid g LEFT JOIN cnt c
+      ON g.media_id = c.media_id AND g.bucket = c.bucket
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction from binary payloads (normalized byte histogram as
-    the embedding-model stand-in) — numpy-vectorized mapInPandas kernel."""
+    the embedding-model stand-in) — numpy-vectorized mapInPandas kernel.
+    The vector is posexploded to (bucket, feat) scalar rows so the result is
+    sortable/hashable; the oracle recomputes the histogram byte-by-byte from
+    the hex encoding (bucket = high nibble >> 1 ≡ byte >> 5 for 8 buckets)."""
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    return MM.extract_features(MM.attach_media(docs))
+    feats = MM.extract_features(MM.attach_media(docs))
+    return feats.select(
+        "media_id", "kind", "n_bytes", "n_frames",
+        F.posexplode("features").alias("bucket", "feat"),
+    ).withColumn("feat", F.round("feat", 6))
 
 
 # ---------------------------------------------------------------------------
