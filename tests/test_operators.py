@@ -212,6 +212,46 @@ def test_ivf_ann_recall_vs_bruteforce(spark):
     assert full == exact, "nprobe=n_cells must degenerate to exact search"
 
 
+def test_lsh_multi_table_recall_dominates_single(spark):
+    """Multi-table LSH (union of L tables) must recover at least as many
+    true top-5 neighbors as the single-table form with the same bit width,
+    and the L=1 multi-table case must equal the single-table form."""
+    from wde_spark.core.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings",
+                     spread=True)
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = {(r.query_id, r.item_id)
+             for r in SIM.cosine_topk(emb, queries, k=5).collect()}
+    single = {(r.query_id, r.item_id)
+              for r in SIM.lsh_ann(emb, queries, k=5, n_planes=6).collect()}
+    multi = {(r.query_id, r.item_id)
+             for r in SIM.lsh_ann_multi(emb, queries, k=5, n_planes=6,
+                                        n_tables=48).collect()}
+    assert len(multi & exact) >= len(single & exact)
+    assert len(multi & exact) / len(exact) >= 0.6
+
+    one = {(r.query_id, r.item_id)
+           for r in SIM.lsh_ann_multi(emb, queries, k=5, n_planes=6,
+                                      n_tables=1).collect()}
+    assert one == single
+
+
+def test_topk_recall_gate_boolean(spark):
+    """The gate row flips FALSE when the threshold exceeds actual recall."""
+    from wde_spark.core.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings",
+                     spread=True)
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = SIM.cosine_topk(emb, queries, k=5)
+    ok = SIM.topk_recall_gate(exact, exact, 8, 5, 1.0).collect()[0]
+    assert ok.recall_ok and ok.n_queries == 8 and ok.k == 5
+    approx = SIM.lsh_ann_multi(emb, queries, k=5, n_planes=6, n_tables=2)
+    bad = SIM.topk_recall_gate(approx, exact, 8, 5, 1.01).collect()[0]
+    assert not bad.recall_ok
+
+
 def test_ivf_centroids_deterministic(spark):
     vecs = spark.createDataFrame(
         [(i, [float((i * 7 + j * 3) % 13) for j in range(4)])

@@ -175,6 +175,101 @@ def lsh_ann(items: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def _lsh_multi_sig_udf(spark, planes: list[list[float]], n_tables: int,
+                       bits_per_table: int):
+    """Array of `n_tables` per-table signatures ("<table>:<bits>") from ONE
+    matmul against the full (n_tables*bits) hyperplane matrix — multi-table
+    LSH amortizes to the same Arrow pass as a single table. NULL/mis-sized/
+    non-finite vectors get NULL (they fall out of the candidate join)."""
+    P = np.asarray(planes, dtype=np.float64)
+    bc = spark.sparkContext.broadcast(P)
+
+    @pandas_udf("array<string>")
+    def sigs(v: pd.Series) -> pd.Series:
+        Pb = bc.value
+        out = pd.Series([None] * len(v), dtype=object)
+        idx, M = _finite_matrix(v, Pb.shape[1])
+        if len(idx):
+            bits = (M @ Pb.T) >= 0
+            weights = 1 << np.arange(bits_per_table)[::-1]
+            codes = bits.reshape(len(M), n_tables, bits_per_table) @ weights
+            out[idx] = [
+                [f"{t}:{c}" for t, c in enumerate(row)] for row in codes
+            ]
+        return out
+
+    sigs.bc = bc
+    return sigs
+
+
+def lsh_ann_multi(items: DataFrame, queries: DataFrame, k: int = 5,
+                  n_planes: int = 6, n_tables: int = 48, dim: int = 64,
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Multi-table random-hyperplane LSH — the standard recall-tunable ANN
+    structure: L independent tables of b planes each; candidates = items
+    sharing the query's signature in ANY table; exact cosine re-rank over
+    the deduplicated candidate set.
+
+    Scale shape: the signature table carries only (id, signature) — payload
+    vectors never ride the L-fold row multiplication; candidate ids come out
+    of an equi-join + distinct, and vectors are fetched back by id for the
+    re-rank. Miss probability per true neighbor is (1 - p^b)^L with
+    p = 1 - θ/π, so recall is tuned by (b, L) without touching the plan."""
+    spark = items.sparkSession
+    sig = _lsh_multi_sig_udf(
+        spark, hyperplanes(dim, n_planes * n_tables), n_tables, n_planes)
+    it = items.select(
+        F.col(id_col).alias("item_id"), _as_double(F.col(vec_col)).alias("iv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    it_sig = it.select("item_id", F.explode(sig(F.col("iv"))).alias("tb"))
+    q_sig = q.select("query_id", F.explode(sig(F.col("qv"))).alias("tb"))
+    cand = (
+        it_sig.join(F.broadcast(q_sig), "tb")
+        .filter(F.col("item_id") != F.col("query_id"))
+        .select("query_id", "item_id").distinct()
+    )
+    scored = (
+        cand.join(it, "item_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id", "item_id",
+            F.round(cosine(F.col("qv"), F.col("iv")), 6).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("item_id"))
+    return (
+        scored.filter(~F.isnan("cos_sim"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "item_id", "cos_sim", "rnk")
+    )
+
+
+def topk_recall_gate(approx: DataFrame, exact: DataFrame, n_queries: int,
+                     k: int, min_recall: float) -> DataFrame:
+    """1-row recall@k gate: TRUE iff |approx ∩ exact| >= min_recall·(n·k).
+    The approximate result is data-dependent (no SQL form), but this derived
+    property IS oracle-checkable as a constant row — the hash comparison
+    fails exactly when the ANN machinery stops finding true neighbors."""
+    hits = (
+        approx.select("query_id", "item_id")
+        .join(exact.select("query_id", "item_id"), ["query_id", "item_id"],
+              "left_semi")
+        .agg(F.count("*").alias("hits"))
+    )
+    need = int(min_recall * n_queries * k)
+    return hits.select(
+        F.lit(n_queries).cast("long").alias("n_queries"),
+        F.lit(k).cast("long").alias("k"),
+        (F.col("hits") >= F.lit(need)).alias("recall_ok"),
+    )
+
+
 def _normalize(c: Column) -> Column:
     n = l2norm(c)
     return F.transform(c, lambda x: x / n)
