@@ -100,6 +100,29 @@ def test_minhash_lsh_finds_neardups(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_minhash_lsh_hot_bucket_cap(spark):
+    """The hot-bucket guard must drop buckets above max_bucket (bounding
+    candidate pairs at B²/2 per bucket) while keeping small clusters.
+    100 identical docs share every band → one bucket of 100 per band →
+    with cap 50 the bucket is dropped and no candidate survives; the
+    distinct small near-dup pair is unaffected."""
+    rows = [(i, "common boilerplate text repeated verbatim everywhere")
+            for i in range(100)]
+    rows += [(200, "a distinct document about spark adaptive execution"),
+             (201, "a distinct document about spark adaptive executions")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = {(r.id_a, r.id_b)
+              for r in D.minhash_lsh_pairs(docs, shingle_k=2,
+                                           max_bucket=50).collect()}
+    assert (200, 201) in capped
+    assert not any(a < 100 and b < 100 for a, b in capped), \
+        "oversized bucket must contribute zero candidate pairs"
+    uncapped = {(r.id_a, r.id_b)
+                for r in D.minhash_lsh_pairs(docs, shingle_k=2,
+                                             max_bucket=None).collect()}
+    assert sum(1 for a, b in uncapped if a < 100 and b < 100) == 100 * 99 / 2
+
+
 def test_ngram_jaccard_exact_value(spark):
     docs = spark.createDataFrame(
         [(1, "a b c d"), (2, "a b c e")],

@@ -840,8 +840,8 @@ def snm_neardup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_verified_oracle(num_hashes: int = 8, bands: int = 4,
-                         threshold: float = 0.2) -> str:
+def _lsh_verified_oracle(num_hashes: int = 16, bands: int = 4,
+                         threshold: float = 0.2, max_bucket: int = 64) -> str:
     rpb = num_hashes // bands
     mh_cols = ",\n             ".join(
         f"MIN(md5('{j}|' || sh)) AS mh_{j}" for j in range(num_hashes)
@@ -873,9 +873,13 @@ def _lsh_verified_oracle(num_hashes: int = 8, bands: int = 4,
     banded AS (
 {band_rows}
     ),
+    capped AS (
+      SELECT * FROM banded
+      QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_hash) <= {max_bucket}
+    ),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM banded a JOIN banded b
+      FROM capped a JOIN capped b
         ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
        AND a.doc_id < b.doc_id
     ),
