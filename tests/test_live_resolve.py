@@ -83,3 +83,67 @@ def test_resolve_live_matches_offline(spark):
         all_cands.update(r.candidates or [])
         n_first += 1 if r.candidates else 0
     assert n_first <= fetch_count["n"] <= len(all_cands)
+
+
+def test_synthetic_cache_hit_rate_sweep(spark):
+    """Reference `makedummy` generalized: sweep controlled cache hit-rates
+    through the live-resolve waves and assert the fetch economy —
+    (a) a cached query is NEVER fetched, (b) fetch volume is monotone
+    non-increasing in hit rate, (c) full coverage fetches nothing."""
+    import csv as _csv
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from wde_spark.plans.resolve import _candidates_batch, attach_qdicts
+    from wde_spark.sources.cache import synthetic_cache
+    from wde_spark.sources.http import resolve_live
+
+    rows = []
+    with open(GOLDEN, encoding="utf-8") as f:
+        for i, r in enumerate(_csv.reader(f, delimiter="\t", quotechar='"')):
+            rows.append(("TEST", 0, i, r[0], r[2], r[3]))
+    nt = spark.createDataFrame(
+        rows[:40],
+        "catalogue_id string, item_pos int, row_pos int, xml_id string,"
+        "name string, trait string",
+    )
+    qd = attach_qdicts(nt)
+    wc = qd.mapInPandas(
+        _candidates_batch,
+        schema=T.StructType(list(qd.schema.fields)
+                            + [T.StructField("candidates",
+                                             T.ArrayType(T.StringType())),
+                               T.StructField("cand_certs",
+                                             T.ArrayType(T.BooleanType()))]))
+    universe = wc.select(F.explode("candidates").alias("qstr"))
+
+    fetched_by_rate = {}
+    for rate in (0.0, 0.5, 1.0):
+        cache = synthetic_cache(universe, rate)
+        cached_keys = {r.qstr for r in cache.select("qstr").collect()}
+        log_path = tempfile.mktemp(suffix=".fetchlog")
+
+        def miss_fetch(qstr: str, _p=log_path) -> dict:
+            with open(_p, "a", encoding="utf-8") as fh:
+                fh.write(qstr + "\n")
+            return {"qid": "", "title": "", "snippet": ""}
+
+        resolved, _ = resolve_live(nt, cache, miss_fetch, n_workers=2)
+        resolved.collect()
+        try:
+            with open(log_path, encoding="utf-8") as fh:
+                fetched = {ln.rstrip("\n") for ln in fh if ln.strip()}
+        except FileNotFoundError:
+            fetched = set()
+        else:
+            os.unlink(log_path)
+        assert not (fetched & cached_keys), \
+            f"hit_rate={rate}: cached queries were re-fetched"
+        fetched_by_rate[rate] = len(fetched)
+
+    assert fetched_by_rate[1.0] == 0
+    assert fetched_by_rate[0.0] >= fetched_by_rate[0.5] >= fetched_by_rate[1.0]
+    assert fetched_by_rate[0.0] > fetched_by_rate[0.5], \
+        "a 50% cache must absorb some fetches"

@@ -92,6 +92,39 @@ def write_query_cache(df: DataFrame, path: str) -> None:
     )
 
 
+def synthetic_cache(queries: DataFrame, hit_rate: float,
+                    seed: str = "dummy", qstr_col: str = "qstr") -> DataFrame:
+    """Reference `makedummy` (script/itemtoid_test.py:23-58) generalized: a
+    deterministic synthetic cache covering `hit_rate` of the given query
+    population, for cache-miss-ratio experiments against `resolve_live`.
+
+    The reference fills 30k random-keyed entries (qid = 'Q'+7 digits,
+    ~30% certitude) to benchmark cache-vs-refetch; here membership and
+    payload derive from md5(seed|qstr) — no RNG state, identical on every
+    executor and run, and the hit ratio is an exact tunable instead of a
+    side effect of random key collisions. Row-local column expressions, no
+    shuffle; the `part` column reproduces the reference's
+    first-character file partitioning."""
+    q = F.col(qstr_col)
+    h = F.md5(F.concat(F.lit(f"{seed}|"), q))
+    keep = (F.conv(F.substring(h, 1, 4), 16, 10).cast("long")
+            < int(hit_rate * 0x10000))
+    return (
+        queries.select(q.alias("qstr")).distinct()
+        .filter(keep)
+        .select(
+            F.substring("qstr", 1, 1).alias("part"),
+            "qstr",
+            F.concat(F.lit("Q"), F.conv(F.substring(h, 5, 6), 16, 10)
+                     ).alias("qid"),
+            F.substring(h, 11, 10).alias("title"),
+            F.substring(h, 21, 12).alias("snippet"),
+            # ~30% certitude, like the reference's rand >= 7 of 1..9
+            (F.conv(F.substring(h, 4, 1), 16, 10) < 5).alias("cert"),
+        )
+    )
+
+
 def upsert(cache: DataFrame, new_entries: DataFrame, key: str = "qstr") -> DataFrame:
     """S5 read-modify-write as a relational op: union + last-write-wins on
     the key (the reference's dict-update semantics, itemtoid.py:170-181)."""
