@@ -1,0 +1,80 @@
+"""Training-data curation operators — hand-computed expectations."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wde_spark.operators import curation as CU
+
+
+def test_repetition_stats_values(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"),           # 2-grams: ab ba ab ba ab -> 3 dup of 5
+         (2, "one two three four"),    # all distinct
+         (3, "x\nx\ny")],              # 3 lines, 1 dup
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in CU.repetition_stats(docs).collect()}
+    assert out[1].dup_2gram_frac == round(3 / 5, 4)
+    assert not out[1].passes_repetition
+    assert out[2].dup_2gram_frac == 0.0 and out[2].passes_repetition
+    assert out[3].dup_line_frac == round(1 / 3, 4)
+    assert not out[3].passes_repetition
+
+
+def test_pii_redact_counts_and_text(spark):
+    docs = spark.createDataFrame(
+        [(1, "mail me at jo.doe@example.org or call +1 (555) 123-4567 now"),
+         (2, "server at 10.0.255.1 leaked 123456789012"),
+         (3, "nothing sensitive here")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in CU.pii_redact(docs).collect()}
+    assert out[1].n_email == 1 and out[1].n_phone == 1
+    assert "[EMAIL]" in out[1].redacted and "[PHONE]" in out[1].redacted
+    assert "jo.doe" not in out[1].redacted
+    assert out[2].n_ipv4 == 1 and out[2].n_digit_run == 1
+    assert "[IPV4]" in out[2].redacted
+    assert out[3].redacted == "nothing sensitive here"
+    assert out[3].n_email == out[3].n_phone == out[3].n_ipv4 == 0
+
+
+def test_decontaminate_flags_overlap(spark):
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps high"),
+         (2, "a totally different document body"),
+         (3, "quick brown fox runs away fast")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox appears in benchmarks")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in CU.decontaminate(docs, bench).collect()}
+    # doc 1 shares 3-gram shingles "the quick brown" and "quick brown fox"
+    assert out[1].contaminated and out[1].n_shared_shingles == 2
+    assert not out[2].contaminated and out[2].n_shared_shingles == 0
+    assert out[3].contaminated and out[3].n_shared_shingles == 1
+
+
+def test_chunk_documents_overlap_geometry(spark):
+    text = " ".join(f"t{i}" for i in range(10))
+    docs = spark.createDataFrame([(1, text), (2, "")],
+                                 "doc_id long, text string")
+    out = CU.chunk_documents(docs, max_tokens=4, overlap=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    # stride 3 over 10 tokens: starts 0,3,6,9 -> sizes 4,4,4,1
+    assert [r.n_tokens for r in c1] == [4, 4, 4, 1]
+    assert c1[0].chunk_text == "t0 t1 t2 t3"
+    assert c1[1].chunk_text == "t3 t4 t5 t6"  # 1-token overlap
+    assert c1[3].chunk_text == "t9"
+    # full coverage: every token appears in some chunk
+    covered = set()
+    for r in c1:
+        covered.update(r.chunk_text.split())
+    assert covered == {f"t{i}" for i in range(10)}
+    # empty doc -> single chunk of the empty-string token
+    assert len(by_doc[2]) == 1

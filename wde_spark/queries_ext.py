@@ -1754,3 +1754,149 @@ def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unpivot(["p_partkey"], ["p_size", "p_retailprice"], "metric", "value")
     )
+
+
+# ---------------------------------------------------------------------------
+# training-data curation (operators/curation.py) — repetition, PII,
+# decontamination, chunking
+# ---------------------------------------------------------------------------
+
+_SHINGLE2_SQL = """list_transform(generate_series(1, len({t}) - 1),
+                                  i -> {t}[i] || ' ' || {t}[i+1])"""
+_SHINGLE3_SQL = """list_transform(generate_series(1, len({t}) - 2),
+                                  i -> {t}[i] || ' ' || {t}[i+1] || ' ' || {t}[i+2])"""
+
+
+def _shingle_sql(k: int, t: str) -> str:
+    """DuckDB twin of operators.dedup.shingles: n-k+1 k-grams when the
+    token list is long enough, else the single joined-token fallback."""
+    body = {2: _SHINGLE2_SQL, 3: _SHINGLE3_SQL}[k].format(t=t)
+    return (f"CASE WHEN len({t}) >= {k} THEN {body} "
+            f"ELSE [array_to_string({t}, ' ')] END")
+
+
+def _dupfrac_sql(arr: str) -> str:
+    return (f"ROUND(CASE WHEN len({arr}) = 0 THEN NULL ELSE "
+            f"CAST(len({arr}) - len(list_distinct({arr})) AS DOUBLE)"
+            f" / len({arr}) END, 4)")
+
+
+@query(
+    "repetition_stats_documents",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines,
+             string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             {_dupfrac_sql('lines')} AS dup_line_frac,
+             {_dupfrac_sql(_shingle_sql(2, 'toks'))} AS dup_2gram_frac,
+             {_dupfrac_sql(_shingle_sql(3, 'toks'))} AS dup_3gram_frac
+      FROM t
+    )
+    SELECT doc_id, dup_line_frac, dup_2gram_frac, dup_3gram_frac,
+           (COALESCE(dup_line_frac, 0) <= 0.30
+            AND COALESCE(dup_2gram_frac, 0) <= 0.20
+            AND COALESCE(dup_3gram_frac, 0) <= 0.18) AS passes_repetition
+    FROM s
+    """,
+)
+def repetition_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: duplicate-line / duplicate-n-gram
+    fractions as row-local array expressions — single scan, zero shuffle."""
+    from .operators import curation as CU
+
+    return CU.repetition_stats(load_table(spark, sf_dir, "documents",
+                                          spread=True))
+
+
+def _pii_oracle() -> str:
+    from .operators.curation import PII_PATTERNS
+
+    counts = ",\n           ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{name}"
+        for name, pat in PII_PATTERNS.items()
+    )
+    red = "text"
+    for name, pat in PII_PATTERNS.items():
+        red = f"regexp_replace({red}, '{pat}', '[{name.upper()}]', 'g')"
+    return f"""
+    SELECT doc_id,
+           {counts},
+           {red} AS redacted
+    FROM documents
+    """
+
+
+@query("pii_redact_documents", _pii_oracle())
+def pii_redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction + per-class counts; patterns restricted to the regex
+    subset Spark's Java engine and DuckDB's RE2 share, so the oracle
+    replays the exact spans."""
+    from .operators import curation as CU
+
+    return CU.pii_redact(load_table(spark, sf_dir, "documents", spread=True))
+
+
+@query(
+    "decontaminate_documents",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct({_shingle_sql(3, 'toks')})) AS sh
+      FROM tok
+    ),
+    bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 17 = 0),
+    hits AS (
+      SELECT s.doc_id, COUNT(*) AS n_shared_shingles
+      FROM sh s JOIN bench b ON s.sh = b.sh
+      GROUP BY s.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(h.n_shared_shingles, 0) AS n_shared_shingles,
+           COALESCE(h.n_shared_shingles, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    """,
+)
+def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: 3-token-shingle overlap against a
+    deterministic benchmark stand-in (doc_id % 17 = 0). The benchmark
+    shingle set broadcasts; the corpus never shuffles payloads."""
+    from .operators import curation as CU
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return CU.decontaminate(docs, docs.filter(F.col("doc_id") % 17 == 0))
+
+
+@query(
+    "chunk_documents_windows",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    st AS (
+      SELECT doc_id, toks, CAST(s AS INT) AS s
+      FROM t, unnest(range(0, greatest(len(toks) - 1, 0) + 1, 56)) AS u(s)
+    )
+    SELECT doc_id, CAST(s / 56 AS INT) AS chunk_idx,
+           CAST(len(toks[s+1:s+64]) AS INT) AS n_tokens,
+           array_to_string(toks[s+1:s+64], ' ') AS chunk_text
+    FROM st
+    """,
+)
+def chunk_documents_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (64-token windows, 8-token overlap → stride
+    56): one posexplode over computed slice starts — a 100-TB corpus chunks
+    in a single scan with no shuffle and no Python."""
+    from .operators import curation as CU
+
+    return CU.chunk_documents(load_table(spark, sf_dir, "documents",
+                                         spread=True),
+                              max_tokens=64, overlap=8)
