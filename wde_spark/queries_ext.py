@@ -1900,3 +1900,74 @@ def chunk_documents_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CU.chunk_documents(load_table(spark, sf_dir, "documents",
                                          spread=True),
                               max_tokens=64, overlap=8)
+
+
+# ---------------------------------------------------------------------------
+# sketch accuracy gates — HLL / quantile sketches are THE cardinality and
+# distribution tools at 100 TB (exact distinct/percentile over a fact table
+# is a full shuffle; the sketches are one-pass, mergeable, bounded-memory).
+# Their outputs are approximate, so like the ANN paths they get property
+# gates: the sketch must land within a stated error of the exact answer the
+# oracle can compute.
+# ---------------------------------------------------------------------------
+
+@query(
+    "hll_distinct_gate",
+    """
+    SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct,
+           TRUE AS hll_ok
+    FROM orders
+    """,
+)
+def hll_distinct_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) vs exact: at rsd=0.02 the
+    sketch estimate must land within 5% relative error (measured 0.4-0.6%
+    on the synthetic tables — an 8x margin; rsd=0.05 measured ~6% at these
+    cardinalities, outside its own nominal bound, hence the tighter
+    register budget). At scale the sketch replaces a COUNT(DISTINCT)
+    shuffle with a mergeable per-partition register set."""
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.countDistinct("o_custkey").alias("exact_distinct"),
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx"),
+    )
+    return agg.select(
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        (F.abs(F.col("approx") - F.col("exact_distinct"))
+         <= 0.05 * F.col("exact_distinct")).alias("hll_ok"),
+    )
+
+
+@query(
+    "quantile_sketch_gate",
+    """
+    SELECT CAST(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS DOUBLE)
+             AS exact_p50,
+           CAST(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.99) AS DOUBLE)
+             AS exact_p99,
+           TRUE AS sketch_ok
+    FROM orders
+    """,
+)
+def quantile_sketch_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch) vs the exact continuous
+    quantile: p50/p99 estimates must land within 2% of the exact values.
+    The exact interpolated quantiles come from `percentile` (Spark) and
+    `quantile_cont` (DuckDB), which agree bit-for-bit; the sketch side is
+    the one-pass mergeable structure a 100-TB scan would actually use."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").cast("double").alias("v"))
+    agg = o.agg(
+        F.expr("percentile(v, 0.5)").alias("exact_p50"),
+        F.expr("percentile(v, 0.99)").alias("exact_p99"),
+        F.expr("approx_percentile(v, 0.5, 10000)").alias("a50"),
+        F.expr("approx_percentile(v, 0.99, 10000)").alias("a99"),
+    )
+    return agg.select(
+        F.col("exact_p50").cast("double").alias("exact_p50"),
+        F.col("exact_p99").cast("double").alias("exact_p99"),
+        ((F.abs(F.col("a50") - F.col("exact_p50"))
+          <= 0.02 * F.abs(F.col("exact_p50")))
+         & (F.abs(F.col("a99") - F.col("exact_p99"))
+            <= 0.02 * F.abs(F.col("exact_p99")))).alias("sketch_ok"),
+    )

@@ -96,7 +96,14 @@ def sessionize_stateful(events: DataFrame, gap_seconds: int = 1800,
                         watermark: str = "2 hours") -> DataFrame:
     """events(ts timestamp, user_id long, value double) stream → closed
     sessions via explicit per-key state. Batch-equivalence with
-    operators/relational.sessionize is asserted in tests."""
+    operators/relational.sessionize is asserted in tests.
+
+    ts is cast to TIMESTAMP first: watermarks reject TIMESTAMP_NTZ, which
+    is what Spark 4 infers from parquet written with isAdjustedToUTC=false
+    (a no-op cast when the column is already TZ-aware)."""
+    from pyspark.sql import functions as F
+
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
     return (
         events.withWatermark("ts", watermark)
         .groupBy("user_id")

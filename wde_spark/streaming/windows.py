@@ -98,14 +98,21 @@ def _stream_dir(sf_dir: str) -> str:
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the static events parquet: drives a real
-    streaming query to completion in tests. ts arrives as raw ns (the
-    nanosAsLong path) and is rebuilt exactly like the batch catalog."""
+    streaming query to completion in tests. The declared schema reads ts as
+    a raw int64 and rebuilds the timestamp according to the file's physical
+    unit (driver-side pyarrow metadata probe, one footer read) — testdata
+    generations have shipped both TIMESTAMP(NANOS) and TIMESTAMP(MICROS)."""
+    import pyarrow.parquet as pq
+
+    unit = pq.read_schema(
+        os.path.join(sf_dir, "events.parquet")).field("ts").type.unit
     raw = (
         spark.readStream.format("parquet")
         .schema(EVENTS_SCHEMA)
         .load(_stream_dir(sf_dir))
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    micros = F.expr("ts div 1000") if unit == "ns" else F.col("ts")
+    return raw.withColumn("ts", F.timestamp_micros(micros))
 
 
 def streaming_tumbling(spark: SparkSession, sf_dir: str,
