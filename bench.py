@@ -78,6 +78,12 @@ HEADLINE = [
     "window_rank_variants_orders",
     "embedding_vector_stats",
     "snm_neardup_documents",
+    "repetition_stats_documents",
+    "pii_redact_documents",
+    "decontaminate_documents",
+    "chunk_documents_windows",
+    "hll_distinct_gate",
+    "quantile_sketch_gate",
 ]
 
 

@@ -141,3 +141,36 @@ def test_global_sort_uses_range_partitioning(spark):
     df = load_table(spark, SF_CORRECT, "orders").orderBy("o_totalprice")
     plan = _plan(df)
     assert "rangepartitioning" in plan.lower()
+
+
+def test_curation_row_local_ops_have_no_exchange(spark):
+    """Repetition stats, PII redaction, and chunking are single-scan
+    row-local transforms — their plans must contain NO shuffle exchange
+    beyond the declared spread repartition, and no Python nodes."""
+    from wde_spark.queries import QUERIES
+
+    for name in ("repetition_stats_documents", "pii_redact_documents",
+                 "chunk_documents_windows"):
+        plan = _plan(QUERIES[name](spark, SF_CORRECT))
+        assert plan.count("Exchange hashpartitioning") == 0, name
+        assert "EvalPython" not in plan and "MapInPandas" not in plan, name
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """Decontamination must broadcast the benchmark shingle set — the corpus
+    side must never shuffle payloads for the overlap join."""
+    from wde_spark.queries import QUERIES
+
+    df = QUERIES["decontaminate_documents"](spark, SF_CORRECT)
+    df.collect()  # AQE finalize
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_lsh_multi_candidate_join_is_equi(spark):
+    """Multi-table LSH must meet candidates through a signature equi-join —
+    never a nested loop / cartesian product."""
+    from wde_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["lsh_ann_embeddings"](spark, SF_CORRECT))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
