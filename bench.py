@@ -84,6 +84,7 @@ HEADLINE = [
     "chunk_documents_windows",
     "hll_distinct_gate",
     "quantile_sketch_gate",
+    "winnowing_fingerprints_documents",
 ]
 
 

@@ -78,3 +78,35 @@ def test_chunk_documents_overlap_geometry(spark):
     assert covered == {f"t{i}" for i in range(10)}
     # empty doc -> single chunk of the empty-string token
     assert len(by_doc[2]) == 1
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    """Winnowing's core property: two documents sharing a character run of
+    length >= w + k - 1 (= 23 at defaults) share at least one fingerprint;
+    unrelated texts share none."""
+    from wde_spark.operators.textstats import winnowing_fingerprints
+
+    shared = "identical shared passage of text here"  # 37 chars
+    docs = spark.createDataFrame(
+        [(1, "prefix one then " + shared + " tail alpha"),
+         (2, "other beginning " + shared + " different end"),
+         (3, "completely unrelated content with nothing in common at all")],
+        "doc_id long, text string",
+    )
+    fps = {}
+    for r in winnowing_fingerprints(docs).collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps[1] & fps[2], "shared 37-char run must share a fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+
+
+def test_winnowing_short_and_empty_docs(spark):
+    from wde_spark.operators.textstats import winnowing_fingerprints
+
+    docs = spark.createDataFrame(
+        [(1, "tiny"), (2, "")], "doc_id long, text string")
+    out = {}
+    for r in winnowing_fingerprints(docs).collect():
+        out.setdefault(r.doc_id, []).append(r.fp)
+    # shorter than one gram -> exactly one fingerprint (hash of what exists)
+    assert len(out[1]) == 1 and len(out[2]) == 1

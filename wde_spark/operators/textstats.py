@@ -11,7 +11,7 @@ whole-stage codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.strings import norm_compare, tokens
@@ -119,6 +119,53 @@ def token_stats(docs: DataFrame, text_col: str = "text",
         ws.cast("long").alias("ws_tokens"),
         bpe.cast("long").alias("bpe_tokens"),
         F.round(F.length(t) / F.greatest(bpe, F.lit(1)), 4).alias("chars_per_token"),
+    )
+
+
+def winnowing_fingerprints(docs: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", k: int = 8, w: int = 16,
+                           prefix: int = 256) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03): hash
+    every k-char gram of the text, slide a w-gram window, keep each
+    window's minimum hash — the guarantee is that any match of length
+    >= w+k-1 chars between two documents shares at least one fingerprint.
+
+    Engine-portable form: the gram hash is md5 of the substring (the
+    rolling-polynomial hash is an optimization of the same function family;
+    md5 keeps the DuckDB oracle byte-identical). Fingerprinting is capped
+    to the first `prefix` chars — the standard head-window practice.
+
+    Shape: positions EXPLODE to rows first, so each gram is hashed exactly
+    once inside whole-stage codegen, and the per-window minimum is a SQL
+    window (ROWS BETWEEN CURRENT AND w-1 FOLLOWING) partitioned by doc —
+    one shuffle on the doc id. The first-draft nested higher-order-function
+    form (array_min over slice inside transform) re-evaluated the gram
+    array per window element: measured 32 s for 500 docs vs ~2 s for this
+    form. Same lesson as minhash_signatures: explode beats interpreted
+    array expressions for anything super-linear per row.
+
+    Returns (id, fp) — one row per distinct selected fingerprint."""
+    t = F.substring(F.trim(F.lower(F.col(text_col))), 1, prefix)
+    n = F.length(t) - (k - 1)  # number of k-grams (<=0 for short texts)
+    base = docs.select(F.col(id_col), t.alias("tl"), n.alias("n"))
+    grams = base.select(
+        id_col, "n",
+        F.posexplode(F.sequence(F.lit(1), F.greatest(F.col("n"), F.lit(1))))
+        .alias("_i", "pos"),
+        "tl",
+    ).select(
+        id_col, "n", "pos",
+        F.md5(F.col("tl").substr(F.col("pos"), F.lit(k))).alias("gh"),
+    )
+    win = (
+        Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    )
+    return (
+        grams.withColumn("fp", F.min("gh").over(win))
+        # window start positions: 1..n-w+1 (a single window when n < w;
+        # rowsBetween clamps at the partition end so its min spans all)
+        .filter(F.col("pos") <= F.greatest(F.col("n") - (w - 1), F.lit(1)))
+        .select(id_col, "fp").distinct()
     )
 
 

@@ -1971,3 +1971,37 @@ def quantile_sketch_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
          & (F.abs(F.col("a99") - F.col("exact_p99"))
             <= 0.02 * F.abs(F.col("exact_p99")))).alias("sketch_ok"),
     )
+
+
+@query(
+    "winnowing_fingerprints_documents",
+    """
+    WITH t AS (SELECT doc_id, substr(trim(lower(text)), 1, 256) AS tl
+               FROM documents),
+    g AS (SELECT doc_id, tl, len(tl) - 7 AS n FROM t),
+    grams AS (
+      SELECT doc_id, n,
+             list_transform(generate_series(1, greatest(n, 1)),
+                            i -> md5(substr(tl, CAST(i AS INT), 8))) AS gs
+      FROM g),
+    wins AS (
+      SELECT doc_id,
+             CASE WHEN n >= 16 THEN
+               list_transform(generate_series(1, n - 15),
+                              j -> list_aggregate(gs[j:j+15], 'min'))
+             ELSE [list_aggregate(gs, 'min')] END AS ws
+      FROM grams)
+    SELECT doc_id, unnest(list_distinct(ws)) AS fp FROM wins
+    """,
+)
+def winnowing_fingerprints_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (rolling-hash document fingerprinting,
+    Schleimer et al.): per-window minimum of md5 8-gram hashes over the
+    256-char head — any shared run of >= 23 chars between two documents
+    shares a fingerprint. Row-local higher-order functions; the oracle
+    replays gram hashing, window minima, and selection exactly
+    over the 256-char head window."""
+    from .operators import textstats as TS
+
+    return TS.winnowing_fingerprints(
+        load_table(spark, sf_dir, "documents", spread=True))
