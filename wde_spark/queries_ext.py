@@ -2005,3 +2005,38 @@ def winnowing_fingerprints_documents(spark: SparkSession, sf_dir: str) -> DataFr
 
     return TS.winnowing_fingerprints(
         load_table(spark, sf_dir, "documents", spread=True))
+
+
+@query(
+    "train_val_split_documents",
+    """
+    WITH s AS (
+      SELECT doc_id, source,
+             CASE WHEN strpos('0123456789abcdef',
+                              substr(md5('split|' || source), 1, 1)) - 1 < 13
+                  THEN 'train' ELSE 'val' END AS split
+      FROM documents
+    )
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+    FROM s GROUP BY split
+    """,
+)
+def train_val_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val split: the split key is md5 of the SOURCE,
+    not the document — every document of a source (and therefore the
+    boilerplate near-duplicates within it) lands in the same split, the
+    standard guard against train/val contamination. Deterministic
+    (first md5 nibble < 13 → train ≈ 13/16), row-local, reproducible
+    across engines, runs, and cluster sizes — unlike randomSplit, whose
+    assignment depends on partitioning."""
+    d = load_table(spark, sf_dir, "documents")
+    nib = (F.conv(F.substring(F.md5(F.concat(F.lit("split|"), F.col("source"))),
+                              1, 1), 16, 10).cast("int"))
+    split = F.when(nib < 13, "train").otherwise("val")
+    return (
+        d.select(split.alias("split"), "source")
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"),
+             F.countDistinct("source").alias("n_sources"))
+    )
