@@ -66,11 +66,13 @@ def test_chunk_documents_overlap_geometry(spark):
     for r in out:
         by_doc.setdefault(r.doc_id, []).append(r)
     c1 = sorted(by_doc[1], key=lambda r: r.chunk_idx)
-    # stride 3 over 10 tokens: starts 0,3,6,9 -> sizes 4,4,4,1
-    assert [r.n_tokens for r in c1] == [4, 4, 4, 1]
+    # stride 3 over 10 tokens: raw starts 0,3,6,9 — but start 9 would hold
+    # only the carried-over token t9 (9 + overlap >= 10), so it is dropped:
+    # a trailing chunk with zero new tokens is pure duplication
+    assert [r.n_tokens for r in c1] == [4, 4, 4]
     assert c1[0].chunk_text == "t0 t1 t2 t3"
     assert c1[1].chunk_text == "t3 t4 t5 t6"  # 1-token overlap
-    assert c1[3].chunk_text == "t9"
+    assert c1[2].chunk_text == "t6 t7 t8 t9"
     # full coverage: every token appears in some chunk
     covered = set()
     for r in c1:

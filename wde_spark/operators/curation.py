@@ -150,11 +150,13 @@ def chunk_documents(docs: DataFrame, max_tokens: int = 64, overlap: int = 8,
     stride = max_tokens - overlap
     tok = tokens(F.col(text_col))
     n = F.size(tok)
-    # chunk starts: 0, stride, 2*stride, ... < max(n, 1)
-    starts = F.sequence(
-        F.lit(0),
-        F.greatest(n - 1, F.lit(0)),
-        F.lit(stride),
+    # chunk starts: 0, stride, 2*stride, ... < max(n, 1) — then drop any
+    # non-first start whose chunk would hold ONLY carried-over tokens
+    # (start + overlap >= n): a 64-token doc at 64/8 must be one chunk,
+    # not a full chunk plus an 8-token chunk that is pure duplication.
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)),
+        lambda s: (s == 0) | (s + overlap < n),
     )
     chunks = F.transform(
         starts, lambda s: F.slice(tok, s + 1, max_tokens))

@@ -30,8 +30,12 @@ def _micros(ts_col: str) -> Column:
     """Epoch microseconds of a timestamp column, tolerant of TIMESTAMP_NTZ
     (parquet writers that set isAdjustedToUTC=false make Spark 4 infer NTZ,
     which `unix_micros` rejects). The NTZ→TZ cast interprets the value in
-    the session timezone; gap/bucket arithmetic only uses differences, so
-    the absolute offset is irrelevant."""
+    the session timezone — difference-safe ONLY under a fixed-offset zone
+    (a DST-shifting zone makes the naive→instant mapping non-linear, which
+    would corrupt gaps/buckets around transitions and leaves 'spring
+    forward' naive times unrepresentable). This engine pins the session to
+    UTC (core/session.py); callers embedding these operators elsewhere must
+    keep a fixed-offset session timezone for NTZ inputs."""
     return F.unix_micros(F.col(ts_col).cast("timestamp"))
 
 

@@ -53,6 +53,23 @@ def cosine(a: Column, b: Column) -> Column:
     return F.try_divide(dot(a, b), l2norm(a) * l2norm(b))
 
 
+def _rerank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Shared exact re-rank tail of every similarity operator: NaN-filtered
+    (NaN sorts above ALL doubles in Spark), total-order tie-break
+    (cos_sim DESC, item_id ASC), row_number top-k. One definition so a
+    future tie-break or NaN-policy change has exactly one site."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("item_id"))
+    return (
+        scored.filter(~F.isnan("cos_sim"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "item_id", "cos_sim", "rnk")
+    )
+
+
 def cosine_topk(items: DataFrame, queries: DataFrame, k: int = 5,
                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact brute-force top-k neighbors for each query vector.
@@ -76,17 +93,7 @@ def cosine_topk(items: DataFrame, queries: DataFrame, k: int = 5,
             F.round(cosine(F.col("qv"), F.col("iv")), 6).alias("cos_sim"),
         )
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("item_id")
-    )
-    return (
-        scored.filter(~F.isnan("cos_sim"))  # NaN sorts above ALL doubles
-        .withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "item_id", "cos_sim", "rnk")
-    )
+    return _rerank_topk(scored, k)
 
 
 def hyperplanes(dim: int, n_planes: int, seed: str = "wde") -> list[list[float]]:
@@ -164,15 +171,7 @@ def lsh_ann(items: DataFrame, queries: DataFrame, k: int = 5,
             F.round(cosine(F.col("qv"), F.col("iv")), 6).alias("cos_sim"),
         )
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("item_id"))
-    return (
-        scored.filter(~F.isnan("cos_sim"))  # NaN sorts above ALL doubles
-        .withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "item_id", "cos_sim", "rnk")
-    )
+    return _rerank_topk(scored, k)
 
 
 def _lsh_multi_sig_udf(spark, planes: list[list[float]], n_tables: int,
@@ -239,15 +238,7 @@ def lsh_ann_multi(items: DataFrame, queries: DataFrame, k: int = 5,
             F.round(cosine(F.col("qv"), F.col("iv")), 6).alias("cos_sim"),
         )
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("item_id"))
-    return (
-        scored.filter(~F.isnan("cos_sim"))
-        .withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "item_id", "cos_sim", "rnk")
-    )
+    return _rerank_topk(scored, k)
 
 
 def topk_recall_gate(approx: DataFrame, exact: DataFrame, n_queries: int,
@@ -412,15 +403,7 @@ def ivf_ann(items: DataFrame, queries: DataFrame, k: int = 5,
             F.round(cosine(F.col("qv"), F.col("iv")), 6).alias("cos_sim"),
         )
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("item_id"))
-    return (
-        scored.filter(~F.isnan("cos_sim"))  # NaN sorts above ALL doubles
-        .withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "item_id", "cos_sim", "rnk")
-    )
+    return _rerank_topk(scored, k)
 
 
 def embedding_neardup(items: DataFrame, threshold: float = 0.95,

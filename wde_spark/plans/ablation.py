@@ -82,18 +82,33 @@ def ablation_grid(nametable: DataFrame, cache: DataFrame,
         )
         .filter("has_data")
     )
-    hits = cache.select(
-        clean_query_string(F.col("qstr")).alias("q"),
-        F.col("qid").alias("pred"),
-    ).filter(F.col("q") != "").dropDuplicates(["q"])
+    # Deterministic pick when two raw cache keys clean to the same query
+    # string: min(qid) — dropDuplicates would keep a partition-order-
+    # dependent row and make the grid nondeterministic run to run.
+    hits = (
+        cache.select(
+            clean_query_string(F.col("qstr")).alias("q"),
+            F.col("qid").alias("pred"),
+        ).filter(F.col("q") != "")
+        .groupBy("q").agg(F.min("pred").alias("pred"))
+    )
+    # Success accounting mirrors the reference cell-by-cell where the replay
+    # CAN know the answer, and is conservative where it cannot:
+    #   blank query  → the reference never fires the request and records '',
+    #                  so ok ⇔ truth is also blank;
+    #   covered      → recorded top-1 vs truth;
+    #   uncovered    → the live API's answer is unknowable offline → counted
+    #                  as failure, never success (otherwise a blank truth_id
+    #                  plus a missing cache entry would fabricate successes).
     scored = (
         cells.join(F.broadcast(hits), "q", "left")
         .join(truth, list(key))
         .select(
             "variant", "combo",
             (F.col("pred").isNotNull() & (F.col("q") != "")).alias("covered"),
-            (F.coalesce(F.col("pred"), F.lit("")) == F.col("truth_id")
-             ).alias("ok"),
+            F.when(F.col("q") == "", F.col("truth_id") == "")
+            .when(F.col("pred").isNotNull(), F.col("pred") == F.col("truth_id"))
+            .otherwise(F.lit(False)).alias("ok"),
         )
     )
     one = lambda c: F.sum(F.when(c, 1).otherwise(0))

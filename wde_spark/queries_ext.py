@@ -1884,6 +1884,7 @@ def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     st AS (
       SELECT doc_id, toks, CAST(s AS INT) AS s
       FROM t, unnest(range(0, greatest(len(toks) - 1, 0) + 1, 56)) AS u(s)
+      WHERE s = 0 OR s + 8 < len(toks)
     )
     SELECT doc_id, CAST(s / 56 AS INT) AS chunk_idx,
            CAST(len(toks[s+1:s+64]) AS INT) AS n_tokens,
