@@ -85,6 +85,7 @@ HEADLINE = [
     "hll_distinct_gate",
     "quantile_sketch_gate",
     "winnowing_fingerprints_documents",
+    "session_events_bucketed",
 ]
 
 

@@ -401,3 +401,59 @@ def test_connected_components_raises_past_max_iter(spark):
         G.connected_components(df, max_iter=2)
     ok = {r.component for r in G.connected_components(df, max_iter=20).collect()}
     assert ok == {0}
+
+
+def test_sessionize_bucketed_equals_plain(spark):
+    """The skew-proof (user, bucket)-windowed sessionizer must assign the
+    exact session ids of the plain per-user window, including sessions that
+    chain across 3+ buckets and gaps exactly at the threshold."""
+    import datetime as dt
+
+    from wde_spark.operators.relational import sessionize, sessionize_bucketed
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: a session chaining across 3 daily buckets (events every 20h,
+    # gap threshold 1 day) then a clean break
+    for i in range(4):
+        rows.append((1, base + dt.timedelta(hours=20 * i)))
+    rows.append((1, base + dt.timedelta(days=30)))
+    # user 2: boundary exactness — second event exactly gap seconds later
+    # (same session: the rule is gap > threshold), third just beyond
+    rows.append((2, base))
+    rows.append((2, base + dt.timedelta(seconds=86400)))
+    rows.append((2, base + dt.timedelta(seconds=2 * 86400 + 1)))
+    # user 3: hot key — 500 events across 5 buckets, alternating dense/gap
+    for i in range(500):
+        rows.append((3, base + dt.timedelta(minutes=17 * i)))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+
+    plain = {(r.user_id, r.ts): r.session_id
+             for r in sessionize(df, "user_id", "ts", 86400).collect()}
+    bucketed = {(r.user_id, r.ts): r.session_id
+                for r in sessionize_bucketed(
+                    df, "user_id", "ts", 86400,
+                    bucket_seconds=86400).collect()}
+    assert plain == bucketed
+
+    # and with a bucket much larger than the gap
+    wide = {(r.user_id, r.ts): r.session_id
+            for r in sessionize_bucketed(
+                df, "user_id", "ts", 3600,
+                bucket_seconds=86400).collect()}
+    plain1h = {(r.user_id, r.ts): r.session_id
+               for r in sessionize(df, "user_id", "ts", 3600).collect()}
+    assert wide == plain1h
+
+
+def test_sessionize_bucketed_rejects_unsound_bucket(spark):
+    import pytest as _pytest
+
+    from wde_spark.operators.relational import sessionize_bucketed
+
+    df = spark.createDataFrame([(1, "2024-01-01 00:00:00")],
+                               "user_id long, ts string") \
+        .selectExpr("user_id", "cast(ts as timestamp) ts")
+    with _pytest.raises(AssertionError):
+        sessionize_bucketed(df, "user_id", "ts", gap_seconds=7200,
+                            bucket_seconds=3600)

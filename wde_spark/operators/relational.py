@@ -112,6 +112,87 @@ def sessionize(
     ).drop("__new")
 
 
+def sessionize_bucketed(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    bucket_seconds: int = 86400,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Skew-proof sessionization — identical output to `sessionize`, built
+    for the 100-TB failure mode that plain sessionization cannot survive: a
+    hot key (one user with a billion events) serializes its entire history
+    into ONE window task.
+
+    Shape: events are windowed within (user, time-bucket) — partitions are
+    bounded by bucket width no matter how hot the key — and sessions are
+    stitched across bucket boundaries through a per-(user, bucket) summary
+    table (n_sessions, first/last ts), which is smaller than the data by
+    the events-per-bucket factor. The summary gets the per-user global
+    window (cheap — one row per bucket), computing for each bucket whether
+    its first session merges with the previous bucket's last session and
+    the cumulative session count before it; joining that back on
+    (user, bucket) — the key the data is already partitioned by — converts
+    local session ordinals to global ones.
+
+    Correctness requires bucket_seconds >= gap_seconds: a missing
+    intermediate bucket then guarantees the boundary gap exceeds
+    `gap_seconds`, so only ADJACENT buckets can ever merge. Sessions
+    spanning 3+ buckets chain through single-session buckets that
+    contribute zero new sessions (n_sessions=1, merged into the previous).
+    Equality with `sessionize` is asserted in tests."""
+    assert bucket_seconds >= gap_seconds, \
+        "bucket must be at least the session gap (boundary-merge soundness)"
+    us = _micros(ts_col)
+    bus = bucket_seconds * 1_000_000
+    gus = gap_seconds * 1_000_000
+    data = df.withColumn("__us", us).withColumn(
+        "__b", F.floor(F.col("__us") / F.lit(bus)))
+
+    wl = Window.partitionBy(user_col, "__b").orderBy("__us")
+    gap = F.col("__us") - F.lag("__us").over(wl)
+    local = data.withColumn(
+        "__new", F.when(gap.isNull() | (gap > gus), 1).otherwise(0)
+    ).withColumn(
+        "__s_local",
+        F.sum("__new").over(wl.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+    summary = local.groupBy(user_col, "__b").agg(
+        F.max("__s_local").alias("__n"),
+        F.min("__us").alias("__first"),
+        F.max("__us").alias("__last"),
+    )
+    ws = Window.partitionBy(user_col).orderBy("__b")
+    merged = summary.withColumn(
+        "__merge_prev",
+        F.when(
+            (F.col("__b") == F.lag("__b").over(ws) + 1)
+            & (F.col("__first") - F.lag("__last").over(ws) <= gus),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "__cum_before",
+        F.coalesce(
+            F.sum(F.col("__n") - F.col("__merge_prev")).over(
+                ws.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    ).select(user_col, "__b", "__merge_prev", "__cum_before")
+
+    return (
+        local.join(merged, [user_col, "__b"])
+        .withColumn(
+            session_col,
+            (F.col("__cum_before") + F.col("__s_local")
+             - F.col("__merge_prev")).cast("long"),
+        )
+        .drop("__us", "__b", "__new", "__s_local", "__merge_prev",
+              "__cum_before")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -1444,6 +1444,41 @@ def session_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SW.session_agg(ev, gap_seconds=1800)
 
 
+@query(
+    "session_events_bucketed",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 4) AS sum_value,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def session_events_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof sessionization — the SAME sessions as `session_events`
+    (identical oracle), computed with windows bounded to (user, 1-day
+    bucket) partitions and stitched through a per-bucket summary
+    (`operators/relational.sessionize_bucketed`). The form a 100-TB
+    pipeline needs when one hot key would serialize the plain per-user
+    window into a single task."""
+    ev = load_table(spark, sf_dir, "events")
+    return SW.session_agg(ev, gap_seconds=1800, bucketed=True)
+
+
 # ---------------------------------------------------------------------------
 # string-function library (F1-F19) exercised end-to-end
 # ---------------------------------------------------------------------------

@@ -65,11 +65,21 @@ def sliding(events: DataFrame, width: str = "1 hour",
     )
 
 
-def session_agg(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+def session_agg(events: DataFrame, gap_seconds: int = 1800,
+                bucketed: bool = False,
+                bucket_seconds: int = 86400) -> DataFrame:
     """Batch sessionization: per-user sessions split on inactivity gaps,
     aggregated. Same semantics as streaming `session_window` for a static
-    input."""
-    s = sessionize(events, "user_id", "ts", gap_seconds)
+    input. `bucketed=True` uses the skew-proof (user, time-bucket) form
+    (`relational.sessionize_bucketed`) — identical output, bounded window
+    partitions for hot keys."""
+    if bucketed:
+        from ..operators.relational import sessionize_bucketed
+
+        s = sessionize_bucketed(events, "user_id", "ts", gap_seconds,
+                                bucket_seconds)
+    else:
+        s = sessionize(events, "user_id", "ts", gap_seconds)
     return s.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),
         _sum_value().alias("sum_value"),
