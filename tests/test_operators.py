@@ -457,3 +457,26 @@ def test_sessionize_bucketed_rejects_unsound_bucket(spark):
     with _pytest.raises(AssertionError):
         sessionize_bucketed(df, "user_id", "ts", gap_seconds=7200,
                             bucket_seconds=3600)
+
+
+def test_salted_topk_and_agg_lww_equal_plain_forms(spark):
+    """The hot-key-proof variants must equal the plain window forms on a
+    skewed input (one key holding 80% of rows, with duplicate order
+    values)."""
+    rows = [(1, i, float(i % 37)) for i in range(800)]
+    rows += [(2, 1000 + i, float(i)) for i in range(50)]
+    rows += [(3, 2000, 5.0)]
+    df = spark.createDataFrame(rows, "k long, id long, v double")
+
+    plain = {(r.k, r.id) for r in R.top_k_per_group(
+        df, ["k"], [F.desc("v"), F.asc("id")], 4).collect()}
+    salted = {(r.k, r.id) for r in R.top_k_per_group_salted(
+        df, ["k"], [F.desc("v"), F.asc("id")], 4, n_salts=8).collect()}
+    assert plain == salted
+
+    keyed = df.withColumn("__ord", F.struct(F.col("v"), F.col("id")))
+    w = {r.k: r.id for r in R.last_write_wins(
+        keyed, ["k"], F.col("__ord")).collect()}
+    a = {r.k: r.id for r in R.last_write_wins_agg(
+        keyed, ["k"], F.col("__ord")).collect()}
+    assert w == a

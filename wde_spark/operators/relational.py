@@ -67,6 +67,51 @@ def last_write_wins(
     )
 
 
+def last_write_wins_agg(
+    df: DataFrame, key_cols: Sequence[str], order_col: Column
+) -> DataFrame:
+    """`last_write_wins` as a hash AGGREGATION instead of a window:
+    max_by(struct(everything), order) with map-side partial aggregation —
+    each partition reduces a hot key to ONE row before the shuffle, so a
+    key holding half the table costs the same as any other (the window
+    form must materialize and sort the hot key's entire partition in one
+    task). Same result whenever `order_col` is unique per key; on order
+    ties the window form keeps an arbitrary-but-single row and this form
+    keeps max_by's pick, both deterministic only with a total order —
+    thread a tiebreak into `order_col` when ties are possible."""
+    payload = F.struct(*[F.col(c) for c in df.columns])
+    out = df.groupBy(*[F.col(c) for c in key_cols]).agg(
+        F.max_by(payload, order_col).alias("__row"))
+    return out.select(*[F.col(f"__row.{c}").alias(c)
+                        for c in df.columns])
+
+
+def top_k_per_group_salted(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[Column],
+    k: int,
+    n_salts: int = 16,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """`top_k_per_group` for hot keys: phase 1 takes a LOCAL top-k within
+    (group, salt) — bounded partitions regardless of key skew, salt =
+    deterministic hash of the full row so reruns agree — and phase 2 ranks
+    only the surviving <= n_salts*k rows per group. Identical output to the
+    plain form for any total ordering; the hot key's window work drops from
+    O(n log n) in one task to O((n/s) log(n/s)) across s tasks."""
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]),
+                  F.lit(n_salts))
+    w1 = Window.partitionBy(*list(group_cols), "__salt").orderBy(*order_cols)
+    survivors = (
+        df.withColumn("__salt", salt)
+        .withColumn("__lrn", F.row_number().over(w1))
+        .filter(F.col("__lrn") <= k)
+        .drop("__salt", "__lrn")
+    )
+    return top_k_per_group(survivors, group_cols, order_cols, k, rank_col)
+
+
 def carry_forward(
     df: DataFrame,
     partition_cols: Sequence[str],

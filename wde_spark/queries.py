@@ -478,6 +478,63 @@ def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "topk_orders_salted",
+    """
+    SELECT o_custkey, o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS totalprice, rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice, ROW_NUMBER() OVER (
+        PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def topk_orders_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-proof top-k — the SAME top-3 as `topk_orders_per_customer`
+    (identical oracle), computed as local top-k within (key, salt) then a
+    final rank over <= salts*k survivors per key
+    (`relational.top_k_per_group_salted`). A key owning half the table
+    costs the same as any other."""
+    o = load_table(spark, sf_dir, "orders")
+    return R.top_k_per_group_salted(
+        o, ["o_custkey"], [F.desc("o_totalprice"), F.asc("o_orderkey")], 3
+    ).select(
+        "o_custkey",
+        "o_orderkey",
+        _dec(F.col("o_totalprice")).cast("double").alias("totalprice"),
+        F.col("rn").cast("long").alias("rn"),
+    )
+
+
+@query(
+    "lww_latest_order_agg",
+    """
+    SELECT o_custkey, o_orderkey AS latest_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS latest_orderdate
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def lww_latest_order_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-write-wins as a hash AGGREGATION (max_by over a total order) —
+    identical result and oracle as `lww_latest_order`, but map-side partial
+    aggregation collapses a hot key to one row per partition BEFORE the
+    shuffle, where the window form sorts the hot key's whole history in a
+    single task (`relational.last_write_wins_agg`)."""
+    o = load_table(spark, sf_dir, "orders")
+    keyed = o.withColumn(
+        "__ord", F.struct(F.col("o_orderdate"), F.col("o_orderkey"))
+    )
+    return R.last_write_wins_agg(keyed, ["o_custkey"], F.col("__ord")).select(
+        "o_custkey",
+        F.col("o_orderkey").alias("latest_orderkey"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("latest_orderdate"),
+    )
+
+
+@query(
     "carry_forward_purchase",
     """
     SELECT event_id, user_id,
