@@ -1,0 +1,65 @@
+"""Regenerate PLANS.md: live executed-plan audit of representative queries.
+
+Usage: python tools/gen_plans.py [sf_dir]
+
+Each pick pairs a query with the scale property its plan must exhibit; the
+same properties are pinned by tests/test_plan_hygiene.py. Plans are the
+AQE-final executed plans (each query is collect()ed first).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PICKS = {
+    "q1_pricing_summary": "TPC-H Q1: the scan must carry the pushed shipdate filter and prune to the 7 needed columns; one hash agg.",
+    "q6_forecast_revenue": "Every predicate (date band, discount band, quantity cap) pushed to the parquet scan; 4 of 11 columns read.",
+    "merge_changeset_orders": "MERGE: broadcast left join + union — ZERO hash-partition exchanges, so a 100 TB snapshot merges in one scan.",
+    "asof_join_purchase_view": "As-of join as union+carry-forward: ONE exchange on the key, never a range-pair explosion.",
+    "exact_dedup_documents": "Tier-1 dedup: exactly one exchange (the fingerprint groupBy).",
+    "neardup_lsh_verified": "LSH near-dup: shingle table reused (InMemoryTableScan), candidates via band-hash equi-join, Jaccard only on candidates.",
+    "lsh_ann_embeddings": "Multi-table ANN: signature equi-join + distinct candidate ids; payloads fetched back by id; no nested loop.",
+    "session_events_bucketed": "Skew-proof sessionization: windows on (user, bucket); the cross-bucket stitch joins a per-bucket summary on the same key.",
+    "chunk_documents_windows": "Context-window chunking: zero exchanges — pure scan-side array arithmetic + posexplode.",
+    "topk_orders_salted": "Hot-key top-k: local rank within (key, salt), final rank over bounded survivors.",
+}
+
+HEADER = """# PLANS — physical-plan audit of representative queries
+
+Generated from live `.explain` output (`python tools/gen_plans.py`, this
+file) at sf0.01 on the current tree. For each query: why this plan is the
+one a 1000-executor / 100 TB run wants, then the executed plan. The
+properties called out here are pinned by `tests/test_plan_hygiene.py` so
+they cannot silently regress.
+"""
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    from wde_spark.core.session import get_session
+    from wde_spark.queries import QUERIES
+
+    spark = get_session("plans", cpus=16)
+    out = [HEADER]
+    for name, why in PICKS.items():
+        df = QUERIES[name](spark, sf_dir)
+        df.collect()  # let AQE finalize the plan
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        lines = plan.splitlines()
+        if len(lines) > 60:
+            lines = lines[:60] + [f"... ({len(plan.splitlines()) - 60} more lines)"]
+        out.append(f"## {name}\n\n{why}\n\n```\n" + "\n".join(lines) + "\n```\n")
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "PLANS.md"), "w") as fh:
+        fh.write("\n".join(out))
+    print("wrote PLANS.md")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
