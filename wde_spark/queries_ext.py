@@ -2041,3 +2041,36 @@ def train_val_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"),
              F.countDistinct("source").alias("n_sources"))
     )
+
+
+@query(
+    "freq_items_gate",
+    """
+    WITH f AS (
+      SELECT source, COUNT(*) AS c FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(c) AS n FROM f)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_true_frequent, TRUE AS freq_ok
+    FROM f, tot WHERE c >= 0.04 * n
+    """,
+)
+def freq_items_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitters sketch gate: `freqItems` (the Karp/Shenker/Papadimitriou
+    one-pass frequent-items sketch — bounded memory, mergeable, the 100-TB
+    alternative to a full groupBy for 'what dominates this column') must
+    return a SUPERSET of the exact >= 4%-frequency sources, the guarantee
+    the algorithm provides (false positives allowed, false negatives not).
+    The oracle states the exact frequent-item count and the gate boolean."""
+    d = load_table(spark, sf_dir, "documents")
+    sketch = set(d.stat.freqItems(["source"], 0.04).collect()[0][0])
+    exact = (
+        d.groupBy("source").count()
+        .join(F.broadcast(d.agg(F.count("*").alias("n"))))
+        .filter(F.col("count") >= 0.04 * F.col("n"))
+        .select("source")
+    )
+    truth = {r.source for r in exact.collect()}
+    return spark.createDataFrame(
+        [(len(truth), truth.issubset(sketch))],
+        "n_true_frequent long, freq_ok boolean",
+    )
