@@ -44,9 +44,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL equivalent for each query (omitted for the
-    engine-specific ops — LSH/IVF-ANN and the stubbed multimodal
-    featurizer — which get rows-only checks)."""
+    """DuckDB-runnable SQL equivalent for EVERY query — including the ANN
+    paths (the LSH oracle re-derives the md5 hyperplanes in SQL; the IVF
+    oracle unrolls the deterministic 2-iteration k-means) and the
+    approximate sketches/recall paths (property gates stated as constant
+    rows). No rows-only entries remain."""
     from wde_spark.queries import ORACLE
 
     return dict(ORACLE)
