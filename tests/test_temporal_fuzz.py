@@ -116,3 +116,43 @@ def test_connected_components_matches_union_find(spark, edges):
         roots[find(r)] = min(roots.get(find(r), n), n)
     expect = {n: roots[find(n)] for n in parent}
     assert got == expect
+
+
+sess_events = st.lists(
+    st.tuples(st.integers(0, 2),        # user
+              st.integers(0, 500)),     # seconds offset (spans >3 buckets
+    min_size=0, max_size=24)            #  at bucket_seconds=120)
+
+
+@settings(max_examples=12, deadline=None)
+@given(rows=sess_events, gap=st.integers(30, 120))
+def test_sessionize_bucketed_fuzz_equals_plain(spark, rows, gap):
+    """Bucketed sessionization == plain sessionization for arbitrary event
+    sets and gap thresholds, with buckets as small as soundness allows
+    (bucket = gap), forcing heavy boundary merging and multi-bucket
+    chains — the regime the fixed-fixture test cannot sweep."""
+    df = spark.createDataFrame(
+        [(u, _ts(s)) for u, s in rows], "user_id long, ts timestamp")
+    plain = {(r.user_id, r.ts, r.session_id)
+             for r in R.sessionize(df, "user_id", "ts", gap).collect()}
+    buck = {(r.user_id, r.ts, r.session_id)
+            for r in R.sessionize_bucketed(
+                df, "user_id", "ts", gap, bucket_seconds=gap).collect()}
+    assert plain == buck
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 30)),
+                     min_size=0, max_size=20),
+       k=st.integers(1, 4))
+def test_salted_topk_fuzz_equals_plain(spark, rows, k):
+    """Salted top-k == plain top-k for arbitrary inputs including heavy
+    duplicate order values (total order comes from the id tiebreak)."""
+    df = spark.createDataFrame(
+        [(u, i, float(v)) for i, (u, v) in enumerate(rows)],
+        "k long, id long, v double")
+    plain = {(r.k, r.id, r.rn) for r in R.top_k_per_group(
+        df, ["k"], [F.desc("v"), F.asc("id")], k).collect()}
+    salted = {(r.k, r.id, r.rn) for r in R.top_k_per_group_salted(
+        df, ["k"], [F.desc("v"), F.asc("id")], k, n_salts=4).collect()}
+    assert plain == salted
