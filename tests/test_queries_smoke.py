@@ -16,10 +16,22 @@ def test_query_runs(spark, name):
 
 
 def test_oracle_coverage():
-    # every query either has an oracle or is explicitly engine-specific
-    rows_only = set(QUERIES) - set(ORACLE)
-    assert rows_only <= {
-        "lsh_ann_embeddings", "multimodal_features", "ivf_ann_embeddings"}
+    # since round 3 EVERY registered query carries a DuckDB oracle (the ANN
+    # paths replay their algorithms in SQL; approximate sketches/recall use
+    # constant-row property gates)
+    assert set(QUERIES) == set(ORACLE)
+
+
+def test_driver_priority_window():
+    """The round driver hash-checks the first 50 registry entries; that
+    window must stay exactly 50, all oracled, and family-curated (the
+    _DRIVER_PRIORITY list drives the ordering)."""
+    from wde_spark.queries import _DRIVER_PRIORITY
+
+    first50 = list(QUERIES)[:50]
+    assert first50 == _DRIVER_PRIORITY
+    assert len(_DRIVER_PRIORITY) == 50
+    assert all(n in ORACLE for n in first50)
 
 
 def test_entry_contract(spark):
