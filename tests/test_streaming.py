@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from conftest import SF_SMOKE
+from pyspark.sql import functions as F
 
 from wde_spark.core.catalog import load_table
 from wde_spark.streaming import windows as SW
@@ -154,3 +155,48 @@ def test_streaming_cdc_apply_matches_sequential_merge(spark, tmp_path):
     assert sorted(os.listdir(target)) == versions_before
     got2 = {r.k: (r.name, r.val) for r in read_snapshot(spark, target).collect()}
     assert got2 == got
+
+
+def test_streaming_doc_neardup_matches_batch(spark, tmp_path):
+    """The streaming dedup tier (row-local fingerprints + band keys,
+    exact-dedup on the stream, stream-static LSH index join) must flag the
+    same (stream doc, index doc) band collisions as the batch
+    minhash_lsh_pairs between the two sets."""
+    import os as _os
+
+    from wde_spark.core.catalog import load_table
+    from wde_spark.operators.dedup import minhash_lsh_pairs
+    from wde_spark.streaming.windows import streaming_doc_neardup
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    index = docs.filter(F.col("doc_id") % 2 == 0)
+    stream_docs = docs.filter(F.col("doc_id") % 2 == 1)
+    src = tmp_path / "docstream"
+    _os.makedirs(src)
+    stream_docs.coalesce(1).write.parquet(str(src / "chunk_0.parquet"))
+
+    out = {r.doc_id: r.matched_index_docs
+           for r in streaming_doc_neardup(spark, str(src) + "/*",
+                                          index).collect()}
+
+    # batch truth: band-collision pairs between the two halves (union both
+    # directions of the id inequality), counted per stream doc
+    both = minhash_lsh_pairs(docs, shingle_k=2)
+    pairs = [(r.id_a, r.id_b) for r in both.collect()]
+    expect = {}
+    for a, b in pairs:
+        if a % 2 == 1 and b % 2 == 0:
+            expect.setdefault(a, set()).add(b)
+        if b % 2 == 1 and a % 2 == 0:
+            expect.setdefault(b, set()).add(a)
+
+    # every streamed doc appears exactly once (exact-dedup keeps one per fp)
+    n_unique_fp = stream_docs.select(
+        F.md5(F.expr("regexp_replace(lower(text), '[^a-z0-9]+', '')"))
+    ).distinct().count()
+    assert len(out) <= stream_docs.count()
+    assert len(out) >= n_unique_fp - 5  # fingerprint form differs slightly
+
+    for doc_id, n in out.items():
+        assert n == len(expect.get(doc_id, set())), \
+            f"doc {doc_id}: streaming={n} batch={len(expect.get(doc_id, set()))}"

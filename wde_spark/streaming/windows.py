@@ -286,3 +286,109 @@ def streaming_session(spark: SparkSession, sf_dir: str,
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {name}")
+
+
+def streaming_doc_neardup(spark: SparkSession, docs_dir: str,
+                          index_docs: DataFrame,
+                          shingle_k: int = 2) -> DataFrame:
+    """The document dedup tier in STREAMING form — new documents arrive as
+    a stream, and each is (a) exact-deduplicated against the stream itself
+    and (b) flagged against a STATIC near-dup index of the existing corpus:
+
+      stream side: canonical md5 fingerprint + per-table LSH band keys
+                   computed row-locally (same expressions as batch tier 1/3
+                   — signatures never depend on other rows, so the batch
+                   column code IS the streaming code);
+      exact tier:  dropDuplicates on the fingerprint (state bounded by the
+                   static input here; on an unbounded ingest use
+                   dropDuplicatesWithinWatermark exactly like
+                   `streaming_dedup`);
+      near tier:   stream-static LEFT join against the index's band keys —
+                   Spark broadcasts/rescans the static side per
+                   micro-batch, no stream-side state.
+
+    Returns one row per surviving (exact-unique) streamed doc with
+    `matched_index_docs` = number of distinct index documents sharing a
+    band key (0 → no near-dup suspects in the corpus). Candidate semantics
+    equal batch `minhash_lsh_pairs` between stream and index; the test
+    proves exactly that."""
+    from ..operators.dedup import minhash_signatures
+    from ..functions.strings import norm_compare
+
+    # static index: (band_idx, band_hash, doc_id), built with the batch code
+    idx_sig = minhash_signatures(index_docs, num_hashes=16,
+                                 shingle_k=shingle_k)
+    rpb = 4
+    band_cols = [
+        F.md5(F.concat_ws("|", *[F.col(f"mh_{b * rpb + r}")
+                                 for r in range(rpb)])).alias(f"band_{b}")
+        for b in range(4)
+    ]
+    idx_bands = idx_sig.select(F.col("doc_id").alias("index_doc_id"),
+                               *band_cols).select(
+        "index_doc_id",
+        F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(4)]))
+        .alias("band_idx", "band_hash"),
+    )
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("doc_id long, url string, lang string, source string, "
+                "ts_crawl timestamp_ntz, text string, quality double")
+        .load(docs_dir)
+        .select("doc_id", "text")
+        .withColumn("fp", F.md5(norm_compare(F.col("text"))))
+        .dropDuplicates(["fp"])
+    )
+    # Stream-side signatures must be ROW-LOCAL (an aggregation per doc_id
+    # would be a second stateful stage); the minhash is a per-row array
+    # fold over the shingle array — same hash family as the batch
+    # minhash_signatures, proven equal in the test.
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    n = F.size(toks)
+    sh = F.when(
+        n >= shingle_k,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(0), n - shingle_k),
+            lambda i: F.array_join(F.slice(toks, i + 1, shingle_k), " "),
+        )),
+    ).otherwise(F.array(F.array_join(toks, " ")))
+    # NB: the per-permutation index must be bound via a closure factory —
+    # a `lambda s, j=j:` two-parameter lambda makes F.transform pass the
+    # ARRAY INDEX as the second argument, silently shadowing j.
+    def _mh(j: int):
+        return F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{j}|"), s)))
+        ).alias(f"mh_{j}")
+
+    mh = [_mh(j) for j in range(16)]
+    banded = stream.select("doc_id", "fp", *mh).select(
+        "doc_id", "fp",
+        F.posexplode(F.array(*[
+            F.md5(F.concat_ws("|", *[F.col(f"mh_{b * rpb + r}")
+                                     for r in range(rpb)]))
+            for b in range(4)
+        ])).alias("band_idx", "band_hash"),
+    )
+    # distinct aggregations are unsupported on streams — dedupe the
+    # (stream doc, index doc) pair stream with stateful dropDuplicates,
+    # then a plain conditional count (a doc hitting an index doc through
+    # several bands still counts it once)
+    joined = (
+        banded.join(idx_bands, ["band_idx", "band_hash"], "left")
+        .dropDuplicates(["doc_id", "index_doc_id"])
+        .groupBy("doc_id")
+        .agg(F.sum(
+            F.when(F.col("index_doc_id").isNotNull(), 1).otherwise(0)
+        ).alias("matched_index_docs"))
+    )
+    name = "wde_stream_neardup"
+    q = (
+        joined.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
