@@ -174,3 +174,45 @@ def test_lsh_multi_candidate_join_is_equi(spark):
 
     plan = _plan(QUERIES["lsh_ann_embeddings"](spark, SF_CORRECT))
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_no_cartesian_or_undeclared_python_anywhere(spark):
+    """Blanket sweep over the ENTIRE registry: no query's plan may contain
+    a cartesian product / broadcast nested loop (the two exact-baseline
+    queries declare a bounded one) or Python evaluation outside the
+    declared Arrow boundaries (multimodal kernels, ANN signature/quantizer
+    UDFs). Catches any future query that accidentally regresses to a
+    cross product or a row-at-a-time UDF."""
+    from wde_spark.queries import QUERIES
+
+    # declared: the exact all-pairs baselines (oracle anchors, bounded
+    # inputs by construction), plus queries whose "nested loop" is a
+    # broadcast of a ONE-ROW aggregate (the scalar-subquery physical form:
+    # total-revenue / threshold / corpus-size sides — O(n), scale-safe)
+    cartesian_ok = {"embedding_neardup_exact", "hybrid_neardup_pairs",
+                    "cosine_topk_embeddings", "lsh_ann_recall_gate",
+                    "ivf_ann_recall_gate",
+                    "q11_supplier_share", "q22_idle_rich_customers",
+                    "tfidf_top_terms_documents"}
+    # declared Arrow/Python boundaries
+    python_ok = {"multimodal_frames", "multimodal_features",
+                 "multimodal_resize", "multimodal_audio_chunks",
+                 "lsh_ann_embeddings", "lsh_ann_recall_gate",
+                 "ivf_ann_embeddings", "ivf_ann_recall_gate",
+                 "resolve_ladder_parts", "hybrid_neardup_pairs"}
+    bad = {}
+    for name, fn in QUERIES.items():
+        try:
+            plan = _plan(fn(spark, SF_CORRECT))
+        except Exception as e:  # a query that cannot even plan is a failure
+            bad[name] = f"plan error: {e}"
+            continue
+        has_cart = ("CartesianProduct" in plan
+                    or "BroadcastNestedLoopJoin" in plan)
+        has_py = ("BatchEvalPython" in plan or "ArrowEvalPython" in plan
+                  or "MapInPandas" in plan)
+        if has_cart and name not in cartesian_ok:
+            bad[name] = "cartesian/nested-loop join"
+        if has_py and name not in python_ok:
+            bad[name] = bad.get(name, "") + " undeclared python node"
+    assert not bad, f"plan regressions: {bad}"
