@@ -112,3 +112,34 @@ def test_winnowing_short_and_empty_docs(spark):
         out.setdefault(r.doc_id, []).append(r.fp)
     # shorter than one gram -> exactly one fingerprint (hash of what exists)
     assert len(out[1]) == 1 and len(out[2]) == 1
+
+
+def test_chunk_documents_properties_fuzz(spark):
+    """Chunking invariants over a sweep of (n_tokens, max_tokens, overlap):
+    full coverage (every token in some chunk), bounded size, correct
+    consecutive overlap, and no chunk made entirely of carried-over
+    tokens."""
+    cases = [(n, m, o) for n in (1, 3, 7, 8, 9, 16, 17, 63, 64, 65, 120)
+             for m, o in ((8, 0), (8, 3), (8, 7), (64, 8))]
+    rows = [(i, " ".join(f"w{j}" for j in range(n)))
+            for i, (n, _, _) in enumerate(cases)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for i, (n, m, o) in enumerate(cases):
+        out = sorted(
+            CU.chunk_documents(docs.filter(F.col("doc_id") == i),
+                               max_tokens=m, overlap=o).collect(),
+            key=lambda r: r.chunk_idx)
+        toks = [f"w{j}" for j in range(n)]
+        covered = []
+        prev_tokens = None
+        for r in out:
+            ck = r.chunk_text.split()
+            assert len(ck) <= m, (n, m, o)
+            covered.extend(ck)
+            if prev_tokens is not None:
+                shared = set(prev_tokens) & set(ck)
+                assert len(shared) <= o or len(ck) <= o, (n, m, o)
+                assert len(set(ck) - set(prev_tokens)) > 0, \
+                    f"wholly-redundant chunk at {(n, m, o)}"
+            prev_tokens = ck
+        assert set(covered) == set(toks), (n, m, o)
