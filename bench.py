@@ -31,6 +31,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Sentinel seconds billed to a query that raises: large enough that a crash
+# regression always shows up as a worse headline total, finite so the line
+# stays driver-parseable.
+ERROR_PENALTY_SEC = 120.0
+
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -131,6 +136,10 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             for r in runs:
                 r.pop(name, None)
+            # Charge a sentinel penalty so a crash regression can only
+            # DEGRADE the headline total (an excluded query would silently
+            # improve it and make round-over-round totals incomparable).
+            best[name] = ERROR_PENALTY_SEC
         spark.catalog.clearCache()
 
     total = round(sum(best.values()), 3)

@@ -1000,7 +1000,7 @@ def funnel_signup_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
            MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
     FROM events GROUP BY event_type
@@ -1615,18 +1615,24 @@ def q21_single_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(ROUND(o_totalprice * CAST(1.1 AS DECIMAL(3,2)), 2)
                   AS DECIMAL(12,2)) AS new_price
       FROM snap WHERE o_orderkey % 17 IN (1, 5)
+    ),
+    merged AS (
+      SELECT s.o_orderkey, s.o_custkey,
+             CASE WHEN u.o_orderkey IS NOT NULL THEN 'M'
+                  ELSE s.o_orderstatus END AS o_orderstatus,
+             CASE WHEN u.o_orderkey IS NOT NULL THEN u.new_price
+                  ELSE s.o_totalprice END AS o_totalprice,
+             s.o_orderdate
+      FROM snap s LEFT JOIN upd u ON s.o_orderkey = u.o_orderkey
+      WHERE s.o_orderkey % 17 <> 0
+      UNION ALL
+      SELECT o_orderkey + 1000000000, o_custkey, 'N', o_totalprice, o_orderdate
+      FROM snap WHERE o_orderkey % 17 = 3
     )
-    SELECT s.o_orderkey, s.o_custkey,
-           CASE WHEN u.o_orderkey IS NOT NULL THEN 'M'
-                ELSE s.o_orderstatus END AS o_orderstatus,
-           CASE WHEN u.o_orderkey IS NOT NULL THEN u.new_price
-                ELSE s.o_totalprice END AS o_totalprice,
-           s.o_orderdate
-    FROM snap s LEFT JOIN upd u ON s.o_orderkey = u.o_orderkey
-    WHERE s.o_orderkey % 17 <> 0
-    UNION ALL
-    SELECT o_orderkey + 1000000000, o_custkey, 'N', o_totalprice, o_orderdate
-    FROM snap WHERE o_orderkey % 17 = 3
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           ROUND(CAST(o_totalprice AS DOUBLE), 2) AS o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate
+    FROM merged
     """,
 )
 def merge_changeset_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1662,7 +1668,16 @@ def merge_changeset_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("N").alias("o_orderstatus"), "o_totalprice", "o_orderdate",
     )
     ch = upd.unionByName(dels).unionByName(ins)
-    return R.merge_changeset(snap, ch, "o_orderkey")
+    merged = R.merge_changeset(snap, ch, "o_orderkey")
+    # Hash-stable output surface: DECIMAL and TIMESTAMP_NTZ render
+    # differently across engines in the driver's canonicalizer, so the
+    # hashed columns are cast to DOUBLE / formatted string on BOTH sides
+    # (same recipe as the r1 q12 HUGEINT fix).
+    return merged.select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.round(F.col("o_totalprice").cast("double"), 2).alias("o_totalprice"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("o_orderdate"),
+    )
 
 
 @query(
@@ -2051,22 +2066,24 @@ def train_val_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tot AS (SELECT SUM(c) AS n FROM f)
     SELECT CAST(COUNT(*) AS BIGINT) AS n_true_frequent, TRUE AS freq_ok
-    FROM f, tot WHERE c >= 0.04 * n
+    FROM f, tot WHERE c > 0.04 * n
     """,
 )
 def freq_items_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-hitters sketch gate: `freqItems` (the Karp/Shenker/Papadimitriou
     one-pass frequent-items sketch — bounded memory, mergeable, the 100-TB
     alternative to a full groupBy for 'what dominates this column') must
-    return a SUPERSET of the exact >= 4%-frequency sources, the guarantee
-    the algorithm provides (false positives allowed, false negatives not).
+    return a SUPERSET of the sources with frequency STRICTLY above 4%, the
+    guarantee the algorithm provides (false positives allowed, false
+    negatives only for items at or below the support — an exactly-4% item
+    can legitimately be absent, so the exact side uses `>`, not `>=`).
     The oracle states the exact frequent-item count and the gate boolean."""
     d = load_table(spark, sf_dir, "documents")
     sketch = set(d.stat.freqItems(["source"], 0.04).collect()[0][0])
     exact = (
         d.groupBy("source").count()
         .join(F.broadcast(d.agg(F.count("*").alias("n"))))
-        .filter(F.col("count") >= 0.04 * F.col("n"))
+        .filter(F.col("count") > 0.04 * F.col("n"))
         .select("source")
     )
     truth = {r.source for r in exact.collect()}
