@@ -389,18 +389,56 @@ def test_ivf_fewer_vectors_than_cells(spark):
     assert ids and ids <= {1, 2, 3, 4}
 
 
-def test_connected_components_raises_past_max_iter(spark):
-    """A chain longer than max_iter propagation rounds must raise, not
-    silently return split components."""
+def test_connected_components_label_raises_auto_escalates(spark):
+    """With algorithm="label" a chain longer than max_iter rounds must
+    raise, never silently return split components; the default "auto"
+    escalates to large-star/small-star and still returns the right
+    answer."""
     import pytest as _pytest
     from wde_spark.operators import graph as G
 
     chain = [(i, i + 1) for i in range(12)]
     df = spark.createDataFrame(chain, "id_a long, id_b long")
     with _pytest.raises(RuntimeError, match="did not converge"):
-        G.connected_components(df, max_iter=2)
+        G.connected_components(df, max_iter=2, algorithm="label")
+    ok = {r.component
+          for r in G.connected_components(df, max_iter=2).collect()}
+    assert ok == {0}
     ok = {r.component for r in G.connected_components(df, max_iter=20).collect()}
     assert ok == {0}
+
+
+def test_connected_components_star_path_1000(spark):
+    """The Kiveris et al. escalation path: a 1,000-node path graph
+    (diameter 999 — min-label propagation would need 999 rounds) closes
+    in O(log n) large-star/small-star alternations, every node labeled
+    with the path's minimum."""
+    from wde_spark.operators import graph as G
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(999)], "id_a long, id_b long")
+    out = {r.node: r.component
+           for r in G.connected_components_star(df).collect()}
+    assert len(out) == 1000
+    assert set(out.values()) == {0}
+
+
+def test_connected_components_star_matches_label(spark):
+    """Star and label propagation agree on a mixed graph: cliques,
+    a chain, an isolated pair, self-loops, and reversed/duplicate edges."""
+    from wde_spark.operators import graph as G
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5),       # chain
+             (10, 11), (11, 12), (10, 12),         # triangle
+             (20, 21), (21, 20), (20, 21),         # dup + reversed pair
+             (30, 30)]                             # self-loop
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    star = {(r.node, r.component)
+            for r in G.connected_components_star(df).collect()}
+    label = {(r.node, r.component)
+             for r in G.connected_components(df, algorithm="label").collect()}
+    assert star == label
+    assert (30, 30) in star  # self-loop node kept, labeled itself
 
 
 def test_sessionize_bucketed_equals_plain(spark):
@@ -480,3 +518,24 @@ def test_salted_topk_and_agg_lww_equal_plain_forms(spark):
     a = {r.k: r.id for r in R.last_write_wins_agg(
         keyed, ["k"], F.col("__ord")).collect()}
     assert w == a
+
+
+def test_build_mapper_overflow_cap(spark):
+    """The reinjection mapper is a driver-side collect (bounded model
+    state, ~19k names in the real corpus). Past the cap it must raise with
+    instructions, and the collect itself is limit-bounded so even a
+    pathological input can't OOM the driver before the check fires."""
+    import pytest as _pytest
+    from wde_spark.plans import reinject as RJ
+
+    nt = spark.range(10).select(
+        F.concat(F.lit("name_"), F.col("id")).alias("tei_name"),
+        F.concat(F.lit("Q"), F.col("id")).alias("wd_id"),
+        F.lit(1).alias("catalogue_id"),
+        F.col("id").alias("item_pos"),
+        F.lit(0).alias("row_pos"),
+    )
+    with _pytest.raises(RuntimeError, match="distinct names"):
+        RJ.build_mapper(nt, max_names=5)
+    ok = RJ.build_mapper(nt, max_names=10)
+    assert ok["name_3"] == "Q3" and len(ok) == 10

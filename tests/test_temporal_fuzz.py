@@ -116,6 +116,10 @@ def test_connected_components_matches_union_find(spark, edges):
         roots[find(r)] = min(roots.get(find(r), n), n)
     expect = {n: roots[find(n)] for n in parent}
     assert got == expect
+    # the large-star/small-star escalation path must agree exactly
+    star = {r.node: r.component
+            for r in G.connected_components_star(df).collect()}
+    assert star == expect
 
 
 sess_events = st.lists(

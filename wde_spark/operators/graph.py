@@ -17,9 +17,13 @@ Scale notes (100 TB):
 - Convergence is detected by the monotone sum of labels (strictly
   decreasing until fixpoint) — one cheap scalar agg per round instead of a
   full old-vs-new anti join.
-- For pathological chain graphs, large-star/small-star (Kiveris et al.,
-  "Connected Components in MapReduce and Beyond", SOCC'14) halves rounds;
-  not needed for dedup-clique workloads.
+- For pathological chain graphs (diameter ≫ rounds), min-label propagation
+  needs O(diameter) rounds; `connected_components_star` below implements
+  the two-phase large-star/small-star algorithm (Kiveris et al.,
+  "Connected Components in MapReduce and Beyond", SOCC'14), which
+  converges in O(log n) rounds regardless of diameter. `algorithm="auto"`
+  runs cheap label propagation first and escalates to star form instead
+  of failing when the diameter exceeds the round budget.
 """
 
 from __future__ import annotations
@@ -29,9 +33,38 @@ from pyspark.sql import functions as F
 
 
 def connected_components(edges: DataFrame, id_a: str = "id_a",
-                         id_b: str = "id_b", max_iter: int = 20) -> DataFrame:
+                         id_b: str = "id_b", max_iter: int = 20,
+                         algorithm: str = "auto") -> DataFrame:
     """(node, component) for every node in `edges`; component = min node id
-    reachable. Deterministic for any input order."""
+    reachable. Deterministic for any input order.
+
+    algorithm:
+      "label" — min-label propagation, O(diameter) rounds. Raises on
+                non-convergence (the historical behavior).
+      "star"  — large-star/small-star, O(log n) rounds, diameter-proof.
+      "auto"  — label propagation first (cheapest for the dedup-clique
+                graphs this operator exists for: diameter 1-2), escalating
+                to the star algorithm if the round budget runs out.
+    """
+    if algorithm == "star":
+        return connected_components_star(edges, id_a, id_b)
+    try:
+        return _connected_components_label(edges, id_a, id_b, max_iter)
+    except _NonConvergence:
+        if algorithm == "label":
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} "
+                f"rounds (component diameter exceeds max_iter); raise "
+                f"max_iter or use algorithm='star'") from None
+        return connected_components_star(edges, id_a, id_b)
+
+
+class _NonConvergence(Exception):
+    """Internal: label propagation exhausted its round budget."""
+
+
+def _connected_components_label(edges: DataFrame, id_a: str, id_b: str,
+                                max_iter: int) -> DataFrame:
     # checkpoint the symmetrized edge table ONCE — every round joins it
     sym = edges.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
@@ -68,7 +101,86 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
         prev_sum = cur_sum
     if not converged:
         # silent truncation would return WRONG components — fail loudly
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds "
-            f"(component diameter exceeds max_iter); raise max_iter")
+        # (the public wrapper turns this into star-algorithm escalation)
+        raise _NonConvergence
     return labels.select("node", F.col("label").alias("component"))
+
+
+def connected_components_star(edges: DataFrame, id_a: str = "id_a",
+                              id_b: str = "id_b",
+                              max_iter: int = 64) -> DataFrame:
+    """Two-phase large-star/small-star connected components (Kiveris et
+    al., SOCC'14 §3). Converges in O(log n) alternations for ANY graph
+    shape — a 1,000-node path closes in ~10 rounds where min-label
+    propagation needs 999.
+
+    Each round is two bounded shuffles on the edge table (a groupBy-min
+    per center plus a re-join), and the edge table only ever shrinks
+    toward one (child → root) edge per non-root node, so the per-round
+    cost DECREASES as components collapse — the right shape at 100 TB.
+
+    Convergence is detected structurally, not by diffing edge sets: the
+    fixpoint of the alternation is exactly a forest of stars (every child
+    points to a single root, no root is a child), which two cheap scalar
+    aggregates certify per round — no hash digests, no anti-joins.
+    """
+    nodes = (
+        edges.select(F.col(id_a).alias("node"))
+        .unionByName(edges.select(F.col(id_b).alias("node")))
+        .distinct().localCheckpoint(eager=True)
+    )
+    # canonical (hi → lo) edges, hi > lo; self-loops carry no connectivity
+    e = (
+        edges.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.greatest("a", "b").alias("hi"),
+                F.least("a", "b").alias("lo"))
+        .distinct().localCheckpoint(eager=True)
+    )
+    converged = e.isEmpty()
+    for _ in range(max_iter):
+        if converged:
+            break
+        # LARGE-STAR: for every center u, attach each strictly-larger
+        # neighbor v to m = min(neighborhood(u) ∪ {u}).  m <= u < v keeps
+        # the output canonical.
+        sym = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")) \
+            .unionByName(
+                e.select(F.col("lo").alias("u"), F.col("hi").alias("v")))
+        m_of = (
+            sym.groupBy("u").agg(F.min("v").alias("minv"))
+            .select("u", F.least("minv", F.col("u")).alias("m"))
+        )
+        ls = (
+            sym.join(m_of, "u").filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .distinct()
+        )
+        # SMALL-STAR: for every hi, link its smaller neighbors and itself
+        # to m = min of those neighbors; (x, m) pairs stay canonical since
+        # x, m < hi and m is the min.
+        m2 = ls.groupBy("hi").agg(F.min("lo").alias("m"))
+        e = (
+            ls.join(m2, "hi")
+            .filter(F.col("lo") != F.col("m"))
+            .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+            .unionByName(m2.select("hi", F.col("m").alias("lo")))
+            .distinct().localCheckpoint(eager=True)
+        )
+        # Fixpoint iff the edge set is a star forest: one root per child…
+        multi = e.groupBy("hi").agg(
+            F.count_distinct("lo").alias("k")).filter("k > 1")
+        # …and no root is itself a child.
+        chained = e.select(F.col("lo").alias("hi")).join(
+            e.select("hi"), "hi", "left_semi")
+        converged = multi.isEmpty() and chained.isEmpty()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            f"rounds — not expected for any graph of < 2^{max_iter} nodes")
+    comp = e.select(F.col("hi").alias("node"), F.col("lo").alias("component"))
+    return (
+        nodes.join(comp, "node", "left")
+        .select("node",
+                F.coalesce("component", F.col("node")).alias("component"))
+    )

@@ -52,17 +52,37 @@ allows to rebuilt the complete URL from a wikidata identifier by replacing the <
 </listPrefixDef>"""
 
 
-def build_mapper(nametable_out: DataFrame) -> dict[str, str]:
+# build_mapper collects a {name → id} dict to the driver so the XML
+# rewrite can broadcast it. The corpus has ~19k distinct names; the cap
+# exists so a 1000×-bigger catalogue set fails with instructions instead
+# of silently OOMing the driver mid-collect.
+MAPPER_MAX_NAMES = 2_000_000
+
+
+def build_mapper(nametable_out: DataFrame,
+                 max_names: int = MAPPER_MAX_NAMES) -> dict[str, str]:
     """J1 — {tei:name text → wd:id}, last-write-wins on duplicate names
     (the reference's dict-comprehension overwrite, wd2tei.py:30). Expressed
-    as an lww window over the explicit row order, then collected (small)."""
+    as an lww window over the explicit row order, then collected (small;
+    bounded by `max_names` — see MAPPER_MAX_NAMES)."""
     w = Window.partitionBy("tei_name").orderBy(
         F.desc("catalogue_id"), F.desc("item_pos"), F.desc("row_pos"))
     lww = (
         nametable_out.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
     )
-    return {r.tei_name: r.wd_id for r in lww.select("tei_name", "wd_id").collect()}
+    # limit(cap+1) bounds the collect itself — the driver never holds more
+    # than cap+1 rows even when the input is 1000× oversized, and one extra
+    # row is enough to detect the overflow.
+    rows = lww.select("tei_name", "wd_id").limit(max_names + 1).collect()
+    if len(rows) > max_names:
+        raise RuntimeError(
+            f"build_mapper: more than {max_names} distinct names. At this "
+            f"size the driver-side dict no longer fits driver/broadcast "
+            f"memory — rewrite the reinjection as a DataFrame join of the "
+            f"name table against exploded catalogue names (or raise "
+            f"max_names deliberately).")
+    return {r.tei_name: r.wd_id for r in rows}
 
 
 def _strip_space(el: ET.Element) -> None:
