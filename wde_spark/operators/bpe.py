@@ -1,0 +1,188 @@
+"""Exact byte-pair-encoding token counting behind a supplied merges list.
+
+`token_stats`'s default `bpe_tokens` column is a regex approximation (word
+pieces + digits + punctuation — fine for packing heuristics and oracled in
+SQL). When a real vocabulary artifact is available, this module makes the
+count BPE-exact: classic bottom-up merge encoding (Sennrich, Haddow &
+Birch, "Neural Machine Translation of Rare Words with Subword Units",
+ACL 2016) driven by a plain merges list — the same file shape every
+GPT-2-style `merges.txt` uses (one `left right` pair per line, rank =
+line number).
+
+Scale shape (100 TB): BPE encoding is per-word dynamic programming — pure
+Python, unavoidable — so the design keeps Python OFF the corpus axis:
+
+  1. pretokenize + explode (JVM, codegen) → (doc_id, word) rows;
+  2. count words per doc (shuffle 1, combiner-backed);
+  3. DISTINCT words only (Heaps' law: vocabulary grows ~ sqrt of corpus,
+     so this side is orders of magnitude smaller than the corpus and
+     keeps shrinking relative to it) are encoded by an Arrow-batched
+     pandas UDF with a per-batch memo;
+  4. broadcast-join the per-word token length back and sum per doc
+     (shuffle 2 on doc_id).
+
+The merges table itself is bounded model state (50k pairs for GPT-2),
+shipped to executors in the UDF closure — same class as IVF centroids.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import Counter
+from typing import Iterable, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Must stay in sync with textstats.token_stats's approximate form: the
+# exact count refines tokenization WITHIN pretokens, never across them.
+PRETOKEN_RE = r"[A-Za-z]+|\d+|[^\w\s]"
+
+DEMO_MERGES_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "data", "bpe_merges_demo.txt")
+
+
+# ---------------------------------------------------------------------------
+# merges-list I/O
+# ---------------------------------------------------------------------------
+
+def load_merges(path: str) -> list[tuple[str, str]]:
+    """Read a merges list: one `left right` pair per line, rank = line
+    order. Lines starting with '#' (version headers) are skipped."""
+    merges: list[tuple[str, str]] = []
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.rstrip("\n")
+            if not line or line.startswith("#"):
+                continue
+            left, sep, right = line.partition(" ")
+            if not sep:
+                raise ValueError(f"malformed merges line: {line!r}")
+            merges.append((left, right))
+    return merges
+
+
+def save_merges(merges: Iterable[tuple[str, str]], path: str) -> None:
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write("# bpe merges v1 — rank = line order\n")
+        for left, right in merges:
+            fh.write(f"{left} {right}\n")
+
+
+# ---------------------------------------------------------------------------
+# encoding
+# ---------------------------------------------------------------------------
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Greedy lowest-rank-first BPE merge of one pretoken. Reference
+    algorithm — O(len²·merges-applied) worst case, run only on DISTINCT
+    words and memoized at the UDF layer."""
+    parts = list(word)
+    while len(parts) > 1:
+        best_rank = None
+        best_i = -1
+        for i in range(len(parts) - 1):
+            r = ranks.get((parts[i], parts[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        parts[best_i:best_i + 2] = [parts[best_i] + parts[best_i + 1]]
+    return parts
+
+
+def bpe_token_counts(docs: DataFrame, merges: Sequence[tuple[str, str]],
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(id, bpe_tokens) with EXACT merge-list token counts. See module
+    docstring for the distinct-word plan shape."""
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+
+    @F.pandas_udf("long")
+    def n_bpe(words: pd.Series) -> pd.Series:
+        memo: dict[str, int] = {}
+
+        def n(w: str) -> int:
+            got = memo.get(w)
+            if got is None:
+                got = memo[w] = len(encode_word(w, ranks))
+            return got
+
+        return words.map(n)
+
+    words = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(PRETOKEN_RE), 0)
+        ).alias("w"),
+    )
+    per_doc_word = words.groupBy(id_col, "w").agg(F.count("*").alias("n_w"))
+    vocab = per_doc_word.select("w").distinct() \
+        .withColumn("n_tok", n_bpe("w"))
+    # join strategy stays AQE's call: the vocab side is usually broadcast-
+    # sized, but a 100-TB corpus's distinct-pretoken set can outgrow the
+    # broadcast threshold, and a shuffle-hash join on `w` is still right.
+    counted = (
+        per_doc_word.join(vocab, "w")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("n_w") * F.col("n_tok")).cast("long")
+             .alias("bpe_tokens"))
+    )
+    # empty/whitespace-only docs emit no words — restore them with 0
+    return (
+        docs.select(id_col)
+        .join(counted, id_col, "left")
+        .select(id_col,
+                F.coalesce("bpe_tokens", F.lit(0)).cast("long")
+                .alias("bpe_tokens"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# training (offline model fitting — NOT the corpus-scale path)
+# ---------------------------------------------------------------------------
+
+def train_bpe_merges(word_freqs: dict[str, int],
+                     num_merges: int) -> list[tuple[str, str]]:
+    """Classic BPE training (Sennrich et al. 2016, Algorithm 1) over a
+    word-frequency table: repeatedly merge the most frequent adjacent
+    symbol pair. Deterministic tie-break: highest count, then
+    lexicographically smallest pair.
+
+    This is driver-side model fitting over an already-aggregated
+    vocabulary (the same word-frequency table `bpe_token_counts` builds
+    distributed); for a 100-TB corpus the word-frequency aggregation runs
+    in Spark and only the ~10⁵-entry vocab reaches this loop.
+    """
+    vocab: dict[tuple[str, ...], int] = {
+        tuple(w): f for w, f in word_freqs.items() if w
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pairs: Counter[tuple[str, str]] = Counter()
+        for sym, freq in vocab.items():
+            for i in range(len(sym) - 1):
+                pairs[(sym[i], sym[i + 1])] += freq
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        merged = best[0] + best[1]
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for sym, freq in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(sym):
+                if (i < len(sym) - 1
+                        and (sym[i], sym[i + 1]) == best):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + freq
+        vocab = new_vocab
+    return merges

@@ -108,11 +108,33 @@ def quality_score(docs: DataFrame, text_col: str = "text",
 
 
 def token_stats(docs: DataFrame, text_col: str = "text",
-                id_col: str = "doc_id") -> DataFrame:
-    """Token counting two ways: whitespace tokens and a BPE-ish regex token
-    count (word pieces + digits + punctuation as separate tokens)."""
+                id_col: str = "doc_id",
+                merges: "list[tuple[str, str]] | None" = None) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE token count.
+
+    Default: the BPE count is the pretoken approximation (word pieces +
+    digits + punctuation as separate tokens) — pure column expressions,
+    SQL-oracle-able, right for packing heuristics. With `merges` (a BPE
+    merges list, see `operators.bpe.load_merges`) the count is EXACT
+    byte-pair encoding under that vocabulary, computed once per distinct
+    word and joined back (see `operators/bpe.py` for the plan shape)."""
     t = F.col(text_col)
     ws = F.size(tokens(t))
+    if merges is not None:
+        from . import bpe as B
+
+        exact = B.bpe_token_counts(docs, merges, text_col, id_col)
+        return (
+            docs.select(F.col(id_col), ws.cast("long").alias("ws_tokens"),
+                        F.length(t).alias("_n_chars"))
+            .join(exact, id_col)
+            .select(
+                id_col, "ws_tokens", "bpe_tokens",
+                F.round(F.col("_n_chars")
+                        / F.greatest("bpe_tokens", F.lit(1)), 4)
+                .alias("chars_per_token"),
+            )
+        )
     bpe = F.size(F.regexp_extract_all(t, F.lit(r"[A-Za-z]+|\d+|[^\w\s]"), 0))
     return docs.select(
         id_col,
