@@ -73,12 +73,21 @@ def last_write_wins_agg(
     """`last_write_wins` as a hash AGGREGATION instead of a window:
     max_by(struct(everything), order) with map-side partial aggregation —
     each partition reduces a hot key to ONE row before the shuffle, so a
-    key holding half the table costs the same as any other (the window
-    form must materialize and sort the hot key's entire partition in one
-    task). Same result whenever `order_col` is unique per key; on order
-    ties the window form keeps an arbitrary-but-single row and this form
-    keeps max_by's pick, both deterministic only with a total order —
-    thread a tiebreak into `order_col` when ties are possible."""
+    key holding half the table costs the same as any other. Same result
+    whenever `order_col` is unique per key; on order ties the window form
+    keeps an arbitrary-but-single row and this form keeps max_by's pick,
+    both deterministic only with a total order — thread a tiebreak into
+    `order_col` when ties are possible.
+
+    MEASURED (tools/stress_skew.py, 32M rows, one key = 50%): on Spark
+    >= 3.5 the PLAIN window form is already skew-proof — Catalyst's
+    InferWindowGroupLimit inserts a partial WindowGroupLimit BEFORE the
+    exchange, so each map task forwards one row per key and the hot key
+    never concentrates (window 1.8 s vs this form's 11.6 s; the struct
+    boxing makes max_by strictly slower there). Prefer `last_write_wins`
+    on engines with that rule; this twin remains the right shape where
+    the rule is absent or can't fire (filter not directly above the
+    rank column, rank expressed differently)."""
     payload = F.struct(*[F.col(c) for c in df.columns])
     out = df.groupBy(*[F.col(c) for c in key_cols]).agg(
         F.max_by(payload, order_col).alias("__row"))
@@ -98,8 +107,17 @@ def top_k_per_group_salted(
     (group, salt) — bounded partitions regardless of key skew, salt =
     deterministic hash of the full row so reruns agree — and phase 2 ranks
     only the surviving <= n_salts*k rows per group. Identical output to the
-    plain form for any total ordering; the hot key's window work drops from
-    O(n log n) in one task to O((n/s) log(n/s)) across s tasks."""
+    plain form for any total ordering.
+
+    MEASURED (tools/stress_skew.py, 32M rows, one key = 50%): Spark >= 3.5
+    already rescues the PLAIN form — InferWindowGroupLimit runs a partial
+    top-k per map task before the shuffle (visible as `WindowGroupLimit
+    ... Partial` in the plan), so at most k rows per key per upstream
+    partition reach the hot partition (plain 3.6 s vs salted 6.0 s: the
+    salt pass is pure overhead there). Keep the plain form on engines
+    with that rule; this twin is for engines/plans where it can't fire —
+    e.g. the rank filter separated from the window projection, or k too
+    large for the partial limit to prune meaningfully."""
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]),
                   F.lit(n_salts))
     w1 = Window.partitionBy(*list(group_cols), "__salt").orderBy(*order_cols)
