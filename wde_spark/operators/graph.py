@@ -71,9 +71,17 @@ def _connected_components_label(edges: DataFrame, id_a: str, id_b: str,
     ).unionByName(
         edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     ).distinct().localCheckpoint(eager=True)
+    # seed label = min(self, neighborhood) — one groupBy on the edge table
+    # we already shuffle anyway.  For the clique-shaped graphs near-dup
+    # verification emits (diameter 1-2) this IS the fixpoint, so the loop
+    # below only has to certify it (one round) instead of finding it
+    # (two+): fewer rounds = fewer shuffle jobs, the unit of cost here.
     labels = (
-        sym.select(F.col("src").alias("node")).distinct()
-        .withColumn("label", F.col("node"))
+        sym.groupBy("src").agg(F.min("dst").alias("nbr_min"))
+        .select(
+            F.col("src").alias("node"),
+            F.least("src", "nbr_min").alias("label"),
+        )
         .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum("label")).first()[0]
