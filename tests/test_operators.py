@@ -95,7 +95,13 @@ def test_minhash_lsh_finds_neardups(spark):
          (3, "completely unrelated text about spark query engines")],
         "doc_id long, text string",
     )
-    pairs = {(r.id_a, r.id_b) for r in D.minhash_lsh_pairs(docs).collect()}
+    # shingle_k=2 is the production near-dup config (neardup_lsh_verified);
+    # the hash family is fixed, so this collision is deterministic — but a
+    # ~0.6-Jaccard pair through 4-row bands is a coin-toss PROPERTY of any
+    # LSH family (p ≈ 1-(1-j^4)^4), so the assertion pins the family+params
+    # actually shipped, not a universal recall guarantee.
+    pairs = {(r.id_a, r.id_b)
+             for r in D.minhash_lsh_pairs(docs, shingle_k=2).collect()}
     assert (1, 2) in pairs
     assert (1, 3) not in pairs and (2, 3) not in pairs
 

@@ -61,29 +61,61 @@ def distinct_shingle_table(docs: DataFrame, text_col: str = "text",
     )
 
 
+# Affine minhash permutation family: perm_j(h) = (a_j*h + b_j) mod _MH_P
+# over h = first 32 md5 bits of the shingle.  Fixed constants (seeded PRNG,
+# generated once) so signatures are reproducible across runs, engines, and
+# cluster sizes.  _MH_P is the first prime > 2^32; a < 2^30 and h < 2^32
+# keep a*h + b < 2^63 — no BIGINT overflow on either engine.
+_MH_P = 4294967311
+_MH_PERM = [
+    (152210628, 1750849617), (627555869, 2065146782),
+    (660335778, 3469348000), (237379541, 1706964142),
+    (487173515, 4080050443), (239994257, 3503532737),
+    (369099107, 1197157113), (660397447, 1040608570),
+    (400903031, 223404134), (119693795, 1666463566),
+    (377508889, 3436832358), (821668668, 2912677003),
+    (720385041, 3936700466), (114368187, 3317940406),
+    (467460958, 3547970358), (141502641, 3643006315),
+]
+
+
+def shingle_hash32(sh: Column) -> Column:
+    """First 32 md5 bits of a shingle as BIGINT — the ONE digest each
+    shingle ever needs; every minhash permutation is integer math on it."""
+    return F.conv(F.substring(F.md5(sh), 1, 8), 16, 10).cast("bigint")
+
+
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", num_hashes: int = 16,
                        shingle_k: int = 3,
                        shingle_table: DataFrame | None = None) -> DataFrame:
     """Tier 3 — K-permutation minhash signature per document.
 
-    Permutation j is simulated by md5(j || shingle); the signature element is
-    the lexicographic min. md5 is engine-portable, so the oracle can compute
-    byte-identical signatures. Min over per-doc distinct shingles equals min
-    over raw shingles, so the distinct table is used (fewer agg rows, and it
-    is shareable with the verification stage).
+    Each shingle is digested ONCE (32 md5 bits → BIGINT); permutation j is
+    the affine map (a_j·h + b_j) mod p over that integer — so K permutations
+    cost K integer mults, not K string digests (the earlier md5-per-
+    permutation form burned 16× the hash CPU, the dominant scan cost at
+    100 TB, and shuffled 32-char strings where this shuffles longs).  All
+    constants are fixed/engine-portable, so the oracle reproduces
+    signatures exactly.  Min over per-doc distinct shingles equals min over
+    raw shingles, so the distinct table is used (fewer agg rows, and it is
+    shareable with the verification stage).
 
-    Shape: explode shingles → hash-agg K mins grouped by id. The explode
-    materializes each shingle exactly once (an array-expression formulation
-    re-evaluates the shingle-builder per element inside Catalyst's
-    interpreted higher-order functions — quadratic per row and ~50× slower,
-    measured); the groupBy shuffles only K partial mins per doc."""
+    Shape: explode shingles → project the one digest → hash-agg K integer
+    mins grouped by id. The explode materializes each shingle exactly once
+    (an array-expression formulation re-evaluates the shingle-builder per
+    element inside Catalyst's interpreted higher-order functions —
+    quadratic per row and ~50× slower, measured); the groupBy shuffles only
+    K partial mins per doc."""
+    assert num_hashes <= len(_MH_PERM)
     sh = shingle_table if shingle_table is not None else \
         distinct_shingle_table(docs, text_col, id_col, shingle_k)
-    return sh.groupBy(id_col).agg(
+    hashed = sh.select(F.col(id_col), shingle_hash32(F.col("sh")).alias("h"))
+    return hashed.groupBy(id_col).agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("sh")))).alias(f"mh_{j}")
-            for j in range(num_hashes)
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_MH_P)
+                  ).alias(f"mh_{j}")
+            for j, (a, b) in enumerate(_MH_PERM[:num_hashes])
         ]
     )
 

@@ -776,8 +776,11 @@ def fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle(num_hashes: int = 8) -> str:
+    from .operators.dedup import _MH_P, _MH_PERM
+
     mh_cols = ",\n           ".join(
-        f"MIN(md5('{j}|' || sh)) AS mh_{j}" for j in range(num_hashes)
+        f"MIN(({a} * h + {b}) % {_MH_P}) AS mh_{j}"
+        for j, (a, b) in enumerate(_MH_PERM[:num_hashes])
     )
     return f"""
     WITH tok AS (
@@ -791,10 +794,15 @@ def _minhash_oracle(num_hashes: int = 8) -> str:
                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
         ELSE [array_to_string(toks, ' ')] END) AS sh
       FROM tok
+    ),
+    hashed AS (
+      SELECT doc_id,
+             CAST(CAST('0x' || substring(md5(sh), 1, 8) AS UBIGINT) AS BIGINT) AS h
+      FROM sh
     )
     SELECT doc_id,
            {mh_cols}
-    FROM sh GROUP BY doc_id
+    FROM hashed GROUP BY doc_id
     """
 
 
@@ -899,14 +907,18 @@ def snm_neardup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _lsh_verified_oracle(num_hashes: int = 16, bands: int = 4,
                          threshold: float = 0.2, max_bucket: int = 64) -> str:
+    from .operators.dedup import _MH_P, _MH_PERM
+
     rpb = num_hashes // bands
     mh_cols = ",\n             ".join(
-        f"MIN(md5('{j}|' || sh)) AS mh_{j}" for j in range(num_hashes)
+        f"MIN(({a} * h + {b}) % {_MH_P}) AS mh_{j}"
+        for j, (a, b) in enumerate(_MH_PERM[:num_hashes])
     )
     band_rows = "\n      UNION ALL\n".join(
         "      SELECT doc_id, {b} AS band_idx, md5({expr}) AS band_hash FROM sigs".format(
             b=b,
-            expr=" || '|' || ".join(f"mh_{b * rpb + r}" for r in range(rpb)),
+            expr=" || '|' || ".join(
+                f"CAST(mh_{b * rpb + r} AS VARCHAR)" for r in range(rpb)),
         )
         for b in range(bands)
     )
@@ -923,9 +935,14 @@ def _lsh_verified_oracle(num_hashes: int = 16, bands: int = 4,
         ELSE [array_to_string(toks, ' ')] END)) AS sh
       FROM tok
     ),
+    hashed AS (
+      SELECT doc_id,
+             CAST(CAST('0x' || substring(md5(sh), 1, 8) AS UBIGINT) AS BIGINT) AS h
+      FROM shing
+    ),
     sigs AS (
       SELECT doc_id, {mh_cols}
-      FROM shing GROUP BY doc_id
+      FROM hashed GROUP BY doc_id
     ),
     banded AS (
 {band_rows}

@@ -353,15 +353,22 @@ def streaming_doc_neardup(spark: SparkSession, docs_dir: str,
             lambda i: F.array_join(F.slice(toks, i + 1, shingle_k), " "),
         )),
     ).otherwise(F.array(F.array_join(toks, " ")))
-    # NB: the per-permutation index must be bound via a closure factory —
-    # a `lambda s, j=j:` two-parameter lambda makes F.transform pass the
-    # ARRAY INDEX as the second argument, silently shadowing j.
-    def _mh(j: int):
+    # Same affine family as batch minhash_signatures: digest each shingle
+    # once (32 md5 bits → BIGINT), then K integer permutations over the
+    # hash array — row-local, and 1 digest instead of K per shingle.
+    from ..operators.dedup import _MH_P, _MH_PERM, shingle_hash32
+
+    harr = F.transform(sh, shingle_hash32)
+
+    # NB: the per-permutation constants must be bound via a closure
+    # factory — a two-parameter lambda makes F.transform pass the ARRAY
+    # INDEX as the second argument, silently shadowing the binding.
+    def _mh(j: int, a: int, b: int):
         return F.array_min(
-            F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{j}|"), s)))
+            F.transform(harr, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_MH_P))
         ).alias(f"mh_{j}")
 
-    mh = [_mh(j) for j in range(16)]
+    mh = [_mh(j, a, b) for j, (a, b) in enumerate(_MH_PERM[:16])]
     banded = stream.select("doc_id", "fp", *mh).select(
         "doc_id", "fp",
         F.posexplode(F.array(*[
