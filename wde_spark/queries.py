@@ -808,8 +808,9 @@ def _minhash_oracle(num_hashes: int = 8) -> str:
 
 @query("minhash_signatures_documents", _minhash_oracle(8))
 def minhash_signatures_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dedup tier 3 (signature step) — 8-permutation minhash via salted md5;
-    engine-portable so the oracle reproduces it bit-for-bit."""
+    """Dedup tier 3 (signature step) — 8-permutation affine minhash over
+    32-bit shingle digests; engine-portable so the oracle reproduces it
+    bit-for-bit."""
     return D.minhash_signatures(
         load_table(spark, sf_dir, "documents", spread=True), num_hashes=8
     )
