@@ -114,3 +114,19 @@ def test_bpe_smoke_on_documents_table(spark):
                            "chars_per_token"]
     row = out.orderBy("doc_id").first()
     assert row.bpe_tokens >= row.ws_tokens  # subwords never fewer than words
+
+
+def test_token_stats_null_text_parity(spark):
+    """NULL text must yield bpe_tokens=NULL in BOTH counting modes — a
+    `bpe_tokens < n` curation filter has to drop/keep the same rows
+    whichever mode is active (review finding, round 4)."""
+    from wde_spark.operators.textstats import token_stats
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "some text")], "doc_id long, text string")
+    merges = B.load_merges(B.DEMO_MERGES_PATH)
+    approx = {r.doc_id: r.bpe_tokens for r in token_stats(docs).collect()}
+    exact = {r.doc_id: r.bpe_tokens
+             for r in token_stats(docs, merges=merges).collect()}
+    assert approx[1] is None and exact[1] is None
+    assert exact[2] == 0

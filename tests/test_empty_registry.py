@@ -19,8 +19,7 @@ from __future__ import annotations
 import os
 
 import pytest
-
-SF_SMOKE = "/root/testdata/sf0.001"
+from conftest import SF_SMOKE
 
 
 @pytest.fixture(scope="module")

@@ -32,25 +32,34 @@ def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
     last_checked: dict[str, int] = {}
-    red_now: set[str] = set()
+    latest_fail: dict[str, int] = {}
     rounds = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
     for path in rounds:
         rnd = int("".join(ch for ch in os.path.basename(path) if ch.isdigit()))
         data = json.load(open(path))
         for q, row in data.items():
-            last_checked[q] = rnd
+            last_checked[q] = max(rnd, last_checked.get(q, 0))
             ok = row.get("hash_match") or (
                 row.get("rows_match") and "hash_match" not in row)
-            if rnd == len(rounds) and not ok:
-                red_now.add(q)
+            if not ok:
+                latest_fail[q] = max(rnd, latest_fail.get(q, 0))
+
+    latest_round = max(last_checked.values(), default=0)
+    # red in the most recent round AND still registered (renamed/removed
+    # queries would crash names.index and have no slot to keep anyway)
+    red_now = {q for q, r in latest_fail.items()
+               if r == latest_round and r == last_checked[q] and q in names}
 
     never = [q for q in names if q not in last_checked]
     # oldest-evidence first among the already-checked
     stale = sorted((q for q in names if q in last_checked),
                    key=lambda q: (last_checked[q], names.index(q)))
 
+    # the entry() flagship must keep a driver row every round — pin it
+    # first, as the tool's own policy promises
+    flagship = names[0]
     window: list[str] = []
-    for q in never + sorted(red_now, key=names.index) + stale:
+    for q in ([flagship] + never + sorted(red_now, key=names.index) + stale):
         if q not in window:
             window.append(q)
         if len(window) == 50:

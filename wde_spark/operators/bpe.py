@@ -130,13 +130,18 @@ def bpe_token_counts(docs: DataFrame, merges: Sequence[tuple[str, str]],
         .agg(F.sum(F.col("n_w") * F.col("n_tok")).cast("long")
              .alias("bpe_tokens"))
     )
-    # empty/whitespace-only docs emit no words — restore them with 0
+    # empty/whitespace-only docs emit no words — restore them with 0.
+    # NULL text stays NULL (not 0) so the exact form agrees with the
+    # default regex form on degenerate input: a downstream
+    # `bpe_tokens < n` curation filter must drop/keep the same rows
+    # whichever counting mode is active.
     return (
-        docs.select(id_col)
+        docs.select(id_col, F.col(text_col).isNull().alias("__null_text"))
         .join(counted, id_col, "left")
         .select(id_col,
-                F.coalesce("bpe_tokens", F.lit(0)).cast("long")
-                .alias("bpe_tokens"))
+                F.when(F.col("__null_text"), F.lit(None))
+                .otherwise(F.coalesce("bpe_tokens", F.lit(0)))
+                .cast("long").alias("bpe_tokens"))
     )
 
 

@@ -107,7 +107,11 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     element inside Catalyst's interpreted higher-order functions —
     quadratic per row and ~50× slower, measured); the groupBy shuffles only
     K partial mins per doc."""
-    assert num_hashes <= len(_MH_PERM)
+    if num_hashes > len(_MH_PERM):
+        raise ValueError(
+            f"num_hashes={num_hashes} exceeds the fixed permutation family "
+            f"({len(_MH_PERM)}); extend _MH_PERM (and the oracle generators) "
+            f"to go wider")
     sh = shingle_table if shingle_table is not None else \
         distinct_shingle_table(docs, text_col, id_col, shingle_k)
     hashed = sh.select(F.col(id_col), shingle_hash32(F.col("sh")).alias("h"))

@@ -46,6 +46,9 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
                 graphs this operator exists for: diameter 1-2), escalating
                 to the star algorithm if the round budget runs out.
     """
+    if algorithm not in ("label", "star", "auto"):
+        raise ValueError(
+            f"algorithm must be 'label', 'star', or 'auto', got {algorithm!r}")
     if algorithm == "star":
         return connected_components_star(edges, id_a, id_b)
     try:
