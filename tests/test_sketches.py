@@ -1,0 +1,58 @@
+"""Mergeable-sketch proofs: the property that makes stored sketch columns
+trustworthy is the MERGE ALGEBRA — union of shard sketches must equal the
+sketch of the union (no accuracy lost to sharding), and estimates must sit
+inside the advertised error band against exact distincts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wde_spark.operators import sketches as SK
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_sharded_merge_equals_whole(spark):
+    """Estimate from merged per-shard sketches == estimate from one global
+    sketch — sharding must cost nothing (same underlying HLL state)."""
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    sharded = orders.withColumn("shard", F.col("o_orderkey") % 7)
+
+    per_shard = SK.distinct_sketches(sharded, ["shard"], "o_custkey")
+    merged_est = SK.global_estimate(per_shard).collect()[0][0]
+
+    whole = SK.distinct_sketches(orders.withColumn("one", F.lit(1)),
+                                 ["one"], "o_custkey")
+    whole_est = whole.select(
+        F.hll_sketch_estimate("distinct_sketch")).collect()[0][0]
+
+    assert merged_est == whole_est
+
+
+def test_estimates_within_error_band(spark):
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    exact = orders.select("o_custkey").distinct().count()
+    sk = SK.distinct_sketches(orders.withColumn("one", F.lit(1)),
+                              ["one"], "o_custkey")
+    est = sk.select(F.hll_sketch_estimate("distinct_sketch")).collect()[0][0]
+    # lg_k=12 → rse ~1.6%; allow 3 sigma
+    assert abs(est - exact) <= max(3, 0.05 * exact), (est, exact)
+
+
+def test_grouped_merge_rollup(spark):
+    """Day-shard sketches roll up to status level without touching base
+    data; estimates track exact grouped distincts."""
+    orders = spark.read.parquet(f"{SF}/orders.parquet") \
+        .withColumn("day", F.dayofmonth("o_orderdate"))
+    shards = SK.distinct_sketches(orders, ["o_orderstatus", "day"],
+                                  "o_custkey")
+    rolled = {r["o_orderstatus"]: r["distinct_estimate"]
+              for r in SK.merge_sketches(shards, ["o_orderstatus"]).collect()}
+    exact = {r["o_orderstatus"]: r["n"]
+             for r in orders.groupBy("o_orderstatus")
+             .agg(F.count_distinct("o_custkey").alias("n")).collect()}
+    assert set(rolled) == set(exact)
+    for k in exact:
+        assert abs(rolled[k] - exact[k]) <= max(3, 0.05 * exact[k]), \
+            (k, rolled[k], exact[k])
