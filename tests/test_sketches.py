@@ -56,3 +56,46 @@ def test_grouped_merge_rollup(spark):
     for k in exact:
         assert abs(rolled[k] - exact[k]) <= max(3, 0.05 * exact[k]), \
             (k, rolled[k], exact[k])
+
+
+def test_kll_quantile_merge(spark):
+    """Quantiles read from merged per-shard KLL sketches must track exact
+    interpolated quantiles of the full column within the sketch's rank
+    error (k=200 → ~1.65% rank error → compare by rank, not value)."""
+    orders = spark.read.parquet(f"{SF}/orders.parquet") \
+        .withColumn("shard", F.col("o_orderkey") % 5)
+    shards = SK.quantile_sketches(orders, ["shard"], "o_totalprice")
+    got = SK.merge_quantiles(
+        shards.withColumn("one", F.lit(1)), ["one"], [0.5, 0.99]
+    ).collect()[0]
+
+    vals = sorted(r[0] for r in orders.select("o_totalprice").collect())
+    n = len(vals)
+
+    def rank_of(v):
+        import bisect
+        return bisect.bisect_left(vals, v) / n
+
+    assert abs(rank_of(got["q50"]) - 0.5) < 0.04
+    assert abs(rank_of(got["q99"]) - 0.99) < 0.04
+
+
+def test_theta_overlap_algebra(spark):
+    """|A ∩ B| from stored theta sketches must track the exact overlap —
+    the set-algebra capability HLL lacks."""
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    seg = orders.select(
+        "o_custkey",
+        F.when(F.col("o_orderstatus") == "F", "done")
+        .otherwise("open").alias("seg"))
+    sk = SK.audience_sketches(seg, ["seg"], "o_custkey")
+    row = SK.audience_overlap(sk, "seg", "done", "open").collect()[0]
+
+    a = {r[0] for r in seg.filter("seg = 'done'")
+         .select("o_custkey").distinct().collect()}
+    b = {r[0] for r in seg.filter("seg = 'open'")
+         .select("o_custkey").distinct().collect()}
+    for got, exact in [(row["n_a"], len(a)), (row["n_b"], len(b)),
+                       (row["n_union"], len(a | b)),
+                       (row["n_intersection"], len(a & b))]:
+        assert abs(got - exact) <= max(3, 0.06 * exact), (got, exact)

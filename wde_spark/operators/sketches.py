@@ -57,3 +57,57 @@ def global_estimate(sketches: DataFrame,
         sketches.agg(F.hll_union_agg(F.col(sketch_col)).alias("s"))
         .select(F.hll_sketch_estimate("s").alias("distinct_estimate"))
     )
+
+
+def quantile_sketches(df: DataFrame, group_cols: list[str], value_col: str,
+                      k: int = 200) -> DataFrame:
+    """One KLL quantile sketch per group over a DOUBLE `value_col` — the
+    mergeable counterpart of approx_percentile: store per shard, answer
+    any-quantile questions later without rescanning. k=200 ≈ 1.65% rank
+    error (DataSketches KLL default)."""
+    return df.groupBy(*group_cols).agg(
+        F.kll_sketch_agg_double(F.col(value_col).cast("double"), F.lit(k))
+        .alias("quantile_sketch"))
+
+
+def merge_quantiles(sketches: DataFrame, group_cols: list[str],
+                    quantiles: list[float],
+                    sketch_col: str = "quantile_sketch") -> DataFrame:
+    """Merge stored KLL sketches down to `group_cols` and read the
+    requested quantiles out of the merged sketch — one qN column per
+    requested fraction."""
+    merged = sketches.groupBy(*group_cols).agg(
+        F.kll_merge_agg_double(F.col(sketch_col)).alias("s"))
+    return merged.select(
+        *group_cols,
+        *[F.kll_sketch_get_quantile_double("s", F.lit(q))
+          .alias(f"q{int(q * 100)}") for q in quantiles])
+
+
+def audience_sketches(df: DataFrame, group_cols: list[str],
+                      value_col: str) -> DataFrame:
+    """One THETA sketch per group — like HLL it estimates distincts, but
+    theta sketches additionally support SET ALGEBRA on the stored state:
+    intersection and difference, which HLL cannot express. Use for
+    overlap questions (retained users, cross-segment audiences) answered
+    entirely from per-segment sketches."""
+    return df.groupBy(*group_cols).agg(
+        F.theta_sketch_agg(F.col(value_col)).alias("theta_sketch"))
+
+
+def audience_overlap(sketches: DataFrame, group_col: str,
+                     group_a: str, group_b: str,
+                     sketch_col: str = "theta_sketch") -> DataFrame:
+    """|A|, |B|, |A ∪ B|, |A ∩ B| estimated purely from the two groups'
+    stored sketches (one row out). The base table is never touched."""
+    a = sketches.filter(F.col(group_col) == group_a) \
+        .select(F.col(sketch_col).alias("sa"))
+    b = sketches.filter(F.col(group_col) == group_b) \
+        .select(F.col(sketch_col).alias("sb"))
+    return a.crossJoin(b).select(
+        F.theta_sketch_estimate("sa").alias("n_a"),
+        F.theta_sketch_estimate("sb").alias("n_b"),
+        F.theta_sketch_estimate(F.theta_union("sa", "sb")).alias("n_union"),
+        F.theta_sketch_estimate(
+            F.theta_intersection("sa", "sb")).alias("n_intersection"),
+    )
