@@ -65,3 +65,42 @@ def test_replay_merge_is_noop(spark):
         F.hll_sketch_estimate(F.hll_union_agg("s")).alias("e"))
     assert sorted(map(tuple, once.collect())) == \
         sorted(map(tuple, twice.collect()))
+
+
+def test_streaming_quantiles_equal_batch(spark, tmp_path):
+    """The maintained KLL table must produce the same quantiles as the
+    one-shot batch sketch built with the same merge tree order... KLL
+    merge is rank-exact but compaction is order-sensitive, so the honest
+    assertion is the rank guarantee vs the exact distribution, not
+    bit-equality with a differently-ordered batch merge."""
+    import bisect
+
+    from wde_spark.streaming import sketch_maintenance as SM
+
+    src = str(tmp_path / "src")
+    orders = spark.read.parquet(f"{SF}/orders.parquet") \
+        .select("o_orderstatus", "o_totalprice")
+    orders.repartition(3).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("o_orderstatus string, o_totalprice double")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    SM.streaming_quantile_maintain(
+        stream, ["o_orderstatus"], "o_totalprice",
+        str(tmp_path / "q"), str(tmp_path / "ckpt_q"))
+
+    got = {r["o_orderstatus"]: (r["q50"], r["q99"]) for r in
+           SM.read_quantiles(spark, str(tmp_path / "q"),
+                             ["o_orderstatus"], [0.5, 0.99]).collect()}
+
+    by_status = {}
+    for r in orders.collect():
+        by_status.setdefault(r["o_orderstatus"], []).append(r["o_totalprice"])
+    for status, vals in by_status.items():
+        vals.sort()
+        for q, v in zip((0.5, 0.99), got[status]):
+            rank = bisect.bisect_left(vals, v) / len(vals)
+            assert abs(rank - q) < 0.05, (status, q, v, rank)
