@@ -49,6 +49,12 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
     if algorithm not in ("label", "star", "auto"):
         raise ValueError(
             f"algorithm must be 'label', 'star', or 'auto', got {algorithm!r}")
+    # Materialize the edge table ONCE before anything touches it: both
+    # algorithms symmetrize via `edges ∪ swap(edges)` — two references to
+    # the upstream DAG, which for real pipelines is an expensive near-dup
+    # verification (LSH banding + Jaccard join).  Without this cut the
+    # whole upstream runs twice before the first round starts.
+    edges = edges.localCheckpoint(eager=True)
     if algorithm == "star":
         return connected_components_star(edges, id_a, id_b)
     try:
