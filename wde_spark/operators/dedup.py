@@ -268,7 +268,12 @@ def sorted_neighborhood_pairs(docs: DataFrame, text_col: str = "text",
                       F.col("rn").alias("rn_b"))
     cand = a.join(b, ["blk", "rn_b"]).select("id_a", "id_b")
 
-    sh = distinct_shingle_table(docs, text_col, id_col, shingle_k)
+    from pyspark import StorageLevel
+
+    # consumed 3x (verification both sides + size counts) — persist, same
+    # hygiene as neardup_lsh_verified
+    sh = distinct_shingle_table(docs, text_col, id_col, shingle_k) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     sa_ = sh.select(F.col(id_col).alias("id_a"), F.col("sh"))
     sb_ = sh.select(F.col(id_col).alias("id_b"), F.col("sh"))
@@ -443,11 +448,14 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     shingle hash) → per-pair intersection count → Jaccard from per-doc
     distinct-shingle counts. Exact but quadratic in bucket size; use after
     an LSH prefilter at scale."""
-    sh = docs.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(shingles(tokens(F.col(text_col)), shingle_k))
-                  ).alias("sh"),
-    )
+    from pyspark import StorageLevel
+
+    # shingle table consumed 3x (self-join both sides + size counts) —
+    # persist so tokenize+shingle runs once, same hygiene as
+    # neardup_lsh_verified (the join sides alone get ReusedExchange, the
+    # size agg's different shuffle shape would otherwise rescan)
+    sh = distinct_shingle_table(docs, text_col, id_col, shingle_k) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
