@@ -1667,7 +1667,12 @@ def merge_changeset_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("I").alias("op"), "o_custkey",
         F.lit("N").alias("o_orderstatus"), "o_totalprice", "o_orderdate",
     )
-    ch = upd.unionByName(dels).unionByName(ins)
+    # The changeset here is SYNTHESIZED from the snapshot (test harness —
+    # in production it arrives from an external CDC feed); materialize it
+    # once so its three I/U/D branches don't each rescan orders. The
+    # operator under test still sees exactly one snapshot scan + a
+    # broadcast changeset.
+    ch = upd.unionByName(dels).unionByName(ins).localCheckpoint(eager=True)
     merged = R.merge_changeset(snap, ch, "o_orderkey")
     # Hash-stable output surface: DECIMAL and TIMESTAMP_NTZ render
     # differently across engines in the driver's canonicalizer, so the
