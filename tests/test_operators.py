@@ -545,3 +545,27 @@ def test_build_mapper_overflow_cap(spark):
         RJ.build_mapper(nt, max_names=5)
     ok = RJ.build_mapper(nt, max_names=10)
     assert ok["name_3"] == "Q3" and len(ok) == 10
+
+
+def test_dedup_corpus_end_to_end(spark):
+    """The composed corpus cleaner: verbatim clones collapse to min id,
+    near-dup classes keep exactly one representative, distinct docs
+    survive untouched, schema unchanged."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog today"),   # clone of 1
+        (3, "the quick brown fox jumps over the lazy dog tonight"), # near-dup of 1
+        (4, "completely unrelated text about spark query engines"),
+        (5, "another fully distinct document about parquet files"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = D.dedup_corpus(docs)
+    assert kept.columns == docs.columns
+    ids = {r.doc_id for r in kept.collect()}
+    assert 1 in ids                      # class representative (min id)
+    assert 2 not in ids                  # exact clone dropped
+    assert 3 not in ids                  # near-dup clustered with 1, dropped
+    assert {4, 5} <= ids                 # distinct docs untouched
+    # deterministic under rerun
+    ids2 = {r.doc_id for r in D.dedup_corpus(docs).collect()}
+    assert ids == ids2

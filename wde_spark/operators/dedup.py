@@ -477,3 +477,41 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def dedup_corpus(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", threshold: float = 0.2,
+                 shingle_k: int = 2,
+                 max_bucket: int | None = 64) -> DataFrame:
+    """The end-to-end corpus cleaner — the tier composition a training-data
+    pipeline actually runs (and `tools/stress_dedup.py` measures at 100×):
+
+      1. exact dedup collapses verbatim clones to their min-id
+         representative (one shuffle; keeps step 2 off the clone cliques
+         that would otherwise go quadratic in candidate pairs);
+      2. LSH-banded near-dup + exact Jaccard verification over the
+         survivors proposes verified near-duplicate PAIRS;
+      3. connected components turns pairs into dedup CLASSES;
+      4. one representative (min id) per class survives.
+
+    Returns the KEPT rows of `docs`, original schema unchanged — feed it
+    straight into the next pipeline stage. Deterministic: winners are
+    min-ids at both the exact and near-dup levels, so reruns and
+    different cluster sizes produce the identical corpus.
+    """
+    reps = exact_dedup(docs, text_col, id_col)
+    survivors = docs.join(
+        reps.select(F.col("keep_id").alias(id_col)), id_col, "left_semi")
+
+    pairs = neardup_lsh_verified(
+        survivors, text_col, id_col, shingle_k=shingle_k,
+        threshold=threshold, max_bucket=max_bucket,
+    ).select("id_a", "id_b")
+
+    from . import graph as G
+
+    comps = G.connected_components(pairs)
+    # drop every clustered doc that is not its class representative
+    losers = comps.filter(F.col("node") != F.col("component")) \
+        .select(F.col("node").alias(id_col))
+    return survivors.join(losers, id_col, "left_anti")
