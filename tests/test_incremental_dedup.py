@@ -1,0 +1,142 @@
+"""Incremental dedup (`operators/incremental.py`) — the equivalence
+contract: admitting a batch against corpus STATE must produce exactly the
+corpus a full `dedup_corpus` re-run over corpus ∪ batch would keep,
+without the increment ever rescanning corpus text (except for candidate
+verification).
+
+Scenario coverage, one corpus:
+  - exact cross-split dup where the CORPUS doc wins (smaller id)
+  - exact cross-split dup where the BATCH doc wins (smaller id) → revoke
+  - intra-batch exact clones
+  - near-dup batch-vs-corpus (corpus rep survives)
+  - a batch doc BRIDGING two existing corpus classes (merge → one corpus
+    rep revoked)
+  - intra-batch near-dup cluster
+  - fully novel docs
+  - empty batch / batch against empty corpus
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wde_spark.operators import dedup as D
+from wde_spark.operators import incremental as I
+
+SCHEMA = "doc_id long, text string"
+
+
+def _kept_ids(df):
+    return {r.doc_id for r in df.select("doc_id").collect()}
+
+
+def _full(spark, rows):
+    docs = spark.createDataFrame(rows, SCHEMA)
+    return _kept_ids(D.dedup_corpus(docs))
+
+
+def _incremental(spark, corpus_rows, batch_rows):
+    corpus_all = spark.createDataFrame(corpus_rows, SCHEMA)
+    kept_corpus = D.dedup_corpus(corpus_all)
+    state = I.dedup_state(kept_corpus)
+    batch = spark.createDataFrame(batch_rows, SCHEMA)
+    res = I.dedup_increment(kept_corpus, batch, state)
+    final = (_kept_ids(kept_corpus) - _kept_ids(res.revoked)) | _kept_ids(res.kept)
+    return res, final
+
+
+CORPUS = [
+    (10, "the quick brown fox jumps over the lazy dog today"),
+    (20, "spark structured streaming handles late data with watermarks"),
+    (30, "parquet column pruning makes scans cheap and fast always"),
+    (40, "duckdb is an embedded analytical database for local work"),
+    # 50/55 are distinct corpus classes (J=0.077, bands verified non-
+    # colliding) that the bridge doc 130 will connect: it band-collides
+    # with BOTH (verified against the deterministic minhash family) and
+    # its Jaccard to each clears the 0.2 verification threshold.
+    (50, "gale hill isle reef elm mesa lake quay"),
+    (55, "gale hill bay cliff yard tarn ash oak"),
+]
+
+BATCH = [
+    (100, "the quick brown fox jumps over the lazy dog today"),      # exact dup of 10 (corpus wins)
+    (5,   "spark structured streaming handles late data with watermarks"),  # exact dup of 20, batch id SMALLER → revokes 20
+    (110, "completely novel document about tokenizer vocabularies"),
+    (111, "completely novel document about tokenizer vocabularies"),  # intra-batch clone of 110
+    (120, "parquet column pruning makes scans cheap and fast forever"),  # near-dup of 30 → corpus rep survives
+    # bridge: band-collides with both 50 and 55 (deterministic), J >= 0.2 to each
+    (130, "isle reef elm gale hill bay cliff yard fern bluff"),
+    (140, "some entirely different content with zero overlap anywhere"),
+    (141, "some entirely different content with scant overlap anywhere"),  # near-dup of 140 (intra-batch)
+]
+
+
+def test_increment_matches_full_rerun(spark):
+    res, final = _incremental(spark, CORPUS, BATCH)
+    full = _full(spark, CORPUS + BATCH)
+    assert final == full
+
+
+def test_increment_verbs(spark):
+    res, final = _incremental(spark, CORPUS, BATCH)
+    kept = _kept_ids(res.kept)
+    revoked = _kept_ids(res.revoked)
+    assert 100 not in kept            # corpus twin 10 wins
+    assert 5 in kept and 20 in revoked  # batch doc with smaller id dethrones
+    assert 110 in kept and 111 not in kept  # intra-batch exact collapse
+    assert 120 not in kept and 30 not in revoked  # corpus near-dup rep survives
+    # bridge merges classes {50} and {55}: one representative for the
+    # merged component (min id = 50), so 55 is revoked and 130 dropped
+    assert 130 not in kept and 55 in revoked and 50 not in revoked
+    assert 140 in kept and 141 not in kept  # intra-batch near-dup cluster
+
+
+def test_increment_state_is_consistent(spark):
+    """state' must equal dedup_state(corpus') — fingerprint and band rows
+    for exactly the new kept set, bit-identical values."""
+    corpus_all = spark.createDataFrame(CORPUS, SCHEMA)
+    kept_corpus = D.dedup_corpus(corpus_all)
+    batch = spark.createDataFrame(BATCH, SCHEMA)
+    res = I.dedup_increment(kept_corpus, batch, I.dedup_state(kept_corpus))
+
+    new_corpus = kept_corpus.join(res.revoked, "doc_id", "left_anti") \
+        .unionByName(res.kept)
+    fresh = I.dedup_state(new_corpus)
+    for inc_df, fresh_df in [(res.state.fingerprints, fresh.fingerprints),
+                             (res.state.bands, fresh.bands)]:
+        sym = inc_df.exceptAll(fresh_df).unionAll(fresh_df.exceptAll(inc_df))
+        assert sym.count() == 0
+
+
+def test_increment_empty_batch(spark):
+    corpus_all = spark.createDataFrame(CORPUS, SCHEMA)
+    kept_corpus = D.dedup_corpus(corpus_all)
+    batch = spark.createDataFrame([], SCHEMA)
+    res = I.dedup_increment(kept_corpus, batch, I.dedup_state(kept_corpus))
+    assert res.kept.count() == 0 and res.revoked.count() == 0
+    assert res.state.fingerprints.count() == kept_corpus.count()
+
+
+def test_increment_into_empty_corpus(spark):
+    """Bootstrap case: incrementing into an empty corpus is exactly a full
+    dedup of the batch."""
+    corpus = spark.createDataFrame([], SCHEMA)
+    res = I.dedup_increment(corpus, spark.createDataFrame(BATCH, SCHEMA),
+                            I.dedup_state(corpus))
+    assert _kept_ids(res.kept) == _full(spark, BATCH)
+    assert res.revoked.count() == 0
+
+
+def test_increment_chain_of_batches(spark):
+    """Two successive increments (state threaded through) equal one full
+    re-run over everything — state maintenance composes."""
+    b1, b2 = BATCH[:4], BATCH[4:]
+    corpus_all = spark.createDataFrame(CORPUS, SCHEMA)
+    kept = D.dedup_corpus(corpus_all)
+    state = I.dedup_state(kept)
+
+    r1 = I.dedup_increment(kept, spark.createDataFrame(b1, SCHEMA), state)
+    corpus1 = kept.join(r1.revoked, "doc_id", "left_anti").unionByName(r1.kept)
+    r2 = I.dedup_increment(corpus1, spark.createDataFrame(b2, SCHEMA), r1.state)
+    final = (_kept_ids(corpus1) - _kept_ids(r2.revoked)) | _kept_ids(r2.kept)
+    assert final == _full(spark, CORPUS + BATCH)

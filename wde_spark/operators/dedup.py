@@ -124,6 +124,32 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     )
 
 
+def lsh_band_table(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", num_hashes: int = 16,
+                   bands: int = 4, shingle_k: int = 3,
+                   shingle_table: DataFrame | None = None) -> DataFrame:
+    """(id, band_idx, band_hash) — one row per document per band, the
+    stacked LSH bucket table that `minhash_lsh_pairs` self-joins and that
+    `incremental.dedup_state` persists as corpus state. Band hashes are
+    md5 over '|'-joined per-band minhashes, so they are reproducible
+    across runs, engines, and cluster sizes."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_k,
+                             shingle_table)
+    band_cols = [
+        F.md5(F.concat_ws("|", *[F.col(f"mh_{b * rows_per_band + r}")
+                                 for r in range(rows_per_band)])).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), *band_cols)
+    return banded.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(bands)]))
+        .alias("band_idx", "band_hash"),
+    )
+
+
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 16,
                       bands: int = 4, shingle_k: int = 3,
@@ -142,21 +168,8 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     Observed bucket sizes on the synthetic corpus are <= 5, so the default
     cap of 64 changes nothing at test scale — it exists for the 100-TB run.
     Pass None to disable."""
-    assert num_hashes % bands == 0
-    rows_per_band = num_hashes // bands
-    sig = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_k,
-                             shingle_table)
-    band_cols = [
-        F.md5(F.concat_ws("|", *[F.col(f"mh_{b * rows_per_band + r}")
-                                 for r in range(rows_per_band)])).alias(f"band_{b}")
-        for b in range(bands)
-    ]
-    banded = sig.select(F.col(id_col), *band_cols)
-    stacked = banded.select(
-        F.col(id_col),
-        F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(bands)]))
-        .alias("band_idx", "band_hash"),
-    )
+    stacked = lsh_band_table(docs, text_col, id_col, num_hashes, bands,
+                             shingle_k, shingle_table)
     if max_bucket is not None:
         # One extra hash-agg-shaped pass on the SAME key the join shuffles
         # on; AQE reuses the exchange. Never a window over the raw pairs.
