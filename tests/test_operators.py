@@ -281,6 +281,63 @@ def test_topk_recall_gate_boolean(spark):
     assert not bad.recall_ok
 
 
+def test_pq_ann_recall_and_refine_limit(spark):
+    """PQ ADC scan on the real sf0.001 embeddings: recall@5 must clear the
+    gate threshold, and refine=n_items must degenerate to exact search
+    (every item becomes a re-rank candidate)."""
+    from wde_spark.core.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings",
+                     spread=True)
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = {(r.query_id, r.item_id)
+             for r in SIM.cosine_topk(emb, queries, k=5).collect()}
+    approx = {(r.query_id, r.item_id)
+              for r in SIM.pq_ann(emb, queries, k=5, m=16, k_codes=16,
+                                  refine=8).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"PQ recall@5 too low: {recall:.2f}"
+
+    n = emb.count()
+    full = {(r.query_id, r.item_id)
+            for r in SIM.pq_ann(emb, queries, k=5, m=16, k_codes=16,
+                                refine=n).collect()}
+    assert full == exact, "refine=n_items must degenerate to exact search"
+
+
+def test_pq_codebooks_deterministic_and_shaped(spark):
+    vecs = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 13) for j in range(8)])
+         for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    b1 = SIM.train_pq_codebooks(vecs, m=4, k_codes=8, iters=2)
+    b2 = SIM.train_pq_codebooks(vecs, m=4, k_codes=8, iters=2)
+    assert b1 == b2
+    assert len(b1) == 4                      # m sub-spaces
+    assert all(len(s) == 8 for s in b1)      # k codes each
+    assert all(len(c) == 2 for s in b1 for c in s)  # dim/m values per code
+
+
+def test_pq_ann_null_and_empty_robustness(spark):
+    """NULL / non-finite vectors degrade (fall out of the candidate set);
+    an empty item table yields an empty result, not a crash."""
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.9, 0.1, 0.0, 0.0]),
+         (2, None), (3, [float("nan")] * 4), (4, [0.0, 1.0, 0.0, 0.0]),
+         (5, [0.1, 0.95, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = SIM.pq_ann(vecs, vecs.filter(F.col("vec_id") == 0), k=2,
+                     m=2, k_codes=2, refine=6).collect()
+    ids = {r.item_id for r in out}
+    assert 2 not in ids and 3 not in ids
+    assert out and out[0].item_id == 1       # nearest real neighbor first
+
+    empty = vecs.filter(F.col("vec_id") < 0)
+    assert SIM.pq_ann(empty, empty, k=2, m=2, k_codes=2).count() == 0
+
+
 def test_ivf_centroids_deterministic(spark):
     vecs = spark.createDataFrame(
         [(i, [float((i * 7 + j * 3) % 13) for j in range(4)])

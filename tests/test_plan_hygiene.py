@@ -192,6 +192,10 @@ def test_no_cartesian_or_undeclared_python_anywhere(spark):
     cartesian_ok = {"embedding_neardup_exact", "hybrid_neardup_pairs",
                     "cosine_topk_embeddings", "lsh_ann_recall_gate",
                     "ivf_ann_recall_gate",
+                    # PQ ADC scan: broadcast of the (bounded) per-query
+                    # lookup tables against the codes column — the
+                    # embarrassingly-parallel scan shape, like cosine_topk
+                    "pq_ann_embeddings", "pq_ann_recall_gate",
                     "q11_supplier_share", "q22_idle_rich_customers",
                     "tfidf_top_terms_documents"}
     # declared Arrow/Python boundaries
@@ -199,6 +203,7 @@ def test_no_cartesian_or_undeclared_python_anywhere(spark):
                  "multimodal_resize", "multimodal_audio_chunks",
                  "lsh_ann_embeddings", "lsh_ann_recall_gate",
                  "ivf_ann_embeddings", "ivf_ann_recall_gate",
+                 "pq_ann_embeddings", "pq_ann_recall_gate",
                  "resolve_ladder_parts", "hybrid_neardup_pairs"}
     bad = {}
     for name, fn in QUERIES.items():

@@ -426,3 +426,204 @@ def embedding_neardup(items: DataFrame, threshold: float = 0.95,
         )
         .filter(~F.isnan("cos_sim") & (F.col("cos_sim") >= threshold))
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN — the memory-bandwidth scale path.
+#
+# IVF prunes WHICH vectors a query touches; PQ shrinks WHAT each touched
+# vector costs: a D-dim float vector (4·D bytes) is stored as M sub-space
+# centroid ids (M bytes at K=16..256), and query scoring reads ONLY the
+# codes via a per-query lookup table (ADC — asymmetric distance
+# computation, Jégou et al., "Product Quantization for Nearest Neighbor
+# Search", TPAMI 2011). At 100 TB of 1024-dim embeddings that is ~64×
+# less scan I/O, and the codes column is what a 1000-executor scan
+# actually streams. Training is the same deterministic machinery as IVF
+# (md5-ordered seeding, fixed Lloyd iterations) — per sub-space — so the
+# whole path (train → encode → ADC scan → exact re-rank) is replayable
+# in ANSI SQL and the DuckDB oracle hash-checks the approximate result
+# end-to-end.
+
+
+def _pq_assign_udf(spark, codebooks: list[list[list[float]]], bc=None):
+    """codes(vector) -> array<int> of length M: per sub-space nearest
+    centroid id against the BROADCAST codebook tensor (M × K × d_sub).
+    Per Arrow batch, all M sub-space distance matrices come from one
+    reshaped BLAS matmul; ties break to the lowest code id. NULL /
+    mis-sized / non-finite vectors map to NULL codes (degrade, not
+    crash)."""
+    if bc is None:
+        C = np.asarray(codebooks, dtype=np.float64)  # (M, K, d_sub)
+        bc = spark.sparkContext.broadcast((C, (C * C).sum(axis=2)))
+
+    @pandas_udf("array<int>")
+    def assign(v: pd.Series) -> pd.Series:
+        Cb, c_sq = bc.value  # (M, K, ds), (M, K)
+        M_, K_, ds = Cb.shape
+        out = pd.Series([None] * len(v), dtype=object)
+        idx, X = _finite_matrix(v, M_ * ds)
+        if len(idx):
+            S = X.reshape(len(X), M_, ds)                     # (n, M, ds)
+            # dist(n, m, k) = |s|^2 - 2 s·c + |c|^2
+            dots = np.einsum("nmd,mkd->nmk", S, Cb)
+            d = (S * S).sum(axis=2)[:, :, None] - 2.0 * dots + c_sq[None, :, :]
+            codes = np.argmin(d, axis=2).astype(np.int32)     # stable: first min
+            out[idx] = list(codes)
+        return out
+
+    assign.bc = bc
+    return assign
+
+
+def train_pq_codebooks(items: DataFrame, m: int = 8, k_codes: int = 16,
+                       iters: int = 2, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> list[list[list[float]]]:
+    """Deterministic per-sub-space Lloyd's k-means over L2-normalized
+    vectors → codebook tensor (m × k_codes × dim/m). Seeding is md5-ordered
+    vector ids (the SAME first k_codes vectors seed every sub-space — no
+    RNG); each iteration is one row-local Arrow assignment pass + one
+    (sub-space, code, dim) hash agg. The codebook (m·k_codes·dim doubles)
+    is driver-side model state, like the IVF centroids."""
+    spark = items.sparkSession
+    v = items.select(
+        F.col(id_col).alias("vid"),
+        _normalize(_as_double(F.col(vec_col))).alias("v"),
+    )
+    dim_row = (
+        v.filter(F.col("v").isNotNull())
+        .groupBy(F.size("v").alias("d")).count()
+        .orderBy(F.desc("count"), F.asc("d")).first()
+    )
+    if dim_row is None:
+        return []
+    dim = dim_row.d
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m} sub-spaces")
+    ds = dim // m
+    clean = v.filter(
+        (F.size("v") == dim)
+        & ~F.exists("v", lambda x: x.isNull() | F.isnan(x))
+    )
+    seed_rows = (
+        clean.orderBy(F.md5(F.col("vid").cast("string")), F.col("vid"))
+        .limit(k_codes).select("v").collect()
+    )
+    if not seed_rows:
+        return []
+    k_codes = min(k_codes, len(seed_rows))
+    books = [[list(r.v[s * ds:(s + 1) * ds]) for r in seed_rows[:k_codes]]
+             for s in range(m)]
+    for _ in range(iters):
+        assign = _pq_assign_udf(spark, books)
+        assigned = clean.withColumn("codes", assign(F.col("v")))
+        means = (
+            assigned.select("codes", F.posexplode("v").alias("pos", "x"))
+            .withColumn("sub", (F.col("pos") / ds).cast("int"))
+            .withColumn("code", F.col("codes")[F.col("sub")])
+            .withColumn("dpos", F.col("pos") % ds)
+            .groupBy("sub", "code", "dpos").agg(F.avg("x").alias("mv"))
+            .groupBy("sub", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("dpos", "mv"))).alias("pm"))
+            .select("sub", "code", F.col("pm.mv").alias("cv"))
+            .collect()
+        )
+        assign.bc.unpersist()
+        new = {(r.sub, r.code): list(r.cv) for r in means}
+        books = [[new.get((s, j), books[s][j]) for j in range(k_codes)]
+                 for s in range(m)]
+    return books
+
+
+def pq_ann(items: DataFrame, queries: DataFrame, k: int = 5, m: int = 8,
+           k_codes: int = 16, iters: int = 2, refine: int = 4,
+           id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k via PQ codes + ADC scan + exact re-rank.
+
+    Plan shape (what survives a 100× scale-up):
+      1. encode: one row-local Arrow pass → `codes` array<int> (the
+         compressed index a production pipeline would PERSIST — M bytes a
+         vector — and rescan for every future query batch without touching
+         the float column);
+      2. ADC scan: queries are collected (bounded, like `cosine_topk`'s
+         broadcast contract) and each becomes an M×K lookup table of
+         sub-space inner products; scoring an item is M array lookups +
+         adds over its codes — a JVM-side fold, no Python, reading no
+         vector data;
+      3. top `k·refine` per query by approximate score (window, partial
+         top-k per partition survives the shuffle);
+      4. exact cosine re-rank of only those candidates (join back to the
+         float vectors by id — touches `k·refine` rows per query).
+    Returns (query_id, item_id, cos_sim, rnk) like every ANN path here —
+    cos_sim is EXACT on the surviving candidates."""
+    spark = items.sparkSession
+    books = train_pq_codebooks(items, m, k_codes, iters, id_col, vec_col)
+    if not books:
+        from pyspark.sql import types as T
+
+        idt = items.schema[id_col].dataType
+        return spark.createDataFrame([], T.StructType([
+            T.StructField("query_id", idt),
+            T.StructField("item_id", idt),
+            T.StructField("cos_sim", T.DoubleType()),
+            T.StructField("rnk", T.LongType()),
+        ]))
+    assign = _pq_assign_udf(spark, books)
+    it = items.select(
+        F.col(id_col).alias("item_id"), _as_double(F.col(vec_col)).alias("iv")
+    ).withColumn("codes", assign(_normalize(F.col("iv"))))
+
+    # per-query ADC lookup tables, built driver-side from the (bounded)
+    # query set: lut[s][j] = <q_norm sub-space s, codebook[s][j]>
+    C = np.asarray(books, dtype=np.float64)          # (M, K, ds)
+    m_, _, ds = C.shape
+    qrows = queries.select(
+        F.col(id_col).alias("query_id"),
+        _normalize(_as_double(F.col(vec_col))).alias("qv"),
+        _as_double(F.col(vec_col)).alias("rv"),
+    ).filter(F.col("qv").isNotNull()
+             & ~F.exists("qv", lambda x: x.isNull() | F.isnan(x))).collect()
+    if not qrows:
+        return it.sparkSession.createDataFrame(
+            [], "query_id long, item_id long, cos_sim double, rnk long")
+    lut_rows = []
+    for r in qrows:
+        Q = np.asarray(r.qv, dtype=np.float64).reshape(m_, ds)
+        lut = np.einsum("md,mkd->mk", Q, C)          # (M, K)
+        lut_rows.append((r.query_id, [[float(x) for x in row] for row in lut]))
+    q_lut = spark.createDataFrame(
+        lut_rows, "query_id long, lut array<array<double>>")
+
+    approx = (
+        it.join(F.broadcast(q_lut))
+        .filter(F.col("item_id") != F.col("query_id"))
+        .withColumn(
+            "approx_sim",
+            F.round(F.aggregate(
+                F.zip_with(F.col("codes"), F.col("lut"),
+                           lambda c, row: F.element_at(row, c + 1)),
+                F.lit(0.0), lambda acc, x: acc + x), 6),
+        )
+    )
+    from pyspark.sql import Window
+
+    wa = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_sim"), F.asc("item_id"))
+    cand = (
+        approx.filter(F.col("codes").isNotNull())
+        .withColumn("arnk", F.row_number().over(wa))
+        .filter(F.col("arnk") <= k * refine)
+        .select("query_id", "item_id")
+    )
+    # exact re-rank uses the RAW (un-normalized) query vectors so cos_sim is
+    # bit-identical to `cosine_topk` / the SQL oracle (cosine is scale-
+    # invariant mathematically, but not in floating point)
+    qv = spark.createDataFrame(
+        [(r.query_id, list(r.rv)) for r in qrows],
+        "query_id long, qv array<double>")
+    scored = (
+        cand.join(it.select("item_id", "iv"), "item_id")
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", "item_id",
+                F.round(cosine(F.col("qv"), F.col("iv")), 6).alias("cos_sim"))
+    )
+    return _rerank_topk(scored, k)
