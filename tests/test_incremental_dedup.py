@@ -127,6 +127,40 @@ def test_increment_into_empty_corpus(spark):
     assert res.revoked.count() == 0
 
 
+def test_streaming_admission_matches_full_rerun(spark, tmp_path):
+    """Document batches admitted through the streaming foreachBatch path
+    (corpus + state rolling forward as copy-on-write versions) end in
+    exactly the corpus a full dedup_corpus re-run over everything keeps,
+    and replaying the stream rewrites identical versions (exactly-once
+    effect)."""
+    import os
+
+    from wde_spark.streaming.dedup_admission import (
+        read_corpus, streaming_dedup_admission)
+
+    corpus0 = D.dedup_corpus(spark.createDataFrame(CORPUS, SCHEMA))
+    src = tmp_path / "docs"
+    for i, rows in enumerate((BATCH[:4], BATCH[4:])):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1) \
+            .write.mode("overwrite").parquet(str(src / f"f{i}.parquet"))
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*.parquet"))
+    )
+    target, ckpt = str(tmp_path / "corpus"), str(tmp_path / "ckpt")
+    streaming_dedup_admission(stream, corpus0, target, ckpt)
+
+    got = _kept_ids(read_corpus(spark, target))
+    assert got == _full(spark, CORPUS + BATCH)
+
+    # replay from the same checkpoint: no new versions, same corpus
+    versions = sorted(os.listdir(target))
+    streaming_dedup_admission(stream, corpus0, target, ckpt)
+    assert sorted(os.listdir(target)) == versions
+    assert _kept_ids(read_corpus(spark, target)) == got
+
+
 def test_increment_chain_of_batches(spark):
     """Two successive increments (state threaded through) equal one full
     re-run over everything — state maintenance composes."""

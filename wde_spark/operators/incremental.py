@@ -111,8 +111,6 @@ def dedup_increment(corpus: DataFrame, batch: DataFrame,
     corpus is never re-hashed). Returns (kept, revoked, state') — see the
     module docstring for the full-rerun equivalence contract.
     """
-    from pyspark import StorageLevel
-
     if state is None:
         state = dedup_state(corpus, text_col, id_col, num_hashes, bands,
                             shingle_k)
@@ -120,8 +118,13 @@ def dedup_increment(corpus: DataFrame, batch: DataFrame,
     # ---- tier 1: exact. One semi-join pass over state fingerprints against
     # the batch's fp set; winners are global min-ids, exactly as the full
     # pipeline's groupBy(fp).min(id) would pick them.
-    b_fp = _fingerprints(batch, text_col, id_col).persist(
-        StorageLevel.MEMORY_AND_DISK)
+    # Every intermediate below is BATCH-BOUNDED (that is the design point),
+    # so they are eagerly localCheckpoint-ed rather than persisted: each is
+    # referenced several times downstream, and Catalyst plans are trees —
+    # without lineage truncation every reference would re-expand the whole
+    # upstream subtree and driver-side ANALYSIS, not execution, would
+    # dominate an increment (measured 10×+ on tools/stress_incremental.py).
+    b_fp = _fingerprints(batch, text_col, id_col).localCheckpoint()
     s_hits = state.fingerprints.join(
         F.broadcast(b_fp.select("fp").distinct()), "fp", "left_semi")
     all_fp = b_fp.withColumn("__src", F.lit("b")).unionByName(
@@ -134,6 +137,7 @@ def dedup_increment(corpus: DataFrame, batch: DataFrame,
     exact_revoked = (
         s_hits.join(fp_groups.filter(F.col("win_src") == "b"), "fp", "inner")
         .select(F.col(id_col))
+        .localCheckpoint()  # reused 3×
     )
     # batch docs that win their fp group (vs both corpus twins and
     # intra-batch clones) survive to the near-dup tier
@@ -143,17 +147,17 @@ def dedup_increment(corpus: DataFrame, batch: DataFrame,
         .filter(F.col(id_col) == F.col("win_id"))
         .select(F.col(id_col))
     )
-    survivors = batch.join(b_surv_ids, id_col, "left_semi")
+    survivors = batch.join(b_surv_ids, id_col, "left_semi").localCheckpoint()
 
     # ---- tier 2: LSH candidates. Batch bands are computed fresh; the state
     # band table is reduced FIRST to buckets the batch touches (broadcast
     # semi-join on band keys — the state side never shuffles), minus docs
     # the exact tier just revoked.
     sh_b = distinct_shingle_table(survivors, text_col, id_col, shingle_k) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
     bands_b = lsh_band_table(survivors, text_col, id_col, num_hashes, bands,
                              shingle_k, shingle_table=sh_b) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
     s_bands_hit = (
         state.bands
         .join(exact_revoked, id_col, "left_anti")
@@ -163,8 +167,8 @@ def dedup_increment(corpus: DataFrame, batch: DataFrame,
     stacked = (
         bands_b.withColumn("__src", F.lit("b"))
         .unionByName(s_bands_hit.withColumn("__src", F.lit("s")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+        .localCheckpoint()  # self-joined below: without truncation the
+    )                       # subtree would be squared
     if max_bucket is not None:
         # Population-true cap: counts include the corpus members of each
         # touched bucket, so the cap decision matches what a full re-run
@@ -187,6 +191,7 @@ def dedup_increment(corpus: DataFrame, batch: DataFrame,
         .select(F.col(f"a.{id_col}").alias("id_a"),
                 F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
+        .localCheckpoint()  # feeds ids, inter, edges
     )
 
     # ---- tier 3: exact-Jaccard verification. Corpus text is consulted only
@@ -220,7 +225,8 @@ def dedup_increment(corpus: DataFrame, batch: DataFrame,
     # across the whole component, as in the full pipeline.
     comps = G.connected_components(edges)
     losers = comps.filter(F.col("node") != F.col("component")) \
-        .select(F.col("node").alias(id_col))
+        .select(F.col("node").alias(id_col)) \
+        .localCheckpoint()  # reused by revoke + keep
     near_revoked = losers.join(
         corpus.select(id_col), id_col, "left_semi")
     kept = survivors.join(losers, id_col, "left_anti")
