@@ -534,6 +534,85 @@ def train_pq_codebooks(items: DataFrame, m: int = 8, k_codes: int = 16,
     return books
 
 
+def pq_encode(items: DataFrame, books: list[list[list[float]]],
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """(id, codes) — the persistable compressed index: M small ints per
+    vector (one row-local Arrow pass, no shuffle). This is the table a
+    production pipeline stores and appends to; all future ADC scans read
+    it instead of the float column."""
+    assign = _pq_assign_udf(items.sparkSession, books)
+    return items.select(
+        F.col(id_col),
+        assign(_normalize(_as_double(F.col(vec_col)))).alias("codes"),
+    )
+
+
+def _pq_query_luts(spark, queries: DataFrame, books, id_col: str,
+                   vec_col: str):
+    """Collect the (bounded) query set and build each query's M×K ADC
+    lookup table of sub-space inner products driver-side. Returns
+    (collected query rows incl. raw vectors for exact re-rank, LUT
+    DataFrame)."""
+    C = np.asarray(books, dtype=np.float64)          # (M, K, ds)
+    m_, _, ds = C.shape
+    qrows = queries.select(
+        F.col(id_col).alias("query_id"),
+        _normalize(_as_double(F.col(vec_col))).alias("qv"),
+        _as_double(F.col(vec_col)).alias("rv"),
+    ).filter(F.col("qv").isNotNull()
+             & ~F.exists("qv", lambda x: x.isNull() | F.isnan(x))).collect()
+    lut_rows = []
+    for r in qrows:
+        Q = np.asarray(r.qv, dtype=np.float64).reshape(m_, ds)
+        lut = np.einsum("md,mkd->mk", Q, C)          # (M, K)
+        lut_rows.append((r.query_id, [[float(x) for x in row] for row in lut]))
+    q_lut = spark.createDataFrame(
+        lut_rows, "query_id long, lut array<array<double>>") \
+        if lut_rows else None
+    return qrows, q_lut
+
+
+def _adc_score(codes_col: Column, lut_col: Column) -> Column:
+    """Approximate similarity = sum over sub-spaces of lut[m][code[m]] —
+    M array lookups + adds, a JVM fold reading no vector data."""
+    return F.round(F.aggregate(
+        F.zip_with(codes_col, lut_col,
+                   lambda c, row: F.element_at(row, c + 1)),
+        F.lit(0.0), lambda acc, x: acc + x), 6)
+
+
+def pq_adc_topk(codes: DataFrame, queries: DataFrame,
+                books: list[list[list[float]]], k: int = 5,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """ADC-only top-k against a stored codes table — the query path of a
+    maintained PQ index (`streaming/embedding_admission.py`): ranks purely
+    on code lookups, touching NO float vectors (at scale the float column
+    may be cold storage or gone). Returns (query_id, item_id, approx_sim,
+    rnk); scores are the quantized inner-product approximations, ties
+    broken by item id."""
+    spark = codes.sparkSession
+    qrows, q_lut = _pq_query_luts(spark, queries, books, id_col, vec_col)
+    if q_lut is None:
+        return spark.createDataFrame(
+            [], "query_id long, item_id long, approx_sim double, rnk long")
+    from pyspark.sql import Window
+
+    it = codes.select(F.col(id_col).alias("item_id"), "codes") \
+        .filter(F.col("codes").isNotNull())
+    wa = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_sim"), F.asc("item_id"))
+    return (
+        it.join(F.broadcast(q_lut))
+        .filter(F.col("item_id") != F.col("query_id"))
+        .withColumn("approx_sim", _adc_score(F.col("codes"), F.col("lut")))
+        .withColumn("rnk", F.row_number().over(wa).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "item_id", "approx_sim", "rnk")
+    )
+
+
 def pq_ann(items: DataFrame, queries: DataFrame, k: int = 5, m: int = 8,
            k_codes: int = 16, iters: int = 2, refine: int = 4,
            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
@@ -574,35 +653,15 @@ def pq_ann(items: DataFrame, queries: DataFrame, k: int = 5, m: int = 8,
 
     # per-query ADC lookup tables, built driver-side from the (bounded)
     # query set: lut[s][j] = <q_norm sub-space s, codebook[s][j]>
-    C = np.asarray(books, dtype=np.float64)          # (M, K, ds)
-    m_, _, ds = C.shape
-    qrows = queries.select(
-        F.col(id_col).alias("query_id"),
-        _normalize(_as_double(F.col(vec_col))).alias("qv"),
-        _as_double(F.col(vec_col)).alias("rv"),
-    ).filter(F.col("qv").isNotNull()
-             & ~F.exists("qv", lambda x: x.isNull() | F.isnan(x))).collect()
-    if not qrows:
+    qrows, q_lut = _pq_query_luts(spark, queries, books, id_col, vec_col)
+    if q_lut is None:
         return it.sparkSession.createDataFrame(
             [], "query_id long, item_id long, cos_sim double, rnk long")
-    lut_rows = []
-    for r in qrows:
-        Q = np.asarray(r.qv, dtype=np.float64).reshape(m_, ds)
-        lut = np.einsum("md,mkd->mk", Q, C)          # (M, K)
-        lut_rows.append((r.query_id, [[float(x) for x in row] for row in lut]))
-    q_lut = spark.createDataFrame(
-        lut_rows, "query_id long, lut array<array<double>>")
 
     approx = (
         it.join(F.broadcast(q_lut))
         .filter(F.col("item_id") != F.col("query_id"))
-        .withColumn(
-            "approx_sim",
-            F.round(F.aggregate(
-                F.zip_with(F.col("codes"), F.col("lut"),
-                           lambda c, row: F.element_at(row, c + 1)),
-                F.lit(0.0), lambda acc, x: acc + x), 6),
-        )
+        .withColumn("approx_sim", _adc_score(F.col("codes"), F.col("lut")))
     )
     from pyspark.sql import Window
 
