@@ -25,6 +25,7 @@ PICKS = {
     "session_events_bucketed": "Skew-proof sessionization: windows on (user, bucket); the cross-bucket stitch joins a per-bucket summary on the same key.",
     "chunk_documents_windows": "Context-window chunking: zero exchanges — pure scan-side array arithmetic + posexplode.",
     "topk_orders_salted": "Hot-key top-k: local rank within (key, salt), final rank over bounded survivors.",
+    "pq_ann_embeddings": "PQ ANN: ADC scan scores codes via a JVM fold against the broadcast per-query LUTs (the declared bounded nested loop); exact re-rank touches only k*refine rows per query, fetched back by id.",
 }
 
 HEADER = """# PLANS — physical-plan audit of representative queries
