@@ -305,6 +305,30 @@ def test_pq_ann_recall_and_refine_limit(spark):
     assert full == exact, "refine=n_items must degenerate to exact search"
 
 
+def test_ivfpq_ann_recall_and_degeneration(spark):
+    """IVF+PQ composed (IVFADC shape): pruned-and-compressed search must
+    clear a recall floor, and nprobe=n_cells with refine=n_items must
+    degenerate to exact search (all cells probed, every item re-ranked)."""
+    from wde_spark.core.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings",
+                     spread=True)
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = {(r.query_id, r.item_id)
+             for r in SIM.cosine_topk(emb, queries, k=5).collect()}
+    approx = {(r.query_id, r.item_id)
+              for r in SIM.ivfpq_ann(emb, queries, k=5, n_cells=8, nprobe=4,
+                                     m=16, k_codes=16, refine=8).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF+PQ recall@5 too low: {recall:.2f}"
+
+    n = emb.count()
+    full = {(r.query_id, r.item_id)
+            for r in SIM.ivfpq_ann(emb, queries, k=5, n_cells=8, nprobe=8,
+                                   m=16, k_codes=16, refine=n).collect()}
+    assert full == exact, "nprobe=n_cells + refine=n must be exact search"
+
+
 def test_pq_codebooks_deterministic_and_shaped(spark):
     vecs = spark.createDataFrame(
         [(i, [float((i * 7 + j * 3) % 13) for j in range(8)])

@@ -686,3 +686,83 @@ def pq_ann(items: DataFrame, queries: DataFrame, k: int = 5, m: int = 8,
                 F.round(cosine(F.col("qv"), F.col("iv")), 6).alias("cos_sim"))
     )
     return _rerank_topk(scored, k)
+
+
+def ivfpq_ann(items: DataFrame, queries: DataFrame, k: int = 5,
+              n_cells: int = 16, nprobe: int = 4, m: int = 8,
+              k_codes: int = 16, iters: int = 2, refine: int = 4,
+              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF + PQ composed (the FAISS IVFADC shape, Jégou et al. TPAMI'11):
+    IVF prunes WHICH vectors a query touches (each query ADC-scans only
+    its `nprobe` of `n_cells` Voronoi cells — the candidate join shuffles
+    on `cell`, not a broadcast over everything), PQ shrinks WHAT each
+    touched vector costs (codes, not floats). The stored index is
+    (id, cell, codes): at a billion vectors that is the table that fits
+    where the float column cannot. Exact cosine re-ranks the top
+    `k·refine` ADC candidates.
+
+    One honest simplification vs FAISS: codes quantize the normalized
+    vectors directly rather than the per-cell RESIDUALS (residual
+    encoding needs cell-specific LUTs — nprobe× more LUT math — for a
+    recall gain that matters at much higher dimensionality than the
+    synthetic tables exercise); the contract stays a recall-gated
+    approximation, like every ANN path here."""
+    spark = items.sparkSession
+    centroids = train_ivf_centroids(items, n_cells, iters, id_col, vec_col)
+    books = train_pq_codebooks(items, m, k_codes, iters, id_col, vec_col)
+    if not centroids or not books:
+        from pyspark.sql import types as T
+
+        idt = items.schema[id_col].dataType
+        return spark.createDataFrame([], T.StructType([
+            T.StructField("query_id", idt),
+            T.StructField("item_id", idt),
+            T.StructField("cos_sim", T.DoubleType()),
+            T.StructField("rnk", T.LongType()),
+        ]))
+    assign1 = _probe_cells_udf(spark, centroids, nprobe=1)
+    probe_n = _probe_cells_udf(spark, centroids, nprobe=nprobe, bc=assign1.bc)
+    encode = _pq_assign_udf(spark, books)
+    it = items.select(
+        F.col(id_col).alias("item_id"), _as_double(F.col(vec_col)).alias("iv")
+    ).withColumn("nv", _normalize(F.col("iv"))) \
+        .withColumn("cell", assign1(F.col("nv"))[0]) \
+        .withColumn("codes", encode(F.col("nv"))) \
+        .drop("nv")
+
+    qrows, q_lut = _pq_query_luts(spark, queries, books, id_col, vec_col)
+    if q_lut is None:
+        return spark.createDataFrame(
+            [], "query_id long, item_id long, cos_sim double, rnk long")
+    # per-query probed cells, from the SAME collected bounded query set
+    qn = spark.createDataFrame(
+        [(r.query_id, list(r.qv)) for r in qrows],
+        "query_id long, qv array<double>")
+    q_cells = qn.withColumn("cell", F.explode(probe_n(F.col("qv")))) \
+        .select("query_id", "cell").join(F.broadcast(q_lut), "query_id")
+
+    from pyspark.sql import Window
+
+    approx = (
+        it.filter(F.col("codes").isNotNull())
+        .join(F.broadcast(q_cells), "cell")
+        .filter(F.col("item_id") != F.col("query_id"))
+        .withColumn("approx_sim", _adc_score(F.col("codes"), F.col("lut")))
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_sim"), F.asc("item_id"))
+    cand = (
+        approx.withColumn("arnk", F.row_number().over(wa))
+        .filter(F.col("arnk") <= k * refine)
+        .select("query_id", "item_id")
+    )
+    qv = spark.createDataFrame(
+        [(r.query_id, list(r.rv)) for r in qrows],
+        "query_id long, qv array<double>")
+    scored = (
+        cand.join(it.select("item_id", "iv"), "item_id")
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", "item_id",
+                F.round(cosine(F.col("qv"), F.col("iv")), 6).alias("cos_sim"))
+    )
+    return _rerank_topk(scored, k)
