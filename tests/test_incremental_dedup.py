@@ -127,6 +127,50 @@ def test_increment_into_empty_corpus(spark):
     assert res.revoked.count() == 0
 
 
+def test_increment_randomized_differential(spark):
+    """Randomized differential: on seeded random corpora (clone families,
+    suffix near-dups, novel docs, ids shuffled so either side of a dup
+    pair may hold the smaller id), dedup_increment must reproduce the
+    full re-run EXACTLY — max_bucket=None, so the equivalence is
+    unconditional, not cap-dependent."""
+    import random
+
+    words = ("ash bay cliff dune elm fern gale hill isle knoll lake mesa "
+             "nook oak pine quay reef shoal tarn vale wold yard bluff cove "
+             "crag dell fen gorge heath inlet").split()
+    for seed in (11, 23, 47):
+        rng = random.Random(seed)
+        texts = []
+        # 8 base texts; each spawns 1-3 family members (clone or tail-drift)
+        for b in range(8):
+            base = " ".join(rng.sample(words, 8))
+            texts.append(base)
+            for _ in range(rng.randrange(0, 3)):
+                texts.append(base if rng.random() < 0.5
+                             else base + " " + rng.choice(words))
+        ids = list(range(100, 100 + len(texts)))
+        rng.shuffle(ids)  # dup-pair winners land on either side of the split
+        rows = list(zip(ids, texts))
+        rng.shuffle(rows)
+        cut = len(rows) // 2
+        corpus_rows, batch_rows = rows[:cut], rows[cut:]
+
+        kept0 = D.dedup_corpus(
+            spark.createDataFrame(corpus_rows, SCHEMA), max_bucket=None)
+        res = I.dedup_increment(
+            kept0, spark.createDataFrame(batch_rows, SCHEMA),
+            I.dedup_state(kept0), max_bucket=None)
+        final = (_kept_ids(kept0) - _kept_ids(res.revoked)) | _kept_ids(res.kept)
+
+        # equivalence is over kept0 ∪ batch (docs dropped when building the
+        # corpus carry no bridging info — module docstring)
+        full_rows = [r for r in corpus_rows
+                     if r[0] in _kept_ids(kept0)] + batch_rows
+        full = _kept_ids(D.dedup_corpus(
+            spark.createDataFrame(full_rows, SCHEMA), max_bucket=None))
+        assert final == full, f"seed {seed}: {final ^ full}"
+
+
 def test_streaming_admission_matches_full_rerun(spark, tmp_path):
     """Document batches admitted through the streaming foreachBatch path
     (corpus + state rolling forward as copy-on-write versions) end in
