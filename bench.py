@@ -122,6 +122,7 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
 
     runs: list[dict[str, float]] = [{}, {}]
+    retries: dict[str, float] = {}
     best: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
@@ -131,7 +132,18 @@ def main() -> None:
                 t0 = time.time()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 r[name] = round(time.time() - t0, 3)
-            best[name] = min(r[name] for r in runs)
+            a, b = runs[0][name], runs[1][name]
+            best[name] = min(a, b)
+            # Noise guard: a shared-host stall can inflate BOTH runs of one
+            # query (observed: 1.6 s → 13.6 s on an idle repo). If the two
+            # runs disagree >3×, the slow one was a stall — grant ONE tie-
+            # break run and keep the min. Bounded extra cost, min-of-N
+            # semantics unchanged.
+            if max(a, b) > 3 * min(a, b) and max(a, b) - min(a, b) > 1.0:
+                t0 = time.time()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                retries[name] = round(time.time() - t0, 3)
+                best[name] = min(best[name], retries[name])
         except Exception as exc:  # one broken query must not sink the bench
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             for r in runs:
@@ -150,6 +162,7 @@ def main() -> None:
         "queries_run2": runs[1],
         "run1_total": round(sum(runs[0].values()), 3),
         "run2_total": round(sum(runs[1].values()), 3),
+        "retries": retries,
         "errors": errors,
         "sf": sf,
     }
