@@ -127,6 +127,23 @@ def test_increment_into_empty_corpus(spark):
     assert res.revoked.count() == 0
 
 
+def test_increment_null_text_twins(spark):
+    """A batch NULL-text doc must collapse onto the corpus's NULL-text
+    representative exactly as a full re-run's groupBy(fp) would (NULLs
+    form ONE fingerprint group there, but a bare equi-join on fp could
+    never match them — the sentinel in _fingerprints carries this)."""
+    corpus_rows = [(10, None), (20, "a real document about ships")]
+    batch_rows = [(100, None), (101, None), (102, "fresh text about trains")]
+    kept0 = D.dedup_corpus(spark.createDataFrame(corpus_rows, SCHEMA))
+    assert _kept_ids(kept0) == {10, 20}
+    res = I.dedup_increment(kept0, spark.createDataFrame(batch_rows, SCHEMA),
+                            I.dedup_state(kept0))
+    assert _kept_ids(res.kept) == {102}       # NULL twins lose to doc 10
+    assert res.revoked.count() == 0
+    final = (_kept_ids(kept0) - _kept_ids(res.revoked)) | _kept_ids(res.kept)
+    assert final == _full(spark, corpus_rows + batch_rows)
+
+
 def test_increment_randomized_differential(spark):
     """Randomized differential: on seeded random corpora (clone families,
     suffix near-dups, novel docs, ids shuffled so either side of a dup

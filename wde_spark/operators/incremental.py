@@ -78,8 +78,16 @@ class IncrementResult(NamedTuple):
 
 
 def _fingerprints(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    # NULL text → sentinel, not NULL: `exact_dedup`'s groupBy(fp) puts all
+    # NULL-text docs in ONE group, but an equi-join on fp can never match
+    # NULL to NULL — without the sentinel a batch NULL-text doc would miss
+    # its corpus NULL-text twin and the full-rerun equivalence would break
+    # on exactly that row. The sentinel is used consistently on both sides
+    # of the increment (state build + batch), never by `exact_dedup` itself.
     return docs.select(
-        F.col(id_col), F.md5(norm_compare(F.col(text_col))).alias("fp"))
+        F.col(id_col),
+        F.coalesce(F.md5(norm_compare(F.col(text_col))),
+                   F.lit("__wde_null_text__")).alias("fp"))
 
 
 def dedup_state(kept: DataFrame, text_col: str = "text",
@@ -110,6 +118,10 @@ def dedup_increment(corpus: DataFrame, batch: DataFrame,
     fine for tests, but the 100 TB path passes the persisted state so the
     corpus is never re-hashed). Returns (kept, revoked, state') — see the
     module docstring for the full-rerun equivalence contract.
+
+    Preconditions: ids are unique within `batch` and disjoint from the
+    corpus (min-id winner selection is undefined under collisions), and
+    `corpus`/`state` were produced with the same parameters.
     """
     if state is None:
         state = dedup_state(corpus, text_col, id_col, num_hashes, bands,
