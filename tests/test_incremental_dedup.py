@@ -222,6 +222,45 @@ def test_streaming_admission_matches_full_rerun(spark, tmp_path):
     assert _kept_ids(read_corpus(spark, target)) == got
 
 
+def test_version_ledger_time_travel_and_compaction(spark, tmp_path):
+    """The copy-on-write ledger gives time travel (any past corpus
+    version readable), history, and compaction (old versions dropped by
+    directory delete; the latest state is untouched)."""
+    from wde_spark.streaming.dedup_admission import (
+        read_corpus, streaming_dedup_admission)
+    from wde_spark.streaming.versions import (
+        compact_versions, read_version, version_history)
+
+    corpus0 = D.dedup_corpus(spark.createDataFrame(CORPUS, SCHEMA))
+    src = tmp_path / "docs"
+    for i, rows in enumerate((BATCH[:4], BATCH[4:])):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1) \
+            .write.mode("overwrite").parquet(str(src / f"f{i}.parquet"))
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*.parquet"))
+    )
+    target, ckpt = str(tmp_path / "corpus"), str(tmp_path / "ckpt")
+    streaming_dedup_admission(stream, corpus0, target, ckpt)
+
+    assert version_history(target) == [0, 1, 2]
+    # time travel: v0 is the bootstrap corpus
+    v0_ids = {r.doc_id for r in
+              read_version(spark, target, 0, "corpus").collect()}
+    assert v0_ids == _kept_ids(corpus0)
+    final_before = _kept_ids(read_corpus(spark, target))
+
+    dropped = compact_versions(target, keep_last=2)
+    assert dropped == [0]
+    assert version_history(target) == [1, 2]
+    assert _kept_ids(read_corpus(spark, target)) == final_before
+
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        read_version(spark, target, 0, "corpus")
+
+
 def test_increment_chain_of_batches(spark):
     """Two successive increments (state threaded through) equal one full
     re-run over everything — state maintenance composes."""
