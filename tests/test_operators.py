@@ -281,6 +281,57 @@ def test_topk_recall_gate_boolean(spark):
     assert not bad.recall_ok
 
 
+def test_lsh_params_for_s_curve():
+    """The banding chooser obeys the S-curve: cheapest banding (fewest
+    bands) that still meets the recall floor at the threshold; monotone in
+    threshold; explicit failure when no banding can reach the floor."""
+    import pytest as _pytest
+
+    # high threshold → long rows suffice (few bands, cheap)
+    b_hi, r_hi = D.lsh_params_for(0.9, num_hashes=16)
+    # low threshold → must split into more bands to keep recall
+    b_lo, r_lo = D.lsh_params_for(0.4, num_hashes=16)
+    assert b_hi <= b_lo and b_hi * r_hi == 16 and b_lo * r_lo == 16
+    # the promised probability actually holds at each pick
+    for th, (b, r) in ((0.9, (b_hi, r_hi)), (0.4, (b_lo, r_lo))):
+        assert 1 - (1 - th ** r) ** b >= 0.5
+    # the repo's production setting (16/4) is exactly what the chooser
+    # picks for the similarity regime the 0.2-threshold pipeline verifies
+    assert D.lsh_params_for(0.7, num_hashes=16) == (4, 4)
+    with _pytest.raises(ValueError):
+        D.lsh_params_for(0.05, num_hashes=16, at_least=0.9)
+
+
+def test_dedup_recall_audit(spark):
+    """The audit's ground truth is exact all-pairs Jaccard on an md5-
+    deterministic sample: the production LSH pipeline must score measured
+    recall on real documents, a deliberately crippled pipeline (1 band of
+    16 rows ≈ exact-dup-only) must score lower, and an empty pipeline
+    scores 0 — the audit detects silent recall collapse."""
+    from wde_spark.core.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents",
+                      spread=True)
+    good = D.neardup_lsh_verified(docs, shingle_k=2, threshold=0.2)
+    row = D.dedup_recall_audit(docs, good, sample=150).collect()[0]
+    assert row.true_pairs > 0, "sample must contain true near-dup pairs"
+    assert row.recall is not None and row.recall >= 0.5
+
+    crippled = D.neardup_lsh_verified(docs, shingle_k=2, threshold=0.2,
+                                      num_hashes=16, bands=1)
+    row_bad = D.dedup_recall_audit(docs, crippled, sample=150).collect()[0]
+    assert row_bad.recall <= row.recall
+
+    empty = good.filter(F.lit(False))
+    row_none = D.dedup_recall_audit(docs, empty, sample=150).collect()[0]
+    assert row_none.found_pairs == 0 and row_none.recall == 0.0
+
+    # determinism: same sample, same numbers
+    row2 = D.dedup_recall_audit(docs, good, sample=150).collect()[0]
+    assert (row.true_pairs, row.found_pairs) == (row2.true_pairs,
+                                                 row2.found_pairs)
+
+
 def test_pq_ann_recall_and_refine_limit(spark):
     """PQ ADC scan on the real sf0.001 embeddings: recall@5 must clear the
     gate threshold, and refine=n_items must degenerate to exact search

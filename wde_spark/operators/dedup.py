@@ -528,3 +528,93 @@ def dedup_corpus(docs: DataFrame, text_col: str = "text",
     losers = comps.filter(F.col("node") != F.col("component")) \
         .select(F.col("node").alias(id_col))
     return survivors.join(losers, id_col, "left_anti")
+
+
+def lsh_params_for(threshold: float, num_hashes: int = 16,
+                   at_least: float = 0.5) -> tuple[int, int]:
+    """(bands, rows_per_band) whose LSH S-curve catches a pair of Jaccard
+    `threshold` with probability >= `at_least`, using the fewest bands
+    (fewest candidate-generating join keys → cheapest shuffle) among the
+    divisors of `num_hashes`.
+
+    P(candidate | J=s) = 1 - (1 - s^r)^b  (Leskovec/Rajaraman/Ullman,
+    "Mining of Massive Datasets" ch. 3). Fewer bands with longer rows push
+    the S-curve right (fewer false candidates but worse recall at low s);
+    this picks the cheapest banding that still meets the recall floor at
+    the declared verification threshold — so the knob the pipeline already
+    exposes (`threshold`) drives the banding instead of a hand-tuned
+    constant. Raises if no divisor meets the floor (caller must raise
+    num_hashes)."""
+    best = None
+    for b in range(1, num_hashes + 1):
+        if num_hashes % b:
+            continue
+        r = num_hashes // b
+        p = 1.0 - (1.0 - threshold ** r) ** b
+        if p >= at_least and (best is None or b < best[0]):
+            best = (b, r, p)
+    if best is None:
+        raise ValueError(
+            f"no banding of {num_hashes} hashes reaches "
+            f"P(candidate)>={at_least} at J={threshold}; increase num_hashes")
+    return best[0], best[1]
+
+
+def dedup_recall_audit(docs: DataFrame, pipeline_pairs: DataFrame,
+                       sample: int = 200, threshold: float = 0.2,
+                       shingle_k: int = 2, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Measured recall of a near-dup pipeline, from ground truth on a
+    deterministic sample — the audit a production dedup run ships with
+    its output, because LSH recall is a *parameter promise*, not a
+    certainty, and silent recall collapse (bad banding for the corpus's
+    similarity profile, an over-aggressive bucket cap) looks exactly like
+    a clean corpus.
+
+    Method: md5-order-sample `sample` docs (deterministic — reruns audit
+    the same docs), compute EXACT all-pairs Jaccard within the sample
+    (bounded: sample² pairs, the only all-pairs product here, by declared
+    design), take pairs >= threshold as ground truth, and compare with
+    `pipeline_pairs` restricted to the sample. Returns one row:
+    (sample_docs, true_pairs, found_pairs, recall) — recall is NULL when
+    the sample holds no true pair (nothing to measure, not recall 1.0)."""
+    ids = (
+        docs.select(F.col(id_col))
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(sample)
+    )
+    sub = docs.join(F.broadcast(ids), id_col, "left_semi")
+    sh = distinct_shingle_table(sub, text_col, id_col, shingle_k)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "sh")
+    b = sh.select(F.col(id_col).alias("id_b"), "sh")
+    inter = (
+        a.join(b, ["sh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b").agg(F.count("*").alias("n_inter"))
+    )
+    truth = (
+        inter
+        .join(sizes.select(F.col(id_col).alias("id_a"),
+                           F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"),
+                           F.col("n_sh").alias("n_b")), "id_b")
+        .filter(F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b")
+                                            - F.col("n_inter")), 6)
+                >= threshold)
+        .select("id_a", "id_b")
+    )
+    found = truth.join(
+        pipeline_pairs.select("id_a", "id_b").distinct(), ["id_a", "id_b"],
+        "left_semi")
+    return (
+        ids.agg(F.count("*").alias("sample_docs"))
+        .crossJoin(truth.agg(F.count("*").alias("true_pairs")))
+        .crossJoin(found.agg(F.count("*").alias("found_pairs")))
+        .select(
+            "sample_docs", "true_pairs", "found_pairs",
+            F.when(F.col("true_pairs") > 0,
+                   F.round(F.col("found_pairs") / F.col("true_pairs"), 6))
+            .alias("recall"),
+        )
+    )
