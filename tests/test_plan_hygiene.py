@@ -197,7 +197,10 @@ def test_no_cartesian_or_undeclared_python_anywhere(spark):
                     # embarrassingly-parallel scan shape, like cosine_topk
                     "pq_ann_embeddings", "pq_ann_recall_gate",
                     "q11_supplier_share", "q22_idle_rich_customers",
-                    "tfidf_top_terms_documents"}
+                    "tfidf_top_terms_documents",
+                    # expectations: each FK/unique part crossJoins a
+                    # ONE-ROW total aggregate — bounded by construction
+                    "data_quality_orders"}
     # declared Arrow/Python boundaries
     python_ok = {"multimodal_frames", "multimodal_features",
                  "multimodal_resize", "multimodal_audio_chunks",

@@ -1,0 +1,62 @@
+"""Data-quality expectations (`operators/quality.py`) on deliberately
+dirty data — the registry query `data_quality_orders` proves the clean
+path against the oracle; these prove the checks actually COUNT."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wde_spark.operators import quality as Q
+
+
+def test_expectations_count_violations(spark):
+    rows = [
+        (1, "O", 10.0, "1-URGENT", 100),
+        (2, "X", -5.0, "9-BOGUS", 100),   # bad status, negative, bad regex
+        (2, "F", 20.0, "2-HIGH", 999),    # duplicate key, orphan fk
+        (None, "P", None, None, None),    # null key; NULLs elsewhere pass
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, status string, price double, prio string, cust long")
+    dim = spark.createDataFrame([(100,), (200,)], "c long")
+    out = {r.check: (r.violations, r.total, r.ok)
+           for r in Q.run_expectations(df, [
+               Q.check_not_null("k"),
+               Q.check_unique("k"),
+               Q.check_range("price", lo=0),
+               Q.check_accepted("status", ["O", "F", "P"]),
+               Q.check_regex("prio", "^[1-5]-"),
+               Q.check_fk("cust", dim, "c"),
+           ]).collect()}
+    assert out["not_null:k"] == (1, 4, False)
+    assert out["unique:k"] == (1, 4, False)       # 4 rows, 3 distinct keys
+    assert out["range:price"] == (1, 4, False)    # NULL price is NOT a violation
+    assert out["accepted:status"] == (1, 4, False)
+    assert out["regex:prio"] == (1, 4, False)     # NULL prio passes
+    assert out["fk:cust"] == (1, 4, False)        # 999 orphaned; NULL passes
+
+
+def test_expectations_single_scan_for_rowlocal(spark):
+    """All row-local checks must fold into ONE aggregation over one scan —
+    adding a check must not add a pass over the data."""
+    df = spark.createDataFrame([(1, 2.0)], "a long, b double")
+    checks = [Q.check_not_null("a"), Q.check_range("b", 0, 10),
+              Q.check_accepted("a", [1])]
+    rowlocal = [c for c in checks if c.kind == "rowlocal"]
+    agg = df.agg(F.count(F.lit(1)),
+                 *[F.sum(F.when(c.predicate, 1).otherwise(0))
+                   for c in rowlocal])
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") <= 1
+
+    out = Q.run_expectations(df, checks)
+    assert out.count() == 3 and all(r.ok for r in out.collect())
+
+
+def test_expectations_empty_inputs(spark):
+    df = spark.createDataFrame([], "a long, b double")
+    out = Q.run_expectations(df, [Q.check_not_null("a"),
+                                  Q.check_unique("a")])
+    rows = {r.check: (r.violations, r.total, r.ok) for r in out.collect()}
+    assert rows == {"not_null:a": (0, 0, True), "unique:a": (0, 0, True)}
+    assert Q.run_expectations(df, []).count() == 0

@@ -2096,3 +2096,71 @@ def freq_items_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(len(truth), truth.issubset(sketch))],
         "n_true_frequent long, freq_ok boolean",
     )
+
+
+@query(
+    "data_quality_orders",
+    """
+    WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM orders)
+    SELECT "check", violations, total, violations = 0 AS ok FROM (
+      SELECT 'accepted:o_orderstatus' AS "check",
+             CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                            AND o_orderstatus NOT IN ('O','F','P')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+             (SELECT total FROM t) AS total
+      FROM orders
+      UNION ALL
+      SELECT 'fk:o_custkey',
+             CAST(COUNT(*) AS BIGINT), (SELECT total FROM t)
+      FROM orders o
+      WHERE o.o_custkey IS NOT NULL
+        AND NOT EXISTS (SELECT 1 FROM customer c
+                        WHERE c.c_custkey = o.o_custkey)
+      UNION ALL
+      SELECT 'not_null:o_orderkey',
+             CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT),
+             (SELECT total FROM t)
+      FROM orders
+      UNION ALL
+      SELECT 'range:o_totalprice',
+             CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+                            AND o_totalprice < 0 THEN 1 ELSE 0 END)
+                  AS BIGINT),
+             (SELECT total FROM t)
+      FROM orders
+      UNION ALL
+      SELECT 'regex:o_orderpriority',
+             CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL
+                            AND NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                       THEN 1 ELSE 0 END) AS BIGINT),
+             (SELECT total FROM t)
+      FROM orders
+      UNION ALL
+      SELECT 'unique:o_orderkey',
+             CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT),
+             (SELECT total FROM t)
+      FROM orders
+    ) ORDER BY "check"
+    """,
+)
+def data_quality_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectations over the orders table (`operators/
+    quality.py`): all row-local checks (not-null / range / accepted /
+    regex) fold into ONE conditional aggregation over a single scan,
+    uniqueness is one extra hash agg, and the FK check is one broadcast
+    anti-join against customer — the admission-control pass a 100 TB
+    ingest runs before data enters the pipeline. The oracle states each
+    check as its own scalar aggregate."""
+    from .operators import quality as Q
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return Q.run_expectations(orders, [
+        Q.check_not_null("o_orderkey"),
+        Q.check_unique("o_orderkey"),
+        Q.check_range("o_totalprice", lo=0),
+        Q.check_accepted("o_orderstatus", ["O", "F", "P"]),
+        Q.check_regex("o_orderpriority", "^[1-5]-"),
+        Q.check_fk("o_custkey", customer, "c_custkey"),
+    ])
