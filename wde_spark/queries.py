@@ -907,7 +907,9 @@ def snm_neardup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_verified_oracle(num_hashes: int = 16, bands: int = 4,
-                         threshold: float = 0.2, max_bucket: int = 64) -> str:
+                         threshold: float = 0.2,
+                         max_bucket: int | None = 64,
+                         src: str = "documents") -> str:
     from .operators.dedup import _MH_P, _MH_PERM
 
     rpb = num_hashes // bands
@@ -923,10 +925,16 @@ def _lsh_verified_oracle(num_hashes: int = 16, bands: int = 4,
         )
         for b in range(bands)
     )
+    capped = ("""
+    capped AS (
+      SELECT * FROM banded
+      QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_hash) <= %d
+    ),""" % max_bucket) if max_bucket is not None else """
+    capped AS (SELECT * FROM banded),"""
     return f"""
     WITH tok AS (
       SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
-      FROM documents
+      FROM {src}
     ),
     shing AS (
       SELECT doc_id, unnest(list_distinct(
@@ -947,11 +955,7 @@ def _lsh_verified_oracle(num_hashes: int = 16, bands: int = 4,
     ),
     banded AS (
 {band_rows}
-    ),
-    capped AS (
-      SELECT * FROM banded
-      QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_hash) <= {max_bucket}
-    ),
+    ),{capped}
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM capped a JOIN capped b

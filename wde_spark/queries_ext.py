@@ -2164,3 +2164,142 @@ def data_quality_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         Q.check_regex("o_orderpriority", "^[1-5]-"),
         Q.check_fk("o_custkey", customer, "c_custkey"),
     ])
+
+
+def _dedup_kept_cte_block(src: str, t: str) -> str:
+    """Full `dedup_corpus` (max_bucket=None) as a FLAT list of CTE
+    definitions over relation `src`, every name suffixed with `_{t}`:
+    exact collapse → LSH-verified near-dup pairs → recursive-CTE connected
+    components → min-id representative per class. Flat and uniquely named
+    because the increment oracle instantiates this block TWICE in one
+    statement, and DuckDB mis-binds same-named CTEs across nested sibling
+    scopes (the staged form gives the correct 476 at sf0.01, the nested
+    same-name form 466 — so flattening is a correctness requirement, not
+    style). The result relation is `kept_{t}` (doc_id, text). Minhash /
+    banding math is the same bit-exact family as `_lsh_verified_oracle`."""
+    from .operators.dedup import _MH_P, _MH_PERM
+    from .queries import _NORM_SQL
+
+    num_hashes, bands, threshold = 16, 4, 0.2
+    rpb = num_hashes // bands
+    mh_cols = ",\n             ".join(
+        f"MIN(({a} * h + {b}) % {_MH_P}) AS mh_{j}"
+        for j, (a, b) in enumerate(_MH_PERM[:num_hashes])
+    )
+    band_rows = "\n      UNION ALL\n".join(
+        "      SELECT doc_id, {b} AS band_idx, md5({expr}) AS band_hash "
+        "FROM sigs_{t}".format(
+            b=b, t=t,
+            expr=" || '|' || ".join(
+                f"CAST(mh_{b * rpb + r} AS VARCHAR)" for r in range(rpb)),
+        )
+        for b in range(bands)
+    )
+    jacc = ("ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter),"
+            " 6)")
+    return f"""
+    fpx_{t} AS MATERIALIZED (SELECT doc_id, md5({_NORM_SQL.format('text')}) AS fp
+                FROM {src}),
+    win_{t} AS MATERIALIZED (SELECT fp, MIN(doc_id) AS keep_id FROM fpx_{t} GROUP BY fp),
+    surv_{t} AS MATERIALIZED (SELECT s.doc_id, s.text FROM {src} s
+                 JOIN win_{t} w ON w.keep_id = s.doc_id),
+    tok_{t} AS MATERIALIZED (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM surv_{t}
+    ),
+    shing_{t} AS MATERIALIZED (
+      SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(toks) >= 2 THEN
+          list_transform(generate_series(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i+1])
+        ELSE [array_to_string(toks, ' ')] END)) AS sh
+      FROM tok_{t}
+    ),
+    hashed_{t} AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(CAST('0x' || substring(md5(sh), 1, 8) AS UBIGINT) AS BIGINT) AS h
+      FROM shing_{t}
+    ),
+    sigs_{t} AS MATERIALIZED (
+      SELECT doc_id, {mh_cols}
+      FROM hashed_{t} GROUP BY doc_id
+    ),
+    banded_{t} AS MATERIALIZED (
+{band_rows}
+    ),
+    cand_{t} AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded_{t} a JOIN banded_{t} b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ),
+    sizes_{t} AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n_sh FROM shing_{t}
+                  GROUP BY doc_id),
+    inter_{t} AS MATERIALIZED (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+      FROM cand_{t} c JOIN shing_{t} a ON a.doc_id = c.id_a
+                      JOIN shing_{t} b ON b.doc_id = c.id_b AND b.sh = a.sh
+      GROUP BY c.id_a, c.id_b
+    ),
+    pairs_{t} AS MATERIALIZED (
+      SELECT id_a, id_b
+      FROM inter_{t} JOIN sizes_{t} sa ON sa.doc_id = id_a
+                     JOIN sizes_{t} sb ON sb.doc_id = id_b
+      WHERE {jacc} >= {threshold}
+    ),
+    sym_{t} AS MATERIALIZED (
+      SELECT id_a AS s, id_b AS d FROM pairs_{t}
+      UNION
+      SELECT id_b AS s, id_a AS d FROM pairs_{t}
+    ),
+    reach_{t}(node, r) AS (
+      SELECT s, s FROM sym_{t}
+      UNION
+      SELECT e.s, t.r FROM sym_{t} e JOIN reach_{t} t ON t.node = e.d
+    ),
+    comp_{t} AS MATERIALIZED (SELECT node, MIN(r) AS component FROM reach_{t}
+                 GROUP BY node),
+    kept_{t} AS MATERIALIZED (
+      SELECT v.doc_id, v.text FROM surv_{t} v
+      LEFT JOIN comp_{t} c ON c.node = v.doc_id
+      WHERE c.node IS NULL OR c.component = v.doc_id
+    )"""
+
+
+def _increment_oracle() -> str:
+    return f"""
+    WITH RECURSIVE corpus_part AS MATERIALIZED (SELECT doc_id, text FROM documents
+                                   WHERE doc_id % 5 <> 0),
+    batch_part AS MATERIALIZED (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+    {_dedup_kept_cte_block('corpus_part', 'c')},
+    unioned AS MATERIALIZED (SELECT * FROM kept_c UNION ALL SELECT * FROM batch_part),
+    {_dedup_kept_cte_block('unioned', 'f')}
+    SELECT doc_id FROM kept_f
+    """
+
+
+@query("dedup_increment_documents", _increment_oracle())
+def dedup_increment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus admission, ORACLED AGAINST THE FULL RE-RUN: the
+    documents table is split 4:1 into corpus and batch by id; the corpus
+    part is deduplicated, the batch is admitted through
+    `operators/incremental.dedup_increment` (state derived here; the
+    production path passes persisted state), and the result is
+    (kept − revoked) ∪ admitted. The oracle computes
+    dedup(dedup(corpus) ∪ batch) entirely in SQL — nested full-dedup
+    replays with a recursive-CTE components step each — so the driver's
+    hash check verifies the module's full-rerun equivalence contract
+    itself, on real documents. max_bucket=None on both sides makes the
+    equivalence unconditional (bucket capping is population-dependent;
+    see the module docstring)."""
+    from .operators import dedup as D
+    from .operators import incremental as I
+
+    docs = load_table(spark, sf_dir, "documents", spread=True) \
+        .select("doc_id", "text")
+    corpus_part = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    kept0 = D.dedup_corpus(corpus_part, max_bucket=None)
+    res = I.dedup_increment(kept0, batch, max_bucket=None)
+    return kept0.join(res.revoked, "doc_id", "left_anti") \
+        .unionByName(res.kept).select("doc_id")
