@@ -91,6 +91,7 @@ HEADLINE = [
     "quantile_sketch_gate",
     "winnowing_fingerprints_documents",
     "session_events_bucketed",
+    "data_quality_orders",
 ]
 
 
