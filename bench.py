@@ -96,6 +96,7 @@ HEADLINE = [
 
 
 def main() -> None:
+    load0 = os.getloadavg()[0]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
@@ -166,6 +167,12 @@ def main() -> None:
         "retries": retries,
         "errors": errors,
         "sf": sf,
+        # 1-min load average at start/end: this box shares a host, and
+        # sustained co-tenant steal (observed load >10 while locally idle)
+        # inflates every query ~2x — a reader comparing rounds needs to
+        # know which numbers were taken in a storm.
+        "loadavg_start": round(load0, 2),
+        "loadavg_end": round(os.getloadavg()[0], 2),
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "bench_detail.json"), "w") as fh:
