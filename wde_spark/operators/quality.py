@@ -74,30 +74,36 @@ def run_expectations(df: DataFrame, checks: list[Check]) -> DataFrame:
     total = F.count(F.lit(1)).alias("total")
 
     parts: list[DataFrame] = []
-    rowlocal = [c for c in checks if c.kind == "rowlocal"]
-    if rowlocal:
-        agg = df.agg(
-            total,
-            *[F.coalesce(F.sum(F.when(c.predicate, 1).otherwise(0)), F.lit(0))
-              .alias(f"v{i}")  # SUM over zero rows is NULL, not 0
-              for i, c in enumerate(rowlocal)],
-        )
-        for i, c in enumerate(rowlocal):
-            parts.append(agg.select(
-                F.lit(c.name).alias("check"),
-                F.col(f"v{i}").cast("long").alias("violations"),
-                F.col("total").cast("long").alias("total"),
-            ))
+    onescan = [c for c in checks if c.kind in ("rowlocal", "unique")]
+    if onescan:
+        cols = []
+        for i, c in enumerate(onescan):
+            if c.kind == "rowlocal":
+                # SUM over zero rows is NULL, not 0
+                cols.append(F.coalesce(
+                    F.sum(F.when(c.predicate, 1).otherwise(0)), F.lit(0))
+                    .alias(f"v{i}"))
+            else:  # unique: mixed distinct agg rides the same scan (Expand)
+                key = F.struct(*[F.col(x) for x in c.cols])
+                cols.append((F.count(F.lit(1)) - F.count_distinct(key))
+                            .alias(f"v{i}"))
+        agg = df.agg(total, *cols)
+        # ONE agg exploded into per-check rows. A per-check `.select` over
+        # the agg would make each union branch a separate subtree that
+        # RE-EVALUATES the aggregation — N checks, N full scans (measured:
+        # 14 scans / 8.5 s for six checks at sf0.1; this form, one scan
+        # for every row-local + uniqueness check together).
+        parts.append(agg.select(
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(c.name).alias("check"),
+                    F.col(f"v{i}").cast("long").alias("violations"),
+                ) for i, c in enumerate(onescan)
+            ])).alias("p"),
+            F.col("total").cast("long").alias("total"),
+        ).select("p.check", "p.violations", "total"))
     for c in checks:
-        if c.kind == "unique":
-            key = F.struct(*[F.col(x) for x in c.cols])
-            parts.append(df.agg(
-                F.lit(c.name).alias("check"),
-                (F.count(F.lit(1)) - F.count_distinct(key))
-                .cast("long").alias("violations"),
-                F.count(F.lit(1)).cast("long").alias("total"),
-            ).select("check", "violations", "total"))
-        elif c.kind == "fk":
+        if c.kind == "fk":
             n_total = df.agg(F.count(F.lit(1)).alias("t"))
             orphans = (
                 df.select(F.col(c.col))
