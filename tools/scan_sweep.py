@@ -42,6 +42,10 @@ DECLARED = {
     "range_join_error_clicks": {"events": 3},
     "funnel_signup_view_purchase": {"events": 4},
     "decontaminate_documents": {"documents": 3},
+    # expectations: scan 1 = the merged row-local+unique aggregation,
+    # scans 2+3 = the FK check (orphan anti-join over o_custkey only +
+    # its one-row total) — both column-pruned to a single key column
+    "data_quality_orders": {"orders": 3},
 }
 
 
