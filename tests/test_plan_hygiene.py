@@ -200,7 +200,11 @@ def test_no_cartesian_or_undeclared_python_anywhere(spark):
                     "tfidf_top_terms_documents",
                     # expectations: each FK/unique part crossJoins a
                     # ONE-ROW total aggregate — bounded by construction
-                    "data_quality_orders"}
+                    "data_quality_orders",
+                    # recall audit: the summary row crossJoins three
+                    # ONE-ROW count aggregates; the sample's exact
+                    # all-pairs truth is its declared bounded design
+                    "dedup_recall_audit_documents"}
     # declared Arrow/Python boundaries
     python_ok = {"multimodal_frames", "multimodal_features",
                  "multimodal_resize", "multimodal_audio_chunks",

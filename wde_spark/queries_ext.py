@@ -2303,3 +2303,70 @@ def dedup_increment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = I.dedup_increment(kept0, batch, max_bucket=None)
     return kept0.join(res.revoked, "doc_id", "left_anti") \
         .unionByName(res.kept).select("doc_id")
+
+
+def _recall_audit_oracle() -> str:
+    from .queries import _lsh_verified_oracle
+
+    return f"""
+    WITH aid AS MATERIALIZED (
+      SELECT doc_id FROM documents
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 150
+    ),
+    stok AS (
+      SELECT d.doc_id, string_split_regex(trim(lower(d.text)), '\\s+') AS toks
+      FROM documents d JOIN aid USING (doc_id)
+    ),
+    ssh AS (
+      SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(toks) >= 2 THEN
+          list_transform(generate_series(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i+1])
+        ELSE [array_to_string(toks, ' ')] END)) AS sh
+      FROM stok
+    ),
+    ssz AS (SELECT doc_id, COUNT(*) AS n_sh FROM ssh GROUP BY doc_id),
+    sint AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM ssh a JOIN ssh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS MATERIALIZED (
+      SELECT id_a, id_b
+      FROM sint JOIN ssz sa ON sa.doc_id = id_a
+                JOIN ssz sb ON sb.doc_id = id_b
+      WHERE ROUND(CAST(n_inter AS DOUBLE)
+                  / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.2
+    ),
+    pipe AS MATERIALIZED ({_lsh_verified_oracle()}),
+    found AS MATERIALIZED (
+      SELECT t.id_a, t.id_b FROM truth t
+      JOIN (SELECT DISTINCT id_a, id_b FROM pipe) p USING (id_a, id_b)
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM aid) AS sample_docs,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS true_pairs,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM found) AS found_pairs,
+      CASE WHEN (SELECT COUNT(*) FROM truth) > 0 THEN
+        ROUND(CAST((SELECT COUNT(*) FROM found) AS DOUBLE)
+              / (SELECT COUNT(*) FROM truth), 6)
+      END AS recall
+    """
+
+
+@query("dedup_recall_audit_documents", _recall_audit_oracle())
+def dedup_recall_audit_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of the production LSH near-dup pipeline
+    (`operators/dedup.dedup_recall_audit`): ground truth = exact all-pairs
+    Jaccard within an md5-deterministic 150-doc sample (the only all-pairs
+    product, bounded at sample² by design), scored against the full
+    pipeline's verified pairs restricted to the sample. The oracle
+    recomputes BOTH sides in SQL — the sampled truth and the whole LSH
+    pipeline — so the driver hashes the measured recall itself: silent
+    recall collapse (mis-tuned banding, over-aggressive capping) fails
+    this row even though every individual dedup query still 'passes'."""
+    from .operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return D.dedup_recall_audit(
+        docs, D.neardup_lsh_verified(docs), sample=150)
