@@ -26,6 +26,7 @@ PICKS = {
     "chunk_documents_windows": "Context-window chunking: zero exchanges — pure scan-side array arithmetic + posexplode.",
     "topk_orders_salted": "Hot-key top-k: local rank within (key, salt), final rank over bounded survivors.",
     "pq_ann_embeddings": "PQ ANN: ADC scan scores codes via a JVM fold against the broadcast per-query LUTs (the declared bounded nested loop); exact re-rank touches only k*refine rows per query, fetched back by id.",
+    "data_quality_orders": "Expectations: every row-local check plus uniqueness computes in ONE aggregation over one scan (Expand for the mixed distinct agg), exploded into per-check rows; the FK check is one broadcast anti-join on the pruned key column.",
 }
 
 HEADER = """# PLANS — physical-plan audit of representative queries
