@@ -53,6 +53,51 @@ def test_expectations_single_scan_for_rowlocal(spark):
     assert out.count() == 3 and all(r.ok for r in out.collect())
 
 
+def test_streaming_quality_monitor_matches_batch(spark, tmp_path):
+    """Per-micro-batch metrics from the streaming monitor must equal
+    batch-mode run_expectations on each batch, and replay must rewrite
+    identical ledger entries (append-only immutable b{n} directories)."""
+    import os
+
+    from wde_spark.streaming.quality_monitor import (
+        read_metrics, streaming_quality_monitor)
+
+    schema = "k long, status string"
+    b0 = [(1, "O"), (2, "X"), (2, "F")]          # 1 bad status, 1 dup key
+    b1 = [(None, "O"), (5, "P")]                 # 1 null key
+    src = tmp_path / "recs"
+    for i, rows in enumerate((b0, b1)):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("overwrite").parquet(str(src / f"f{i}.parquet"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*.parquet"))
+    )
+    checks = [Q.check_not_null("k"), Q.check_unique("k"),
+              Q.check_accepted("status", ["O", "F", "P"])]
+    target, ckpt = str(tmp_path / "metrics"), str(tmp_path / "ckpt")
+    streaming_quality_monitor(stream, checks, target, ckpt)
+
+    got = {(r.batch_id, r.check): (r.violations, r.total, r.ok)
+           for r in read_metrics(spark, target).collect()}
+    expected = {}
+    for bid, rows in enumerate((b0, b1)):
+        for r in Q.run_expectations(
+                spark.createDataFrame(rows, schema), checks).collect():
+            expected[(bid, r.check)] = (r.violations, r.total, r.ok)
+    assert got == expected
+    assert got[(0, "unique:k")] == (1, 3, False)
+    assert got[(1, "not_null:k")] == (1, 2, False)
+
+    dirs = sorted(os.listdir(target))
+    streaming_quality_monitor(stream, checks, target, ckpt)  # replay: no-op
+    assert sorted(os.listdir(target)) == dirs
+    got2 = {(r.batch_id, r.check): (r.violations, r.total, r.ok)
+            for r in read_metrics(spark, target).collect()}
+    assert got2 == got
+
+
 def test_expectations_empty_inputs(spark):
     df = spark.createDataFrame([], "a long, b double")
     out = Q.run_expectations(df, [Q.check_not_null("a"),
