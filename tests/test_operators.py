@@ -302,6 +302,21 @@ def test_lsh_params_for_s_curve():
         D.lsh_params_for(0.05, num_hashes=16, at_least=0.9)
 
 
+def test_neardup_auto_banding_matches_production_setting(spark):
+    """bands='auto' at the default 0.7 target similarity must derive the
+    production 16/4 banding and therefore produce the identical verified
+    pair set."""
+    from wde_spark.core.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents",
+                      spread=True)
+    explicit = {(r.id_a, r.id_b, r.jaccard)
+                for r in D.neardup_lsh_verified(docs).collect()}
+    auto = {(r.id_a, r.id_b, r.jaccard)
+            for r in D.neardup_lsh_verified(docs, bands="auto").collect()}
+    assert auto == explicit and explicit
+
+
 def test_dedup_recall_audit(spark):
     """The audit's ground truth is exact all-pairs Jaccard on an md5-
     deterministic sample: the production LSH pipeline must score measured

@@ -196,9 +196,10 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
 
 def neardup_lsh_verified(docs: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id", num_hashes: int = 16,
-                         bands: int = 4, shingle_k: int = 2,
+                         bands: int | str = 4, shingle_k: int = 2,
                          threshold: float = 0.2,
-                         max_bucket: int | None = 64) -> DataFrame:
+                         max_bucket: int | None = 64,
+                         target_similarity: float = 0.7) -> DataFrame:
     """Tier 3+4 — the 100-TB near-dup pipeline: LSH banding proposes
     candidate pairs (shuffle on band hash — no all-pairs product, no hot
     shingle blow-up), then exact n-gram Jaccard verifies ONLY the candidates.
@@ -210,8 +211,20 @@ def neardup_lsh_verified(docs: DataFrame, text_col: str = "text",
     produced 45,695 candidates vs 384 at 16/4 for an essentially identical
     verified output (258 vs 256 pairs, all deltas marginal sub-threshold
     collisions) — a 119× candidate reduction, which is the difference
-    between a bounded and an unbounded verification stage at 100 TB."""
+    between a bounded and an unbounded verification stage at 100 TB.
+
+    `bands="auto"` derives the banding from the S-curve instead
+    (`lsh_params_for(target_similarity, num_hashes)`): the cheapest
+    banding that still catches a `target_similarity` pair with >=50%
+    probability. `target_similarity` is the similarity regime the corpus's
+    true duplicates live at (default 0.7 — which yields the production
+    16/4 setting), NOT the verification `threshold`: banding tuned to the
+    low verification threshold would shatter into tiny bands and flood
+    verification with sub-threshold candidates."""
     from pyspark import StorageLevel
+
+    if bands == "auto":
+        bands, _ = lsh_params_for(target_similarity, num_hashes)
 
     # ONE shingle table feeds signatures, sizes, and verification — computed
     # once, spilled to disk if it outgrows memory. Without this the plan
