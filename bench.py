@@ -95,8 +95,18 @@ HEADLINE = [
 ]
 
 
+def _cpu_jiffies() -> tuple[int, int]:
+    """(total, steal) jiffies from /proc/stat — steal is time a co-tenant
+    took from this VM's vCPUs; loadavg cannot see it."""
+    with open("/proc/stat") as fh:
+        f = fh.readline().split()
+    vals = [int(x) for x in f[1:]]
+    return sum(vals), vals[7] if len(vals) > 7 else 0
+
+
 def main() -> None:
     load0 = os.getloadavg()[0]
+    jif0 = _cpu_jiffies()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
@@ -157,6 +167,9 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(best.values()), 3)
+    jif1 = _cpu_jiffies()
+    dt_total = max(1, jif1[0] - jif0[0])
+    steal_pct = round(100.0 * (jif1[1] - jif0[1]) / dt_total, 2)
     # Detail (raw runs, errors) goes to a side file; the printed line stays
     # compact so the driver's capture can't truncate mid-object.
     detail = {
@@ -173,6 +186,7 @@ def main() -> None:
         # know which numbers were taken in a storm.
         "loadavg_start": round(load0, 2),
         "loadavg_end": round(os.getloadavg()[0], 2),
+        "steal_pct": steal_pct,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "bench_detail.json"), "w") as fh:
@@ -191,6 +205,10 @@ def main() -> None:
         # headline alone (details + per-run raws in bench_detail.json)
         "loadavg_start": round(load0, 2),
         "loadavg_end": round(os.getloadavg()[0], 2),
+        # % of this VM's CPU time stolen by co-tenants DURING the bench
+        # (from /proc/stat; loadavg cannot see steal) — the direct signal
+        # for whether this run's totals were taken in a storm
+        "steal_pct": steal_pct,
     }))
     spark.stop()
 
