@@ -196,6 +196,7 @@ def test_no_cartesian_or_undeclared_python_anywhere(spark):
                     # lookup tables against the codes column — the
                     # embarrassingly-parallel scan shape, like cosine_topk
                     "pq_ann_embeddings", "pq_ann_recall_gate",
+                    "ivfpq_ann_recall_gate",
                     "q11_supplier_share", "q22_idle_rich_customers",
                     "tfidf_top_terms_documents",
                     # expectations: each FK/unique part crossJoins a
@@ -211,6 +212,7 @@ def test_no_cartesian_or_undeclared_python_anywhere(spark):
                  "lsh_ann_embeddings", "lsh_ann_recall_gate",
                  "ivf_ann_embeddings", "ivf_ann_recall_gate",
                  "pq_ann_embeddings", "pq_ann_recall_gate",
+                 "ivfpq_ann_recall_gate",
                  "resolve_ladder_parts", "hybrid_neardup_pairs"}
     bad = {}
     for name, fn in QUERIES.items():
