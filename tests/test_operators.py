@@ -317,6 +317,27 @@ def test_neardup_auto_banding_matches_production_setting(spark):
     assert auto == explicit and explicit
 
 
+def test_default_paths_use_s_curve_banding(spark):
+    """Round-5 wiring pin: `dedup_corpus` and `dedup_increment` now derive
+    banding from the S-curve chooser BY DEFAULT (bands='auto'), and at the
+    default (0.7 target, 16 hashes) the chooser resolves to the historical
+    production constant 4 — so the default corpus is byte-identical to the
+    explicit bands=4 run, and incremental state built under defaults joins
+    against corpus state built under defaults."""
+    from wde_spark.core.catalog import load_table
+    from wde_spark.operators.incremental import _resolve_bands
+
+    assert _resolve_bands("auto", 16, 0.7) == 4
+    assert _resolve_bands(8, 16, 0.7) == 8  # explicit ints pass through
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents",
+                      spread=True)
+    default_kept = {r.doc_id for r in D.dedup_corpus(docs).collect()}
+    explicit_kept = {r.doc_id
+                     for r in D.dedup_corpus(docs, bands=4).collect()}
+    assert default_kept == explicit_kept and default_kept
+
+
 def test_dedup_recall_audit(spark):
     """The audit's ground truth is exact all-pairs Jaccard on an md5-
     deterministic sample: the production LSH pipeline must score measured

@@ -29,7 +29,7 @@ def test_expectations_count_violations(spark):
                Q.check_fk("cust", dim, "c"),
            ]).collect()}
     assert out["not_null:k"] == (1, 4, False)
-    assert out["unique:k"] == (1, 4, False)       # 4 rows, 3 distinct keys
+    assert out["unique:k"] == (1, 4, False)   # 3 non-NULL keys, 2 distinct
     assert out["range:price"] == (1, 4, False)    # NULL price is NOT a violation
     assert out["accepted:status"] == (1, 4, False)
     assert out["regex:prio"] == (1, 4, False)     # NULL prio passes
@@ -96,6 +96,37 @@ def test_streaming_quality_monitor_matches_batch(spark, tmp_path):
     got2 = {(r.batch_id, r.check): (r.violations, r.total, r.ok)
             for r in read_metrics(spark, target).collect()}
     assert got2 == got
+
+
+def test_unique_ignores_null_keys(spark):
+    """dbt ignore-NULL semantics, pinned: rows with a NULL key column are
+    excluded from the uniqueness count entirely (they are check_not_null's
+    job) — n NULL-key rows are 0 unique-violations, matching the oracle's
+    COUNT(col)-COUNT(DISTINCT col). Without the explicit guard,
+    count_distinct(struct(k)) counts the NULL struct once and n NULL rows
+    would score n-1."""
+    df = spark.createDataFrame(
+        [(None, 1), (None, 2), (None, 3), (7, 4), (7, 5)], "k long, x long")
+    out = {r.check: r.violations
+           for r in Q.run_expectations(df, [Q.check_unique("k")]).collect()}
+    assert out == {"unique:k": 1}  # only the 7/7 duplicate counts
+    # multi-column keys: ANY NULL component excludes the row
+    df2 = spark.createDataFrame(
+        [(1, None), (1, None), (1, 2), (1, 2)], "a long, b long")
+    out2 = {r.check: r.violations
+            for r in Q.run_expectations(df2, [Q.check_unique("a", "b")]).collect()}
+    assert out2 == {"unique:a,b": 1}
+
+
+def test_read_metrics_empty_ledger(spark, tmp_path):
+    """A ledger with zero completed batches is a valid state — empty
+    DataFrame with the metrics schema, not a path-not-found error."""
+    from wde_spark.streaming.quality_monitor import read_metrics
+
+    target = str(tmp_path / "does_not_even_exist")
+    got = read_metrics(spark, target)
+    assert got.count() == 0
+    assert got.columns == ["batch_id", "check", "violations", "total", "ok"]
 
 
 def test_expectations_empty_inputs(spark):

@@ -508,7 +508,9 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
 def dedup_corpus(docs: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id", threshold: float = 0.2,
                  shingle_k: int = 2,
-                 max_bucket: int | None = 64) -> DataFrame:
+                 max_bucket: int | None = 64, num_hashes: int = 16,
+                 bands: int | str = "auto",
+                 target_similarity: float = 0.7) -> DataFrame:
     """The end-to-end corpus cleaner — the tier composition a training-data
     pipeline actually runs (and `tools/stress_dedup.py` measures at 100×):
 
@@ -524,14 +526,23 @@ def dedup_corpus(docs: DataFrame, text_col: str = "text",
     straight into the next pipeline stage. Deterministic: winners are
     min-ids at both the exact and near-dup levels, so reruns and
     different cluster sizes produce the identical corpus.
-    """
+
+    Banding defaults to the S-curve chooser (`bands="auto"` →
+    `lsh_params_for(target_similarity, num_hashes)`), so the declared
+    similarity regime drives the LSH parameters rather than a hand-tuned
+    constant; at the defaults (0.7, 16 hashes) the chooser lands on the
+    production 16/4 setting, so the default output is unchanged vs the
+    historical constant (pinned by tests). The bucket-cap equivalence
+    caveat (see `dedup_increment`) is parameterized on the RESOLVED
+    banding and holds identically under chosen params."""
     reps = exact_dedup(docs, text_col, id_col)
     survivors = docs.join(
         reps.select(F.col("keep_id").alias(id_col)), id_col, "left_semi")
 
     pairs = neardup_lsh_verified(
-        survivors, text_col, id_col, shingle_k=shingle_k,
-        threshold=threshold, max_bucket=max_bucket,
+        survivors, text_col, id_col, num_hashes=num_hashes, bands=bands,
+        shingle_k=shingle_k, threshold=threshold, max_bucket=max_bucket,
+        target_similarity=target_similarity,
     ).select("id_a", "id_b")
 
     from . import graph as G

@@ -90,13 +90,28 @@ def _fingerprints(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
                    F.lit("__wde_null_text__")).alias("fp"))
 
 
+def _resolve_bands(bands: int | str, num_hashes: int,
+                   target_similarity: float) -> int:
+    """`bands="auto"` → the S-curve chooser (`dedup.lsh_params_for`), the
+    same default resolution `dedup_corpus` uses — state built here and a
+    corpus deduped there agree on banding by construction."""
+    if bands == "auto":
+        from .dedup import lsh_params_for
+
+        bands, _ = lsh_params_for(target_similarity, num_hashes)
+    return bands
+
+
 def dedup_state(kept: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id", num_hashes: int = 16,
-                bands: int = 4, shingle_k: int = 2) -> DedupState:
+                bands: int | str = "auto", shingle_k: int = 2,
+                target_similarity: float = 0.7) -> DedupState:
     """Build dedup state from an already-KEPT corpus (one full scan — run
     once at bootstrap; afterwards `dedup_increment` maintains it without
     touching corpus text). Parameters must match the `dedup_corpus` run
-    that produced `kept`."""
+    that produced `kept` — both default banding to the S-curve chooser,
+    so the defaults agree by construction."""
+    bands = _resolve_bands(bands, num_hashes, target_similarity)
     return DedupState(
         fingerprints=_fingerprints(kept, text_col, id_col),
         bands=lsh_band_table(kept, text_col, id_col, num_hashes, bands,
@@ -107,9 +122,10 @@ def dedup_state(kept: DataFrame, text_col: str = "text",
 def dedup_increment(corpus: DataFrame, batch: DataFrame,
                     state: DedupState | None = None,
                     text_col: str = "text", id_col: str = "doc_id",
-                    num_hashes: int = 16, bands: int = 4,
+                    num_hashes: int = 16, bands: int | str = "auto",
                     shingle_k: int = 2, threshold: float = 0.2,
-                    max_bucket: int | None = 64) -> IncrementResult:
+                    max_bucket: int | None = 64,
+                    target_similarity: float = 0.7) -> IncrementResult:
     """Admit `batch` into the deduplicated `corpus`.
 
     `corpus` is the current KEPT document table (text is consulted only
@@ -123,6 +139,7 @@ def dedup_increment(corpus: DataFrame, batch: DataFrame,
     corpus (min-id winner selection is undefined under collisions), and
     `corpus`/`state` were produced with the same parameters.
     """
+    bands = _resolve_bands(bands, num_hashes, target_similarity)
     if state is None:
         state = dedup_state(corpus, text_col, id_col, num_hashes, bands,
                             shingle_k)

@@ -9,7 +9,9 @@ run them with `run_expectations`, get one row per check
 - all ROW-LOCAL checks (not-null, range, accepted-values, regex) fold
   into ONE conditional aggregation over a single scan — adding a check
   adds a sum(CASE...), never a pass;
-- `check_unique` is one extra hash agg (count minus distinct count);
+- `check_unique` is one extra hash agg (count minus distinct count over
+  non-NULL keys — dbt ignore-NULL semantics: rows with any NULL key
+  column are excluded, they are `check_not_null`'s job);
 - `check_fk` is one anti-join per referenced dimension, broadcast when
   the dimension is small (the usual case).
 
@@ -84,8 +86,19 @@ def run_expectations(df: DataFrame, checks: list[Check]) -> DataFrame:
                     F.sum(F.when(c.predicate, 1).otherwise(0)), F.lit(0))
                     .alias(f"v{i}"))
             else:  # unique: mixed distinct agg rides the same scan (Expand)
-                key = F.struct(*[F.col(x) for x in c.cols])
-                cols.append((F.count(F.lit(1)) - F.count_distinct(key))
+                # dbt ignore-NULL semantics, explicitly: rows where ANY key
+                # column is NULL are excluded from the uniqueness count
+                # entirely (they are `check_not_null`'s job). Without the
+                # guard, count_distinct(struct(...)) would count the
+                # all-NULL struct as one distinct value — n NULL-key rows
+                # would score n-1 violations here while a SQL
+                # COUNT(col)-COUNT(DISTINCT col) oracle scores 0.
+                notnull = F.lit(True)
+                for x in c.cols:
+                    notnull = notnull & F.col(x).isNotNull()
+                keyed = F.when(notnull,
+                               F.struct(*[F.col(x) for x in c.cols]))
+                cols.append((F.count(keyed) - F.count_distinct(keyed))
                             .alias(f"v{i}"))
         agg = df.agg(total, *cols)
         # ONE agg exploded into per-check rows. A per-check `.select` over

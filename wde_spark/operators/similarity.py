@@ -553,24 +553,46 @@ def _pq_query_luts(spark, queries: DataFrame, books, id_col: str,
     """Collect the (bounded) query set and build each query's M×K ADC
     lookup table of sub-space inner products driver-side. Returns
     (collected query rows incl. raw vectors for exact re-rank, LUT
-    DataFrame)."""
+    DataFrame). Schemas are derived from the caller's id column type (ids
+    need not be longs), and query rows whose vector length does not match
+    the codebook's m·ds dimensionality are null-routed like mis-sized
+    item vectors, not crashed on in the driver-side reshape."""
+    from pyspark.sql import types as T
+
     C = np.asarray(books, dtype=np.float64)          # (M, K, ds)
     m_, _, ds = C.shape
+    idt = queries.schema[id_col].dataType
     qrows = queries.select(
         F.col(id_col).alias("query_id"),
         _normalize(_as_double(F.col(vec_col))).alias("qv"),
         _as_double(F.col(vec_col)).alias("rv"),
     ).filter(F.col("qv").isNotNull()
+             & (F.size("qv") == m_ * ds)
              & ~F.exists("qv", lambda x: x.isNull() | F.isnan(x))).collect()
     lut_rows = []
     for r in qrows:
         Q = np.asarray(r.qv, dtype=np.float64).reshape(m_, ds)
         lut = np.einsum("md,mkd->mk", Q, C)          # (M, K)
         lut_rows.append((r.query_id, [[float(x) for x in row] for row in lut]))
-    q_lut = spark.createDataFrame(
-        lut_rows, "query_id long, lut array<array<double>>") \
-        if lut_rows else None
+    lut_schema = T.StructType([
+        T.StructField("query_id", idt),
+        T.StructField("lut", T.ArrayType(T.ArrayType(T.DoubleType()))),
+    ])
+    q_lut = spark.createDataFrame(lut_rows, lut_schema) if lut_rows else None
     return qrows, q_lut
+
+
+def _qvec_df(spark, qrows, idt, attr: str):
+    """(query_id, qv) DataFrame from collected query rows — id typed from
+    the source schema, vector taken from row attribute `attr`."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("query_id", idt),
+        T.StructField("qv", T.ArrayType(T.DoubleType())),
+    ])
+    return spark.createDataFrame(
+        [(r.query_id, list(getattr(r, attr))) for r in qrows], schema)
 
 
 def _adc_score(codes_col: Column, lut_col: Column) -> Column:
@@ -595,8 +617,14 @@ def pq_adc_topk(codes: DataFrame, queries: DataFrame,
     spark = codes.sparkSession
     qrows, q_lut = _pq_query_luts(spark, queries, books, id_col, vec_col)
     if q_lut is None:
-        return spark.createDataFrame(
-            [], "query_id long, item_id long, approx_sim double, rnk long")
+        from pyspark.sql import types as T
+
+        return spark.createDataFrame([], T.StructType([
+            T.StructField("query_id", queries.schema[id_col].dataType),
+            T.StructField("item_id", codes.schema[id_col].dataType),
+            T.StructField("approx_sim", T.DoubleType()),
+            T.StructField("rnk", T.LongType()),
+        ]))
     from pyspark.sql import Window
 
     it = codes.select(F.col(id_col).alias("item_id"), "codes") \
@@ -655,8 +683,14 @@ def pq_ann(items: DataFrame, queries: DataFrame, k: int = 5, m: int = 8,
     # query set: lut[s][j] = <q_norm sub-space s, codebook[s][j]>
     qrows, q_lut = _pq_query_luts(spark, queries, books, id_col, vec_col)
     if q_lut is None:
-        return it.sparkSession.createDataFrame(
-            [], "query_id long, item_id long, cos_sim double, rnk long")
+        from pyspark.sql import types as T
+
+        return spark.createDataFrame([], T.StructType([
+            T.StructField("query_id", queries.schema[id_col].dataType),
+            T.StructField("item_id", items.schema[id_col].dataType),
+            T.StructField("cos_sim", T.DoubleType()),
+            T.StructField("rnk", T.LongType()),
+        ]))
 
     approx = (
         it.join(F.broadcast(q_lut))
@@ -676,9 +710,7 @@ def pq_ann(items: DataFrame, queries: DataFrame, k: int = 5, m: int = 8,
     # exact re-rank uses the RAW (un-normalized) query vectors so cos_sim is
     # bit-identical to `cosine_topk` / the SQL oracle (cosine is scale-
     # invariant mathematically, but not in floating point)
-    qv = spark.createDataFrame(
-        [(r.query_id, list(r.rv)) for r in qrows],
-        "query_id long, qv array<double>")
+    qv = _qvec_df(spark, qrows, queries.schema[id_col].dataType, "rv")
     scored = (
         cand.join(it.select("item_id", "iv"), "item_id")
         .join(F.broadcast(qv), "query_id")
@@ -732,12 +764,16 @@ def ivfpq_ann(items: DataFrame, queries: DataFrame, k: int = 5,
 
     qrows, q_lut = _pq_query_luts(spark, queries, books, id_col, vec_col)
     if q_lut is None:
-        return spark.createDataFrame(
-            [], "query_id long, item_id long, cos_sim double, rnk long")
+        from pyspark.sql import types as T
+
+        return spark.createDataFrame([], T.StructType([
+            T.StructField("query_id", queries.schema[id_col].dataType),
+            T.StructField("item_id", items.schema[id_col].dataType),
+            T.StructField("cos_sim", T.DoubleType()),
+            T.StructField("rnk", T.LongType()),
+        ]))
     # per-query probed cells, from the SAME collected bounded query set
-    qn = spark.createDataFrame(
-        [(r.query_id, list(r.qv)) for r in qrows],
-        "query_id long, qv array<double>")
+    qn = _qvec_df(spark, qrows, queries.schema[id_col].dataType, "qv")
     q_cells = qn.withColumn("cell", F.explode(probe_n(F.col("qv")))) \
         .select("query_id", "cell").join(F.broadcast(q_lut), "query_id")
 
@@ -756,9 +792,7 @@ def ivfpq_ann(items: DataFrame, queries: DataFrame, k: int = 5,
         .filter(F.col("arnk") <= k * refine)
         .select("query_id", "item_id")
     )
-    qv = spark.createDataFrame(
-        [(r.query_id, list(r.rv)) for r in qrows],
-        "query_id long, qv array<double>")
+    qv = _qvec_df(spark, qrows, queries.schema[id_col].dataType, "rv")
     scored = (
         cand.join(it.select("item_id", "iv"), "item_id")
         .join(F.broadcast(qv), "query_id")

@@ -1309,7 +1309,7 @@ _PQ_ASSIGN = """
                                                 j -> s.sv[j]*c.cv[j]), 'sum')
               + list_aggregate(list_transform(c.cv, x -> x*x), 'sum'))
              ASC, c.code ASC) AS rn
-    FROM sv s JOIN {cb} c ON c.m = s.m
+    FROM {src} s JOIN {cb} c ON c.m = s.m
   ) WHERE rn = 1
 """
 
@@ -1347,11 +1347,11 @@ pc{it}f AS (SELECT s.m, s.code, COALESCE(pc{it}.cv, s.cv) AS cv
             FROM nv) r
       JOIN sv s USING (vec_id) WHERE r.rn <= 16
     ),
-    pa1 AS (""" + _PQ_ASSIGN.format(cb="seed") + """),
+    pa1 AS (""" + _PQ_ASSIGN.format(cb="seed", src="sv") + """),
     """ + _PQ_UPDATE.format(it=1, prev="seed") + """,
-    pa2 AS (""" + _PQ_ASSIGN.format(cb="pc1f") + """),
+    pa2 AS (""" + _PQ_ASSIGN.format(cb="pc1f", src="sv") + """),
     """ + _PQ_UPDATE.format(it=2, prev="pc1f") + """,
-    codes AS (""" + _PQ_ASSIGN.format(cb="pc2f") + """),
+    codes AS (""" + _PQ_ASSIGN.format(cb="pc2f", src="sv") + """),
     lut AS (  -- per-query ADC tables: IP(query sub-vector, codebook entry)
       SELECT s.vec_id AS query_id, c.m, c.code,
              list_aggregate(list_transform(generate_series(1, 4),
@@ -1428,6 +1428,128 @@ def pq_ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         SIM.cosine_topk(emb, q, k=5),
         n_queries=8, k=5, min_recall=0.6,
     )
+
+
+def _streaming_pq_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per parquet snapshot) a streaming-maintained PQ index
+    over the embeddings table and return its directory: init vectors
+    (vec_id % 3 = 0) bootstrap the frozen codebook + v0 codes, the rest
+    arrive as two file-source micro-batches appended as copy-on-write
+    versions (`streaming/embedding_admission.py`). Deterministic — a
+    frozen codebook makes encoding order/batching-invariant — so the
+    built index is cacheable across runs; the cache key includes the
+    source parquet's mtime so a regenerated table rebuilds."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    src_parquet = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        mtime = str(int(os.path.getmtime(src_parquet)))
+    except OSError:
+        mtime = "0"
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{mtime}".encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"wde_pq_stream_{tag}")
+    index_dir = os.path.join(base, "index")
+    done = os.path.join(base, "_COMPLETE")
+    if os.path.exists(done):
+        return index_dir
+    shutil.rmtree(base, ignore_errors=True)
+
+    from .streaming.embedding_admission import streaming_pq_index_maintain
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding")
+    feed = os.path.join(base, "feed")
+    for i in (1, 2):
+        emb.filter(F.col("vec_id") % 3 == i).coalesce(1) \
+            .write.mode("overwrite") \
+            .parquet(os.path.join(feed, f"b{i}.parquet"))
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(feed, "*.parquet"))
+    )
+    streaming_pq_index_maintain(
+        stream, emb.filter(F.col("vec_id") % 3 == 0), index_dir,
+        os.path.join(base, "ckpt"), m=16, k_codes=16, iters=2)
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return index_dir
+
+
+@query(
+    "streaming_pq_adc_ann",
+    """
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    nv AS (SELECT vec_id,
+                  list_transform(v, x -> x / sqrt(list_aggregate(
+                      list_transform(v, y -> y*y), 'sum'))) AS nv
+           FROM v),
+    sv AS (  -- 16 sub-spaces x 4 dims per vector
+      SELECT vec_id, t.m, nv[CAST(t.m*4+1 AS INT):CAST(t.m*4+4 AS INT)] AS sv
+      FROM nv, unnest(range(0, 16)) AS t(m)
+    ),
+    tsv AS (  -- TRAINING sub-vectors: the init split only (vec_id%3=0)
+      SELECT * FROM sv WHERE vec_id % 3 = 0
+    ),
+    seed AS (  -- md5-ordered first-16 of the INIT split seed every sub-space
+      SELECT s.m, r.rn - 1 AS code, s.sv AS cv
+      FROM (SELECT vec_id, ROW_NUMBER() OVER (
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+            FROM nv WHERE vec_id % 3 = 0) r
+      JOIN tsv s USING (vec_id) WHERE r.rn <= 16
+    ),
+    pa1 AS (""" + _PQ_ASSIGN.format(cb="seed", src="tsv") + """),
+    """ + _PQ_UPDATE.format(it=1, prev="seed") + """,
+    pa2 AS (""" + _PQ_ASSIGN.format(cb="pc1f", src="tsv") + """),
+    """ + _PQ_UPDATE.format(it=2, prev="pc1f") + """,
+    codes AS (  -- EVERY vector encoded with the frozen init-trained books
+      """ + _PQ_ASSIGN.format(cb="pc2f", src="sv") + """
+    ),
+    lut AS (
+      SELECT s.vec_id AS query_id, c.m, c.code,
+             list_aggregate(list_transform(generate_series(1, 4),
+                                           j -> s.sv[j]*c.cv[j]), 'sum') AS ip
+      FROM sv s JOIN pc2f c ON c.m = s.m WHERE s.vec_id < 8
+    ),
+    approx AS (
+      SELECT l.query_id, i.vec_id AS item_id, ROUND(SUM(l.ip), 6) AS approx_sim
+      FROM codes i JOIN lut l ON l.m = i.m AND l.code = i.code
+      WHERE i.vec_id <> l.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, item_id, approx_sim, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY approx_sim DESC, item_id ASC) AS rnk
+      FROM approx
+    ) WHERE rnk <= 5
+    """,
+)
+def streaming_pq_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end query path of the STREAMING-MAINTAINED PQ index
+    (`streaming/embedding_admission.py`): the init split (vec_id%3=0)
+    bootstraps a frozen codebook + v0 codes, the remaining vectors stream
+    in as micro-batches appended as copy-on-write versions, and the query
+    ADC-scans the latest maintained codes version — it ranks purely on
+    code lookups and NEVER touches float vectors (at 100 TB the float
+    column is cold storage; a 10-billion-vector index is ~160 GB of
+    16-byte codes). Because encoding under a frozen codebook is
+    deterministic and batching-invariant, the maintained index equals a
+    one-shot batch encode, which the oracle replays: per-sub-space k-means
+    unrolled in SQL over the INIT split only, every vector encoded with
+    the frozen books, ADC scoring, top-5. Distinct from `pq_ann_embeddings`
+    in both surface (ADC-only scores, no exact re-rank) and index
+    lifecycle (streamed COW versions vs one-shot)."""
+    from .streaming.embedding_admission import ann_query
+
+    index_dir = _streaming_pq_index_dir(spark, sf_dir)
+    queries_df = load_table(spark, sf_dir, "embeddings", spread=True) \
+        .filter(F.col("vec_id") < 8)
+    return ann_query(spark, index_dir, queries_df, k=5)
 
 
 @query(
@@ -1776,46 +1898,60 @@ from . import queries_ext  # noqa: E402,F401
 # their rotated-out plain forms, so family coverage is preserved. The
 # r03 windows' own greens are listed in CORRECTNESS_r03.json; across
 # r03+r04 ≥78 distinct queries get driver-hard evidence.
+# Round-5 rotation — the LAST one needed: after r03 (50 greens) and r04
+# (50 greens, 28 first-timers) exactly 19 registry queries had never had
+# a driver-hard row. All 19 are seated below, plus the round's one net-new
+# query (`streaming_pq_adc_ann`, the streaming-PQ-index ADC path), plus 30
+# fast already-green representatives spanning every operator family. After
+# this window banks, every one of the 107 registry entries has a
+# driver-green row across CORRECTNESS_r03–r05 and rotation can stop.
 _DRIVER_PRIORITY = [
-    # TPC-H relational core (q12/q13/q16/q21 banked r03 → q2/q17/q22 in)
-    "q1_pricing_summary", "q3_shipping_priority",
-    "q2_cheapest_part_per_brand", "q17_small_quantity_revenue",
-    "q22_idle_rich_customers",
-    # aggregation variants (grouping_sets/pivot banked → cube/histogram/
-    # sketch gates in)
-    "agg_order_stats", "percentile_prices", "cube_orders",
-    "histogram_order_prices", "hll_distinct_gate", "quantile_sketch_gate",
-    "freq_items_gate",
-    # joins (lww twin swap; merge_changeset stays until driver-green)
-    "semi_join_active_customers", "anti_join_idle_customers",
-    "outer_join_nation_coverage", "lww_latest_order_agg",
-    "asof_join_purchase_view", "range_join_error_clicks",
-    "merge_changeset_orders",
-    # windows / temporal (topk + session twin swaps; sliding in)
-    "topk_orders_salted", "carry_forward_purchase",
-    "window_rank_variants_orders", "session_events_bucketed",
-    "sliding_events",
+    # --- the 19 never-driver-checked (r05 must-banks) ---
+    # TPC-H tail
+    "q7_nation_volume", "q8_market_share", "q9_product_profit",
+    "q14_promo_revenue", "q18_large_volume_orders",
+    "q19_disjunctive_revenue",
+    # windows / temporal
+    "window_range_frame_orders", "funnel_signup_view_purchase",
+    "skew_salted_event_types", "cohort_retention_events",
+    "ntile_customer_spend", "gapfill_daily_orders",
+    # reshape
+    "unpivot_part_metrics",
+    # quality / dedup flagships
+    "data_quality_orders", "dedup_increment_documents",
+    "dedup_recall_audit_documents",
+    # PQ ANN family
+    "pq_ann_embeddings", "pq_ann_recall_gate", "ivfpq_ann_recall_gate",
+    # --- net-new this round (first driver row) ---
+    "streaming_pq_adc_ann",
+    # --- 30 already-green family representatives (cheap at sf0.01) ---
+    # TPC-H relational core
+    "q1_pricing_summary", "q3_shipping_priority", "q4_order_priority",
+    "q6_forecast_revenue",
+    # aggregation variants
+    "agg_order_stats", "rollup_lineitem", "pivot_order_status",
+    "histogram_order_prices",
+    # sketch gates
+    "hll_distinct_gate", "freq_items_gate",
+    # joins
+    "semi_join_active_customers", "outer_join_nation_coverage",
+    "lww_latest_order", "asof_join_purchase_view",
+    "range_join_error_clicks",
+    # windows / temporal
+    "topk_orders_per_customer", "carry_forward_purchase",
+    "scd2_order_status_history",
     # set ops + resolve
     "set_ops_segments", "resolve_ladder_parts",
     # text analysis
-    "string_pipeline_documents", "lang_id_documents",
-    "token_stats_documents", "winnowing_fingerprints_documents",
-    "dedup_tokens_ordered",
-    # dedup tiers
-    "neardup_lsh_verified", "neardup_components_documents",
-    "ngram_jaccard_pairs", "hybrid_neardup_pairs",
-    # similarity / ANN
-    "lsh_ann_embeddings", "lsh_ann_recall_gate", "ivf_ann_embeddings",
-    "ivf_ann_recall_gate", "embedding_vector_stats",
+    "word_count_top100", "token_stats_documents", "lang_id_documents",
+    # dedup
+    "exact_dedup_documents", "dedup_tokens_ordered",
+    # similarity
+    "embedding_vector_stats", "cosine_topk_embeddings",
     # multimodal
-    "multimodal_resize", "multimodal_features",
-    # curation tier
-    "repetition_stats_documents", "pii_redact_documents",
-    "decontaminate_documents", "chunk_documents_windows",
-    "zscore_outliers_documents",
-    # sampling / pipeline utilities (json_props stays until driver-green)
+    "multimodal_resize",
+    # sampling / pipeline utilities
     "mixture_sample_documents", "train_val_split_documents",
-    "json_props_stats_events",
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]

@@ -2138,7 +2138,9 @@ def freq_items_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders
       UNION ALL
       SELECT 'unique:o_orderkey',
-             CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT),
+             -- dbt ignore-NULL semantics (matches operators/quality.py):
+             -- NULL keys are excluded from BOTH counts
+             CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT),
              (SELECT total FROM t)
       FROM orders
     ) ORDER BY "check"

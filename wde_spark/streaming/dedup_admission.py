@@ -55,7 +55,7 @@ def streaming_dedup_admission(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 16,
-    bands: int = 4,
+    bands: int | str = "auto",
     shingle_k: int = 2,
     threshold: float = 0.2,
     max_bucket: int | None = 64,
@@ -68,7 +68,15 @@ def streaming_dedup_admission(
 
     os.makedirs(target_dir, exist_ok=True)
     v0 = _version_dir(target_dir, 0)
-    if not os.path.exists(v0):
+    # Bootstrap is idempotent-by-redo: a crash mid-bootstrap leaves v0
+    # without all three _SUCCESS markers, and the next start rebuilds all
+    # of v0 (deterministic inputs ⇒ identical bytes). Checking only
+    # `os.path.exists(v0)` would treat a half-written v0 as done and every
+    # subsequent batch would fail reading the missing fp/bands tables.
+    complete = all(
+        os.path.exists(os.path.join(v0, sub, "_SUCCESS"))
+        for sub in ("corpus", "fp", "bands"))
+    if not complete:
         init_corpus.write.mode("overwrite").parquet(
             os.path.join(v0, "corpus"))
         st = dedup_state(init_corpus, text_col, id_col, num_hashes, bands,

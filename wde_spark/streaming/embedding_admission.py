@@ -71,7 +71,15 @@ def streaming_pq_index_maintain(
     encoded with that frozen codebook and appended."""
     os.makedirs(target_dir, exist_ok=True)
     v0 = os.path.join(target_dir, "v0", "codes")
-    if not os.path.exists(os.path.dirname(v0)):
+    # Bootstrap is idempotent-by-redo: complete iff BOTH the codebook file
+    # and v0's _SUCCESS marker exist; a crash between the two (or mid
+    # parquet write) triggers a full redo, which is deterministic
+    # (md5-seeded k-means) so replay rewrites identical bytes. Checking
+    # only the v0 directory would let a partial bootstrap poison every
+    # subsequent batch.
+    complete = (os.path.exists(_codebook_path(target_dir))
+                and os.path.exists(os.path.join(v0, "_SUCCESS")))
+    if not complete:
         books = train_pq_codebooks(init_items, m, k_codes, iters, id_col,
                                    vec_col)
         with open(_codebook_path(target_dir), "w") as f:

@@ -27,7 +27,16 @@ from ..operators.quality import Check, run_expectations
 
 
 def read_metrics(spark, target_dir: str) -> DataFrame:
-    """The full metrics ledger: (batch_id, check, violations, total, ok)."""
+    """The full metrics ledger: (batch_id, check, violations, total, ok).
+    A ledger with zero completed batches (empty stream, or a monitor that
+    has not run yet) is a valid state and returns an empty table rather
+    than a path-not-found analysis error."""
+    import glob
+
+    if not glob.glob(os.path.join(target_dir, "b*")):
+        return spark.createDataFrame(
+            [], "batch_id long, check string, violations long, "
+                "total long, ok boolean")
     return spark.read.parquet(os.path.join(target_dir, "b*"))
 
 
