@@ -29,12 +29,16 @@ from pyspark.sql import DataFrame
 from ..operators.relational import merge_changeset
 
 
-def latest_version_dir(target_dir: str) -> str:
-    versions = [int(p[1:]) for p in os.listdir(target_dir)
-                if p.startswith("v") and p[1:].isdigit()]
+def latest_version_dir(target_dir: str, spark=None) -> str:
+    # routed through the version ledger's filesystem abstraction: plain
+    # local paths stay on os.listdir, scheme'd paths (hdfs://, s3a://)
+    # go through the Hadoop FileSystem API
+    from .versions import _join, version_history
+
+    versions = version_history(target_dir, spark)
     if not versions:
         raise FileNotFoundError(f"no snapshot versions under {target_dir}")
-    return os.path.join(target_dir, f"v{max(versions)}")
+    return _join(target_dir, f"v{max(versions)}")
 
 
 def read_snapshot(spark, target_dir: str) -> DataFrame:
