@@ -541,6 +541,12 @@ def pq_encode(items: DataFrame, books: list[list[list[float]]],
     vector (one row-local Arrow pass, no shuffle). This is the table a
     production pipeline stores and appends to; all future ADC scans read
     it instead of the float column."""
+    if not books:
+        # codebooks trained on a 0-row init set: every row degrades to
+        # NULL codes (the mis-sized-vector convention), no numpy shape
+        # crash in the broadcast setup
+        return items.select(
+            F.col(id_col), F.lit(None).cast("array<int>").alias("codes"))
     assign = _pq_assign_udf(items.sparkSession, books)
     return items.select(
         F.col(id_col),
@@ -615,7 +621,11 @@ def pq_adc_topk(codes: DataFrame, queries: DataFrame,
     rnk); scores are the quantized inner-product approximations, ties
     broken by item id."""
     spark = codes.sparkSession
-    qrows, q_lut = _pq_query_luts(spark, queries, books, id_col, vec_col)
+    # empty codebooks (trained on a 0-row init set — e.g. a fully pruned
+    # partition) mean there is nothing to score: empty result, not a
+    # driver-side shape crash
+    qrows, q_lut = (None, None) if not books else _pq_query_luts(
+        spark, queries, books, id_col, vec_col)
     if q_lut is None:
         from pyspark.sql import types as T
 
