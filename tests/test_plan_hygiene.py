@@ -176,6 +176,22 @@ def test_lsh_multi_candidate_join_is_equi(spark):
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
 
 
+def test_streaming_pq_query_path_reads_no_floats(spark):
+    """The maintained-index ADC query path must rank purely on the codes
+    table: its executed plan reads the COW parquet codes version + the
+    broadcast per-query LUTs, and the embedding (float) column appears
+    ONLY on the bounded query side (8 vectors), never in an item-side
+    scan — at 100 TB the float column is cold storage."""
+    from wde_spark.queries import QUERIES
+
+    df = QUERIES["streaming_pq_adc_ann"](spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().toString()
+    # item side: the codes table scan (maintained index), no embeddings
+    # parquet among the scanned files of the final plan
+    assert "codes" in plan
+    assert "embeddings.parquet" not in plan.split("== Physical Plan ==")[-1]
+
+
 def test_no_cartesian_or_undeclared_python_anywhere(spark):
     """Blanket sweep over the ENTIRE registry: no query's plan may contain
     a cartesian product / broadcast nested loop (the two exact-baseline
@@ -196,7 +212,7 @@ def test_no_cartesian_or_undeclared_python_anywhere(spark):
                     # lookup tables against the codes column — the
                     # embarrassingly-parallel scan shape, like cosine_topk
                     "pq_ann_embeddings", "pq_ann_recall_gate",
-                    "ivfpq_ann_recall_gate",
+                    "ivfpq_ann_recall_gate", "streaming_pq_adc_ann",
                     "q11_supplier_share", "q22_idle_rich_customers",
                     "tfidf_top_terms_documents",
                     # expectations: each FK/unique part crossJoins a

@@ -60,14 +60,19 @@ def main() -> None:
                                        F.lit(f"|{tag}|{i}"))), 1, 8)
             for i in range(words)])
 
+    # repartition BEFORE the salad projection: the crossJoin's broadcast-
+    # nested-loop output is a single partition, and Spark evaluates
+    # projections before the exchange — without the early repartition all
+    # mult*n_base*40 md5 word derivations run in ONE task (observed: the
+    # 10M-doc corpus build pinned one core for >10 min while 31 idled).
     corpus_raw = (
         base.crossJoin(copies)
+        .repartition(spark.sparkContext.defaultParallelism)
         .select(
             (F.col("doc_id") * (mult + 1) + F.col("copy")).alias("doc_id"),
             salad(F.col("doc_id") * (mult + 1) + F.col("copy"), "c")
             .alias("text"),
         )
-        .repartition(spark.sparkContext.defaultParallelism)
     )
     # localCheckpoint truncates lineage/plan — the production analogue of
     # reading the cleaned corpus back from parquet. Without it every
