@@ -11,10 +11,13 @@ vec_id BIGINT, embedding ARRAY<FLOAT>, label INT).
 - `embedding_neardup` — cosine near-duplicate pairs above a threshold
                     (used as dedup tier 5).
 
-The dot product is a `zip_with` + `aggregate` fold over the array — stays
-inside codegen, no Python. Vectors are cast to double before any math so
-results are bit-comparable with the DuckDB oracle (which computes in
-double).
+The dot product is JVM-side, no Python: an unrolled multiply-add chain
+when the dimensionality is known at plan time (codegen-compiled — the
+`zip_with`/`aggregate` higher-order-function fold it replaces evaluates
+interpreted, ~2-4× slower on multi-million-row scans; see
+`tools/stress_ann.py`), falling back to the fold for unknown lengths.
+Both forms add left-to-right so results are bit-identical to each other
+and to the DuckDB oracle (which computes in double, same order).
 """
 
 from __future__ import annotations
@@ -33,7 +36,27 @@ def _as_double(c: Column) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
 
 
-def dot(a: Column, b: Column) -> Column:
+def _sum_unrolled(terms: list[Column]) -> Column:
+    s = terms[0]
+    for t in terms[1:]:
+        s = s + t
+    return s
+
+
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Dot product. With `dim` (known at plan time — a trained model's
+    dimensionality, a declared table width) the fold UNROLLS into plain
+    multiply-add expressions that whole-stage codegen compiles; without
+    it, the aggregate/zip_with fold handles any runtime length (but
+    evaluates interpreted — measurably slower on 10⁶+-row scans).
+    Bit-compatibility of the unroll is exact: addition left-to-right in
+    element order, and the fold's 0.0+x0 == x0. `F.get` is 0-based and
+    NULL out-of-range, so a shorter-than-dim vector yields NULL (the
+    fold's NULL-padding via zip_with does the same for length-mismatched
+    pairs)."""
+    if dim:
+        return _sum_unrolled([F.get(a, i) * F.get(b, i)
+                              for i in range(dim)])
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -41,16 +64,19 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def l2norm(a: Column) -> Column:
+def l2norm(a: Column, dim: int | None = None) -> Column:
+    if dim:
+        return F.sqrt(_sum_unrolled([F.get(a, i) * F.get(a, i)
+                                     for i in range(dim)]))
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
-def cosine(a: Column, b: Column) -> Column:
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
     # try_divide: a zero-norm vector yields NULL similarity (ranked last /
     # dropped by thresholds) instead of an ANSI DIVIDE_BY_ZERO error killing
     # the job — and NULL is exactly what DuckDB returns for x/0, so oracle
     # comparisons agree.
-    return F.try_divide(dot(a, b), l2norm(a) * l2norm(b))
+    return F.try_divide(dot(a, b, dim), l2norm(a, dim) * l2norm(b, dim))
 
 
 def _rerank_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -71,7 +97,8 @@ def _rerank_topk(scored: DataFrame, k: int) -> DataFrame:
 
 
 def cosine_topk(items: DataFrame, queries: DataFrame, k: int = 5,
-                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                dim: int | None = None) -> DataFrame:
     """Exact brute-force top-k neighbors for each query vector.
 
     `queries` is expected to be small (it is broadcast); `items` streams
@@ -90,7 +117,7 @@ def cosine_topk(items: DataFrame, queries: DataFrame, k: int = 5,
         .select(
             "query_id",
             "item_id",
-            F.round(cosine(F.col("qv"), F.col("iv")), 6).alias("cos_sim"),
+            F.round(cosine(F.col("qv"), F.col("iv"), dim), 6).alias("cos_sim"),
         )
     )
     return _rerank_topk(scored, k)
@@ -168,7 +195,7 @@ def lsh_ann(items: DataFrame, queries: DataFrame, k: int = 5,
         .select(
             "query_id",
             "item_id",
-            F.round(cosine(F.col("qv"), F.col("iv")), 6).alias("cos_sim"),
+            F.round(cosine(F.col("qv"), F.col("iv"), dim), 6).alias("cos_sim"),
         )
     )
     return _rerank_topk(scored, k)
@@ -235,7 +262,7 @@ def lsh_ann_multi(items: DataFrame, queries: DataFrame, k: int = 5,
         .join(F.broadcast(q), "query_id")
         .select(
             "query_id", "item_id",
-            F.round(cosine(F.col("qv"), F.col("iv")), 6).alias("cos_sim"),
+            F.round(cosine(F.col("qv"), F.col("iv"), dim), 6).alias("cos_sim"),
         )
     )
     return _rerank_topk(scored, k)
@@ -395,12 +422,13 @@ def ivf_ann(items: DataFrame, queries: DataFrame, k: int = 5,
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     ).withColumn("cell", F.explode(probe_n(_normalize(F.col("qv")))))
+    dim = len(centroids[0])
     scored = (
         it.join(F.broadcast(q), "cell")
         .filter(F.col("item_id") != F.col("query_id"))
         .select(
             "query_id", "item_id",
-            F.round(cosine(F.col("qv"), F.col("iv")), 6).alias("cos_sim"),
+            F.round(cosine(F.col("qv"), F.col("iv"), dim), 6).alias("cos_sim"),
         )
     )
     return _rerank_topk(scored, k)
@@ -422,7 +450,7 @@ def embedding_neardup(items: DataFrame, threshold: float = 0.95,
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+            F.round(cosine(F.col("a.v"), F.col("b.v"), dim), 6).alias("cos_sim"),
         )
         .filter(~F.isnan("cos_sim") & (F.col("cos_sim") >= threshold))
     )
@@ -736,11 +764,12 @@ def pq_ann(items: DataFrame, queries: DataFrame, k: int = 5, m: int = 8,
     # bit-identical to `cosine_topk` / the SQL oracle (cosine is scale-
     # invariant mathematically, but not in floating point)
     qv = _qvec_df(spark, qrows, queries.schema[id_col].dataType, "rv")
+    dim = len(books) * len(books[0][0])
     scored = (
         cand.join(it.select("item_id", "iv"), "item_id")
         .join(F.broadcast(qv), "query_id")
         .select("query_id", "item_id",
-                F.round(cosine(F.col("qv"), F.col("iv")), 6).alias("cos_sim"))
+                F.round(cosine(F.col("qv"), F.col("iv"), dim), 6).alias("cos_sim"))
     )
     return _rerank_topk(scored, k)
 
@@ -818,10 +847,11 @@ def ivfpq_ann(items: DataFrame, queries: DataFrame, k: int = 5,
         .select("query_id", "item_id")
     )
     qv = _qvec_df(spark, qrows, queries.schema[id_col].dataType, "rv")
+    dim = len(books) * len(books[0][0])
     scored = (
         cand.join(it.select("item_id", "iv"), "item_id")
         .join(F.broadcast(qv), "query_id")
         .select("query_id", "item_id",
-                F.round(cosine(F.col("qv"), F.col("iv")), 6).alias("cos_sim"))
+                F.round(cosine(F.col("qv"), F.col("iv"), dim), 6).alias("cos_sim"))
     )
     return _rerank_topk(scored, k)

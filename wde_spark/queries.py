@@ -1091,7 +1091,7 @@ def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-5 for 8 query vectors — the ANN baseline.
     JVM-side fold (zip_with + aggregate), broadcast query side."""
     emb = load_table(spark, sf_dir, "embeddings", spread=True)
-    return SIM.cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+    return SIM.cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=5, dim=64)
 
 
 @query(
@@ -1185,7 +1185,7 @@ def lsh_ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 8)
     return SIM.topk_recall_gate(
         SIM.lsh_ann_multi(emb, q, k=5, n_planes=6, n_tables=48),
-        SIM.cosine_topk(emb, q, k=5),
+        SIM.cosine_topk(emb, q, k=5, dim=64),
         n_queries=8, k=5, min_recall=0.6,
     )
 
@@ -1291,7 +1291,7 @@ def ivf_ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 8)
     return SIM.topk_recall_gate(
         SIM.ivf_ann(emb, q, k=5, n_cells=16, nprobe=6),
-        SIM.cosine_topk(emb, q, k=5),
+        SIM.cosine_topk(emb, q, k=5, dim=64),
         n_queries=8, k=5, min_recall=0.45,
     )
 
@@ -1425,7 +1425,7 @@ def pq_ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 8)
     return SIM.topk_recall_gate(
         SIM.pq_ann(emb, q, k=5, m=16, k_codes=16, refine=8),
-        SIM.cosine_topk(emb, q, k=5),
+        SIM.cosine_topk(emb, q, k=5, dim=64),
         n_queries=8, k=5, min_recall=0.6,
     )
 
@@ -1583,7 +1583,7 @@ def embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
-            F.round(SIM.cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+            F.round(SIM.cosine(F.col("a.v"), F.col("b.v"), 64), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= 0.2)
     )

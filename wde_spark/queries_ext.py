@@ -2399,6 +2399,6 @@ def ivfpq_ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM2.topk_recall_gate(
         SIM2.ivfpq_ann(emb, q, k=5, n_cells=16, nprobe=6, m=16,
                        k_codes=16, refine=8),
-        SIM2.cosine_topk(emb, q, k=5),
+        SIM2.cosine_topk(emb, q, k=5, dim=64),
         n_queries=8, k=5, min_recall=0.45,
     )
