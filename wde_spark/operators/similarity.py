@@ -11,12 +11,14 @@ vec_id BIGINT, embedding ARRAY<FLOAT>, label INT).
 - `embedding_neardup` — cosine near-duplicate pairs above a threshold
                     (used as dedup tier 5).
 
-The dot product is JVM-side, no Python: an unrolled multiply-add chain
-when the dimensionality is known at plan time (codegen-compiled — the
-`zip_with`/`aggregate` higher-order-function fold it replaces evaluates
-interpreted, ~2-4× slower on multi-million-row scans; see
-`tools/stress_ann.py`), falling back to the fold for unknown lengths.
-Both forms add left-to-right so results are bit-identical to each other
+All scoring is JVM-side, no Python. Short fixed-size kernels (the
+16-lookup ADC score) unroll into plain codegen expressions — measured
+faster than the interpreted higher-order-function fold; long kernels
+(64-dim dot/norm) stay on the fold, whose specialized loop beats a
+JIT-rejected giant generated method (measured both ways — see
+`_UNROLL_MAX`). Norms are precomputed per ROW before pair joins, so an
+item's norm is computed once, not once per (query, item) pair. Every
+variant adds left-to-right so results are bit-identical to each other
 and to the DuckDB oracle (which computes in double, same order).
 """
 
@@ -43,18 +45,27 @@ def _sum_unrolled(terms: list[Column]) -> Column:
     return s
 
 
+# Measured unroll crossover (same-session A/B, sf0.1 embeddings + the 4M
+# stress_ann scale): a SHORT unrolled chain beats the interpreted
+# higher-order-function fold (the 16-lookup ADC score: 16.3 s → 12.5 s at
+# 4M codes), but a 64-term dot/norm unroll generates expression methods
+# large enough that the JIT gives up and the generated code runs SLOWER
+# than the fold's specialized loop (2.0 s vs 0.6 s steady-state on the
+# same data, same session). So: unroll only up to this term count; the
+# fold handles everything longer (and unknown lengths).
+_UNROLL_MAX = 16
+
+
 def dot(a: Column, b: Column, dim: int | None = None) -> Column:
-    """Dot product. With `dim` (known at plan time — a trained model's
-    dimensionality, a declared table width) the fold UNROLLS into plain
-    multiply-add expressions that whole-stage codegen compiles; without
-    it, the aggregate/zip_with fold handles any runtime length (but
-    evaluates interpreted — measurably slower on 10⁶+-row scans).
-    Bit-compatibility of the unroll is exact: addition left-to-right in
-    element order, and the fold's 0.0+x0 == x0. `F.get` is 0-based and
-    NULL out-of-range, so a shorter-than-dim vector yields NULL (the
-    fold's NULL-padding via zip_with does the same for length-mismatched
-    pairs)."""
-    if dim:
+    """Dot product. With `dim` known at plan time AND small (<=
+    `_UNROLL_MAX`), unrolls into plain multiply-add expressions inside
+    whole-stage codegen; otherwise the aggregate/zip_with fold (which
+    handles any runtime length). Bit-compatibility of the unroll is
+    exact: addition left-to-right in element order, and the fold's
+    0.0+x0 == x0. `F.get` is 0-based and NULL out-of-range, so a
+    shorter-than-dim vector yields NULL (the fold's NULL-padding via
+    zip_with does the same for length-mismatched pairs)."""
+    if dim and dim <= _UNROLL_MAX:
         return _sum_unrolled([F.get(a, i) * F.get(b, i)
                               for i in range(dim)])
     return F.aggregate(
@@ -65,7 +76,7 @@ def dot(a: Column, b: Column, dim: int | None = None) -> Column:
 
 
 def l2norm(a: Column, dim: int | None = None) -> Column:
-    if dim:
+    if dim and dim <= _UNROLL_MAX:
         return F.sqrt(_sum_unrolled([F.get(a, i) * F.get(a, i)
                                      for i in range(dim)]))
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
@@ -80,18 +91,24 @@ def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
 
 
 def _rerank_topk(scored: DataFrame, k: int) -> DataFrame:
-    """Shared exact re-rank tail of every similarity operator: NaN-filtered
-    (NaN sorts above ALL doubles in Spark), total-order tie-break
-    (cos_sim DESC, item_id ASC), row_number top-k. One definition so a
-    future tie-break or NaN-policy change has exactly one site."""
+    """Shared exact re-rank tail of every similarity operator: NaN routed
+    to NULL (NaN sorts above ALL doubles in Spark, NULL sorts last under
+    desc_nulls_last — same exclusion, but as a projection instead of a
+    pre-window filter, so Catalyst cannot push a copy of the whole scoring
+    expression into the upstream join condition and evaluate it twice per
+    pair), total-order tie-break (cos_sim DESC, item_id ASC), row_number
+    top-k, NULL rows dropped after ranking (they sit below every real
+    neighbor, so real ranks are unchanged). One definition so a future
+    tie-break or NaN-policy change has exactly one site."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("item_id"))
+        F.col("cos_sim").desc_nulls_last(), F.asc("item_id"))
     return (
-        scored.filter(~F.isnan("cos_sim"))
+        scored.withColumn(
+            "cos_sim", F.nanvl(F.col("cos_sim"), F.lit(None).cast("double")))
         .withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= k)
+        .filter((F.col("rnk") <= k) & F.col("cos_sim").isNotNull())
         .select("query_id", "item_id", "cos_sim", "rnk")
     )
 
@@ -106,18 +123,25 @@ def cosine_topk(items: DataFrame, queries: DataFrame, k: int = 5,
     row-local scoring, i.e. embarrassingly parallel, followed by a top-k
     window shuffled on query_id (k rows per partition survive the partial
     sort thanks to AQE + row_number pushdown)."""
+    # norms precomputed PER ROW on each side before the pair join — with
+    # Q queries every item norm is otherwise recomputed Q× (and the fused
+    # cosine expression is 3× the tree Catalyst has to carry around).
+    # Bit-identical to the fused form: same l2norm subexpression, same
+    # (q_norm * i_norm) multiplication order, same try_divide.
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("qn", l2norm(F.col("qv"), dim))
     it = items.select(
         F.col(id_col).alias("item_id"), _as_double(F.col(vec_col)).alias("iv")
-    )
+    ).withColumn("inorm", l2norm(F.col("iv"), dim))
     scored = (
         it.join(F.broadcast(q), F.col("item_id") != F.col("query_id"))
         .select(
             "query_id",
             "item_id",
-            F.round(cosine(F.col("qv"), F.col("iv"), dim), 6).alias("cos_sim"),
+            F.round(F.try_divide(dot(F.col("qv"), F.col("iv"), dim),
+                                 F.col("qn") * F.col("inorm")),
+                    6).alias("cos_sim"),
         )
     )
     return _rerank_topk(scored, k)
@@ -184,18 +208,22 @@ def lsh_ann(items: DataFrame, queries: DataFrame, k: int = 5,
     it = items.select(
         F.col(id_col).alias("item_id"),
         _as_double(F.col(vec_col)).alias("iv"),
-    ).withColumn("bucket", bucket(F.col("iv")))
+    ).withColumn("bucket", bucket(F.col("iv"))) \
+        .withColumn("inorm", l2norm(F.col("iv"), dim))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("qv"),
-    ).withColumn("bucket", bucket(F.col("qv")))
+    ).withColumn("bucket", bucket(F.col("qv"))) \
+        .withColumn("qn", l2norm(F.col("qv"), dim))
     scored = (
         it.join(F.broadcast(q), "bucket")
         .filter(F.col("item_id") != F.col("query_id"))
         .select(
             "query_id",
             "item_id",
-            F.round(cosine(F.col("qv"), F.col("iv"), dim), 6).alias("cos_sim"),
+            F.round(F.try_divide(dot(F.col("qv"), F.col("iv"), dim),
+                                 F.col("qn") * F.col("inorm")),
+                    6).alias("cos_sim"),
         )
     )
     return _rerank_topk(scored, k)
@@ -258,11 +286,14 @@ def lsh_ann_multi(items: DataFrame, queries: DataFrame, k: int = 5,
         .select("query_id", "item_id").distinct()
     )
     scored = (
-        cand.join(it, "item_id")
-        .join(F.broadcast(q), "query_id")
+        cand.join(it.withColumn("inorm", l2norm(F.col("iv"), dim)), "item_id")
+        .join(F.broadcast(q.withColumn("qn", l2norm(F.col("qv"), dim))),
+              "query_id")
         .select(
             "query_id", "item_id",
-            F.round(cosine(F.col("qv"), F.col("iv"), dim), 6).alias("cos_sim"),
+            F.round(F.try_divide(dot(F.col("qv"), F.col("iv"), dim),
+                                 F.col("qn") * F.col("inorm")),
+                    6).alias("cos_sim"),
         )
     )
     return _rerank_topk(scored, k)
@@ -424,11 +455,15 @@ def ivf_ann(items: DataFrame, queries: DataFrame, k: int = 5,
     ).withColumn("cell", F.explode(probe_n(_normalize(F.col("qv")))))
     dim = len(centroids[0])
     scored = (
-        it.join(F.broadcast(q), "cell")
+        it.withColumn("inorm", l2norm(F.col("iv"), dim))
+        .join(F.broadcast(q.withColumn("qn", l2norm(F.col("qv"), dim))),
+              "cell")
         .filter(F.col("item_id") != F.col("query_id"))
         .select(
             "query_id", "item_id",
-            F.round(cosine(F.col("qv"), F.col("iv"), dim), 6).alias("cos_sim"),
+            F.round(F.try_divide(dot(F.col("qv"), F.col("iv"), dim),
+                                 F.col("qn") * F.col("inorm")),
+                    6).alias("cos_sim"),
         )
     )
     return _rerank_topk(scored, k)
@@ -440,9 +475,12 @@ def embedding_neardup(items: DataFrame, threshold: float = 0.95,
     """Dedup tier 5 — pairs with cosine >= threshold, LSH-bucketed so only
     same-bucket pairs are scored."""
     bucket = _lsh_bucket_udf(items.sparkSession, hyperplanes(dim, n_planes))
+    # per-row norm precomputed before the pair join (bit-identical to the
+    # fused cosine: same subexpression, same a·b multiplication order)
     v = items.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("v")
-    ).withColumn("bucket", bucket(F.col("v")))
+    ).withColumn("bucket", bucket(F.col("v"))) \
+        .withColumn("nrm", l2norm(F.col("v"), dim))
     a, b = v.alias("a"), v.alias("b")
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
@@ -450,7 +488,9 @@ def embedding_neardup(items: DataFrame, threshold: float = 0.95,
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.round(cosine(F.col("a.v"), F.col("b.v"), dim), 6).alias("cos_sim"),
+            F.round(F.try_divide(dot(F.col("a.v"), F.col("b.v"), dim),
+                                 F.col("a.nrm") * F.col("b.nrm")),
+                    6).alias("cos_sim"),
         )
         .filter(~F.isnan("cos_sim") & (F.col("cos_sim") >= threshold))
     )

@@ -1576,14 +1576,17 @@ def embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings", spread=True).filter(
         F.col("vec_id") % 4 == 0)
     v = emb.select(F.col("vec_id"),
-                   F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+                   F.transform("embedding", lambda x: x.cast("double")).alias("v")) \
+        .withColumn("nrm", SIM.l2norm(F.col("v"), 64))
     a, b = v.alias("a"), v.alias("b")
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
-            F.round(SIM.cosine(F.col("a.v"), F.col("b.v"), 64), 6).alias("cos_sim"),
+            F.round(F.try_divide(SIM.dot(F.col("a.v"), F.col("b.v"), 64),
+                                 F.col("a.nrm") * F.col("b.nrm")),
+                    6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= 0.2)
     )
