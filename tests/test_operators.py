@@ -737,3 +737,48 @@ def test_dedup_corpus_end_to_end(spark):
     # deterministic under rerun
     ids2 = {r.doc_id for r in D.dedup_corpus(docs).collect()}
     assert ids == ids2
+
+
+def test_cosine_topk_equals_naive_fused_form(spark):
+    """Kernel-refactor pin (round 5): cosine_topk's precomputed-norm +
+    NaN-null-routed shape must return EXACTLY (bit-for-bit) what the naive
+    fused form (inline cosine, pre-window isnan filter) returns — over
+    vectors that exercise negatives, zeros (NaN cosine), near-duplicates
+    (rank ties), and a NULL row. Guards the next person who 'optimizes'
+    the scoring path into a float-drifted or NaN-reordered variant."""
+    from pyspark.sql import Window
+
+    rows = []
+    for i in range(60):
+        rows.append((i, [float((i * j + 3 * j * j + i) % 17) - 8.0
+                         for j in range(16)]))
+    rows.append((60, [0.0] * 16))       # zero vector: NaN cosine
+    rows.append((61, None))             # NULL vector
+    rows.append((62, rows[5][1][:]))    # exact clone of id 5: cos 1.0 tie
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 3)
+
+    got = SIM.cosine_topk(df, q, k=5, dim=16).collect()
+
+    qq = q.select(F.col("vec_id").alias("query_id"),
+                  SIM._as_double(F.col("embedding")).alias("qv"))
+    it = df.select(F.col("vec_id").alias("item_id"),
+                   SIM._as_double(F.col("embedding")).alias("iv"))
+    scored = (
+        it.join(F.broadcast(qq), F.col("item_id") != F.col("query_id"))
+        .select("query_id", "item_id",
+                F.round(SIM.cosine(F.col("qv"), F.col("iv")), 6)
+                .alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("item_id"))
+    naive = (
+        scored.filter(~F.isnan("cos_sim"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "item_id", "cos_sim", "rnk")
+    ).collect()
+
+    key = lambda r: (r.query_id, r.rnk)
+    assert sorted(got, key=key) == sorted(naive, key=key)
+    assert len(got) == 15  # 3 queries x top-5, bad rows excluded
