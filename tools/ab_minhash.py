@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 
 def main() -> None:
+    load0 = round(os.getloadavg()[0], 2)
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     num_hashes = 16
@@ -99,7 +100,8 @@ def main() -> None:
         "affine_family_sec": t_affine,
         "speedup": round(t_md5 / t_affine, 2) if t_affine else None,
         "affine_sig_type": afield,
-        "loadavg_start": round(os.getloadavg()[0], 2),
+        "loadavg_start": load0,
+        "loadavg_end": round(os.getloadavg()[0], 2),
     }))
     spark.stop()
 

@@ -37,6 +37,7 @@ DIM = 64
 
 
 def main() -> None:
+    load0 = round(os.getloadavg()[0], 2)
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
 
     from wde_spark.core.session import get_session
@@ -118,7 +119,8 @@ def main() -> None:
         "adc_scan_sec": t_adc,
         "scan_speedup": round(t_exact / t_adc, 2) if t_adc else None,
         "adc_recall_at_5": recall,
-        "loadavg_start": round(os.getloadavg()[0], 2),
+        "loadavg_start": load0,
+        "loadavg_end": round(os.getloadavg()[0], 2),
     }))
     spark.stop()
 
