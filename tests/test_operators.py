@@ -782,3 +782,31 @@ def test_cosine_topk_equals_naive_fused_form(spark):
     key = lambda r: (r.query_id, r.rnk)
     assert sorted(got, key=key) == sorted(naive, key=key)
     assert len(got) == 15  # 3 queries x top-5, bad rows excluded
+
+
+def test_semantic_dedup_keeps_one_per_embedding_cluster(spark):
+    """SemDeDup-shaped composition: near-identical EMBEDDINGS collapse to
+    the min-id representative even when ids/text differ; far vectors
+    survive; deterministic under rerun."""
+    import math
+
+    def ray(angle, eps=0.0):
+        # unit-ish 64-dim vector pointing at `angle` in the first plane,
+        # eps-perturbed in a later component (cosine vs eps=0 ≈ 1-eps²/2)
+        v = [0.0] * 64
+        v[0], v[1] = math.cos(angle), math.sin(angle)
+        v[7] = eps
+        return v
+
+    rows = [
+        (10, ray(0.0)), (11, ray(0.0, 0.01)), (12, ray(0.0, 0.02)),  # cluster A
+        (20, ray(1.2)), (21, ray(1.2, 0.015)),                       # cluster B
+        (30, ray(2.4)),                                              # singleton
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = {r.vec_id for r in D.semantic_dedup(df, threshold=0.99).collect()}
+    assert kept == {10, 20, 30}
+    kept2 = {r.vec_id for r in D.semantic_dedup(df, threshold=0.99).collect()}
+    assert kept2 == kept
+    # threshold high enough that nothing matches → everything survives
+    assert D.semantic_dedup(df, threshold=1.1).count() == 6

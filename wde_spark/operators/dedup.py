@@ -554,6 +554,36 @@ def dedup_corpus(docs: DataFrame, text_col: str = "text",
     return survivors.join(losers, id_col, "left_anti")
 
 
+def semantic_dedup(items: DataFrame, threshold: float = 0.95,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   n_planes: int = 6, dim: int = 64) -> DataFrame:
+    """Tier-5 composition — SemDeDup-shaped semantic deduplication (Abbas
+    et al., "SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication", 2023): documents whose EMBEDDINGS are
+    near-identical are duplicates even when their text is not (template
+    rewrites, boilerplate paraphrases), so the cluster-and-keep-one pass
+    runs on the vector column. Composition of existing oracled tiers:
+
+      1. `similarity.embedding_neardup` — cosine >= threshold pairs,
+         LSH-bucketed (hyperplane signature equi-join; no all-pairs);
+      2. `graph.connected_components` — pairs → semantic classes;
+      3. keep the min-id representative per class.
+
+    Returns the KEPT rows of `items`, schema unchanged — same contract as
+    `dedup_corpus`, so the two compose: run exact/text-LSH dedup first
+    (cheaper, catches verbatim), then this over the survivors'
+    embeddings. Deterministic (min-id winners, fixed hyperplanes)."""
+    from . import graph as G
+    from .similarity import embedding_neardup
+
+    pairs = embedding_neardup(items, threshold, id_col, vec_col,
+                              n_planes, dim).select("id_a", "id_b")
+    comps = G.connected_components(pairs)
+    losers = comps.filter(F.col("node") != F.col("component")) \
+        .select(F.col("node").alias(id_col))
+    return items.join(losers, id_col, "left_anti")
+
+
 def lsh_params_for(threshold: float, num_hashes: int = 16,
                    at_least: float = 0.5) -> tuple[int, int]:
     """(bands, rows_per_band) whose LSH S-curve catches a pair of Jaccard
