@@ -96,3 +96,34 @@ def version_drift(spark, target_dir: str, n_a: int, n_b: int,
         term_distribution(read_version(spark, target_dir, n_b, subdir),
                           text_col),
     )
+
+
+def drift_history(spark, target_dir: str, subdir: str = "corpus",
+                  text_col: str = "text") -> DataFrame:
+    """One row per version TRANSITION of a maintained corpus ledger:
+    (from_version, to_version, jsd, l1, n_terms_a, n_terms_b,
+    n_terms_common) for v0→v1, v1→v2, … — the full drift trajectory a
+    quality dashboard plots. Computed from the immutable COW versions, so
+    it is replayable by construction and needs no streaming machinery:
+    rerunning after more admissions just appends transitions. Each
+    transition is two counting scans + one vocabulary-sized join; the
+    number of versions is small by compaction policy
+    (`versions.compact_versions`), so the loop is a bounded driver-side
+    composition, not a per-row pattern."""
+    from functools import reduce
+
+    from ..streaming.versions import version_history
+
+    hist = version_history(target_dir, spark)
+    if len(hist) < 2:
+        return spark.createDataFrame(
+            [], "from_version long, to_version long, jsd double, l1 double, "
+                "n_terms_a long, n_terms_b long, n_terms_common long")
+    rows = []
+    for a, b in zip(hist, hist[1:]):
+        rows.append(
+            version_drift(spark, target_dir, a, b, subdir, text_col)
+            .select(F.lit(a).cast("long").alias("from_version"),
+                    F.lit(b).cast("long").alias("to_version"),
+                    "jsd", "l1", "n_terms_a", "n_terms_b", "n_terms_common"))
+    return reduce(lambda x, y: x.unionByName(y), rows)
