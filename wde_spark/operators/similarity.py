@@ -62,12 +62,17 @@ def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     whole-stage codegen; otherwise the aggregate/zip_with fold (which
     handles any runtime length). Bit-compatibility of the unroll is
     exact: addition left-to-right in element order, and the fold's
-    0.0+x0 == x0. `F.get` is 0-based and NULL out-of-range, so a
-    shorter-than-dim vector yields NULL (the fold's NULL-padding via
-    zip_with does the same for length-mismatched pairs)."""
+    0.0+x0 == x0. Mis-sized vectors NULL-route on BOTH paths: the fold's
+    zip_with NULL-pads length-mismatched pairs; the unroll gets NULL from
+    F.get for shorter-than-dim vectors and an explicit size guard for
+    LONGER ones (which F.get alone would silently truncate to the first
+    `dim` elements — a too-small declared dim must degrade to NULL, not
+    to a wrong similarity)."""
     if dim and dim <= _UNROLL_MAX:
-        return _sum_unrolled([F.get(a, i) * F.get(b, i)
-                              for i in range(dim)])
+        return F.when(
+            (F.size(a) == dim) & (F.size(b) == dim),
+            _sum_unrolled([F.get(a, i) * F.get(b, i)
+                           for i in range(dim)]))
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -77,8 +82,12 @@ def dot(a: Column, b: Column, dim: int | None = None) -> Column:
 
 def l2norm(a: Column, dim: int | None = None) -> Column:
     if dim and dim <= _UNROLL_MAX:
-        return F.sqrt(_sum_unrolled([F.get(a, i) * F.get(a, i)
-                                     for i in range(dim)]))
+        # same size guard as `dot`: a longer-than-dim vector must NULL-route,
+        # not silently norm only its first `dim` elements
+        return F.when(
+            F.size(a) == dim,
+            F.sqrt(_sum_unrolled([F.get(a, i) * F.get(a, i)
+                                  for i in range(dim)])))
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 

@@ -1456,13 +1456,23 @@ def _streaming_pq_index_dir(spark: SparkSession, sf_dir: str) -> str:
     done = os.path.join(base, "_COMPLETE")
     if os.path.exists(done):
         return index_dir
-    shutil.rmtree(base, ignore_errors=True)
 
+    # Concurrent-safe publish: build under a PROCESS-UNIQUE staging
+    # directory, then atomically os.rename into the shared slot — two
+    # concurrent runs on the same snapshot (bench + correctness) must
+    # never rmtree each other's in-progress feed/checkpoint. The loser of
+    # the rename race discards its staging build and uses the winner's.
     from .streaming.embedding_admission import streaming_pq_index_maintain
 
+    if os.path.exists(base):
+        # no _COMPLETE inside: garbage from a crashed pre-staging layout
+        # (current code only ever renames a *finished* build into place)
+        shutil.rmtree(base, ignore_errors=True)
+    stage = f"{base}.build.{os.getpid()}"
+    shutil.rmtree(stage, ignore_errors=True)
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding")
-    feed = os.path.join(base, "feed")
+    feed = os.path.join(stage, "feed")
     for i in (1, 2):
         emb.filter(F.col("vec_id") % 3 == i).coalesce(1) \
             .write.mode("overwrite") \
@@ -1473,10 +1483,17 @@ def _streaming_pq_index_dir(spark: SparkSession, sf_dir: str) -> str:
         .parquet(os.path.join(feed, "*.parquet"))
     )
     streaming_pq_index_maintain(
-        stream, emb.filter(F.col("vec_id") % 3 == 0), index_dir,
-        os.path.join(base, "ckpt"), m=16, k_codes=16, iters=2)
-    with open(done, "w") as fh:
+        stream, emb.filter(F.col("vec_id") % 3 == 0),
+        os.path.join(stage, "index"),
+        os.path.join(stage, "ckpt"), m=16, k_codes=16, iters=2)
+    with open(os.path.join(stage, "_COMPLETE"), "w") as fh:
         fh.write("ok")
+    try:
+        os.rename(stage, base)  # atomic on one filesystem; fails if taken
+    except OSError:
+        if not os.path.exists(done):  # a half-built loser dir: unusable
+            raise
+        shutil.rmtree(stage, ignore_errors=True)
     return index_dir
 
 

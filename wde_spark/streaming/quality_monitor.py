@@ -30,10 +30,16 @@ def read_metrics(spark, target_dir: str) -> DataFrame:
     """The full metrics ledger: (batch_id, check, violations, total, ok).
     A ledger with zero completed batches (empty stream, or a monitor that
     has not run yet) is a valid state and returns an empty table rather
-    than a path-not-found analysis error."""
+    than a path-not-found analysis error. The glob empty-ledger probe is
+    local-filesystem-only, so it runs only for plain paths; a scheme'd
+    ledger (hdfs://, s3a://) falls through to the Spark read — the same
+    URI split `versions._is_uri` applies everywhere else in the ledger
+    stack."""
     import glob
 
-    if not glob.glob(os.path.join(target_dir, "b*")):
+    from .versions import _is_uri
+
+    if not _is_uri(target_dir) and not glob.glob(os.path.join(target_dir, "b*")):
         return spark.createDataFrame(
             [], "batch_id long, check string, violations long, "
                 "total long, ok boolean")
