@@ -810,3 +810,67 @@ def test_semantic_dedup_keeps_one_per_embedding_cluster(spark):
     assert kept2 == kept
     # threshold high enough that nothing matches → everything survives
     assert D.semantic_dedup(df, threshold=1.1).count() == 6
+
+
+def test_cosine_lsh_params_scale_with_corpus():
+    """Bucket count (2^bits per table) must grow with n — the r5 audit's
+    quadratic-at-scale finding — and the table count must come from the
+    collision S-curve at the threshold (tighter threshold → fewer tables
+    needed for the same recall)."""
+    b_small, _ = SIM.cosine_lsh_params(0.95, 1_000)
+    b_big, _ = SIM.cosine_lsh_params(0.95, 1_000_000_000)
+    assert b_big > b_small
+    # 1e9 vectors / 2^bits buckets ≈ target_bucket (32) per bucket,
+    # modulo the max_bits cap
+    assert b_big == 24  # ceil(log2(1e9/32)) = 25, capped at 24
+    _, t_tight = SIM.cosine_lsh_params(0.99, 1_000_000)
+    _, t_loose = SIM.cosine_lsh_params(0.80, 1_000_000)
+    assert t_tight <= t_loose
+    assert 1 <= t_tight and t_loose <= 64
+    # degenerate corpora keep the floor
+    assert SIM.cosine_lsh_params(0.95, 0) == (4, 1)
+
+
+def test_embedding_neardup_hot_bucket_cap(spark):
+    """A signature bucket larger than max_bucket is dropped entirely —
+    with every vector identical and a cap of 1, no candidates survive;
+    with the default cap the full clique comes back."""
+    rows = [(i, [1.0] + [0.0] * 63) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    full = SIM.embedding_neardup(df, threshold=0.99, n_planes=4, n_tables=2)
+    assert full.count() == 8 * 7 // 2
+    capped = SIM.embedding_neardup(df, threshold=0.99, n_planes=4,
+                                   n_tables=2, max_bucket=1)
+    assert capped.count() == 0
+
+
+def test_embedding_recall_audit(spark):
+    """Pipeline == exact truth → recall 1.0; empty pipeline → recall 0;
+    a sample with no true pair → recall NULL (not 1.0)."""
+    import math
+
+    def ray(angle, eps=0.0):
+        v = [0.0] * 64
+        v[0], v[1] = math.cos(angle), math.sin(angle)
+        v[7] = eps
+        return v
+
+    rows = [(10, ray(0.0)), (11, ray(0.0, 0.01)),
+            (20, ray(1.2)), (21, ray(1.2, 0.015)), (30, ray(2.4))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = SIM.embedding_neardup(df, threshold=0.99)
+    r = SIM.embedding_recall_audit(df, pairs, sample=5, threshold=0.99) \
+        .collect()[0]
+    assert r.sample_vecs == 5 and r.true_pairs == 2
+    assert r.found_pairs == 2 and r.recall == 1.0
+    empty = df.sparkSession.createDataFrame([], "id_a long, id_b long")
+    r0 = SIM.embedding_recall_audit(df, empty, sample=5, threshold=0.99) \
+        .collect()[0]
+    assert r0.found_pairs == 0 and r0.recall == 0.0
+    # far-apart rays only: no ground-truth pair → NULL recall
+    lonely = spark.createDataFrame(
+        [(1, ray(0.0)), (2, ray(1.2)), (3, ray(2.4))],
+        "vec_id long, embedding array<double>")
+    rn = SIM.embedding_recall_audit(lonely, empty, sample=3,
+                                    threshold=0.99).collect()[0]
+    assert rn.true_pairs == 0 and rn.recall is None

@@ -556,7 +556,9 @@ def dedup_corpus(docs: DataFrame, text_col: str = "text",
 
 def semantic_dedup(items: DataFrame, threshold: float = 0.95,
                    id_col: str = "vec_id", vec_col: str = "embedding",
-                   n_planes: int = 6, dim: int = 64) -> DataFrame:
+                   n_planes: int | str = "auto", dim: int = 64,
+                   n_tables: int | None = None,
+                   max_bucket: int | None = 64) -> DataFrame:
     """Tier-5 composition — SemDeDup-shaped semantic deduplication (Abbas
     et al., "SemDeDup: Data-efficient learning at web-scale through
     semantic deduplication", 2023): documents whose EMBEDDINGS are
@@ -564,8 +566,12 @@ def semantic_dedup(items: DataFrame, threshold: float = 0.95,
     rewrites, boilerplate paraphrases), so the cluster-and-keep-one pass
     runs on the vector column. Composition of existing oracled tiers:
 
-      1. `similarity.embedding_neardup` — cosine >= threshold pairs,
-         LSH-bucketed (hyperplane signature equi-join; no all-pairs);
+      1. `similarity.embedding_neardup` — cosine >= threshold pairs from
+         banded multi-table hyperplane LSH (signature equi-join with the
+         corpus-size-derived bucket count and the `max_bucket` hot-bucket
+         cap; no all-pairs — see `cosine_lsh_params` for how the bucket
+         count scales with n, and `embedding_recall_audit` for the
+         measured-recall instrument that ships with a production run);
       2. `graph.connected_components` — pairs → semantic classes;
       3. keep the min-id representative per class.
 
@@ -577,7 +583,8 @@ def semantic_dedup(items: DataFrame, threshold: float = 0.95,
     from .similarity import embedding_neardup
 
     pairs = embedding_neardup(items, threshold, id_col, vec_col,
-                              n_planes, dim).select("id_a", "id_b")
+                              n_planes, dim, n_tables,
+                              max_bucket).select("id_a", "id_b")
     comps = G.connected_components(pairs)
     losers = comps.filter(F.col("node") != F.col("component")) \
         .select(F.col("node").alias(id_col))

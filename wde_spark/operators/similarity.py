@@ -29,7 +29,7 @@ import struct
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -478,22 +478,146 @@ def ivf_ann(items: DataFrame, queries: DataFrame, k: int = 5,
     return _rerank_topk(scored, k)
 
 
+def cosine_lsh_params(threshold: float, n: int, target_recall: float = 0.9,
+                      target_bucket: int = 32, min_bits: int = 4,
+                      max_bits: int = 24,
+                      max_tables: int = 64) -> tuple[int, int]:
+    """(bits_per_table, n_tables) for hyperplane LSH over an n-vector
+    corpus, the cosine twin of `dedup.lsh_params_for`: bits come from
+    CORPUS SIZE (2^bits buckets per table, targeting ~`target_bucket`
+    vectors per bucket so the per-bucket pair product stays constant as n
+    grows — the fix for the 64-buckets-forever default the r5 audit
+    flagged as quadratic), then enough tables that a true pair at cosine
+    `threshold` collides somewhere with probability >= `target_recall`:
+    P(bit agrees) = 1 - θ/π (Charikar, "Similarity estimation techniques
+    from rounding algorithms", STOC 2002), so
+    P(miss everywhere) = (1 - p^bits)^tables. `max_tables` bounds the
+    signature-table row multiplication; if the cap binds, recall degrades
+    gracefully and `embedding_recall_audit` is the instrument that sees
+    it."""
+    import math
+
+    if n <= 1:
+        return min_bits, 1
+    bits = max(min_bits, min(max_bits,
+                             math.ceil(math.log2(max(2.0, n / target_bucket)))))
+    p_bit = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    p_tbl = p_bit ** bits
+    if p_tbl >= 1.0 - 1e-12:
+        return bits, 1
+    if p_tbl <= 0.0:
+        return bits, max_tables
+    tables = math.ceil(math.log(1.0 - target_recall)
+                       / math.log(1.0 - p_tbl))
+    return bits, max(1, min(max_tables, tables))
+
+
 def embedding_neardup(items: DataFrame, threshold: float = 0.95,
                       id_col: str = "vec_id", vec_col: str = "embedding",
-                      n_planes: int = 6, dim: int = 64) -> DataFrame:
-    """Dedup tier 5 — pairs with cosine >= threshold, LSH-bucketed so only
-    same-bucket pairs are scored."""
-    bucket = _lsh_bucket_udf(items.sparkSession, hyperplanes(dim, n_planes))
+                      n_planes: int | str = "auto", dim: int = 64,
+                      n_tables: int | None = None,
+                      max_bucket: int | None = 64) -> DataFrame:
+    """Dedup tier 5 — (id_a, id_b, cos_sim) pairs with cosine >=
+    threshold. Candidates come from BANDED MULTI-TABLE hyperplane LSH
+    (the `lsh_ann_multi` signature machinery): each vector gets one
+    "<table>:<code>" signature per table, candidates share a signature in
+    ANY table, and only candidates are exactly scored — never an
+    all-pairs product.
+
+    Scale controls (all three were missing from the r5 single-table form,
+    whose fixed 2^6 = 64 buckets made the bucket self-join ~n²/128 pairs
+    at ANY corpus size):
+    - `n_planes="auto"` derives bits-per-table from the corpus COUNT
+      (2^bits buckets/table, ~`target_bucket` vectors each) and the table
+      count from the collision S-curve at `threshold` — see
+      `cosine_lsh_params`. Pass ints to pin (n_planes[, n_tables]) for
+      oracle-replayable registry forms.
+    - `max_bucket` drops signature buckets holding more vectors — the
+      same hot-bucket hygiene as `dedup.minhash_lsh_pairs`: an oversized
+      bucket is a near-constant embedding family whose members still
+      meet in their other tables' finer buckets, and letting it through
+      is exactly the quadratic blow-up the cap exists to stop.
+    - candidates travel as (id, sig) rows only; payload vectors are
+      joined back per-id for verification, so the L-fold signature
+      multiplication never carries the vector column.
+    """
+    spark = items.sparkSession
+    if n_planes == "auto":
+        bits, tables = cosine_lsh_params(
+            threshold, items.select(id_col).count())
+        if n_tables is not None:
+            tables = n_tables
+    else:
+        bits, tables = int(n_planes), (1 if n_tables is None else n_tables)
+    sig = _lsh_multi_sig_udf(
+        spark, hyperplanes(dim, bits * tables), tables, bits)
     # per-row norm precomputed before the pair join (bit-identical to the
     # fused cosine: same subexpression, same a·b multiplication order)
     v = items.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("v")
-    ).withColumn("bucket", bucket(F.col("v"))) \
-        .withColumn("nrm", l2norm(F.col("v"), dim))
-    a, b = v.alias("a"), v.alias("b")
+    ).withColumn("nrm", l2norm(F.col("v"), dim))
+    sg = v.select(F.col(id_col),
+                  F.explode(sig(F.col("v"))).alias("sig"))
+    if max_bucket is not None:
+        # same key the candidate join shuffles on; AQE reuses the exchange
+        sg = sg.withColumn(
+            "__bsz", F.count("*").over(Window.partitionBy("sig"))
+        ).filter(F.col("__bsz") <= max_bucket).drop("__bsz")
+    cand = (
+        sg.alias("a").join(
+            sg.alias("b"),
+            (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    va = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("av"),
+                  F.col("nrm").alias("anrm"))
+    vb = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("bv"),
+                  F.col("nrm").alias("bnrm"))
     return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        cand.join(va, "id_a").join(vb, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(F.try_divide(dot(F.col("av"), F.col("bv"), dim),
+                                 F.col("anrm") * F.col("bnrm")),
+                    6).alias("cos_sim"),
+        )
+        .filter(~F.isnan("cos_sim") & (F.col("cos_sim") >= threshold))
+    )
+
+
+def embedding_recall_audit(items: DataFrame, pipeline_pairs: DataFrame,
+                           sample: int = 200, threshold: float = 0.95,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           dim: int = 64) -> DataFrame:
+    """Measured recall of the SEMANTIC near-dup tier, mirror of
+    `dedup.dedup_recall_audit` for the embedding side — hyperplane-LSH
+    recall at a cosine threshold is a parameter promise, and silent
+    recall collapse (too-few tables for the threshold, an over-tight
+    bucket cap) looks exactly like a semantically clean corpus.
+
+    Method: md5-order-sample `sample` vectors (deterministic — reruns
+    audit the same vectors), compute EXACT all-pairs cosine within the
+    sample (bounded: sample² pairs, the only all-pairs product here, by
+    declared design), take pairs >= threshold as ground truth, compare
+    with `pipeline_pairs` restricted to the sample. One row:
+    (sample_vecs, true_pairs, found_pairs, recall); recall is NULL when
+    the sample holds no true pair (nothing to measure, not recall 1.0)."""
+    ids = (
+        items.select(F.col(id_col))
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(sample)
+    )
+    sub = items.join(F.broadcast(ids), id_col, "left_semi")
+    v = sub.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", l2norm(F.col("v"), dim))
+    a, b = v.alias("a"), v.alias("b")
+    truth = (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
@@ -502,6 +626,21 @@ def embedding_neardup(items: DataFrame, threshold: float = 0.95,
                     6).alias("cos_sim"),
         )
         .filter(~F.isnan("cos_sim") & (F.col("cos_sim") >= threshold))
+        .select("id_a", "id_b")
+    )
+    found = truth.join(
+        pipeline_pairs.select("id_a", "id_b").distinct(), ["id_a", "id_b"],
+        "left_semi")
+    return (
+        ids.agg(F.count("*").alias("sample_vecs"))
+        .crossJoin(truth.agg(F.count("*").alias("true_pairs")))
+        .crossJoin(found.agg(F.count("*").alias("found_pairs")))
+        .select(
+            "sample_vecs", "true_pairs", "found_pairs",
+            F.when(F.col("true_pairs") > 0,
+                   F.round(F.col("found_pairs") / F.col("true_pairs"), 6))
+            .alias("recall"),
+        )
     )
 
 

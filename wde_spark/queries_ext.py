@@ -2402,3 +2402,292 @@ def ivfpq_ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         SIM2.cosine_topk(emb, q, k=5, dim=64),
         n_queries=8, k=5, min_recall=0.45,
     )
+
+
+# ---------------------------------------------------------------------------
+# round-6 registrations: the r5 tests-first operators (corpus drift, bigram-
+# LM quality, semantic dedup) plus the embedding-side recall audit — each
+# with a full DuckDB oracle so the driver hash-checks values end-to-end.
+# ---------------------------------------------------------------------------
+
+def _term_dist_sql(pred: str) -> str:
+    """(term, p) distribution over whitespace tokens of lowercased text
+    for the documents slice matching `pred` — SQL twin of
+    `operators/drift.term_distribution`."""
+    return f"""
+      SELECT term, CAST(cnt AS DOUBLE) / SUM(cnt) OVER () AS p
+      FROM (
+        SELECT t AS term, COUNT(*) AS cnt
+        FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+              FROM documents WHERE {pred})
+        WHERE t <> '' GROUP BY t
+      )
+    """
+
+
+@query(
+    "corpus_drift_documents",
+    f"""
+    WITH pa_t AS ({_term_dist_sql("doc_id % 2 = 0")}),
+    pb_t AS ({_term_dist_sql("doc_id % 2 = 1")}),
+    j AS (
+      SELECT COALESCE(a.p, 0.0) AS pa, COALESCE(b.p, 0.0) AS pb
+      FROM pa_t a FULL OUTER JOIN pb_t b USING (term)
+    ),
+    t AS (SELECT pa, pb, (pa + pb) / 2 AS m FROM j)
+    SELECT
+      ROUND(SUM(CASE WHEN pa > 0 THEN pa * ln(pa / m) ELSE 0.0 END
+                + CASE WHEN pb > 0 THEN pb * ln(pb / m) ELSE 0.0 END) / 2,
+            6) AS jsd,
+      ROUND(SUM(ABS(pa - pb)), 6) AS l1,
+      CAST(SUM(CASE WHEN pa > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_terms_a,
+      CAST(SUM(CASE WHEN pb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_terms_b,
+      CAST(SUM(CASE WHEN pa > 0 AND pb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_terms_common
+    FROM t
+    """,
+)
+def corpus_drift_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift (`operators/drift.corpus_divergence`): Jensen-Shannon
+    + L1 divergence between the term distributions of two deterministic
+    corpus slices (doc_id parity stands in for two ledger versions — the
+    ledger-reading form `version_drift`/`drift_history` is the same
+    composition over `streaming/versions.py` COW snapshots, pinned
+    streaming ≡ batch in tests). Two counting scans, one vocabulary-sized
+    full-outer join, one scalar aggregate; the oracle recomputes JSD
+    term-by-term in SQL so the divergence VALUE is hash-checked."""
+    from .operators import drift as DR
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return DR.corpus_divergence(
+        DR.term_distribution(docs.filter(F.col("doc_id") % 2 == 0)),
+        DR.term_distribution(docs.filter(F.col("doc_id") % 2 == 1)),
+    )
+
+
+_LM_BIGRAMS = """
+      SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+      FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+            FROM documents),
+           unnest(range(1, len(t))) AS u(i)
+      WHERE t[CAST(i AS INT)] <> '' AND t[CAST(i AS INT) + 1] <> ''
+"""
+
+
+@query(
+    "lm_quality_documents",
+    f"""
+    WITH bg AS ({_LM_BIGRAMS}),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg
+            WHERE doc_id % 2 = 0 GROUP BY w1, w2),
+    c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY w1),
+    voc AS (SELECT COUNT(*) AS v
+            FROM (SELECT w2 AS w FROM c12 UNION SELECT w1 FROM c12)),
+    seen AS (
+      SELECT w1, w2, ln((c12 + 0.5) / (c1 + 0.5 * (v + 1))) AS lp_seen
+      FROM c12 JOIN c1 USING (w1) CROSS JOIN voc
+    ),
+    flr AS (
+      SELECT w1, ln(0.5 / (c1 + 0.5 * (v + 1))) AS lp_floor
+      FROM c1 CROSS JOIN voc
+    ),
+    scored AS (
+      SELECT bg.doc_id,
+             COALESCE(s.lp_seen, f.lp_floor,
+                      -ln((SELECT v FROM voc) + 1)) AS lp
+      FROM bg LEFT JOIN seen s ON s.w1 = bg.w1 AND s.w2 = bg.w2
+              LEFT JOIN flr f ON f.w1 = bg.w1
+    ),
+    agg AS (SELECT doc_id, COUNT(*) AS nb, AVG(lp) AS al
+            FROM scored GROUP BY doc_id)
+    SELECT d.doc_id, COALESCE(agg.nb, 0) AS n_bigrams,
+           ROUND(agg.al, 6) AS avg_logp
+    FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+    """,
+)
+def lm_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style bigram-LM quality scoring (`operators/lm_score`): the
+    LM trains on the doc_id-even half (the "trusted reference slice"),
+    every document is scored by its mean bigram log-probability with
+    add-0.5 smoothing and a two-step back-off (observed bigram →
+    per-context floor → uniform unseen-context floor). The LM is a
+    DataFrame — 2 shuffles to train, 1 join to score — and the oracle
+    recomputes training AND scoring in SQL, so every per-document score
+    is hash-checked (not just the banding)."""
+    from .operators import lm_score as LM
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    lm = LM.train_bigram_lm(docs.filter(F.col("doc_id") % 2 == 0))
+    return LM.lm_quality(docs, lm)
+
+
+def _emb_lsh_pairs_oracle(tables: int, bits: int, threshold: float,
+                          max_bucket: int) -> str:
+    """SQL twin of `similarity.embedding_neardup` at PINNED parameters:
+    md5-derived hyperplanes -> per-table signatures -> hot-bucket cap ->
+    same-signature candidate pairs -> exact cosine verification. Shares
+    the hyperplane-derivation SQL shape with the `lsh_ann_embeddings`
+    oracle (queries.py). Emitted as a self-contained subquery (nested
+    WITH), so callers can embed it inside their own CTE chains."""
+    n_planes = tables * bits
+    return f"""
+      WITH planes AS (
+        SELECT p, d,
+          CAST(CASE WHEN u >= 2147483648 THEN u - 4294967296 ELSE u END
+               AS DOUBLE) / 2147483648 AS w
+        FROM (
+          SELECT p, CAST(i + (j-1)//8 AS INT) AS d,
+                 SUM(v * power(16, 7 - ((j-1) % 8))) AS u
+          FROM (
+            SELECT p, i, j,
+                   strpos('0123456789abcdef',
+                          substr(md5('wde|' || p || '|' || i),
+                                 CAST(j AS INT), 1)) - 1 AS v
+            FROM unnest(range(0, {n_planes})) AS tp(p),
+                 unnest(range(0, 64, 4)) AS ti(i),
+                 unnest(range(1, 33)) AS tj(j)
+          ) GROUP BY 1, 2
+        )
+      ),
+      vv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+      vd AS (SELECT vec_id, CAST(d AS INT) AS d, v[CAST(d AS INT)+1] AS x
+             FROM vv, unnest(range(0, 64)) AS t(d)),
+      dots AS (SELECT vd.vec_id, pl.p, SUM(pl.w * vd.x) AS dot
+               FROM vd JOIN planes pl ON pl.d = vd.d GROUP BY 1, 2),
+      sigs AS (
+        SELECT vec_id, p // {bits} AS tbl,
+               SUM((CASE WHEN dot >= 0 THEN 1 ELSE 0 END)
+                   * power(2, {bits - 1} - (p % {bits}))) AS code
+        FROM dots GROUP BY 1, 2
+      ),
+      capped AS (  -- hot-bucket guard: buckets over {max_bucket} drop whole
+        SELECT s.vec_id, s.tbl, s.code FROM sigs s
+        JOIN (SELECT tbl, code FROM sigs GROUP BY tbl, code
+              HAVING COUNT(*) <= {max_bucket}) ok
+          ON ok.tbl = s.tbl AND ok.code = s.code
+      ),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM capped a JOIN capped b
+          ON a.tbl = b.tbl AND a.code = b.code AND a.vec_id < b.vec_id
+      ),
+      scored AS (
+        SELECT cand.id_a, cand.id_b,
+               ROUND(list_aggregate(list_transform(generate_series(1, 64),
+                                                   k -> av.v[k] * bv.v[k]),
+                                    'sum')
+                     / (sqrt(list_aggregate(list_transform(av.v, x -> x*x),
+                                            'sum'))
+                        * sqrt(list_aggregate(list_transform(bv.v, x -> x*x),
+                                              'sum'))),
+                     6) AS cos_sim
+        FROM cand JOIN vv av ON av.vec_id = cand.id_a
+                  JOIN vv bv ON bv.vec_id = cand.id_b
+      )
+      SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= {threshold}
+    """
+
+
+def _semantic_dedup_oracle() -> str:
+    return f"""
+    WITH RECURSIVE pairs AS MATERIALIZED (
+      SELECT id_a, id_b FROM ({_emb_lsh_pairs_oracle(8, 6, 0.35, 64)})
+    ),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT src, src FROM sym
+      UNION
+      SELECT s.src, t.r FROM sym s JOIN reach t ON t.node = s.dst
+    ),
+    losers AS (
+      SELECT node FROM (SELECT node, MIN(r) AS component FROM reach
+                        GROUP BY node)
+      WHERE node <> component
+    )
+    SELECT vec_id, label FROM embeddings
+    WHERE vec_id NOT IN (SELECT node FROM losers)
+    """
+
+
+@query("semantic_dedup_embeddings", _semantic_dedup_oracle())
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication
+    (`operators/dedup.semantic_dedup`): cosine-near-duplicate pairs from
+    banded multi-table hyperplane LSH (8 tables x 6 bits PINNED so the
+    oracle can replay the hyperplanes — the production default derives
+    (bits, tables) from corpus size + threshold via
+    `similarity.cosine_lsh_params`, with the same `max_bucket=64`
+    hot-bucket cap both paths apply), clustered by connected components,
+    keep the min-id representative per semantic class. The threshold
+    (0.2) sits in the synthetic embeddings' actual similarity regime —
+    near-uniform random vectors have no 0.95-cosine pairs to find. The
+    oracle replays LSH, cap, verification, and the component fixpoint
+    (recursive CTE) end-to-end, so the KEPT SET itself is hash-checked."""
+    from .operators import dedup as D
+
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    kept = D.semantic_dedup(emb, threshold=0.35, n_planes=6, n_tables=8,
+                            max_bucket=64)
+    return kept.select("vec_id", "label")
+
+
+def _emb_recall_audit_oracle() -> str:
+    return f"""
+    WITH aid AS MATERIALIZED (
+      SELECT vec_id FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 150
+    ),
+    sv AS (SELECT e.vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings e JOIN aid USING (vec_id)),
+    truth AS MATERIALIZED (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sv a JOIN sv b ON a.vec_id < b.vec_id
+      WHERE ROUND(list_aggregate(list_transform(generate_series(1, 64),
+                                                k -> a.v[k] * b.v[k]), 'sum')
+                  / (sqrt(list_aggregate(list_transform(a.v, x -> x*x), 'sum'))
+                     * sqrt(list_aggregate(list_transform(b.v, x -> x*x),
+                                           'sum'))),
+                  6) >= 0.35
+    ),
+    pipe AS MATERIALIZED (
+      SELECT id_a, id_b FROM ({_emb_lsh_pairs_oracle(8, 6, 0.35, 64)})
+    ),
+    found AS MATERIALIZED (
+      SELECT t.id_a, t.id_b FROM truth t
+      JOIN (SELECT DISTINCT id_a, id_b FROM pipe) p USING (id_a, id_b)
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM aid) AS sample_vecs,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS true_pairs,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM found) AS found_pairs,
+      CASE WHEN (SELECT COUNT(*) FROM truth) > 0 THEN
+        ROUND(CAST((SELECT COUNT(*) FROM found) AS DOUBLE)
+              / (SELECT COUNT(*) FROM truth), 6)
+      END AS recall
+    """
+
+
+@query("embedding_recall_audit_embeddings", _emb_recall_audit_oracle())
+def embedding_recall_audit_embeddings(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """Measured recall of the SEMANTIC near-dup tier
+    (`similarity.embedding_recall_audit`) — the embedding-side mirror of
+    `dedup_recall_audit_documents`, closing the r5 gap that the semantic
+    tier's recall was unmeasured ("silent recall collapse there looks
+    exactly like a clean corpus"): ground truth = exact all-pairs cosine
+    within an md5-deterministic 150-vector sample, scored against the
+    LSH pipeline's pairs restricted to the sample. The oracle recomputes
+    BOTH sides — sampled truth and the full banded-LSH pipeline — so the
+    measured recall value itself is hash-checked."""
+    from .operators import similarity as SIM2
+
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    pairs = SIM2.embedding_neardup(emb, threshold=0.35, n_planes=6,
+                                   n_tables=8, max_bucket=64)
+    return SIM2.embedding_recall_audit(emb, pairs, sample=150,
+                                       threshold=0.35)
