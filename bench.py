@@ -10,7 +10,11 @@ is reported (the first run pays plan compilation + whole-stage-codegen JIT,
 which on these sub-second-of-real-work scale factors can exceed the query
 itself; either run can absorb a one-off GC pause — min-of-2 is robust to
 both; the baseline's own published figures are likewise means of warm runs —
-BASELINE.md / itemtoid_test_out.json:59 "avg of 3"). Raw per-run timings and
+BASELINE.md / itemtoid_test_out.json:59 "avg of 3"). The two runs are
+INTERLEAVED as two full passes over the query list, so a multi-minute
+co-tenant storm lands on different queries in each pass and min-of-2
+discards it — back-to-back runs let one storm poison both (r4/r5 driver
+regressions). Raw per-run timings and
 any per-query errors land in bench_detail.json next to this file; the single
 printed line carries only the min-of-2 map so it stays small enough for the
 driver's capture. A query that raises is recorded in the detail file's
@@ -151,48 +155,91 @@ def main() -> None:
         best_known_all = {}
     best_known: dict[str, float] = best_known_all.get(str(sf), {})
 
+    # Run protocol (hardened r6 after two rounds of storm-inflated driver
+    # numbers): the two timed runs of a query are INTERLEAVED — pass 1
+    # over the whole list, then pass 2 over the whole list — so the same
+    # co-tenant storm can no longer span both runs of one query (observed
+    # r5: q18 at 27.8 s in run1 AND a slow run2, 35× its best-known,
+    # because the runs were back-to-back). A multi-minute storm now hits
+    # DIFFERENT queries in each pass and min-of-2 discards it. Per-query
+    # 1-min loadavg is recorded each pass so a reader can attribute any
+    # residual outlier to host weather.
     runs: list[dict[str, float]] = [{}, {}]
+    loads: dict[str, list[float]] = {}
     retries: dict[str, list[float]] = {}
     best: dict[str, float] = {}
     errors: dict[str, str] = {}
+
+    def _run_once(name: str) -> float:
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir) \
+            .write.format("noop").mode("overwrite").save()
+        t = round(time.time() - t0, 3)
+        spark.catalog.clearCache()
+        loads.setdefault(name, []).append(round(os.getloadavg()[0], 2))
+        return t
+
+    for r in runs:
+        for name in HEADLINE:
+            if name in errors:
+                continue
+            try:
+                r[name] = _run_once(name)
+            except Exception as exc:  # one broken query must not sink it
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                for rr in runs:
+                    rr.pop(name, None)
+                # Charge a sentinel penalty so a crash regression can
+                # only DEGRADE the headline total (an excluded query
+                # would silently improve it and make round-over-round
+                # totals incomparable).
+                spark.catalog.clearCache()
     for name in HEADLINE:
-        fn = QUERIES[name]
-        try:
-            for r in runs:
-                t0 = time.time()
-                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                r[name] = round(time.time() - t0, 3)
-            a, b = runs[0][name], runs[1][name]
-            best[name] = min(a, b)
-            # Noise guards, two independent triggers for extra runs:
-            # 1. the two runs disagree >3× (a stall inflated one of them);
-            # 2. the min-of-2 is >1.3× the best this query has EVER run at
-            #    this sf (a storm spanned both runs).
-            # Up to 2 extra runs total, min-of-N semantics unchanged.
-            extra = 0
-            while extra < 2:
-                disagree = (max(a, b) > 3 * min(a, b)
-                            and max(a, b) - min(a, b) > 1.0 and extra == 0)
-                storm = best[name] > 1.3 * best_known.get(name, float("inf"))
-                if not (disagree or storm):
-                    break
-                t0 = time.time()
-                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                t = round(time.time() - t0, 3)
-                retries.setdefault(name, []).append(t)
-                best[name] = min(best[name], t)
-                extra += 1
+        if name in errors:
+            best[name] = ERROR_PENALTY_SEC
+        else:
+            best[name] = min(runs[0][name], runs[1][name])
+
+    # Storm retries: any query whose min-of-2 is still >1.3× the best it
+    # has EVER run at this sf gets up to 2 extra runs (a storm that
+    # outlasted both interleaved passes), min-of-N semantics unchanged.
+    for name in HEADLINE:
+        if name in errors:
+            continue
+        extra = 0
+        while extra < 2 and \
+                best[name] > 1.3 * best_known.get(name, float("inf")):
+            try:
+                t = _run_once(name)
+            except Exception as exc:
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                best[name] = ERROR_PENALTY_SEC
+                break
+            retries.setdefault(name, []).append(t)
+            best[name] = min(best[name], t)
+            extra += 1
+        if name not in errors and \
+                best[name] < best_known.get(name, float("inf")):
+            best_known[name] = best[name]
+
+    # Sustained-contention defense: if >5 queries are STILL over
+    # best-known after per-query retries, the whole window was stormy —
+    # take one more full sweep over just those queries, spaced from the
+    # earlier attempts by the sweep itself.
+    still_over = [n for n in HEADLINE if n not in errors
+                  and n in best_known and best[n] > 1.3 * best_known[n]]
+    if len(still_over) > 5:
+        for name in still_over:
+            try:
+                t = _run_once(name)
+            except Exception as exc:
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                best[name] = ERROR_PENALTY_SEC
+                continue
+            retries.setdefault(name, []).append(t)
+            best[name] = min(best[name], t)
             if best[name] < best_known.get(name, float("inf")):
                 best_known[name] = best[name]
-        except Exception as exc:  # one broken query must not sink the bench
-            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-            for r in runs:
-                r.pop(name, None)
-            # Charge a sentinel penalty so a crash regression can only
-            # DEGRADE the headline total (an excluded query would silently
-            # improve it and make round-over-round totals incomparable).
-            best[name] = ERROR_PENALTY_SEC
-        spark.catalog.clearCache()
 
     best_known_all[str(sf)] = best_known
     with open(best_path, "w") as fh:
@@ -214,6 +261,9 @@ def main() -> None:
         "run1_total": round(sum(runs[0].values()), 3),
         "run2_total": round(sum(runs[1].values()), 3),
         "retries": retries,
+        # 1-min loadavg sampled right after each run of each query (pass
+        # order) — attributes residual outliers to host weather per-query
+        "queries_loadavg": loads,
         "errors": errors,
         "over_best": over_best,
         "best_known_total": round(sum(

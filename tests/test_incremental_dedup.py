@@ -339,3 +339,114 @@ def test_admission_bootstrap_crash_redo(spark, tmp_path):
     streaming_dedup_admission(stream, corpus0, target, ckpt)
     assert _kept_ids(read_corpus(spark, target)) == _full(
         spark, CORPUS + BATCH)
+
+
+def test_streaming_drift_maintainer_matches_drift_history(spark, tmp_path):
+    """The drift maintainer attached to streaming admission appends one
+    JSD row per batch; the finished ledger's rows equal `drift_history`
+    recomputed over the same COW versions (same from/to, same values) —
+    and replay rewrites the same ledger (idempotent)."""
+    import os
+
+    from wde_spark.operators.drift import drift_history
+    from wde_spark.streaming.dedup_admission import (
+        read_drift, streaming_dedup_admission)
+
+    corpus0 = D.dedup_corpus(spark.createDataFrame(CORPUS, SCHEMA))
+    src = tmp_path / "docs"
+    for i, rows in enumerate((BATCH[:4], BATCH[4:])):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1) \
+            .write.mode("overwrite").parquet(str(src / f"f{i}.parquet"))
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*.parquet"))
+    )
+    target, ckpt = str(tmp_path / "corpus"), str(tmp_path / "ckpt")
+    drift = str(tmp_path / "drift")
+    streaming_dedup_admission(stream, corpus0, target, ckpt,
+                              drift_dir=drift)
+
+    key = lambda r: (r.from_version, r.to_version)
+    got = {key(r): (r.jsd, r.l1, r.n_terms_a, r.n_terms_b,
+                    r.n_terms_common)
+           for r in read_drift(spark, drift).collect()}
+    want = {key(r): (r.jsd, r.l1, r.n_terms_a, r.n_terms_b,
+                     r.n_terms_common)
+            for r in drift_history(spark, target).collect()}
+    assert got == want and len(got) == 2
+
+    # replay: same ledger directories, same rows
+    dirs = sorted(os.listdir(drift))
+    streaming_dedup_admission(stream, corpus0, target, ckpt,
+                              drift_dir=drift)
+    assert sorted(os.listdir(drift)) == dirs
+    got2 = {key(r): (r.jsd, r.l1) for r in
+            read_drift(spark, drift).collect()}
+    assert got2 == {k: v[:2] for k, v in got.items()}
+
+    # empty-ledger probe: a never-run monitor reads as an empty table
+    assert read_drift(spark, str(tmp_path / "nope")).count() == 0
+
+
+def test_streaming_lm_gated_admission(spark, tmp_path):
+    """LM-scored admission gating (streaming/lm_admission.py), the CCNet
+    shape: docs scoring below the frozen-LM cutoff land in the quarantine
+    ledger with their scores, survivors are dedup-admitted; the final
+    corpus equals a flat dedup_corpus re-run over init ∪ {docs scoring >=
+    cutoff}; replay rewrites the same versions + ledgers."""
+    import os
+
+    from wde_spark.operators.lm_score import lm_quality, train_bigram_lm
+    from wde_spark.streaming.dedup_admission import read_corpus
+    from wde_spark.streaming.lm_admission import (
+        read_quarantine, streaming_lm_dedup_admission)
+
+    corpus0 = D.dedup_corpus(spark.createDataFrame(CORPUS, SCHEMA))
+    # a frozen LM trained on the init corpus; cutoff = median batch score
+    # so the gate provably splits THIS batch
+    lm = train_bigram_lm(corpus0)
+    batch_df = spark.createDataFrame(BATCH, SCHEMA)
+    scores = {r.doc_id: r.avg_logp
+              for r in lm_quality(batch_df, lm).collect()}
+    vals = sorted(v for v in scores.values() if v is not None)
+    cutoff = vals[len(vals) // 2]
+    ok = {i for i, v in scores.items() if v is not None and v >= cutoff}
+    bad = set(scores) - ok
+    assert ok and bad  # the gate separates this batch both ways
+
+    src = tmp_path / "docs"
+    for i, rows in enumerate((BATCH[:4], BATCH[4:])):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1) \
+            .write.mode("overwrite").parquet(str(src / f"f{i}.parquet"))
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*.parquet"))
+    )
+    target, ckpt = str(tmp_path / "corpus"), str(tmp_path / "ckpt")
+    quar = str(tmp_path / "quarantine")
+    streaming_lm_dedup_admission(stream, corpus0, target, ckpt, quar,
+                                 cutoff)
+
+    # streaming ≡ batch: final corpus == full rerun over init ∪ admitted
+    got = _kept_ids(read_corpus(spark, target))
+    admitted_rows = [r for r in BATCH if r[0] in ok]
+    want = _full(spark,
+                 [r for r in CORPUS if r[0] in _kept_ids(corpus0)]
+                 + admitted_rows)
+    assert got == want
+
+    # quarantine ledger holds exactly the rejected docs, with scores
+    q = {r.doc_id: r.avg_logp
+         for r in read_quarantine(spark, quar).collect()}
+    assert set(q) == bad
+    assert all(q[i] == scores[i] for i in bad)
+
+    # replay: same version dirs, same ledger, same corpus
+    versions = sorted(os.listdir(target))
+    streaming_lm_dedup_admission(stream, corpus0, target, ckpt, quar,
+                                 cutoff)
+    assert sorted(os.listdir(target)) == versions
+    assert _kept_ids(read_corpus(spark, target)) == got
+    assert {r.doc_id for r in read_quarantine(spark, quar).collect()} == bad

@@ -59,51 +59,30 @@ def streaming_dedup_admission(
     shingle_k: int = 2,
     threshold: float = 0.2,
     max_bucket: int | None = 64,
+    drift_dir: str | None = None,
 ) -> None:
     """Run the document stream to completion (availableNow — static test
     input), maintaining the deduplicated corpus + state under
     `target_dir`. `init_corpus` must already be deduplicated with the
-    same parameters (v0 bootstrap builds its state with one full scan)."""
-    from ..operators.incremental import dedup_state
+    same parameters (v0 bootstrap builds its state with one full scan).
 
-    os.makedirs(target_dir, exist_ok=True)
-    v0 = _version_dir(target_dir, 0)
-    # Bootstrap is idempotent-by-redo: a crash mid-bootstrap leaves v0
-    # without all three _SUCCESS markers, and the next start rebuilds all
-    # of v0 (deterministic inputs ⇒ identical bytes). Checking only
-    # `os.path.exists(v0)` would treat a half-written v0 as done and every
-    # subsequent batch would fail reading the missing fp/bands tables.
-    complete = all(
-        os.path.exists(os.path.join(v0, sub, "_SUCCESS"))
-        for sub in ("corpus", "fp", "bands"))
-    if not complete:
-        init_corpus.write.mode("overwrite").parquet(
-            os.path.join(v0, "corpus"))
-        st = dedup_state(init_corpus, text_col, id_col, num_hashes, bands,
-                         shingle_k)
-        st.fingerprints.write.mode("overwrite").parquet(
-            os.path.join(v0, "fp"))
-        st.bands.write.mode("overwrite").parquet(os.path.join(v0, "bands"))
+    `drift_dir` attaches the DRIFT MAINTAINER: after each admission
+    writes version n+1, one `operators/drift.corpus_divergence` row
+    (v_n → v_{n+1} term-distribution JSD/L1) is appended to an
+    append-only ledger under `drift_dir/b{batch_id}` — the per-batch
+    "did this admission shift what the corpus is made of?" number a
+    quality dashboard plots live, instead of recomputing
+    `drift_history` from scratch. Same idempotence as the quality
+    monitor: both versions are immutable COW snapshots, so a replayed
+    batch rewrites the same ledger row with the same bytes. The rows are
+    pinned equal to `drift_history` over the finished ledger in tests."""
+    bootstrap_v0(init_corpus, target_dir, text_col, id_col, num_hashes,
+                 bands, shingle_k)
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        prev = _version_dir(target_dir, batch_id)
-        corpus = spark.read.parquet(os.path.join(prev, "corpus"))
-        state = DedupState(
-            fingerprints=spark.read.parquet(os.path.join(prev, "fp")),
-            bands=spark.read.parquet(os.path.join(prev, "bands")),
-        )
-        res = dedup_increment(corpus, batch, state, text_col, id_col,
-                              num_hashes, bands, shingle_k, threshold,
-                              max_bucket)
-        out = _version_dir(target_dir, batch_id + 1)
-        corpus.join(res.revoked, id_col, "left_anti") \
-            .unionByName(res.kept) \
-            .write.mode("overwrite").parquet(os.path.join(out, "corpus"))
-        res.state.fingerprints.write.mode("overwrite").parquet(
-            os.path.join(out, "fp"))
-        res.state.bands.write.mode("overwrite").parquet(
-            os.path.join(out, "bands"))
+        _admit_batch(batch, batch_id, target_dir, text_col, id_col,
+                     num_hashes, bands, shingle_k, threshold, max_bucket,
+                     drift_dir)
 
     q = (
         docs_stream.writeStream.foreachBatch(_apply)
@@ -115,3 +94,91 @@ def streaming_dedup_admission(
         q.awaitTermination()
     finally:
         q.stop()
+
+
+def _admit_batch(batch: DataFrame, batch_id: int, target_dir: str,
+                 text_col: str, id_col: str, num_hashes: int,
+                 bands: int | str, shingle_k: int, threshold: float,
+                 max_bucket: int | None,
+                 drift_dir: str | None = None) -> None:
+    """One admission step v{batch_id} → v{batch_id+1} (read previous
+    version, `dedup_increment`, write next version, optional drift row)
+    — shared by `streaming_dedup_admission` and the LM-gated admission
+    (`lm_admission.py`), so a gating policy composes in FRONT of
+    admission instead of forking the version-ledger discipline."""
+    spark = batch.sparkSession
+    prev = _version_dir(target_dir, batch_id)
+    corpus = spark.read.parquet(os.path.join(prev, "corpus"))
+    state = DedupState(
+        fingerprints=spark.read.parquet(os.path.join(prev, "fp")),
+        bands=spark.read.parquet(os.path.join(prev, "bands")),
+    )
+    res = dedup_increment(corpus, batch, state, text_col, id_col,
+                          num_hashes, bands, shingle_k, threshold,
+                          max_bucket)
+    out = _version_dir(target_dir, batch_id + 1)
+    corpus.join(res.revoked, id_col, "left_anti") \
+        .unionByName(res.kept) \
+        .write.mode("overwrite").parquet(os.path.join(out, "corpus"))
+    res.state.fingerprints.write.mode("overwrite").parquet(
+        os.path.join(out, "fp"))
+    res.state.bands.write.mode("overwrite").parquet(
+        os.path.join(out, "bands"))
+    if drift_dir is not None:
+        from pyspark.sql import functions as F
+
+        from ..operators.drift import corpus_divergence, term_distribution
+
+        # read the version just WRITTEN (not res.kept) so the row is
+        # a pure function of two immutable snapshots — replay-safe
+        new_corpus = spark.read.parquet(os.path.join(out, "corpus"))
+        corpus_divergence(
+            term_distribution(corpus, text_col),
+            term_distribution(new_corpus, text_col),
+        ).select(
+            F.lit(batch_id).cast("long").alias("from_version"),
+            F.lit(batch_id + 1).cast("long").alias("to_version"),
+            "jsd", "l1", "n_terms_a", "n_terms_b", "n_terms_common",
+        ).write.mode("overwrite").parquet(
+            os.path.join(drift_dir, f"b{batch_id}"))
+
+
+def bootstrap_v0(init_corpus: DataFrame, target_dir: str, text_col: str,
+                 id_col: str, num_hashes: int, bands: int | str,
+                 shingle_k: int) -> None:
+    """Idempotent-by-redo v0 bootstrap (corpus + dedup state), shared by
+    both admission entry points. A crash mid-bootstrap leaves v0 without
+    all three _SUCCESS markers and the next start rebuilds all of it
+    (deterministic inputs ⇒ identical bytes)."""
+    from ..operators.incremental import dedup_state
+
+    os.makedirs(target_dir, exist_ok=True)
+    v0 = _version_dir(target_dir, 0)
+    complete = all(
+        os.path.exists(os.path.join(v0, sub, "_SUCCESS"))
+        for sub in ("corpus", "fp", "bands"))
+    if complete:
+        return
+    init_corpus.write.mode("overwrite").parquet(os.path.join(v0, "corpus"))
+    st = dedup_state(init_corpus, text_col, id_col, num_hashes, bands,
+                     shingle_k)
+    st.fingerprints.write.mode("overwrite").parquet(os.path.join(v0, "fp"))
+    st.bands.write.mode("overwrite").parquet(os.path.join(v0, "bands"))
+
+
+def read_drift(spark, drift_dir: str) -> DataFrame:
+    """The drift ledger written by the maintainer: (from_version,
+    to_version, jsd, l1, n_terms_a, n_terms_b, n_terms_common), one row
+    per admission batch. Empty-ledger probe follows
+    `quality_monitor.read_metrics` (glob only for local paths)."""
+    import glob
+
+    from .versions import _is_uri
+
+    if not _is_uri(drift_dir) and \
+            not glob.glob(os.path.join(drift_dir, "b*")):
+        return spark.createDataFrame(
+            [], "from_version long, to_version long, jsd double, "
+                "l1 double, n_terms_a long, n_terms_b long, "
+                "n_terms_common long")
+    return spark.read.parquet(os.path.join(drift_dir, "b*"))
