@@ -2465,44 +2465,58 @@ def corpus_drift_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LM_BIGRAMS = """
+def _lm_bigrams_sql(src: str) -> str:
+    """(doc_id, w1, w2) bigram rows over `src`'s (doc_id, text) — SQL twin
+    of `operators/lm_score._bigram_table`."""
+    return f"""
       SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
       FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
-            FROM documents),
+            FROM {src}),
            unnest(range(1, len(t))) AS u(i)
       WHERE t[CAST(i AS INT)] <> '' AND t[CAST(i AS INT) + 1] <> ''
-"""
+    """
+
+
+def _lm_score_cte_block(train_src: str, score_src: str, t: str,
+                        k: float = 0.5) -> str:
+    """CTE chain `agg_{t}` = (doc_id, nb, al): add-k bigram LM trained on
+    `train_src`, every `score_src` doc scored by mean bigram log-prob with
+    the two-step back-off — SQL twin of train_bigram_lm + lm_quality."""
+    return f"""
+    tbg_{t} AS MATERIALIZED ({_lm_bigrams_sql(train_src)}),
+    sbg_{t} AS MATERIALIZED ({_lm_bigrams_sql(score_src)}),
+    c12_{t} AS (SELECT w1, w2, COUNT(*) AS c12 FROM tbg_{t} GROUP BY w1, w2),
+    c1_{t} AS (SELECT w1, SUM(c12) AS c1 FROM c12_{t} GROUP BY w1),
+    voc_{t} AS (SELECT COUNT(*) AS v
+                FROM (SELECT w2 AS w FROM c12_{t} UNION SELECT w1 FROM c12_{t})),
+    seen_{t} AS (
+      SELECT w1, w2, ln((c12 + {k}) / (c1 + {k} * (v + 1))) AS lp_seen
+      FROM c12_{t} JOIN c1_{t} USING (w1) CROSS JOIN voc_{t}
+    ),
+    flr_{t} AS (
+      SELECT w1, ln({k} / (c1 + {k} * (v + 1))) AS lp_floor
+      FROM c1_{t} CROSS JOIN voc_{t}
+    ),
+    scored_{t} AS (
+      SELECT b.doc_id,
+             COALESCE(s.lp_seen, f.lp_floor,
+                      -ln((SELECT v FROM voc_{t}) + 1)) AS lp
+      FROM sbg_{t} b LEFT JOIN seen_{t} s ON s.w1 = b.w1 AND s.w2 = b.w2
+                     LEFT JOIN flr_{t} f ON f.w1 = b.w1
+    ),
+    agg_{t} AS (SELECT doc_id, COUNT(*) AS nb, AVG(lp) AS al
+                FROM scored_{t} GROUP BY doc_id)"""
 
 
 @query(
     "lm_quality_documents",
     f"""
-    WITH bg AS ({_LM_BIGRAMS}),
-    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg
-            WHERE doc_id % 2 = 0 GROUP BY w1, w2),
-    c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY w1),
-    voc AS (SELECT COUNT(*) AS v
-            FROM (SELECT w2 AS w FROM c12 UNION SELECT w1 FROM c12)),
-    seen AS (
-      SELECT w1, w2, ln((c12 + 0.5) / (c1 + 0.5 * (v + 1))) AS lp_seen
-      FROM c12 JOIN c1 USING (w1) CROSS JOIN voc
-    ),
-    flr AS (
-      SELECT w1, ln(0.5 / (c1 + 0.5 * (v + 1))) AS lp_floor
-      FROM c1 CROSS JOIN voc
-    ),
-    scored AS (
-      SELECT bg.doc_id,
-             COALESCE(s.lp_seen, f.lp_floor,
-                      -ln((SELECT v FROM voc) + 1)) AS lp
-      FROM bg LEFT JOIN seen s ON s.w1 = bg.w1 AND s.w2 = bg.w2
-              LEFT JOIN flr f ON f.w1 = bg.w1
-    ),
-    agg AS (SELECT doc_id, COUNT(*) AS nb, AVG(lp) AS al
-            FROM scored GROUP BY doc_id)
-    SELECT d.doc_id, COALESCE(agg.nb, 0) AS n_bigrams,
-           ROUND(agg.al, 6) AS avg_logp
-    FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+    WITH
+    {_lm_score_cte_block("(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0)",
+                         "documents", "q")}
+    SELECT d.doc_id, COALESCE(agg_q.nb, 0) AS n_bigrams,
+           ROUND(agg_q.al, 6) AS avg_logp
+    FROM documents d LEFT JOIN agg_q ON agg_q.doc_id = d.doc_id
     """,
 )
 def lm_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2522,7 +2536,8 @@ def lm_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _emb_lsh_pairs_oracle(tables: int, bits: int, threshold: float,
-                          max_bucket: int) -> str:
+                          max_bucket: int,
+                          src: str = "embeddings") -> str:
     """SQL twin of `similarity.embedding_neardup` at PINNED parameters:
     md5-derived hyperplanes -> per-table signatures -> hot-bucket cap ->
     same-signature candidate pairs -> exact cosine verification. Shares
@@ -2550,7 +2565,7 @@ def _emb_lsh_pairs_oracle(tables: int, bits: int, threshold: float,
         )
       ),
       vv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-             FROM embeddings),
+             FROM {src}),
       vd AS (SELECT vec_id, CAST(d AS INT) AS d, v[CAST(d AS INT)+1] AS x
              FROM vv, unnest(range(0, 64)) AS t(d)),
       dots AS (SELECT vd.vec_id, pl.p, SUM(pl.w * vd.x) AS dot
@@ -2691,3 +2706,177 @@ def embedding_recall_audit_embeddings(spark: SparkSession,
                                    n_tables=8, max_bucket=64)
     return SIM2.embedding_recall_audit(emb, pairs, sample=150,
                                        threshold=0.35)
+
+
+def _hybrid_dedup_corpus_oracle() -> str:
+    emb_src = ("(SELECT k.doc_id AS vec_id, e.embedding "
+               "FROM kept_c k JOIN embeddings e ON e.vec_id = k.doc_id)")
+    return f"""
+    WITH RECURSIVE joined AS MATERIALIZED (
+      SELECT d.doc_id, d.text FROM documents d
+      JOIN embeddings e ON e.vec_id = d.doc_id
+    ),
+    {_dedup_kept_cte_block('joined', 'c')},
+    spairs AS MATERIALIZED (
+      SELECT id_a, id_b
+      FROM ({_emb_lsh_pairs_oracle(8, 6, 0.35, 64, src=emb_src)})
+    ),
+    ssym AS (
+      SELECT id_a AS src, id_b AS dst FROM spairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM spairs
+    ),
+    sreach(node, r) AS (
+      SELECT src, src FROM ssym
+      UNION
+      SELECT e.src, t.r FROM ssym e JOIN sreach t ON t.node = e.dst
+    ),
+    slosers AS (
+      SELECT node FROM (SELECT node, MIN(r) AS component FROM sreach
+                        GROUP BY node)
+      WHERE node <> component
+    )
+    SELECT doc_id FROM kept_c
+    WHERE doc_id NOT IN (SELECT node FROM slosers)
+    """
+
+
+@query("dedup_corpus_semantic_documents", _hybrid_dedup_corpus_oracle())
+def dedup_corpus_semantic_documents(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """The two-stage production dedup composition the module docstrings
+    document: `dedup_corpus` (exact fingerprint collapse + LSH-verified
+    text near-dup, the CHEAP verbatim tiers) runs FIRST over
+    documents⋈embeddings, then `semantic_dedup` runs over the SURVIVORS'
+    embedding column — paraphrase-level duplicates that share no shingles
+    are caught by the vector tier without it ever seeing the rows the
+    text tiers already collapsed. The oracle nests both stages flat
+    (the `dedup_increment_documents` CTE discipline): text-dedup CTE
+    block → banded-LSH cosine pairs over the survivors' vectors →
+    recursive-CTE components → min-id keep. max_bucket=None on the text
+    stage for unconditional equivalence; the semantic stage pins the
+    oracle-replayable (8×6, cap 64) form."""
+    from .operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents", spread=True) \
+        .select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    joined = docs.join(emb, docs.doc_id == emb.vec_id) \
+        .select("doc_id", "text", "embedding")
+    kept_text = D.dedup_corpus(joined, max_bucket=None)
+    kept = D.semantic_dedup(kept_text, threshold=0.35, id_col="doc_id",
+                            vec_col="embedding", n_planes=6, n_tables=8,
+                            max_bucket=64)
+    return kept.select("doc_id")
+
+
+_LM_GATE_CUTOFF = -3.42  # sits inside the synthetic corpus's score band
+                         # (p25 ≈ -3.444, median ≈ -3.416) so the gate
+                         # provably splits the feed both ways
+
+
+import os  # noqa: E402  (used by the streaming-ledger builders below)
+
+
+def _streaming_lm_corpus_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per parquet snapshot) an LM-GATED streamed corpus over
+    the documents table and return its ledger directory: the doc_id%5!=0
+    slice bootstraps the dedup'd init corpus + frozen bigram LM, the
+    %5==0 slice arrives as two file-source micro-batches through
+    `streaming/lm_admission.streaming_lm_dedup_admission` (below-cutoff
+    docs quarantined, survivors dedup-admitted as COW versions). Cached
+    under a process-unique staging dir + atomic rename, exactly like
+    `queries._streaming_pq_index_dir` (concurrent bench/correctness runs
+    must not clobber each other's in-progress stream)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    src_parquet = os.path.join(sf_dir, "documents.parquet")
+    try:
+        mtime = str(int(os.path.getmtime(src_parquet)))
+    except OSError:
+        mtime = "0"
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{mtime}".encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"wde_lm_adm_{tag}")
+    corpus_dir = os.path.join(base, "corpus")
+    done = os.path.join(base, "_COMPLETE")
+    if os.path.exists(done):
+        return corpus_dir
+    from .operators import dedup as D
+    from .streaming.lm_admission import streaming_lm_dedup_admission
+
+    if os.path.exists(base):
+        shutil.rmtree(base, ignore_errors=True)
+    stage = f"{base}.build.{os.getpid()}"
+    shutil.rmtree(stage, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus0 = D.dedup_corpus(docs.filter(F.col("doc_id") % 5 != 0),
+                             max_bucket=None)
+    feed = os.path.join(stage, "feed")
+    for i, pred in ((1, F.col("doc_id") % 10 == 0),
+                    (2, F.col("doc_id") % 10 == 5)):
+        docs.filter(pred).coalesce(1).write.mode("overwrite") \
+            .parquet(os.path.join(feed, f"b{i}.parquet"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(feed, "*.parquet"))
+    )
+    streaming_lm_dedup_admission(
+        stream, corpus0, os.path.join(stage, "corpus"),
+        os.path.join(stage, "ckpt"), os.path.join(stage, "quarantine"),
+        cutoff=_LM_GATE_CUTOFF, max_bucket=None)
+    with open(os.path.join(stage, "_COMPLETE"), "w") as fh:
+        fh.write("ok")
+    try:
+        os.rename(stage, base)
+    except OSError:
+        if not os.path.exists(done):
+            raise
+        shutil.rmtree(stage, ignore_errors=True)
+    return corpus_dir
+
+
+def _lm_gated_admission_oracle() -> str:
+    return f"""
+    WITH RECURSIVE corpus_part AS MATERIALIZED (
+      SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+    batch_part AS MATERIALIZED (
+      SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+    {_dedup_kept_cte_block('corpus_part', 'c')},
+    {_lm_score_cte_block('kept_c', 'batch_part', 'g')},
+    admitted AS MATERIALIZED (
+      SELECT b.doc_id, b.text FROM batch_part b
+      JOIN agg_g ON agg_g.doc_id = b.doc_id
+      WHERE ROUND(agg_g.al, 6) >= {_LM_GATE_CUTOFF}
+    ),
+    unioned AS MATERIALIZED (
+      SELECT * FROM kept_c UNION ALL SELECT * FROM admitted),
+    {_dedup_kept_cte_block('unioned', 'f')}
+    SELECT doc_id FROM kept_f
+    """
+
+
+@query("lm_gated_admission_documents", _lm_gated_admission_oracle())
+def lm_gated_admission_documents(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """End-to-end LM-GATED STREAMING ADMISSION
+    (`streaming/lm_admission.py`), oracled against the flat batch
+    composition: the %5!=0 slice bootstraps a dedup'd init corpus and a
+    FROZEN bigram LM; the %5==0 slice streams in as two micro-batches;
+    each batch is scored by the frozen LM, below-cutoff docs are
+    quarantined, survivors flow through `dedup_increment` as COW
+    versions. Because the frozen-LM gate is per-document (batching-
+    invariant) and increment ≡ full-rerun (max_bucket=None, the
+    `dedup_increment_documents` discipline), the final streamed version
+    equals dedup(dedup(init) ∪ {{batch docs scoring >= cutoff}}) — which
+    is exactly what the oracle computes in SQL (text-dedup CTE block +
+    the shared LM-scoring CTE block, nested twice). The query returns
+    the LATEST ADMITTED CORPUS VERSION's ids — the driver hash-checks
+    the maintained ledger itself."""
+    from .streaming.dedup_admission import read_corpus
+
+    corpus_dir = _streaming_lm_corpus_dir(spark, sf_dir)
+    return read_corpus(spark, corpus_dir).select("doc_id")
