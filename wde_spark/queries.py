@@ -1914,45 +1914,32 @@ from . import queries_ext  # noqa: E402,F401
 # once green (their r03 evidence is recorded in CORRECTNESS_r03.json and
 # they stay covered by tools/verify_local.py + the full-registry pytest
 # smoke). 28 slots now seat queries that have never had a driver row —
-# including the 3 skew-proof twins, whose outputs are hash-identical to
-# their rotated-out plain forms, so family coverage is preserved. The
-# r03 windows' own greens are listed in CORRECTNESS_r03.json; across
-# r03+r04 ≥78 distinct queries get driver-hard evidence.
-# Round-5 rotation — the LAST one needed: after r03 (50 greens) and r04
-# (50 greens, 28 first-timers) exactly 19 registry queries had never had
-# a driver-hard row. All 19 are seated below, plus the round's one net-new
-# query (`streaming_pq_adc_ann`, the streaming-PQ-index ADC path), plus 30
-# fast already-green representatives spanning every operator family. After
-# this window banks, every one of the 107 registry entries has a
-# driver-green row across CORRECTNESS_r03–r05 and rotation can stop.
+# Round-6 window: rotation per se STOPPED after r05 (all 107 pre-r6
+# entries have a driver-green row; 101 in r03-r05). This window seats the
+# round's 7 net-new registrations (semantic dedup + its recall audit,
+# corpus drift, LM quality, the composed text+semantic dedup, LM-gated
+# streaming admission, residual-IVFPQ gate), re-seats the six queries
+# whose only driver rows date to r01/r02 (recency, per the r5 verdict's
+# item 8), and fills the remaining 37 slots (13 + 37 = the driver's 50) with fast already-green
+# representatives spanning every operator family.
 _DRIVER_PRIORITY = [
-    # --- the 19 never-driver-checked (r05 must-banks) ---
-    # TPC-H tail
-    "q7_nation_volume", "q8_market_share", "q9_product_profit",
-    "q14_promo_revenue", "q18_large_volume_orders",
-    "q19_disjunctive_revenue",
-    # windows / temporal
-    "window_range_frame_orders", "funnel_signup_view_purchase",
-    "skew_salted_event_types", "cohort_retention_events",
-    "ntile_customer_spend", "gapfill_daily_orders",
-    # reshape
-    "unpivot_part_metrics",
-    # quality / dedup flagships
-    "data_quality_orders", "dedup_increment_documents",
-    "dedup_recall_audit_documents",
-    # PQ ANN family
-    "pq_ann_embeddings", "pq_ann_recall_gate", "ivfpq_ann_recall_gate",
-    # --- net-new this round (first driver row) ---
-    "streaming_pq_adc_ann",
-    # --- 30 already-green family representatives (cheap at sf0.01) ---
+    # --- net-new this round (first driver rows) ---
+    "semantic_dedup_embeddings", "embedding_recall_audit_embeddings",
+    "corpus_drift_documents", "lm_quality_documents",
+    "dedup_corpus_semantic_documents", "lm_gated_admission_documents",
+    "ivfpq_residual_recall_gate",
+    # --- r01/r02-only greens, re-seated for driver recency ---
+    "q5_local_supplier_volume", "doc_source_stats", "group_collect_langs",
+    "q10_returned_items", "q11_supplier_share", "q15_top_supplier",
+    # --- 37 fast already-green family representatives ---
     # TPC-H relational core
     "q1_pricing_summary", "q3_shipping_priority", "q4_order_priority",
-    "q6_forecast_revenue",
+    "q6_forecast_revenue", "q18_large_volume_orders",
     # aggregation variants
     "agg_order_stats", "rollup_lineitem", "pivot_order_status",
     "histogram_order_prices",
     # sketch gates
-    "hll_distinct_gate", "freq_items_gate",
+    "hll_distinct_gate", "freq_items_gate", "quantile_sketch_gate",
     # joins
     "semi_join_active_customers", "outer_join_nation_coverage",
     "lww_latest_order", "asof_join_purchase_view",
@@ -1964,14 +1951,15 @@ _DRIVER_PRIORITY = [
     "set_ops_segments", "resolve_ladder_parts",
     # text analysis
     "word_count_top100", "token_stats_documents", "lang_id_documents",
-    # dedup
+    # dedup family
     "exact_dedup_documents", "dedup_tokens_ordered",
-    # similarity
+    "minhash_signatures_documents", "neardup_components_documents",
+    "dedup_recall_audit_documents", "dedup_increment_documents",
+    # similarity / ANN
     "embedding_vector_stats", "cosine_topk_embeddings",
-    # multimodal
-    "multimodal_resize",
-    # sampling / pipeline utilities
-    "mixture_sample_documents", "train_val_split_documents",
+    "pq_ann_recall_gate", "streaming_pq_adc_ann",
+    # multimodal + quality
+    "multimodal_resize", "data_quality_orders",
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]

@@ -2880,3 +2880,37 @@ def lm_gated_admission_documents(spark: SparkSession,
 
     corpus_dir = _streaming_lm_corpus_dir(spark, sf_dir)
     return read_corpus(spark, corpus_dir).select("doc_id")
+
+
+@query(
+    "ivfpq_residual_recall_gate",
+    """
+    SELECT CAST(8 AS BIGINT) AS n_queries, CAST(5 AS BIGINT) AS k,
+           TRUE AS recall_ok
+    """,
+)
+def ivfpq_residual_recall_gate(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Recall@5 property gate for RESIDUAL-encoding IVFPQ
+    (`operators/similarity.ivfpq_residual_ann` — the actual FAISS IVFADC:
+    codes quantize x_norm − coarse centroid): TRUE iff probing 6 of 16
+    cells and scoring from 16-byte residual codes recovers >= 55% of the
+    brute-force top-5 — TIGHTER than the direct-encoding composed gate
+    (0.45), from the measured 0.675/0.725 floor at sf0.01/sf0.1
+    (`measurements/ab_ivfpq_residual_r06.json`). On these near-uniform
+    synthetic vectors the 16-cell coarse quantizer explains only 7-10% of
+    variance, so recall is parity with direct encoding; the residual
+    mechanism itself is verified by reconstruction MSE (21% lower where
+    the coarse quantizer explains 32% — same receipt). See
+    `lsh_ann_recall_gate` for why a threshold gate is the honest oracle
+    for ANN over near-uniform random vectors."""
+    from .operators import similarity as SIM2
+
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    q = emb.filter(F.col("vec_id") < 8)
+    return SIM2.topk_recall_gate(
+        SIM2.ivfpq_residual_ann(emb, q, k=5, n_cells=16, nprobe=6, m=16,
+                                k_codes=16, refine=8),
+        SIM2.cosine_topk(emb, q, k=5, dim=64),
+        n_queries=8, k=5, min_recall=0.55,
+    )
