@@ -221,14 +221,27 @@ def test_no_cartesian_or_undeclared_python_anywhere(spark):
                     # recall audit: the summary row crossJoins three
                     # ONE-ROW count aggregates; the sample's exact
                     # all-pairs truth is its declared bounded design
-                    "dedup_recall_audit_documents"}
+                    "dedup_recall_audit_documents",
+                    # embedding-side mirror of the same audit shape
+                    "embedding_recall_audit_embeddings",
+                    # residual IVFPQ: ADC scan broadcasts the bounded
+                    # per-query LUTs, like the other PQ gates
+                    "ivfpq_residual_recall_gate",
+                    # term distributions crossJoin a ONE-ROW total
+                    # (denominator) — O(vocabulary), scale-safe
+                    "corpus_drift_documents",
+                    # LM scoring crossJoins the ONE-ROW vocabulary size
+                    "lm_quality_documents"}
     # declared Arrow/Python boundaries
     python_ok = {"multimodal_frames", "multimodal_features",
                  "multimodal_resize", "multimodal_audio_chunks",
                  "lsh_ann_embeddings", "lsh_ann_recall_gate",
                  "ivf_ann_embeddings", "ivf_ann_recall_gate",
                  "pq_ann_embeddings", "pq_ann_recall_gate",
-                 "ivfpq_ann_recall_gate",
+                 "ivfpq_ann_recall_gate", "ivfpq_residual_recall_gate",
+                 # banded-LSH signature UDF (Arrow) feeds the audit's
+                 # pipeline side
+                 "embedding_recall_audit_embeddings",
                  "resolve_ladder_parts", "hybrid_neardup_pairs"}
     bad = {}
     for name, fn in QUERIES.items():

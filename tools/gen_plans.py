@@ -27,6 +27,8 @@ PICKS = {
     "topk_orders_salted": "Hot-key top-k: local rank within (key, salt), final rank over bounded survivors.",
     "pq_ann_embeddings": "PQ ANN: ADC scan scores codes via a JVM fold against the broadcast per-query LUTs (the declared bounded nested loop); exact re-rank touches only k*refine rows per query, fetched back by id.",
     "data_quality_orders": "Expectations: every row-local check plus uniqueness computes in ONE aggregation over one scan (Expand for the mixed distinct agg), exploded into per-check rows; the FK check is one broadcast anti-join on the pruned key column.",
+    "semantic_dedup_embeddings": "Semantic dedup: banded multi-table LSH candidates (signature equi-join behind the windowed hot-bucket cap) carry (id, sig) rows only; vectors join back per-id for verification; min-id keep via left_anti.",
+    "lm_quality_documents": "Bigram-LM scoring: training is two hash aggs over the exploded bigram table; scoring is a broadcast LM join + one per-doc agg — no Python anywhere.",
     "streaming_pq_adc_ann": "Maintained-index ANN: the query side is a pure codes-table scan (parquet, the COW version the stream last wrote) joined to broadcast per-query LUTs; ranking is a JVM fold over 16 array lookups per row — no float column is ever read on the query path.",
 }
 
