@@ -99,6 +99,18 @@ HEADLINE = [
 ]
 
 
+
+def _over_best(t: float, known: float) -> bool:
+    """Storm test vs the best-known min: relative 1.3× AND >0.3 s absolute
+    excess. The absolute guard keeps sub-second queries honest — a 0.15 s
+    query at 0.25 s is scheduler jitter on fixed per-query overhead
+    (session dispatch, noop commit), not a regression; without it the
+    bench burns retries and flags `weak` rows on noise smaller than one
+    JVM safepoint. A real regression on a sub-second query still trips
+    the gate as soon as it costs 0.3 s of real time."""
+    return t > 1.3 * known and t - known > 0.3
+
+
 def _cpu_jiffies() -> tuple[int, int]:
     """(total, steal) jiffies from /proc/stat — steal is time a co-tenant
     took from this VM's vCPUs; loadavg cannot see it."""
@@ -207,8 +219,8 @@ def main() -> None:
         if name in errors:
             continue
         extra = 0
-        while extra < 2 and \
-                best[name] > 1.3 * best_known.get(name, float("inf")):
+        while extra < 2 and _over_best(
+                best[name], best_known.get(name, float("inf"))):
             try:
                 t = _run_once(name)
             except Exception as exc:
@@ -222,13 +234,19 @@ def main() -> None:
                 best[name] < best_known.get(name, float("inf")):
             best_known[name] = best[name]
 
-    # Sustained-contention defense: if >5 queries are STILL over
-    # best-known after per-query retries, the whole window was stormy —
-    # take one more full sweep over just those queries, spaced from the
-    # earlier attempts by the sweep itself.
-    still_over = [n for n in HEADLINE if n not in errors
-                  and n in best_known and best[n] > 1.3 * best_known[n]]
-    if len(still_over) > 5:
+    # Spaced final sweep: any query STILL over best-known after its
+    # immediate retries gets one more run, spaced from those attempts by
+    # the rest of the sweep (immediate retries land inside the same storm
+    # that flagged the query — observed retry times of 19-21 s against
+    # sub-second bests; a minute later the same query runs at its best).
+    # Two sweeps max so a genuinely-regressed query converges instead of
+    # looping.
+    for _sweep in range(2):
+        still_over = [n for n in HEADLINE if n not in errors
+                      and n in best_known
+                      and _over_best(best[n], best_known[n])]
+        if not still_over:
+            break
         for name in still_over:
             try:
                 t = _run_once(name)
@@ -254,7 +272,7 @@ def main() -> None:
     # queries still above 1.3x their best-known min after all retries:
     # the residual storm damage a reader should discount from the total
     over_best = {n: [best[n], best_known[n]] for n in best
-                 if n in best_known and best[n] > 1.3 * best_known[n]}
+                 if n in best_known and _over_best(best[n], best_known[n])}
     detail = {
         "queries_run1": runs[0],
         "queries_run2": runs[1],
