@@ -231,7 +231,10 @@ def test_no_cartesian_or_undeclared_python_anywhere(spark):
                     # (denominator) — O(vocabulary), scale-safe
                     "corpus_drift_documents",
                     # LM scoring crossJoins the ONE-ROW vocabulary size
-                    "lm_quality_documents"}
+                    "lm_quality_documents",
+                    # DSIR ratio crossJoins BOTH models' ONE-ROW
+                    # vocabulary sizes — same scalar-subquery shape
+                    "dsir_sample_documents"}
     # declared Arrow/Python boundaries
     python_ok = {"multimodal_frames", "multimodal_features",
                  "multimodal_resize", "multimodal_audio_chunks",

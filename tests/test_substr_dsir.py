@@ -1,0 +1,189 @@
+"""Exact-substring span dedup (`dedup.duplicate_spans` /
+`strip_duplicate_spans`, the ExactSubstr shape of Lee et al. ACL 2022)
+and DSIR importance resampling (`operators/dsir.py`, Xie et al. 2023) —
+hand-checked spans on crafted corpora, island-merge edges, the removal
+rebuild, ratio direction, Gumbel determinism, and top-k semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wde_spark.operators import dedup as D
+from wde_spark.operators import dsir as DS
+from wde_spark.operators import lm_score as LM
+
+SCHEMA = "doc_id long, text string"
+
+
+# ---------------------------------------------------------------------------
+# duplicate_spans
+# ---------------------------------------------------------------------------
+
+
+def _spans(spark, corpus, k, min_count=2):
+    df = D.duplicate_spans(
+        spark.createDataFrame(corpus, SCHEMA), k=k, min_count=min_count)
+    return {(r.doc_id, r.span_start, r.span_end, r.n_windows)
+            for r in df.collect()}
+
+
+def test_cross_doc_repeat_marks_both_docs(spark):
+    """A 3-token run shared by two docs produces one span in each, at the
+    right positions."""
+    corpus = [(1, "x y z p q r"), (2, "a b x y z c")]
+    got = _spans(spark, corpus, k=3)
+    assert got == {(1, 1, 3, 1), (2, 3, 5, 1)}
+
+
+def test_within_doc_repeat_counts(spark):
+    """ExactSubstr counts within-document repeats: a doc repeating its own
+    3-gram is flagged with no second document involved."""
+    corpus = [(1, "x y z w x y z")]
+    got = _spans(spark, corpus, k=3)
+    # "x y z" at p=1 and p=5; gap 4 > k so the two occurrences stay
+    # separate maximal spans (token 4 "w" is not duplicated material)
+    assert got == {(1, 1, 3, 1), (1, 5, 7, 1)}
+
+
+def test_overlapping_windows_merge_to_maximal_span(spark):
+    """A repeated 4-token run with k=3 yields two overlapping duplicated
+    windows that merge into ONE maximal span covering all 4 tokens."""
+    corpus = [(1, "a b c d zz"), (2, "yy a b c d")]
+    got = _spans(spark, corpus, k=3)
+    assert got == {(1, 1, 4, 2), (2, 2, 5, 2)}
+
+
+def test_gap_larger_than_k_splits_islands(spark):
+    """Two duplicated runs separated by more than k fresh tokens stay two
+    spans."""
+    corpus = [
+        (1, "a b c u1 u2 u3 u4 d e f"),
+        (2, "a b c v1 v2 v3 v4 d e f"),
+    ]
+    got = _spans(spark, corpus, k=3)
+    assert got == {(1, 1, 3, 1), (1, 8, 10, 1),
+                   (2, 1, 3, 1), (2, 8, 10, 1)}
+
+
+def test_min_count_threshold(spark):
+    """min_count=3 ignores a window that appears only twice."""
+    corpus = [(1, "a b c q"), (2, "a b c r"), (3, "z z2 z3")]
+    assert _spans(spark, corpus, k=3, min_count=3) == set()
+    corpus.append((4, "a b c s"))
+    assert _spans(spark, corpus, k=3, min_count=3) == {
+        (1, 1, 3, 1), (2, 1, 3, 1), (4, 1, 3, 1)}
+
+
+def test_short_docs_emit_nothing(spark):
+    corpus = [(1, "a b"), (2, "a b")]  # shorter than k
+    assert _spans(spark, corpus, k=3) == set()
+
+
+def test_guarantee_any_repeat_of_2k_minus_1_found(spark):
+    """The windowed-hash guarantee: a repeated run of length 2k-1 tokens
+    contains a full aligned k-window however it straddles, so it is
+    always found (here: 5-token run, k=3)."""
+    corpus = [(1, "m n o p q t1 t2"), (2, "s1 s2 m n o p q")]
+    got = _spans(spark, corpus, k=3)
+    assert (1, 1, 5, 3) in got and (2, 3, 7, 3) in got
+
+
+# ---------------------------------------------------------------------------
+# strip_duplicate_spans
+# ---------------------------------------------------------------------------
+
+
+def _strip(spark, corpus, k):
+    df = D.strip_duplicate_spans(spark.createDataFrame(corpus, SCHEMA), k=k)
+    return {r.doc_id: (r.n_tokens, r.n_kept, r.text_clean)
+            for r in df.collect()}
+
+
+def test_strip_removes_exactly_the_spans(spark):
+    corpus = [(1, "a b c d zz"), (2, "yy a b c d")]
+    got = _strip(spark, corpus, k=3)
+    assert got[1] == (5, 1, "zz")
+    assert got[2] == (5, 1, "yy")
+
+
+def test_strip_untouched_doc_roundtrips(spark):
+    corpus = [(1, "left alone entirely"), (2, "a b c d"), (3, "a b c e")]
+    got = _strip(spark, corpus, k=3)
+    assert got[1] == (3, 3, "left alone entirely")
+    assert got[2] == (4, 1, "d")
+    assert got[3] == (4, 1, "e")
+
+
+def test_strip_fully_covered_doc_goes_empty(spark):
+    corpus = [(1, "a b c"), (2, "a b c")]
+    got = _strip(spark, corpus, k=3)
+    assert got[1] == (3, 0, "")
+    assert got[2] == (3, 0, "")
+
+
+# ---------------------------------------------------------------------------
+# DSIR
+# ---------------------------------------------------------------------------
+
+TARGET = [(100, "spark query plan spark query plan spark query plan")]
+RAW = [
+    (1, "spark query plan spark query optimizer"),
+    (2, "banana banana smoothie recipe banana"),
+    (3, "spark query plan"),
+]
+
+
+@pytest.fixture(scope="module")
+def ratios(spark):
+    docs = spark.createDataFrame(RAW, SCHEMA)
+    target_lm = LM.train_bigram_lm(spark.createDataFrame(TARGET, SCHEMA))
+    raw_lm = LM.train_bigram_lm(
+        spark.createDataFrame(TARGET + RAW, SCHEMA))
+    return DS.dsir_logratio(docs, target_lm, raw_lm).cache()
+
+
+def test_ratio_prefers_target_like_docs(ratios):
+    r = {x.doc_id: x.log_ratio for x in ratios.collect()}
+    # doc 1/3 are made of target bigrams; doc 2 shares none
+    assert r[1] > r[2] and r[3] > r[2]
+
+
+def test_short_doc_gets_null_ratio(spark):
+    docs = spark.createDataFrame([(9, "single")], SCHEMA)
+    lm = LM.train_bigram_lm(spark.createDataFrame(TARGET, SCHEMA))
+    row = DS.dsir_logratio(docs, lm, lm).collect()[0]
+    assert row.n_bigrams == 0 and row.log_ratio is None
+    # identical models => every scored doc has ratio exactly 0
+    docs2 = spark.createDataFrame(RAW, SCHEMA)
+    assert all(r.log_ratio == 0.0
+               for r in DS.dsir_logratio(docs2, lm, lm).collect())
+
+
+def test_gumbel_noise_deterministic_and_spread(spark):
+    df = spark.range(200).select(
+        DS.gumbel_noise(F.col("id")).alias("g1"),
+        DS.gumbel_noise(F.col("id")).alias("g2"),
+        DS.gumbel_noise(F.col("id"), salt="other").alias("g3"),
+    )
+    rows = df.collect()
+    assert all(r.g1 == r.g2 for r in rows)          # replayable
+    assert sum(1 for r in rows if r.g1 != r.g3) > 150  # salt changes draws
+    med = sorted(r.g1 for r in rows)[100]
+    assert 0.0 < med < 0.9  # Gumbel(0,1) median is ~0.3665
+
+
+def test_sample_k_and_determinism(spark, ratios):
+    s1 = DS.dsir_sample(ratios, k=2)
+    s2 = DS.dsir_sample(ratios, k=2)
+    ids1 = sorted(r.doc_id for r in s1.collect())
+    assert ids1 == sorted(r.doc_id for r in s2.collect())
+    assert len(ids1) == 2
+    assert "sel_key" in s1.columns and "log_ratio" in s1.columns
+
+
+def test_temperature_zero_is_hard_topk(spark, ratios):
+    ids = {r.doc_id for r in DS.dsir_sample(ratios, k=2,
+                                            temperature=0.0).collect()}
+    by_ratio = sorted(ratios.collect(), key=lambda r: (-r.log_ratio, r.doc_id))
+    assert ids == {by_ratio[0].doc_id, by_ratio[1].doc_id}

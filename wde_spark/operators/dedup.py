@@ -679,3 +679,136 @@ def dedup_recall_audit(docs: DataFrame, pipeline_pairs: DataFrame,
             .alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Tier 6: exact-substring span dedup (Lee et al., "Deduplicating Training
+# Data Makes Language Models Better", ACL 2022 — the ExactSubstr tool).
+# The reference implementation builds a corpus-wide suffix array to find
+# byte spans repeated anywhere in the corpus; a suffix array is a global,
+# memory-resident index that does not shard. The Spark-first re-expression
+# keeps the *guarantee* (every repeated run of >= 2k-1 tokens is found, any
+# repeated run of >= k tokens is found in full) while staying in hash
+# aggregations: hash every k-token window, a window repeated anywhere in
+# the corpus (across OR within documents) marks its k tokens as duplicated,
+# and overlapping marked windows merge into maximal spans per document.
+# ---------------------------------------------------------------------------
+
+
+def _window_hashes(docs: DataFrame, k: int, text_col: str,
+                   id_col: str) -> DataFrame:
+    """(id, p, wh): md5 of the k-token window starting at 1-based token
+    position p, one row per window. Positions EXPLODE to rows so each
+    window is hashed exactly once inside whole-stage codegen (same lesson
+    as `winnowing_fingerprints`: explode beats nested array expressions
+    for anything super-linear per row). Docs shorter than k tokens emit
+    no windows."""
+    tok = tokens(F.col(text_col))
+    base = docs.select(
+        F.col(id_col), tok.alias("t"),
+        (F.size(tok) - (k - 1)).alias("nw"),
+    )
+    return (
+        base.select(
+            id_col, "nw", "t",
+            # sequence(1, max(nw,1)): Spark sequence DESCENDS when start >
+            # stop, so clamp then filter (winnowing does the same).
+            F.posexplode(
+                F.sequence(F.lit(1), F.greatest(F.col("nw"), F.lit(1)))
+            ).alias("_i", "p"),
+        )
+        .filter(F.col("p") <= F.col("nw"))
+        .select(
+            id_col, "p",
+            F.md5(F.array_join(F.slice("t", F.col("p"), F.lit(k)), " "))
+            .alias("wh"),
+        )
+    )
+
+
+def duplicate_spans(docs: DataFrame, k: int = 16, min_count: int = 2,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Maximal duplicated token spans per document: every k-token window
+    whose hash occurs >= min_count times corpus-wide (within-doc repeats
+    count, as in ExactSubstr) marks tokens [p, p+k-1]; overlapping or
+    adjacent marked windows (gap <= k) merge into one span via the
+    gaps-and-islands pattern.
+
+    Returns (id, span_start, span_end, n_windows) — 1-based inclusive
+    token positions, one row per maximal span.
+
+    Scale shape: windows explode ~n_tokens rows per doc (the same factor
+    as `winnowing_fingerprints` / minhash shingles), duplicate detection
+    is ONE hash aggregation on the window hash — never a self-join, so a
+    boilerplate window shared by millions of docs costs one counter, not
+    a candidate-pair explosion — and the island merge is a per-document
+    SQL window (one shuffle on the doc id)."""
+    win = _window_hashes(docs, k, text_col, id_col)
+    dup = (
+        win.groupBy("wh").agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= min_count).select("wh")
+    )
+    dwin = win.join(dup, "wh").select(id_col, "p")
+    w = Window.partitionBy(id_col).orderBy("p")
+    isl = (
+        dwin.withColumn("prev", F.lag("p").over(w))
+        .withColumn(
+            "brk",
+            F.when(F.col("prev").isNull()
+                   | (F.col("p") - F.col("prev") > k), 1).otherwise(0),
+        )
+        .withColumn(
+            "island",
+            F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return (
+        isl.groupBy(id_col, "island")
+        .agg(
+            F.min("p").cast("long").alias("span_start"),
+            (F.max("p") + (k - 1)).cast("long").alias("span_end"),
+            F.count("*").cast("long").alias("n_windows"),
+        )
+        .select(id_col, "span_start", "span_end", "n_windows")
+    )
+
+
+def strip_duplicate_spans(docs: DataFrame, k: int = 16, min_count: int = 2,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """ExactSubstr's removal step: drop every token covered by a
+    duplicated span and rebuild the text. Returns
+    (id, n_tokens, n_kept, text_clean) — ExactSubstr likewise cuts the
+    duplicated bytes and concatenates the remainder.
+
+    Shape: spans per doc collect into ONE small array (a doc has at most
+    n_tokens/k maximal spans), the rebuild is row-local higher-order
+    functions over the token array — no second explode, no join back per
+    token."""
+    spans = duplicate_spans(docs, k, min_count, text_col, id_col)
+    span_arr = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans"))
+    tok = tokens(F.col(text_col))
+    joined = docs.join(span_arr, id_col, "left")
+    pos = F.transform(tok, lambda x, i: F.struct(x.alias("w"),
+                                                 (i + 1).alias("p")))
+    kept = F.when(F.col("_spans").isNull(), tok).otherwise(
+        F.transform(
+            F.filter(
+                pos,
+                lambda s: ~F.exists(
+                    F.col("_spans"),
+                    lambda sp: (s["p"] >= sp["span_start"])
+                    & (s["p"] <= sp["span_end"]),
+                ),
+            ),
+            lambda s: s["w"],
+        )
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size(tok).cast("long").alias("n_tokens"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.array_join(kept, " ").alias("text_clean"),
+    )

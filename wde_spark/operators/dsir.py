@@ -1,0 +1,130 @@
+"""DSIR-style data selection via importance resampling (Xie et al.,
+"Data Selection for Language Models via Importance Resampling", NeurIPS
+2023) — the modern pretraining-corpus selection op: given a small TARGET
+slice (the distribution you want more of) and the RAW corpus, score every
+raw document by the log importance ratio ln p_target(x) − ln p_raw(x)
+under cheap bag-of-n-gram language models, then sample by Gumbel top-k so
+selection is importance-WEIGHTED rather than a hard threshold.
+
+Re-expressed on the engine's existing LM machinery (`operators/lm_score`:
+the LM is a DataFrame of (w1, w2, logp) rows, CCNet-style): both models
+are add-k bigram LMs, so the ratio needs ONE bigram explode of the corpus,
+two LM joins (broadcast when the LMs are small — they are vocabulary-
+sized, not corpus-sized), and one per-document sum. The paper's hashed
+n-gram buckets are an efficiency device for a single-node scorer; on a
+cluster the exact bigram tables ARE the hashed representation (hash
+aggregation), so no bucketing approximation is needed.
+
+Gumbel top-k (Kim et al./Vieira's "Gumbel-max trick" form used by DSIR):
+keep the k documents maximizing logw(x) + G_x with G_x ~ Gumbel(0,1).
+G_x here is DERIVED FROM A SALTED HASH of the document id — deterministic
+across engines, runs, and cluster sizes (the same reproducibility
+discipline as `stratified_sample_documents`' md5 buckets), so the sampled
+set is replayable and oracle-checkable while keeping the distributional
+guarantee (md5 bits are uniform).
+
+Scale shape: scoring is explode + broadcast joins + one hash aggregation
+(shuffle on doc id); the top-k rank is a window over the SCORE table (one
+row per doc, no text — the standard corpus-stats sort, same note as
+`lm_score.lm_quality_bands`); at extreme n, replace with a per-partition
+top-k + merge, which the deterministic key makes exact."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .lm_score import _bigram_table, lm_vocab_size
+
+
+def _lm_sides(lm: DataFrame, tag: str,
+              broadcast_lm: bool) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(seen, floor, vocab) join sides of a trained LM, tagged to keep the
+    two models' columns apart in one plan."""
+    seen = lm.filter(F.col("w2").isNotNull()) \
+        .select("w1", "w2", F.col("logp").alias(f"lp_{tag}"))
+    floor = lm.filter(F.col("w2").isNull()) \
+        .select("w1", F.col("logp").alias(f"fl_{tag}"))
+    vdf = lm_vocab_size(lm).select(F.col("v").alias(f"v_{tag}"))
+    if broadcast_lm:
+        seen, floor = F.broadcast(seen), F.broadcast(floor)
+    return seen, floor, vdf
+
+
+def dsir_logratio(docs: DataFrame, target_lm: DataFrame, raw_lm: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  broadcast_lm: bool = True) -> DataFrame:
+    """(id, n_bigrams, log_ratio): log_ratio = Σ_bigrams [ln p_target −
+    ln p_raw] with each model's own two-step back-off (observed bigram →
+    per-context floor → uniform −ln(V+1)); the per-bigram DIFFERENCE is
+    summed (not two separate totals) so the magnitudes stay small and the
+    sum is engine-reproducible at 6 dp. Documents with <2 tokens get
+    n_bigrams 0 and NULL ratio — no evidence is not a preference."""
+    bg = _bigram_table(docs, text_col, id_col)
+    seen_t, floor_t, v_t = _lm_sides(target_lm, "t", broadcast_lm)
+    seen_r, floor_r, v_r = _lm_sides(raw_lm, "r", broadcast_lm)
+    scored = (
+        bg.join(seen_t, ["w1", "w2"], "left")
+        .join(floor_t, ["w1"], "left")
+        .join(seen_r, ["w1", "w2"], "left")
+        .join(floor_r, ["w1"], "left")
+        .crossJoin(F.broadcast(v_t))
+        .crossJoin(F.broadcast(v_r))
+        .select(
+            F.col(id_col),
+            (F.coalesce(F.col("lp_t"), F.col("fl_t"),
+                        -F.log(F.col("v_t") + 1))
+             - F.coalesce(F.col("lp_r"), F.col("fl_r"),
+                          -F.log(F.col("v_r") + 1))).alias("d"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(
+            scored.groupBy(id_col).agg(
+                F.count("*").alias("n_bigrams"),
+                F.round(F.sum("d"), 6).alias("log_ratio"),
+            ),
+            id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "log_ratio",
+        )
+    )
+
+
+def gumbel_noise(id_expr: Column, salt: str = "dsir") -> Column:
+    """Deterministic Gumbel(0,1) draw per id: u from the first 8 hex
+    digits of a salted md5 (exact in a double, uniform on (0,1) via the
+    half-integer offset), then −ln(−ln u). Replayable bit-for-bit by any
+    engine with md5 + ln — randomness without a random number generator."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + "|"),
+                                   id_expr.cast("string"))), 1, 8),
+        16, 10,
+    ).cast("double")
+    u = (h + F.lit(0.5)) / F.lit(4294967296.0)
+    return -F.log(-F.log(u))
+
+
+def dsir_sample(ratios: DataFrame, k: int = 100, temperature: float = 1.0,
+                salt: str = "dsir", id_col: str = "doc_id") -> DataFrame:
+    """Gumbel top-k selection over `dsir_logratio` output: keep the k
+    docs maximizing sel_key = log_ratio + temperature·G_id. temperature
+    scales exploration (0 → hard top-k by ratio; 1 → exact importance
+    resampling). Ranking uses the ROUNDED key with an id tiebreak so the
+    selected set is identical across engines (same discipline as
+    `tfidf_topk`). Unscored docs (NULL ratio) are excluded — route them
+    to a length filter, not a preference judgment."""
+    key = F.round(
+        F.col("log_ratio")
+        + F.lit(temperature) * gumbel_noise(F.col(id_col), salt), 6)
+    w = Window.orderBy(F.desc("sel_key"), F.asc(id_col))
+    return (
+        ratios.filter(F.col("log_ratio").isNotNull())
+        .withColumn("sel_key", key)
+        .withColumn("_rnk", F.row_number().over(w))
+        .filter(F.col("_rnk") <= k)
+        .drop("_rnk")
+    )

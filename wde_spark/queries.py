@@ -1920,14 +1920,17 @@ from . import queries_ext  # noqa: E402,F401
 # corpus drift, LM quality, the composed text+semantic dedup, LM-gated
 # streaming admission, residual-IVFPQ gate), re-seats the six queries
 # whose only driver rows date to r01/r02 (recency, per the r5 verdict's
-# item 8), and fills the remaining 37 slots (13 + 37 = the driver's 50) with fast already-green
-# representatives spanning every operator family.
+# item 8), and fills the remaining slots (10 net-new + 6 re-seats + 34 =
+# the driver's 50) with fast already-green representatives spanning every
+# operator family.
 _DRIVER_PRIORITY = [
     # --- net-new this round (first driver rows) ---
     "semantic_dedup_embeddings", "embedding_recall_audit_embeddings",
     "corpus_drift_documents", "lm_quality_documents",
     "dedup_corpus_semantic_documents", "lm_gated_admission_documents",
     "ivfpq_residual_recall_gate",
+    "dsir_sample_documents", "duplicate_spans_documents",
+    "strip_duplicate_spans_documents",
     # --- r01/r02-only greens, re-seated for driver recency ---
     "q5_local_supplier_volume", "doc_source_stats", "group_collect_langs",
     "q10_returned_items", "q11_supplier_share", "q15_top_supplier",
@@ -1936,17 +1939,14 @@ _DRIVER_PRIORITY = [
     "q1_pricing_summary", "q3_shipping_priority", "q4_order_priority",
     "q6_forecast_revenue", "q18_large_volume_orders",
     # aggregation variants
-    "agg_order_stats", "rollup_lineitem", "pivot_order_status",
-    "histogram_order_prices",
+    "agg_order_stats", "rollup_lineitem", "histogram_order_prices",
     # sketch gates
     "hll_distinct_gate", "freq_items_gate", "quantile_sketch_gate",
     # joins
-    "semi_join_active_customers", "outer_join_nation_coverage",
-    "lww_latest_order", "asof_join_purchase_view",
-    "range_join_error_clicks",
+    "semi_join_active_customers", "lww_latest_order",
+    "asof_join_purchase_view", "range_join_error_clicks",
     # windows / temporal
     "topk_orders_per_customer", "carry_forward_purchase",
-    "scd2_order_status_history",
     # set ops + resolve
     "set_ops_segments", "resolve_ladder_parts",
     # text analysis

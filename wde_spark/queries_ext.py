@@ -2477,14 +2477,13 @@ def _lm_bigrams_sql(src: str) -> str:
     """
 
 
-def _lm_score_cte_block(train_src: str, score_src: str, t: str,
-                        k: float = 0.5) -> str:
-    """CTE chain `agg_{t}` = (doc_id, nb, al): add-k bigram LM trained on
-    `train_src`, every `score_src` doc scored by mean bigram log-prob with
-    the two-step back-off — SQL twin of train_bigram_lm + lm_quality."""
+def _lm_tables_cte(train_src: str, t: str, k: float = 0.5) -> str:
+    """CTE chain for ONE trained add-k bigram LM over `train_src`:
+    `seen_{t}` = (w1, w2, lp_seen), `flr_{t}` = (w1, lp_floor),
+    `voc_{t}` = (v) — SQL twin of `lm_score.train_bigram_lm`. Shared by
+    the quality scorer and the DSIR importance-ratio oracles."""
     return f"""
     tbg_{t} AS MATERIALIZED ({_lm_bigrams_sql(train_src)}),
-    sbg_{t} AS MATERIALIZED ({_lm_bigrams_sql(score_src)}),
     c12_{t} AS (SELECT w1, w2, COUNT(*) AS c12 FROM tbg_{t} GROUP BY w1, w2),
     c1_{t} AS (SELECT w1, SUM(c12) AS c1 FROM c12_{t} GROUP BY w1),
     voc_{t} AS (SELECT COUNT(*) AS v
@@ -2496,7 +2495,17 @@ def _lm_score_cte_block(train_src: str, score_src: str, t: str,
     flr_{t} AS (
       SELECT w1, ln({k} / (c1 + {k} * (v + 1))) AS lp_floor
       FROM c1_{t} CROSS JOIN voc_{t}
-    ),
+    )"""
+
+
+def _lm_score_cte_block(train_src: str, score_src: str, t: str,
+                        k: float = 0.5) -> str:
+    """CTE chain `agg_{t}` = (doc_id, nb, al): add-k bigram LM trained on
+    `train_src`, every `score_src` doc scored by mean bigram log-prob with
+    the two-step back-off — SQL twin of train_bigram_lm + lm_quality."""
+    return f"""
+    {_lm_tables_cte(train_src, t, k)},
+    sbg_{t} AS MATERIALIZED ({_lm_bigrams_sql(score_src)}),
     scored_{t} AS (
       SELECT b.doc_id,
              COALESCE(s.lp_seen, f.lp_floor,
@@ -2533,6 +2542,162 @@ def lm_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", spread=True)
     lm = LM.train_bigram_lm(docs.filter(F.col("doc_id") % 2 == 0))
     return LM.lm_quality(docs, lm)
+
+
+@query(
+    "dsir_sample_documents",
+    f"""
+    WITH
+    {_lm_tables_cte("(SELECT doc_id, text FROM documents WHERE source = 'src0')", "dt")},
+    {_lm_tables_cte("documents", "dr")},
+    sbg AS MATERIALIZED ({_lm_bigrams_sql("documents")}),
+    scored AS (
+      SELECT b.doc_id,
+             COALESCE(st.lp_seen, ft.lp_floor,
+                      -ln((SELECT v FROM voc_dt) + 1))
+             - COALESCE(sr.lp_seen, fr.lp_floor,
+                        -ln((SELECT v FROM voc_dr) + 1)) AS d
+      FROM sbg b
+      LEFT JOIN seen_dt st ON st.w1 = b.w1 AND st.w2 = b.w2
+      LEFT JOIN flr_dt ft ON ft.w1 = b.w1
+      LEFT JOIN seen_dr sr ON sr.w1 = b.w1 AND sr.w2 = b.w2
+      LEFT JOIN flr_dr fr ON fr.w1 = b.w1
+    ),
+    lr AS (SELECT doc_id, COUNT(*) AS nb, ROUND(SUM(d), 6) AS log_ratio
+           FROM scored GROUP BY doc_id),
+    gmb AS (
+      SELECT doc_id, -ln(-ln((h + 0.5) / 4294967296)) AS g
+      FROM (
+        SELECT doc_id,
+               SUM((strpos('0123456789abcdef',
+                           substr(md5('dsir|' || doc_id),
+                                  CAST(j AS INT), 1)) - 1)
+                   * power(16, 8 - j)) AS h
+        FROM documents, unnest(range(1, 9)) AS t(j)
+        GROUP BY doc_id
+      )
+    ),
+    keyed AS (
+      SELECT lr.doc_id, CAST(lr.nb AS BIGINT) AS n_bigrams, lr.log_ratio,
+             ROUND(lr.log_ratio + gmb.g, 6) AS sel_key
+      FROM lr JOIN gmb ON gmb.doc_id = lr.doc_id
+    )
+    SELECT doc_id, n_bigrams, log_ratio, sel_key FROM (
+      SELECT keyed.*,
+             ROW_NUMBER() OVER (ORDER BY sel_key DESC, doc_id) AS rnk
+      FROM keyed
+    ) WHERE rnk <= 100
+    """,
+)
+def dsir_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (`operators/dsir`, Xie et al. 2023):
+    the target bigram LM trains on the src0 slice (the "quality
+    reference"), the raw LM on the whole corpus; every document scores
+    ln p_target − ln p_raw summed per-bigram (one explode, four broadcast
+    LM joins, one aggregation), and Gumbel top-k (noise derived from a
+    salted md5 of the doc id, so the draw is deterministic and
+    engine-replayable) keeps the 100 docs the importance weights favor.
+    The oracle replays BOTH LM trainings, the ratio, the hash-Gumbel
+    draw, and the top-k — the selected set itself is hash-checked."""
+    from .operators import dsir as DS
+    from .operators import lm_score as LM
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    target_lm = LM.train_bigram_lm(docs.filter(F.col("source") == "src0"))
+    raw_lm = LM.train_bigram_lm(docs)
+    return DS.dsir_sample(DS.dsir_logratio(docs, target_lm, raw_lm), k=100)
+
+
+def _dup_win_sql(k: int, min_count: int) -> str:
+    """Shared CTE chain: k-token window hashes over `documents`, the
+    duplicated subset, and per-doc maximal islands — SQL twin of
+    `dedup.duplicate_spans` (windows -> HAVING count -> gaps-and-islands)."""
+    return f"""
+    tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+            FROM documents),
+    win AS (
+      SELECT doc_id, CAST(i AS INT) AS p,
+             md5(array_to_string(t[CAST(i AS INT):CAST(i AS INT) + {k - 1}],
+                                 ' ')) AS wh
+      FROM tok, unnest(range(1, len(t) - {k} + 2)) AS u(i)
+    ),
+    dup AS (SELECT wh FROM win GROUP BY wh HAVING COUNT(*) >= {min_count}),
+    dwin AS (SELECT w.doc_id, w.p FROM win w JOIN dup USING (wh)),
+    isl AS (
+      SELECT doc_id, p,
+             SUM(CASE WHEN prev IS NULL OR p - prev > {k} THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY p) AS island
+      FROM (SELECT doc_id, p,
+                   LAG(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+            FROM dwin)
+    ),
+    spans AS (
+      SELECT doc_id, CAST(MIN(p) AS BIGINT) AS span_start,
+             CAST(MAX(p) + {k - 1} AS BIGINT) AS span_end,
+             CAST(COUNT(*) AS BIGINT) AS n_windows
+      FROM isl GROUP BY doc_id, island
+    )"""
+
+
+@query(
+    "duplicate_spans_documents",
+    f"""
+    WITH
+    {_dup_win_sql(16, 2)}
+    SELECT doc_id, span_start, span_end, n_windows FROM spans
+    """,
+)
+def duplicate_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate spans (`dedup.duplicate_spans`, Lee et
+    al. ACL 2022 ExactSubstr re-expressed without the suffix array):
+    every 16-token window repeated anywhere in the corpus marks its
+    tokens, overlapping marks merge into maximal per-document spans.
+    One window-hash aggregation — a boilerplate window shared by millions
+    of docs costs one counter, never a candidate-pair product. The oracle
+    replays windows, the frequency gate, and the island merge."""
+    from .operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return D.duplicate_spans(docs, k=16, min_count=2)
+
+
+@query(
+    "strip_duplicate_spans_documents",
+    f"""
+    WITH
+    {_dup_win_sql(16, 2)},
+    pos AS (SELECT doc_id, CAST(i AS INT) AS p, t[CAST(i AS INT)] AS w,
+                   len(t) AS n
+            FROM tok, unnest(range(1, len(t) + 1)) AS u(i)),
+    kept AS (
+      SELECT doc_id, p, w, n FROM pos
+      WHERE NOT EXISTS (SELECT 1 FROM spans s
+                        WHERE s.doc_id = pos.doc_id
+                          AND pos.p BETWEEN s.span_start AND s.span_end)
+    )
+    SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           md5(string_agg(w, ' ' ORDER BY p)) AS clean_fp
+    FROM kept GROUP BY doc_id
+    """,
+)
+def strip_duplicate_spans_documents(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """ExactSubstr's removal step (`dedup.strip_duplicate_spans`): tokens
+    covered by any duplicated span are cut and the text rebuilt —
+    returned as (doc_id, n_tokens, n_kept, md5 of the cleaned text), so
+    the oracle hash-checks the RECONSTRUCTED text of every document, not
+    just the span bounds. Docs whose every token is covered drop out
+    (empty rebuild = empty doc, the ExactSubstr degenerate case)."""
+    from .operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return (
+        D.strip_duplicate_spans(docs, k=16, min_count=2)
+        .filter(F.col("n_kept") > 0)
+        .select("doc_id", "n_tokens", "n_kept",
+                F.md5("text_clean").alias("clean_fp"))
+    )
 
 
 def _emb_lsh_pairs_oracle(tables: int, bits: int, threshold: float,
