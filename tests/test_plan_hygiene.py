@@ -234,7 +234,13 @@ def test_no_cartesian_or_undeclared_python_anywhere(spark):
                     "lm_quality_documents",
                     # DSIR ratio crossJoins BOTH models' ONE-ROW
                     # vocabulary sizes — same scalar-subquery shape
-                    "dsir_sample_documents"}
+                    "dsir_sample_documents",
+                    # NB grid crossJoins the L-ROW priors table (L =
+                    # label count, single digits) — O(n·L), scale-safe
+                    "nb_classify_documents",
+                    # slice-pair frame: L-ROW sizes × L-ROW sizes — the
+                    # output is L²/2 rows by design, corpus-size-free
+                    "source_overlap_documents"}
     # declared Arrow/Python boundaries
     python_ok = {"multimodal_frames", "multimodal_features",
                  "multimodal_resize", "multimodal_audio_chunks",

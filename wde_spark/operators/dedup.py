@@ -812,3 +812,63 @@ def strip_duplicate_spans(docs: DataFrame, k: int = 16, min_count: int = 2,
         F.size(kept).cast("long").alias("n_kept"),
         F.array_join(kept, " ").alias("text_clean"),
     )
+
+
+def corpus_overlap(docs: DataFrame, group_col: str = "source",
+                   shingle_k: int = 3, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Cross-slice content overlap matrix — the corpus-analytics query a
+    100-TB ingest answers before mixing sources ("how much of source B is
+    already inside source A?"): for every pair of corpus slices, the
+    EXACT Jaccard and directional containments of their distinct
+    k-token-shingle sets.
+
+    Returns (grp_a, grp_b, n_a, n_b, n_inter, jaccard, contain_a_in_b,
+    contain_b_in_a) for grp_a < grp_b.
+
+    Scale shape: ONE shingle explode → distinct (group, shingle) pairs
+    (corpus-state-sized, not corpus-sized) → self-equi-join on the
+    shingle key. Per-shingle fan-out is bounded by the number of slices
+    CONTAINING that shingle (≤ L², with L the slice count — single/double
+    digits), never by document count, so a boilerplate shingle in every
+    slice costs L² counter bumps, not a pair product over docs. The
+    result is L²/2 rows however large the corpus."""
+    sh = (
+        docs.select(
+            F.col(group_col).alias("grp"),
+            F.explode(shingles(tokens(F.col(text_col)), shingle_k))
+            .alias("sh"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("grp").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.select(F.col("grp").alias("grp_a"), "sh")
+        .join(sh.select(F.col("grp").alias("grp_b"), "sh"), "sh")
+        .filter(F.col("grp_a") < F.col("grp_b"))
+        .groupBy("grp_a", "grp_b").agg(F.count("*").alias("n_inter"))
+    )
+    # all slice pairs, so disjoint slices still get a (0-overlap) row
+    pairs = (
+        sizes.select(F.col("grp").alias("grp_a"), F.col("n_sh").alias("n_a"))
+        .join(sizes.select(F.col("grp").alias("grp_b"),
+                           F.col("n_sh").alias("n_b")))
+        .filter(F.col("grp_a") < F.col("grp_b"))
+    )
+    return (
+        pairs.join(inter, ["grp_a", "grp_b"], "left")
+        .select(
+            "grp_a", "grp_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.coalesce("n_inter", F.lit(0)).cast("long").alias("n_inter"),
+            F.round(F.coalesce("n_inter", F.lit(0))
+                    / (F.col("n_a") + F.col("n_b")
+                       - F.coalesce("n_inter", F.lit(0))), 6)
+            .alias("jaccard"),
+            F.round(F.coalesce("n_inter", F.lit(0)) / F.col("n_a"), 6)
+            .alias("contain_a_in_b"),
+            F.round(F.coalesce("n_inter", F.lit(0)) / F.col("n_b"), 6)
+            .alias("contain_b_in_a"),
+        )
+    )

@@ -1920,7 +1920,7 @@ from . import queries_ext  # noqa: E402,F401
 # corpus drift, LM quality, the composed text+semantic dedup, LM-gated
 # streaming admission, residual-IVFPQ gate), re-seats the six queries
 # whose only driver rows date to r01/r02 (recency, per the r5 verdict's
-# item 8), and fills the remaining slots (10 net-new + 6 re-seats + 34 =
+# item 8), and fills the remaining slots (12 net-new + 6 re-seats + 32 =
 # the driver's 50) with fast already-green representatives spanning every
 # operator family.
 _DRIVER_PRIORITY = [
@@ -1930,7 +1930,8 @@ _DRIVER_PRIORITY = [
     "dedup_corpus_semantic_documents", "lm_gated_admission_documents",
     "ivfpq_residual_recall_gate",
     "dsir_sample_documents", "duplicate_spans_documents",
-    "strip_duplicate_spans_documents",
+    "strip_duplicate_spans_documents", "nb_classify_documents",
+    "source_overlap_documents",
     # --- r01/r02-only greens, re-seated for driver recency ---
     "q5_local_supplier_volume", "doc_source_stats", "group_collect_langs",
     "q10_returned_items", "q11_supplier_share", "q15_top_supplier",
@@ -1950,9 +1951,9 @@ _DRIVER_PRIORITY = [
     # set ops + resolve
     "set_ops_segments", "resolve_ladder_parts",
     # text analysis
-    "word_count_top100", "token_stats_documents", "lang_id_documents",
+    "word_count_top100", "lang_id_documents",
     # dedup family
-    "exact_dedup_documents", "dedup_tokens_ordered",
+    "exact_dedup_documents",
     "minhash_signatures_documents", "neardup_components_documents",
     "dedup_recall_audit_documents", "dedup_increment_documents",
     # similarity / ANN

@@ -2608,6 +2608,132 @@ def dsir_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DS.dsir_sample(DS.dsir_logratio(docs, target_lm, raw_lm), k=100)
 
 
+@query(
+    "nb_classify_documents",
+    """
+    WITH tr AS (SELECT lang AS label, text FROM documents
+                WHERE doc_id % 2 = 0),
+    ttok AS (
+      SELECT label, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+      FROM tr
+    ),
+    c_lt AS (SELECT label, token, COUNT(*) AS c_lt FROM ttok
+             WHERE token <> '' GROUP BY label, token),
+    c_l AS (SELECT label, SUM(c_lt) AS c_l FROM c_lt GROUP BY label),
+    voc AS (SELECT COUNT(DISTINCT token) AS v FROM c_lt),
+    model AS (
+      SELECT label, token, ln((c_lt + 0.5) / (c_l + 0.5 * (v + 1))) AS logp
+      FROM c_lt JOIN c_l USING (label) CROSS JOIN voc
+    ),
+    n_docs AS (SELECT label, COUNT(*) AS n_l FROM tr GROUP BY label),
+    priors AS (
+      SELECT label, ln(CAST(n_l AS DOUBLE) / (SELECT SUM(n_l) FROM n_docs))
+               AS logprior,
+             ln(0.5 / (c_l + 0.5 * (v + 1))) AS lp_floor
+      FROM n_docs JOIN c_l USING (label) CROSS JOIN voc
+    ),
+    stok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+      FROM documents
+    ),
+    stok2 AS (SELECT doc_id, token FROM stok WHERE token <> ''),
+    seen_agg AS (
+      SELECT s.doc_id, m.label, SUM(m.logp) AS s_seen,
+             COUNT(*) AS n_seen
+      FROM stok2 s JOIN model m USING (token)
+      GROUP BY s.doc_id, m.label
+    ),
+    n_tok AS (SELECT doc_id, COUNT(*) AS n_tok FROM stok2 GROUP BY doc_id),
+    grid AS (
+      SELECT d.doc_id, COALESCE(n_tok.n_tok, 0) AS n_tok, p.label,
+             p.logprior, p.lp_floor
+      FROM documents d LEFT JOIN n_tok ON n_tok.doc_id = d.doc_id
+      CROSS JOIN priors p
+    ),
+    scored AS (
+      SELECT g.doc_id, g.label,
+             ROUND(g.logprior + COALESCE(sa.s_seen, 0)
+                   + (g.n_tok - COALESCE(sa.n_seen, 0)) * g.lp_floor,
+                   6) AS score
+      FROM grid g LEFT JOIN seen_agg sa
+        ON sa.doc_id = g.doc_id AND sa.label = g.label
+    ),
+    ranked AS (
+      SELECT doc_id, label, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, label) AS rnk,
+             LEAD(score) OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, label) AS nxt
+      FROM scored
+    )
+    SELECT doc_id, label AS pred_label, score,
+           ROUND(score - COALESCE(nxt, score), 6) AS margin
+    FROM ranked WHERE rnk = 1
+    """,
+)
+def nb_classify_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive-Bayes corpus classifier (`operators/classifier.py` — the
+    fastText-role quality/domain classifier of the GPT-3/CCNet pipelines,
+    as closed-form aggregations): trains on the doc_id-even half with
+    `lang` labels, classifies EVERY document; inference joins each token
+    only to classes that observed it, the unseen remainder folds into
+    (n_tokens − n_seen)·floor algebraically. The oracle replays training,
+    scoring, and the argmax, so every prediction + score + runner-up
+    margin is hash-checked."""
+    from .operators import classifier as C
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    model, priors = C.train_naive_bayes(
+        docs.filter(F.col("doc_id") % 2 == 0))
+    return C.nb_classify(docs, model, priors)
+
+
+@query(
+    "source_overlap_documents",
+    """
+    WITH tok AS (
+      SELECT source, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT source AS grp,
+             CASE WHEN len(t) >= 3
+                  THEN array_to_string(t[CAST(i AS INT):CAST(i AS INT) + 2],
+                                       ' ')
+                  ELSE array_to_string(t, ' ') END AS sh
+      FROM tok, unnest(range(1, GREATEST(len(t) - 2, 1) + 1)) AS u(i)
+    ),
+    sizes AS (SELECT grp, COUNT(*) AS n_sh FROM sh GROUP BY grp),
+    inter AS (
+      SELECT a.grp AS grp_a, b.grp AS grp_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.grp < b.grp
+      GROUP BY a.grp, b.grp
+    )
+    SELECT sa.grp AS grp_a, sb.grp AS grp_b,
+           CAST(sa.n_sh AS BIGINT) AS n_a, CAST(sb.n_sh AS BIGINT) AS n_b,
+           CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+           ROUND(COALESCE(i.n_inter, 0)
+                 / (sa.n_sh + sb.n_sh - COALESCE(i.n_inter, 0)), 6)
+             AS jaccard,
+           ROUND(COALESCE(i.n_inter, 0) / sa.n_sh, 6) AS contain_a_in_b,
+           ROUND(COALESCE(i.n_inter, 0) / sb.n_sh, 6) AS contain_b_in_a
+    FROM sizes sa JOIN sizes sb ON sa.grp < sb.grp
+    LEFT JOIN inter i ON i.grp_a = sa.grp AND i.grp_b = sb.grp
+    """,
+)
+def source_overlap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source content overlap matrix (`dedup.corpus_overlap`):
+    exact Jaccard + directional containments of every source pair's
+    distinct 3-token-shingle sets — the pre-mixing analytics a corpus
+    ingest runs (and the exact form `minhash` signatures estimate at
+    sketch cost). One shingle explode, one distinct, one equi-join on
+    the shingle key; output is L²/2 rows regardless of corpus size."""
+    from .operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return D.corpus_overlap(docs, group_col="source", shingle_k=3)
+
+
 def _dup_win_sql(k: int, min_count: int) -> str:
     """Shared CTE chain: k-token window hashes over `documents`, the
     duplicated subset, and per-doc maximal islands — SQL twin of
