@@ -137,3 +137,25 @@ def test_overlap_short_docs_use_whole_text_shingle(spark):
     docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
     r = D.corpus_overlap(docs, "source", 3).collect()[0]
     assert (r.n_a, r.n_b, r.n_inter, r.jaccard) == (1, 1, 1, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# dedup_weights (soft dedup)
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_weights_clusters_and_singletons(spark):
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 7)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long")
+    got = {r.doc_id: (r.component, r.cluster_size, r.weight)
+           for r in D.dedup_weights(docs, edges).collect()}
+    assert got[1] == (1, 3, round(1 / 3, 6))
+    assert got[2] == (1, 3, round(1 / 3, 6))
+    assert got[3] == (1, 3, round(1 / 3, 6))
+    assert got[4] == (4, 2, 0.5)
+    assert got[5] == (4, 2, 0.5)
+    assert got[6] == (6, 1, 1.0)   # edge-free doc: own cluster, weight 1
+    # weights over a cluster sum to ~1 -> corpus mass preserved per class
+    assert abs(sum(w for _, _, w in got.values()) - 3.0) < 1e-5

@@ -872,3 +872,35 @@ def corpus_overlap(docs: DataFrame, group_col: str = "source",
             .alias("contain_b_in_a"),
         )
     )
+
+
+def dedup_weights(docs: DataFrame, edges: DataFrame,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Soft deduplication — the keep-but-downweight alternative to hard
+    removal (the SoftDeDup idea: duplicates carry signal about data
+    distribution; dropping them shifts the mixture, so train on all of
+    them at weight 1/cluster instead): every document gets
+    (component, cluster_size, weight = 1/cluster_size) from the near-dup
+    pair graph; documents in no pair are their own cluster at weight 1.
+
+    Composes `graph.connected_components` over any pair generator
+    (`neardup_lsh_verified`, `semantic_dedup`'s candidate tier, ...).
+    Cost beyond the components fixpoint: one cluster-size aggregation
+    and two left joins on the doc id."""
+    from . import graph as G
+
+    comps = G.connected_components(edges) \
+        .withColumnRenamed("node", id_col)
+    sizes = comps.groupBy("component").agg(F.count("*").alias("_cs"))
+    return (
+        docs.select(id_col)
+        .join(comps, id_col, "left")
+        .join(sizes, "component", "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("component", F.col(id_col)).alias("component"),
+            F.coalesce("_cs", F.lit(1)).cast("long").alias("cluster_size"),
+            F.round(F.lit(1.0) / F.coalesce("_cs", F.lit(1)), 6)
+            .alias("weight"),
+        )
+    )

@@ -1145,6 +1145,33 @@ def neardup_components_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.connected_components(edges)
 
 @query(
+    "dedup_weights_documents",
+    f"""
+    WITH comps AS (SELECT * FROM ({_components_oracle()})),
+    sizes AS (SELECT component, COUNT(*) AS cs FROM comps GROUP BY component)
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id) AS component,
+           CAST(COALESCE(s.cs, 1) AS BIGINT) AS cluster_size,
+           ROUND(1.0 / COALESCE(s.cs, 1), 6) AS weight
+    FROM documents d
+    LEFT JOIN comps c ON c.node = d.doc_id
+    LEFT JOIN sizes s ON s.component = c.component
+    """,
+)
+def dedup_weights_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup (`dedup.dedup_weights`): every document weighted
+    1/near-dup-cluster-size instead of dropped — the mixture-preserving
+    alternative to hard dedup. Composes the LSH-verified pair graph with
+    connected components; singletons weight 1. The oracle replays pairs,
+    the component fixpoint (recursive CTE), sizes, and the weights."""
+    from .operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    edges = D.neardup_lsh_verified(docs).select("id_a", "id_b")
+    return D.dedup_weights(docs, edges)
+
+
+@query(
     "stratified_sample_documents",
     """
     SELECT doc_id, lang, source FROM documents
