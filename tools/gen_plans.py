@@ -30,6 +30,9 @@ PICKS = {
     "semantic_dedup_embeddings": "Semantic dedup: banded multi-table LSH candidates (signature equi-join behind the windowed hot-bucket cap) carry (id, sig) rows only; vectors join back per-id for verification; min-id keep via left_anti.",
     "lm_quality_documents": "Bigram-LM scoring: training is two hash aggs over the exploded bigram table; scoring is a broadcast LM join + one per-doc agg — no Python anywhere.",
     "streaming_pq_adc_ann": "Maintained-index ANN: the query side is a pure codes-table scan (parquet, the COW version the stream last wrote) joined to broadcast per-query LUTs; ranking is a JVM fold over 16 array lookups per row — no float column is ever read on the query path.",
+    "duplicate_spans_documents": "ExactSubstr spans: windows hashed once inside codegen after the position explode; duplicate detection is ONE aggregation on the window hash (a corpus-wide boilerplate window costs one counter, never a pair product); island merge is a per-doc window.",
+    "dsir_sample_documents": "DSIR selection: one bigram explode feeds BOTH LM scorings via broadcast joins (the two one-row vocab sides are the declared bounded nested loops); ratio + Gumbel key are row-local; top-k is a window over the doc-sized score table.",
+    "nb_classify_documents": "NB inference: tokens join only classes that observed them (one equi-join against the broadcast model); the docs-x-labels grid is the declared bounded L-row nested loop; argmax is a per-doc window.",
 }
 
 HEADER = """# PLANS — physical-plan audit of representative queries
