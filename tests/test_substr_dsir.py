@@ -187,3 +187,60 @@ def test_temperature_zero_is_hard_topk(spark, ratios):
                                             temperature=0.0).collect()}
     by_ratio = sorted(ratios.collect(), key=lambda r: (-r.log_ratio, r.doc_id))
     assert ids == {by_ratio[0].doc_id, by_ratio[1].doc_id}
+
+
+# ---------------------------------------------------------------------------
+# incremental substring dedup
+# ---------------------------------------------------------------------------
+
+
+def test_substr_increment_equals_full_rerun_on_batch(spark):
+    """The contract: spans of the batch from (state of corpus) must equal
+    duplicate_spans(corpus ∪ batch) restricted to batch docs — including
+    a batch window whose ONLY other occurrence is in the prior corpus,
+    and an intra-batch duplicate the state has never seen."""
+    corpus = [(1, "a b c d e f"), (2, "p q r s t u")]
+    batch = [(10, "a b c x1 x2 x3"),      # dup only via corpus doc 1
+             (11, "m m2 m3 w"), (12, "m m2 m3 v")]  # intra-batch dup
+    cdf = spark.createDataFrame(corpus, SCHEMA)
+    bdf = spark.createDataFrame(batch, SCHEMA)
+    state = D.substr_state(cdf, k=3)
+    spans, state2 = D.substr_increment(state, bdf, k=3)
+    got = {(r.doc_id, r.span_start, r.span_end, r.n_windows)
+           for r in spans.collect()}
+    full = {(r.doc_id, r.span_start, r.span_end, r.n_windows)
+            for r in D.duplicate_spans(cdf.unionByName(bdf), k=3).collect()
+            if r.doc_id >= 10}
+    assert got == full
+    assert got == {(10, 1, 3, 1), (11, 1, 3, 1), (12, 1, 3, 1)}
+    # merged state counts = counts over corpus ∪ batch
+    want = {r.wh: r.c for r in
+            D.substr_state(cdf.unionByName(bdf), k=3).collect()}
+    assert {r.wh: r.c for r in state2.collect()} == want
+
+
+def test_substr_increment_chained_batches(spark):
+    """Chaining increments: the second batch dedups against corpus ∪
+    batch1 via the MERGED state, never re-reading their text."""
+    cdf = spark.createDataFrame([(1, "a b c d")], SCHEMA)
+    b1 = spark.createDataFrame([(10, "q r s t")], SCHEMA)
+    b2 = spark.createDataFrame([(20, "q r s z")], SCHEMA)  # dups b1 via state
+    state = D.substr_state(cdf, k=3)
+    _, state1 = D.substr_increment(state, b1, k=3)
+    spans2, _ = D.substr_increment(state1, b2, k=3)
+    got = {(r.doc_id, r.span_start, r.span_end) for r in spans2.collect()}
+    assert got == {(20, 1, 3)}
+
+
+def test_substr_increment_empty_batch_and_state(spark):
+    empty = spark.createDataFrame([], SCHEMA)
+    cdf = spark.createDataFrame([(1, "a b c d")], SCHEMA)
+    # empty batch: no spans, state unchanged
+    spans, state2 = D.substr_increment(D.substr_state(cdf, k=3), empty, k=3)
+    assert spans.count() == 0
+    assert state2.count() == D.substr_state(cdf, k=3).count()
+    # empty state (cold start): increment ≡ plain duplicate_spans on batch
+    b = spark.createDataFrame([(1, "a b c x"), (2, "a b c y")], SCHEMA)
+    spans, _ = D.substr_increment(D.substr_state(empty, k=3), b, k=3)
+    assert {(r.doc_id, r.span_start, r.span_end) for r in spans.collect()} \
+        == {(1, 1, 3), (2, 1, 3)}

@@ -750,6 +750,13 @@ def duplicate_spans(docs: DataFrame, k: int = 16, min_count: int = 2,
         .filter(F.col("c") >= min_count).select("wh")
     )
     dwin = win.join(dup, "wh").select(id_col, "p")
+    return _merge_islands(dwin, k, id_col)
+
+
+def _merge_islands(dwin: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Gaps-and-islands over duplicated window positions: consecutive
+    positions with gap <= k cover overlapping/adjacent k-token runs and
+    merge into one maximal span."""
     w = Window.partitionBy(id_col).orderBy("p")
     isl = (
         dwin.withColumn("prev", F.lag("p").over(w))
@@ -772,6 +779,58 @@ def duplicate_spans(docs: DataFrame, k: int = 16, min_count: int = 2,
         )
         .select(id_col, "span_start", "span_end", "n_windows")
     )
+
+
+def substr_state(corpus: DataFrame, k: int = 16, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Window-hash frequency state (wh, c) of a corpus — the compact
+    representation `substr_increment` dedups new batches against without
+    rescanning corpus text (same state-vs-text separation as
+    `incremental.dedup_state`: the counts table is corpus-STATE-sized —
+    distinct windows — and partitionable by the hash). Build once at
+    bootstrap; `substr_increment` returns the merged state."""
+    return (
+        _window_hashes(corpus, k, text_col, id_col)
+        .groupBy("wh").agg(F.count("*").alias("c"))
+    )
+
+
+def substr_increment(state: DataFrame, batch: DataFrame, k: int = 16,
+                     min_count: int = 2, text_col: str = "text",
+                     id_col: str = "doc_id") -> tuple[DataFrame, DataFrame]:
+    """Incremental ExactSubstr: duplicated spans of a NEW batch against
+    corpus-so-far ∪ batch, touching only the batch's text and the state
+    counts — never prior corpus text. Returns (spans_of_batch, state').
+
+    Exact-equivalence contract (pinned in tests and by the registry
+    oracle): when `state = substr_state(corpus)`, the returned spans
+    equal `duplicate_spans(corpus ∪ batch)` restricted to batch docs —
+    a batch window is duplicated iff its corpus-wide count (state +
+    batch occurrences) reaches min_count. The asymmetry is declared:
+    spans of PRIOR docs whose windows only now became duplicated are not
+    re-emitted (the production shape — admitted history is immutable;
+    re-running the batch query over any later state recovers them).
+
+    Scale shape: batch windows explode batch-sized rows; the state joins
+    ONCE on the window hash restricted to the batch's hash set (semi
+    side broadcast when the batch is small); the merge is one
+    full-outer-shaped aggregation on the hash key."""
+    bwin = _window_hashes(batch, k, text_col, id_col)
+    bc = bwin.groupBy("wh").agg(F.count("*").alias("bc"))
+    s_hits = state.join(F.broadcast(bc.select("wh")), "wh", "left_semi")
+    dup = (
+        bc.join(s_hits, "wh", "left")
+        .filter(F.col("bc") + F.coalesce("c", F.lit(0)) >= min_count)
+        .select("wh")
+    )
+    spans = _merge_islands(
+        bwin.join(dup, "wh").select(id_col, "p"), k, id_col)
+    new_state = (
+        state.withColumnRenamed("c", "n").unionByName(
+            bc.withColumnRenamed("bc", "n"))
+        .groupBy("wh").agg(F.sum("n").cast("long").alias("c"))
+    )
+    return spans, new_state
 
 
 def strip_duplicate_spans(docs: DataFrame, k: int = 16, min_count: int = 2,

@@ -1920,7 +1920,7 @@ from . import queries_ext  # noqa: E402,F401
 # corpus drift, LM quality, the composed text+semantic dedup, LM-gated
 # streaming admission, residual-IVFPQ gate), re-seats the six queries
 # whose only driver rows date to r01/r02 (recency, per the r5 verdict's
-# item 8), and fills the remaining slots (13 net-new + 6 re-seats + 31 =
+# item 8), and fills the remaining slots (14 net-new + 6 re-seats + 30 =
 # the driver's 50) with fast already-green representatives spanning every
 # operator family.
 _DRIVER_PRIORITY = [
@@ -1932,6 +1932,7 @@ _DRIVER_PRIORITY = [
     "dsir_sample_documents", "duplicate_spans_documents",
     "strip_duplicate_spans_documents", "nb_classify_documents",
     "source_overlap_documents", "dedup_weights_documents",
+    "substr_increment_documents",
     # --- r01/r02-only greens, re-seated for driver recency ---
     "q5_local_supplier_volume", "doc_source_stats", "group_collect_langs",
     "q10_returned_items", "q11_supplier_share", "q15_top_supplier",
@@ -1958,7 +1959,7 @@ _DRIVER_PRIORITY = [
     "dedup_recall_audit_documents", "dedup_increment_documents",
     # similarity / ANN
     "embedding_vector_stats", "cosine_topk_embeddings",
-    "pq_ann_recall_gate", "streaming_pq_adc_ann",
+    "streaming_pq_adc_ann",
     # multimodal + quality
     "multimodal_resize", "data_quality_orders",
 ]

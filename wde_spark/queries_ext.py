@@ -2815,6 +2815,32 @@ def duplicate_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "substr_increment_documents",
+    f"""
+    WITH
+    {_dup_win_sql(16, 2)}
+    SELECT doc_id, span_start, span_end, n_windows FROM spans
+    WHERE doc_id % 2 = 1
+    """,
+)
+def substr_increment_documents(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Incremental ExactSubstr gate (`dedup.substr_increment`): window
+    state from the doc_id-even half, the odd half admitted as a batch —
+    batch spans computed WITHOUT rescanning the prior corpus text. The
+    oracle recomputes the FULL corpus-wide duplicate spans flat and
+    restricts to the batch, so the driver hash-checks the exact
+    equivalence contract (increment ≡ full re-run on batch docs)."""
+    from .operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    state = D.substr_state(docs.filter(F.col("doc_id") % 2 == 0), k=16)
+    spans, _ = D.substr_increment(
+        state, docs.filter(F.col("doc_id") % 2 == 1), k=16, min_count=2)
+    return spans
+
+
+@query(
     "strip_duplicate_spans_documents",
     f"""
     WITH
