@@ -159,3 +159,35 @@ def test_dedup_weights_clusters_and_singletons(spark):
     assert got[6] == (6, 1, 1.0)   # edge-free doc: own cluster, weight 1
     # weights over a cluster sum to ~1 -> corpus mass preserved per class
     assert abs(sum(w for _, _, w in got.values()) - 3.0) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# bloom semi-join
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_prunes(spark):
+    """Pre-filter must pass EVERY true match (else the semi-join would
+    lose rows) while pruning most non-matches even at a small m."""
+    from wde_spark.operators import bloom as B
+
+    big = spark.range(0, 5000).select(F.col("id").alias("k"))
+    small = spark.range(0, 5000, 50).select(F.col("id").alias("k"))  # 100 keys
+    bits = B.bloom_build(small, "k", m=4096, h=3)
+    cand = B.bloom_prefilter(big, bits, "k", m=4096)
+    n_cand = cand.count()
+    truth = {r.k for r in big.join(small, "k", "left_semi").collect()}
+    got_cand = {r.k for r in cand.collect()}
+    assert truth <= got_cand            # no false negatives, ever
+    assert n_cand < 1000                # pruned >80% of the big side
+    exact = {r.k for r in
+             B.bloom_semi_join(big, small, "k", m=4096, h=3).collect()}
+    assert exact == truth               # end result == plain semi-join
+
+
+def test_bloom_empty_small_side(spark):
+    from wde_spark.operators import bloom as B
+
+    big = spark.range(100).select(F.col("id").alias("k"))
+    small = big.filter(F.col("k") < 0)
+    assert B.bloom_semi_join(big, small, "k").count() == 0

@@ -1920,7 +1920,7 @@ from . import queries_ext  # noqa: E402,F401
 # corpus drift, LM quality, the composed text+semantic dedup, LM-gated
 # streaming admission, residual-IVFPQ gate), re-seats the six queries
 # whose only driver rows date to r01/r02 (recency, per the r5 verdict's
-# item 8), and fills the remaining slots (14 net-new + 6 re-seats + 30 =
+# item 8), and fills the remaining slots (15 net-new + 6 re-seats + 29 =
 # the driver's 50) with fast already-green representatives spanning every
 # operator family.
 _DRIVER_PRIORITY = [
@@ -1932,7 +1932,7 @@ _DRIVER_PRIORITY = [
     "dsir_sample_documents", "duplicate_spans_documents",
     "strip_duplicate_spans_documents", "nb_classify_documents",
     "source_overlap_documents", "dedup_weights_documents",
-    "substr_increment_documents",
+    "substr_increment_documents", "bloom_semi_join_lineitem",
     # --- r01/r02-only greens, re-seated for driver recency ---
     "q5_local_supplier_volume", "doc_source_stats", "group_collect_langs",
     "q10_returned_items", "q11_supplier_share", "q15_top_supplier",
@@ -1945,7 +1945,7 @@ _DRIVER_PRIORITY = [
     # sketch gates
     "hll_distinct_gate", "quantile_sketch_gate",
     # joins
-    "semi_join_active_customers", "lww_latest_order",
+    "lww_latest_order",
     "asof_join_purchase_view", "range_join_error_clicks",
     # windows / temporal
     "topk_orders_per_customer", "carry_forward_purchase",

@@ -1145,6 +1145,37 @@ def neardup_components_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.connected_components(edges)
 
 @query(
+    "bloom_semi_join_lineitem",
+    """
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                         WHERE o_totalprice > 150000)
+    GROUP BY l_returnflag
+    """,
+)
+def bloom_semi_join_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom pre-filtered semi-join (`operators/bloom.py`): lineitem
+    reduced against high-value orders by h=3 broadcast probe joins over
+    ≤m-row position tables BEFORE the exact semi-join — the explicit form
+    of runtime bloom pruning, for when the key snapshot outlives one
+    plan. The oracle is the PLAIN semi-join: equality of results is the
+    no-false-negative guarantee, hash-checked per group."""
+    from .operators import bloom as B
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders") \
+        .filter(F.col("o_totalprice") > 150000)
+    hits = B.bloom_semi_join(li, orders, "l_orderkey", "o_orderkey",
+                             m=1 << 17, h=3)
+    return hits.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@query(
     "dedup_weights_documents",
     f"""
     WITH comps AS (SELECT * FROM ({_components_oracle()})),
