@@ -244,3 +244,60 @@ def test_substr_increment_empty_batch_and_state(spark):
     spans, _ = D.substr_increment(D.substr_state(empty, k=3), b, k=3)
     assert {(r.doc_id, r.span_start, r.span_end) for r in spans.collect()} \
         == {(1, 1, 3), (2, 1, 3)}
+
+
+# ---------------------------------------------------------------------------
+# streaming substring-state maintainer
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_substr_matches_sequential_increments(spark, tmp_path):
+    """Streamed batches must produce byte-equal ledgers to calling
+    substr_increment sequentially, the final state must equal
+    substr_state over everything, and replay must rewrite identical
+    versions (exactly-once effect)."""
+    import os
+
+    from wde_spark.streaming import substr_admission as SA
+
+    corpus = [(1, "a b c d e"), (2, "p q r s t")]
+    b1 = [(10, "a b c x y"), (11, "n1 n2 n3 n4")]
+    b2 = [(20, "n1 n2 n3 z"), (21, "p q r w w2")]
+    cdf = spark.createDataFrame(corpus, SCHEMA)
+
+    src = tmp_path / "docs"
+    for i, rows in enumerate((b1, b2)):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1) \
+            .write.mode("overwrite").parquet(str(src / f"f{i}.parquet"))
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*.parquet"))
+    )
+    target, ckpt = str(tmp_path / "sub"), str(tmp_path / "ckpt")
+    SA.streaming_substr_maintain(stream, cdf, target, ckpt, k=3)
+
+    got = {(r.batch_id, r.doc_id, r.span_start, r.span_end)
+           for r in SA.read_spans(spark, target).collect()}
+    # sequential reference
+    state = D.substr_state(cdf, k=3)
+    want = set()
+    for bid, rows in enumerate((b1, b2)):
+        spans, state = D.substr_increment(
+            state, spark.createDataFrame(rows, SCHEMA), k=3)
+        want |= {(bid, r.doc_id, r.span_start, r.span_end)
+                 for r in spans.collect()}
+    assert got == want
+    # the cross-batch dup (n1 n2 n3) was caught via state, not text
+    assert any(d == 20 for _, d, _, _ in got)
+    # final state == one-shot state over all docs
+    final = {r.wh: r.c for r in SA.read_state(spark, target, 2).collect()}
+    all_docs = spark.createDataFrame(corpus + b1 + b2, SCHEMA)
+    assert final == {r.wh: r.c
+                     for r in D.substr_state(all_docs, k=3).collect()}
+    # replay: same versions, same ledger
+    versions = sorted(os.listdir(target))
+    SA.streaming_substr_maintain(stream, cdf, target, ckpt, k=3)
+    assert sorted(os.listdir(target)) == versions
+    assert {(r.batch_id, r.doc_id, r.span_start, r.span_end)
+            for r in SA.read_spans(spark, target).collect()} == got
