@@ -232,6 +232,8 @@ def test_no_cartesian_or_undeclared_python_anywhere(spark):
                     "corpus_drift_documents",
                     # LM scoring crossJoins the ONE-ROW vocabulary size
                     "lm_quality_documents",
+                    # scorecard embeds the same LM scoring shape
+                    "source_scorecard_documents",
                     # DSIR ratio crossJoins BOTH models' ONE-ROW
                     # vocabulary sizes — same scalar-subquery shape
                     "dsir_sample_documents",

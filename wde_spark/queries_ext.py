@@ -2910,6 +2910,67 @@ def strip_duplicate_spans_documents(spark: SparkSession,
     )
 
 
+@query(
+    "source_scorecard_documents",
+    f"""
+    WITH
+    {_lm_score_cte_block("(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0)", "documents", "sq")},
+    {_dup_win_sql(16, 2)},
+    dup_docs AS (SELECT DISTINCT doc_id FROM spans),
+    base AS (
+      SELECT d.doc_id, d.source,
+             len(string_split_regex(trim(lower(d.text)), '\\s+')) AS n_tok,
+             ROUND(agg_sq.al, 6) AS lm,
+             CASE WHEN dd.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+      FROM documents d
+      LEFT JOIN agg_sq ON agg_sq.doc_id = d.doc_id
+      LEFT JOIN dup_docs dd ON dd.doc_id = d.doc_id
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(n_tok), 4) AS avg_tokens,
+           ROUND(AVG(lm), 6) AS avg_lm_logp,
+           CAST(SUM(is_dup) AS BIGINT) AS substr_dup_docs,
+           ROUND(AVG(CAST(is_dup AS DOUBLE)), 6) AS substr_dup_rate
+    FROM base GROUP BY source
+    """,
+)
+def source_scorecard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality scorecard — the one-table summary a corpus
+    curator reads before setting mixture weights, composing three
+    oracled operator families over ONE pass of the documents table:
+    volume (docs, mean whitespace tokens), fluency (mean CCNet bigram-LM
+    score, LM trained on the doc_id-even half — `operators/lm_score`),
+    and redundancy (share of docs carrying at least one corpus-wide
+    duplicated 16-token span — `dedup.duplicate_spans`). All three
+    joined per doc, then one grouped aggregation per source; the oracle
+    replays LM training, scoring, the span pipeline, and the rollup."""
+    from .functions.strings import tokens as _tokens
+    from .operators import dedup as D
+    from .operators import lm_score as LM
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    lm = LM.train_bigram_lm(docs.filter(F.col("doc_id") % 2 == 0))
+    scores = LM.lm_quality(docs, lm).select("doc_id", "avg_logp")
+    dup_docs = D.duplicate_spans(docs, k=16, min_count=2) \
+        .select("doc_id").distinct().withColumn("_dup", F.lit(1))
+    base = (
+        docs.select("doc_id", "source",
+                    F.size(_tokens(F.col("text"))).alias("n_tok"))
+        .join(scores, "doc_id", "left")
+        .join(dup_docs, "doc_id", "left")
+        .select("source", "n_tok", "avg_logp",
+                F.coalesce("_dup", F.lit(0)).alias("is_dup"))
+    )
+    return base.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+        F.round(F.avg("avg_logp"), 6).alias("avg_lm_logp"),
+        F.sum("is_dup").cast("long").alias("substr_dup_docs"),
+        F.round(F.avg(F.col("is_dup").cast("double")), 6)
+        .alias("substr_dup_rate"),
+    )
+
+
 def _emb_lsh_pairs_oracle(tables: int, bits: int, threshold: float,
                           max_bucket: int,
                           src: str = "embeddings") -> str:
