@@ -301,3 +301,61 @@ def test_streaming_substr_matches_sequential_increments(spark, tmp_path):
     assert sorted(os.listdir(target)) == versions
     assert {(r.batch_id, r.doc_id, r.span_start, r.span_end)
             for r in SA.read_spans(spark, target).collect()} == got
+
+
+# ---------------------------------------------------------------------------
+# DSIR-gated streaming admission
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_gated_admission_quarantine_and_replay(spark, tmp_path):
+    """Target-like batch docs are admitted, off-distribution docs land in
+    the quarantine ledger with their ratios, and replaying the stream
+    rewrites identical versions."""
+    import os
+
+    from wde_spark.operators import dedup as D2
+    from wde_spark.streaming import dsir_admission as DA
+
+    target = [(100, "alpha beta gamma alpha beta gamma alpha beta")]
+    init = target + [(1, "noise one two three four"),
+                     (2, "other filler words here now")]
+    # doc 11's bigrams are raw-corpus material (seen by the raw model,
+    # unseen by target) => negative ratio. A doc unseen by BOTH models
+    # scores exactly 0 under the shared vocabulary (the floors cancel) —
+    # "no evidence either way", which a 0.0 cutoff would admit.
+    batch = [(10, "alpha beta gamma alpha beta delta"),   # target-like
+             (11, "noise one two three four")]
+    cdf = D2.dedup_corpus(spark.createDataFrame(init, SCHEMA),
+                          max_bucket=None)
+    tdf = spark.createDataFrame(target, SCHEMA)
+
+    src = tmp_path / "docs"
+    spark.createDataFrame(batch, SCHEMA).coalesce(1) \
+        .write.mode("overwrite").parquet(str(src / "f0.parquet"))
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*.parquet"))
+    )
+    corpus_dir = str(tmp_path / "corpus")
+    qdir = str(tmp_path / "quarantine")
+    DA.streaming_dsir_dedup_admission(
+        stream, cdf, tdf, corpus_dir, str(tmp_path / "ckpt"), qdir,
+        cutoff=0.0, max_bucket=None)
+
+    from wde_spark.streaming.dedup_admission import read_corpus
+
+    kept = {r.doc_id for r in read_corpus(spark, corpus_dir).collect()}
+    quar = {r.doc_id: r.log_ratio
+            for r in DA.read_quarantine(spark, qdir).collect()}
+    assert 10 in kept and 11 not in kept
+    assert set(quar) == {11} and quar[11] < 0
+    # replay: same versions, same quarantine
+    versions = sorted(os.listdir(corpus_dir))
+    DA.streaming_dsir_dedup_admission(
+        stream, cdf, tdf, corpus_dir, str(tmp_path / "ckpt"), qdir,
+        cutoff=0.0, max_bucket=None)
+    assert sorted(os.listdir(corpus_dir)) == versions
+    assert {r.doc_id for r in DA.read_quarantine(spark, qdir).collect()} \
+        == {11}

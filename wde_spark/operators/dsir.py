@@ -37,6 +37,28 @@ from pyspark.sql import functions as F
 from .lm_score import _bigram_table, lm_vocab_size
 
 
+def shared_vocab(target_docs: DataFrame, raw_docs: DataFrame,
+                 text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """The union bigram-word vocabulary of both training sets as a 1-row
+    (v) DataFrame — the event space BOTH models must be smoothed over
+    for their scores to be comparable (DSIR's equal-dimension hashed
+    feature space, exactly): with per-model vocabularies, the smaller
+    model's smaller denominators inflate every probability it assigns,
+    and the log-ratio degenerates into ~n_bigrams · (V_raw/V_target
+    bias) — a LENGTH preference, not a distribution preference. Train
+    both models with this via `train_bigram_lm(..., vocab=...)` and pass
+    it to `dsir_logratio(..., vocab=...)` so the unseen-context floors
+    cancel too."""
+    def words(docs: DataFrame) -> DataFrame:
+        bg = _bigram_table(docs, text_col, id_col)
+        return bg.select(F.col("w1").alias("w")) \
+            .union(bg.select(F.col("w2").alias("w")))
+
+    return words(target_docs).union(words(raw_docs)).distinct() \
+        .agg(F.count("*").alias("v"))
+
+
 def _lm_sides(lm: DataFrame, tag: str,
               broadcast_lm: bool) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(seen, floor, vocab) join sides of a trained LM, tagged to keep the
@@ -53,16 +75,28 @@ def _lm_sides(lm: DataFrame, tag: str,
 
 def dsir_logratio(docs: DataFrame, target_lm: DataFrame, raw_lm: DataFrame,
                   text_col: str = "text", id_col: str = "doc_id",
-                  broadcast_lm: bool = True) -> DataFrame:
+                  broadcast_lm: bool = True,
+                  vocab: DataFrame | None = None) -> DataFrame:
     """(id, n_bigrams, log_ratio): log_ratio = Σ_bigrams [ln p_target −
-    ln p_raw] with each model's own two-step back-off (observed bigram →
+    ln p_raw] with each model's two-step back-off (observed bigram →
     per-context floor → uniform −ln(V+1)); the per-bigram DIFFERENCE is
     summed (not two separate totals) so the magnitudes stay small and the
     sum is engine-reproducible at 6 dp. Documents with <2 tokens get
-    n_bigrams 0 and NULL ratio — no evidence is not a preference."""
+    n_bigrams 0 and NULL ratio — no evidence is not a preference.
+
+    `vocab`: the SHARED vocabulary the models were trained with
+    (`shared_vocab` + `train_bigram_lm(..., vocab=...)`) — used for both
+    unseen-context floors, so a bigram unseen by BOTH models contributes
+    exactly 0 to the ratio. Without it each model falls back to its own
+    vocabulary size and a smaller target model biases the ratio upward
+    per token (see `shared_vocab`); the production composition always
+    passes it."""
     bg = _bigram_table(docs, text_col, id_col)
     seen_t, floor_t, v_t = _lm_sides(target_lm, "t", broadcast_lm)
     seen_r, floor_r, v_r = _lm_sides(raw_lm, "r", broadcast_lm)
+    if vocab is not None:
+        v_t = vocab.select(F.col("v").alias("v_t"))
+        v_r = vocab.select(F.col("v").alias("v_r"))
     scored = (
         bg.join(seen_t, ["w1", "w2"], "left")
         .join(floor_t, ["w1"], "left")

@@ -56,16 +56,26 @@ def _bigram_table(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def train_bigram_lm(docs: DataFrame, text_col: str = "text",
-                    id_col: str = "doc_id", k: float = 0.5) -> DataFrame:
+                    id_col: str = "doc_id", k: float = 0.5,
+                    vocab: DataFrame | None = None) -> DataFrame:
     """Train the LM: returns (w1, w2, logp) for every OBSERVED bigram,
     plus the per-context floor as (w1, NULL, logp_floor) rows so scoring
     can back off with one left join. The uniform unseen-context floor
     -ln(V+1) is a property of (V, k) and is recomputed by `lm_quality`;
-    it is not stored per row."""
+    it is not stored per row.
+
+    `vocab` (a 1-row (v) DataFrame) overrides the model's OWN vocabulary
+    size in the smoothing denominators — two models trained with the
+    same `vocab` are smoothed over the same event space, which is what
+    makes their per-document scores comparable (the DSIR log-ratio
+    requirement: same feature-space dimension for both models; a
+    smaller-V model otherwise assigns higher probability to EVERYTHING
+    and the ratio picks up a per-token bias — see `operators/dsir.py`)."""
     bg = _bigram_table(docs, text_col, id_col)
     c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
-    vdf = c12.select("w2").union(c12.select("w1")).distinct() \
+    vdf = vocab if vocab is not None else \
+        c12.select("w2").union(c12.select("w1")).distinct() \
         .agg(F.count("*").alias("v"))
     seen = (
         c12.join(c1, "w1").crossJoin(F.broadcast(vdf))

@@ -1920,7 +1920,7 @@ from . import queries_ext  # noqa: E402,F401
 # corpus drift, LM quality, the composed text+semantic dedup, LM-gated
 # streaming admission, residual-IVFPQ gate), re-seats the six queries
 # whose only driver rows date to r01/r02 (recency, per the r5 verdict's
-# item 8), and fills the remaining slots (16 net-new + 6 re-seats + 28 =
+# item 8), and fills the remaining slots (17 net-new + 6 re-seats + 27 =
 # the driver's 50) with fast already-green representatives spanning every
 # operator family.
 _DRIVER_PRIORITY = [
@@ -1933,7 +1933,7 @@ _DRIVER_PRIORITY = [
     "strip_duplicate_spans_documents", "nb_classify_documents",
     "source_overlap_documents", "dedup_weights_documents",
     "substr_increment_documents", "bloom_semi_join_lineitem",
-    "source_scorecard_documents",
+    "source_scorecard_documents", "dsir_gated_admission_documents",
     # --- r01/r02-only greens, re-seated for driver recency ---
     "q5_local_supplier_volume", "doc_source_stats", "group_collect_langs",
     "q10_returned_items", "q11_supplier_share", "q15_top_supplier",
@@ -1942,7 +1942,7 @@ _DRIVER_PRIORITY = [
     "q1_pricing_summary", "q3_shipping_priority", "q4_order_priority",
     "q6_forecast_revenue", "q18_large_volume_orders",
     # aggregation variants
-    "agg_order_stats", "histogram_order_prices",
+    "agg_order_stats",
     # sketch gates
     "hll_distinct_gate", "quantile_sketch_gate",
     # joins

@@ -2535,25 +2535,50 @@ def _lm_bigrams_sql(src: str) -> str:
     """
 
 
+def _lm_counts_cte(train_src: str, t: str) -> str:
+    """Bigram/context count CTEs + the model's word set for ONE training
+    corpus — the vocabulary-independent half of an add-k bigram LM.
+
+    words_{t} dedups with an explicit DISTINCT over UNION ALL, not bare
+    UNION: several callers embed this chain under WITH RECURSIVE (the
+    dedup fixpoint oracles), and DuckDB gives a top-level `cte AS (A
+    UNION B)` recursive-CTE semantics there — the set-dedup silently
+    degrades to ALL and the vocabulary count inflates ~60× (observed:
+    1816 vs 31), shifting every smoothed probability."""
+    return f"""
+    tbg_{t} AS MATERIALIZED ({_lm_bigrams_sql(train_src)}),
+    c12_{t} AS (SELECT w1, w2, COUNT(*) AS c12 FROM tbg_{t} GROUP BY w1, w2),
+    c1_{t} AS (SELECT w1, SUM(c12) AS c1 FROM c12_{t} GROUP BY w1),
+    words_{t} AS (SELECT DISTINCT w FROM (
+      SELECT w2 AS w FROM c12_{t} UNION ALL SELECT w1 FROM c12_{t}))"""
+
+
+def _lm_model_cte(t: str, k: float = 0.5, voc: str | None = None) -> str:
+    """`seen_{t}` / `flr_{t}` from the counts, smoothed over the `voc`
+    CTE (defaults to the model's own `voc_{t}`) — pass a shared vocab
+    CTE to smooth two models over the same event space (the DSIR
+    requirement, `dsir.shared_vocab`)."""
+    voc = voc or f"voc_{t}"
+    return f"""
+    seen_{t} AS (
+      SELECT w1, w2, ln((c12 + {k}) / (c1 + {k} * (v + 1))) AS lp_seen
+      FROM c12_{t} JOIN c1_{t} USING (w1) CROSS JOIN {voc}
+    ),
+    flr_{t} AS (
+      SELECT w1, ln({k} / (c1 + {k} * (v + 1))) AS lp_floor
+      FROM c1_{t} CROSS JOIN {voc}
+    )"""
+
+
 def _lm_tables_cte(train_src: str, t: str, k: float = 0.5) -> str:
     """CTE chain for ONE trained add-k bigram LM over `train_src`:
     `seen_{t}` = (w1, w2, lp_seen), `flr_{t}` = (w1, lp_floor),
     `voc_{t}` = (v) — SQL twin of `lm_score.train_bigram_lm`. Shared by
     the quality scorer and the DSIR importance-ratio oracles."""
     return f"""
-    tbg_{t} AS MATERIALIZED ({_lm_bigrams_sql(train_src)}),
-    c12_{t} AS (SELECT w1, w2, COUNT(*) AS c12 FROM tbg_{t} GROUP BY w1, w2),
-    c1_{t} AS (SELECT w1, SUM(c12) AS c1 FROM c12_{t} GROUP BY w1),
-    voc_{t} AS (SELECT COUNT(*) AS v
-                FROM (SELECT w2 AS w FROM c12_{t} UNION SELECT w1 FROM c12_{t})),
-    seen_{t} AS (
-      SELECT w1, w2, ln((c12 + {k}) / (c1 + {k} * (v + 1))) AS lp_seen
-      FROM c12_{t} JOIN c1_{t} USING (w1) CROSS JOIN voc_{t}
-    ),
-    flr_{t} AS (
-      SELECT w1, ln({k} / (c1 + {k} * (v + 1))) AS lp_floor
-      FROM c1_{t} CROSS JOIN voc_{t}
-    )"""
+    {_lm_counts_cte(train_src, t)},
+    voc_{t} AS (SELECT COUNT(*) AS v FROM words_{t}),
+    {_lm_model_cte(t, k)}"""
 
 
 def _lm_score_cte_block(train_src: str, score_src: str, t: str,
@@ -2606,15 +2631,19 @@ def lm_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dsir_sample_documents",
     f"""
     WITH
-    {_lm_tables_cte("(SELECT doc_id, text FROM documents WHERE source = 'src0')", "dt")},
-    {_lm_tables_cte("documents", "dr")},
+    {_lm_counts_cte("(SELECT doc_id, text FROM documents WHERE source = 'src0')", "dt")},
+    {_lm_counts_cte("documents", "dr")},
+    voc_u AS (SELECT COUNT(DISTINCT w) AS v FROM
+              (SELECT w FROM words_dt UNION ALL SELECT w FROM words_dr)),
+    {_lm_model_cte("dt", voc="voc_u")},
+    {_lm_model_cte("dr", voc="voc_u")},
     sbg AS MATERIALIZED ({_lm_bigrams_sql("documents")}),
     scored AS (
       SELECT b.doc_id,
              COALESCE(st.lp_seen, ft.lp_floor,
-                      -ln((SELECT v FROM voc_dt) + 1))
+                      -ln((SELECT v FROM voc_u) + 1))
              - COALESCE(sr.lp_seen, fr.lp_floor,
-                        -ln((SELECT v FROM voc_dr) + 1)) AS d
+                        -ln((SELECT v FROM voc_u) + 1)) AS d
       FROM sbg b
       LEFT JOIN seen_dt st ON st.w1 = b.w1 AND st.w2 = b.w2
       LEFT JOIN flr_dt ft ON ft.w1 = b.w1
@@ -2656,14 +2685,20 @@ def dsir_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     salted md5 of the doc id, so the draw is deterministic and
     engine-replayable) keeps the 100 docs the importance weights favor.
     The oracle replays BOTH LM trainings, the ratio, the hash-Gumbel
-    draw, and the top-k — the selected set itself is hash-checked."""
+    draw, and the top-k — the selected set itself is hash-checked. Both
+    models are smoothed over the SHARED union vocabulary
+    (`dsir.shared_vocab`) so the ratio measures distribution preference,
+    not model-size bias."""
     from .operators import dsir as DS
     from .operators import lm_score as LM
 
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    target_lm = LM.train_bigram_lm(docs.filter(F.col("source") == "src0"))
-    raw_lm = LM.train_bigram_lm(docs)
-    return DS.dsir_sample(DS.dsir_logratio(docs, target_lm, raw_lm), k=100)
+    target = docs.filter(F.col("source") == "src0")
+    vocab = DS.shared_vocab(target, docs)
+    target_lm = LM.train_bigram_lm(target, vocab=vocab)
+    raw_lm = LM.train_bigram_lm(docs, vocab=vocab)
+    return DS.dsir_sample(
+        DS.dsir_logratio(docs, target_lm, raw_lm, vocab=vocab), k=100)
 
 
 @query(
@@ -3315,6 +3350,138 @@ def lm_gated_admission_documents(spark: SparkSession,
     from .streaming.dedup_admission import read_corpus
 
     corpus_dir = _streaming_lm_corpus_dir(spark, sf_dir)
+    return read_corpus(spark, corpus_dir).select("doc_id")
+
+
+_DSIR_GATE_CUTOFF = -2.0  # ~median shared-vocab log-ratio of the batch slice
+
+
+def _streaming_dsir_corpus_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per parquet snapshot) a DSIR-GATED streamed corpus
+    over the documents table and return its ledger directory: the
+    doc_id%5!=0 slice bootstraps the dedup'd init corpus, its src0
+    sub-slice (pre-dedup) is the frozen TARGET distribution, the %5==0
+    slice arrives as two file-source micro-batches through
+    `streaming/dsir_admission.streaming_dsir_dedup_admission`
+    (below-cutoff importance ratios quarantined, survivors
+    dedup-admitted as COW versions). Same process-unique staging +
+    atomic-rename cache as `_streaming_lm_corpus_dir`."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    src_parquet = os.path.join(sf_dir, "documents.parquet")
+    try:
+        mtime = str(int(os.path.getmtime(src_parquet)))
+    except OSError:
+        mtime = "0"
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{mtime}".encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"wde_dsir_adm_{tag}")
+    corpus_dir = os.path.join(base, "corpus")
+    done = os.path.join(base, "_COMPLETE")
+    if os.path.exists(done):
+        return corpus_dir
+    from .operators import dedup as D
+    from .streaming.dsir_admission import streaming_dsir_dedup_admission
+
+    if os.path.exists(base):
+        shutil.rmtree(base, ignore_errors=True)
+    stage = f"{base}.build.{os.getpid()}"
+    shutil.rmtree(stage, ignore_errors=True)
+    all_docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "text", "source")
+    docs = all_docs.select("doc_id", "text")
+    corpus0 = D.dedup_corpus(docs.filter(F.col("doc_id") % 5 != 0),
+                             max_bucket=None)
+    target = all_docs.filter((F.col("doc_id") % 5 != 0)
+                             & (F.col("source") == "src0")) \
+        .select("doc_id", "text")
+    feed = os.path.join(stage, "feed")
+    for i, pred in ((1, F.col("doc_id") % 10 == 0),
+                    (2, F.col("doc_id") % 10 == 5)):
+        docs.filter(pred).coalesce(1).write.mode("overwrite") \
+            .parquet(os.path.join(feed, f"b{i}.parquet"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(feed, "*.parquet"))
+    )
+    streaming_dsir_dedup_admission(
+        stream, corpus0, target, os.path.join(stage, "corpus"),
+        os.path.join(stage, "ckpt"), os.path.join(stage, "quarantine"),
+        cutoff=_DSIR_GATE_CUTOFF, max_bucket=None)
+    with open(os.path.join(stage, "_COMPLETE"), "w") as fh:
+        fh.write("ok")
+    try:
+        os.rename(stage, base)
+    except OSError:
+        if not os.path.exists(done):
+            raise
+        shutil.rmtree(stage, ignore_errors=True)
+    return corpus_dir
+
+
+def _dsir_gated_admission_oracle() -> str:
+    return f"""
+    WITH RECURSIVE corpus_part AS MATERIALIZED (
+      SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+    batch_part AS MATERIALIZED (
+      SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+    {_dedup_kept_cte_block('corpus_part', 'c')},
+    {_lm_counts_cte("(SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0 AND source = 'src0')", "gt")},
+    {_lm_counts_cte('kept_c', 'gr')},
+    voc_u AS (SELECT COUNT(DISTINCT w) AS v FROM
+              (SELECT w FROM words_gt UNION ALL SELECT w FROM words_gr)),
+    {_lm_model_cte('gt', voc='voc_u')},
+    {_lm_model_cte('gr', voc='voc_u')},
+    sbg_g AS MATERIALIZED ({_lm_bigrams_sql('batch_part')}),
+    scored_g AS (
+      SELECT b.doc_id,
+             COALESCE(st.lp_seen, ft.lp_floor,
+                      -ln((SELECT v FROM voc_u) + 1))
+             - COALESCE(sr.lp_seen, fr.lp_floor,
+                        -ln((SELECT v FROM voc_u) + 1)) AS d
+      FROM sbg_g b
+      LEFT JOIN seen_gt st ON st.w1 = b.w1 AND st.w2 = b.w2
+      LEFT JOIN flr_gt ft ON ft.w1 = b.w1
+      LEFT JOIN seen_gr sr ON sr.w1 = b.w1 AND sr.w2 = b.w2
+      LEFT JOIN flr_gr fr ON fr.w1 = b.w1
+    ),
+    lr_g AS (SELECT doc_id, ROUND(SUM(d), 6) AS log_ratio
+             FROM scored_g GROUP BY doc_id),
+    admitted AS MATERIALIZED (
+      SELECT b.doc_id, b.text FROM batch_part b
+      JOIN lr_g ON lr_g.doc_id = b.doc_id
+      WHERE lr_g.log_ratio >= {_DSIR_GATE_CUTOFF}
+    ),
+    unioned AS MATERIALIZED (
+      SELECT * FROM kept_c UNION ALL SELECT * FROM admitted),
+    {_dedup_kept_cte_block('unioned', 'f')}
+    SELECT doc_id FROM kept_f
+    """
+
+
+@query("dsir_gated_admission_documents", _dsir_gated_admission_oracle())
+def dsir_gated_admission_documents(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """End-to-end DSIR-GATED STREAMING ADMISSION
+    (`streaming/dsir_admission.py`), oracled against the flat batch
+    composition: the %5!=0 slice bootstraps a dedup'd init corpus, its
+    src0 sub-slice is the frozen TARGET LM's training set (the raw LM
+    freezes on the dedup'd init corpus); the %5==0 slice streams in as
+    two micro-batches, each scored by the per-doc log importance ratio
+    (`dsir_logratio`), below-cutoff docs quarantined, survivors through
+    `dedup_increment` as COW versions. The frozen-LM ratio gate is
+    per-document (batching-invariant) and increment ≡ full-rerun
+    (max_bucket=None), so the final streamed version equals
+    dedup(dedup(init) ∪ {{batch docs with ratio >= cutoff}}) — which the
+    oracle computes flat (text-dedup CTE block + two `_lm_tables_cte`
+    models + one scored join, nested). Returns the latest admitted
+    corpus version's ids — the driver hash-checks the ledger itself."""
+    from .streaming.dedup_admission import read_corpus
+
+    corpus_dir = _streaming_dsir_corpus_dir(spark, sf_dir)
     return read_corpus(spark, corpus_dir).select("doc_id")
 
 
