@@ -130,3 +130,49 @@ def test_token_stats_null_text_parity(spark):
              for r in token_stats(docs, merges=merges).collect()}
     assert approx[1] is None and exact[1] is None
     assert exact[2] == 0
+
+
+# ---------------------------------------------------------------------------
+# distributed training
+# ---------------------------------------------------------------------------
+
+
+def test_learn_bpe_merges_matches_driver_trainer(spark):
+    """The distributed trainer must produce the EXACT merge sequence of
+    the reference driver-side `train_bpe_merges` over the same word
+    frequencies (same counts, same greedy left-to-right merge, same
+    count-then-lexicographic tie-break)."""
+    corpus = [
+        (1, "low lower lowest low low"),
+        (2, "new newer newest new"),
+        (3, "wide wider widest lower"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    wf = {}
+    for _, t in corpus:
+        for w in t.split():
+            wf[w] = wf.get(w, 0) + 1
+    want = B.train_bpe_merges(wf, 12)
+    got = B.learn_bpe_merges(docs, 12)
+    assert got == want
+    assert len(got) == 12 and got[0] == ("l", "o")  # 'lo' appears 7x
+
+
+def test_learn_bpe_merges_overlapping_runs(spark):
+    """Greedy left-to-right on repeated characters: 'aaaa' merges to
+    (a,a)->aa twice, then (aa,aa) — identical in both trainers."""
+    docs = spark.createDataFrame([(1, "aaaa aaaa aab")],
+                                 "doc_id long, text string")
+    want = B.train_bpe_merges({"aaaa": 2, "aab": 1}, 4)
+    got = B.learn_bpe_merges(docs, 4)
+    assert got == want
+    assert got[0] == ("a", "a")
+
+
+def test_learn_bpe_merges_exhausts_pairs(spark):
+    """Asking for more merges than exist stops early, like the driver
+    trainer."""
+    docs = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
+    got = B.learn_bpe_merges(docs, 10)
+    assert got == B.train_bpe_merges({"ab": 2}, 10)
+    assert got == [("a", "b")]

@@ -191,3 +191,91 @@ def train_bpe_merges(word_freqs: dict[str, int],
             new_vocab[key] = new_vocab.get(key, 0) + freq
         vocab = new_vocab
     return merges
+
+
+def learn_bpe_merges(docs: DataFrame, num_merges: int,
+                     text_col: str = "text") -> list[tuple[str, str]]:
+    """DISTRIBUTED BPE training — the same algorithm as
+    `train_bpe_merges` with the corpus-scale halves kept in Spark: the
+    word-frequency aggregation AND the per-iteration pair counting and
+    re-segmentation run as DataFrame ops over the vocabulary table; the
+    driver sees exactly ONE row per merge (the argmax pair — the k-means
+    centroid-collect pattern, bounded by num_merges).
+
+    Per iteration: pair counts explode adjacent symbol pairs weighted by
+    word frequency (one hash agg over the vocabulary — which is
+    corpus-STATE-sized by Heaps' law, not corpus-sized); the winning pair
+    (highest count, then lexicographically smallest — `train_bpe_merges`'s
+    exact tie-break) is folded back into every word ROW-LOCALLY with a
+    left-to-right non-overlapping `aggregate` (the greedy semantics of
+    the reference implementation). The segmentation table is
+    localCheckpoint-ed each round so the n-deep fold lineage never
+    reaches the analyzer (same rationale as `incremental.dedup_increment`).
+
+    Differential contract (pinned in tests): identical merge sequence to
+    `train_bpe_merges` over the same word frequencies."""
+    wf = (
+        docs.select(F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w").agg(F.count("*").alias("freq"))
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.col("w").substr(i, F.lit(1)))
+    seg = wf.select(chars.alias("sym"), "freq").localCheckpoint()
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        n = F.size("sym")
+        pairs = (
+            seg.select(
+                "freq",
+                F.explode(F.arrays_zip(
+                    F.slice("sym", 1, F.greatest(n - 1, F.lit(0)))
+                    .alias("a"),
+                    F.slice("sym", 2, F.greatest(n - 1, F.lit(0)))
+                    .alias("b"),
+                )).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
+        )
+        top = pairs.first()  # ONE row to the driver per merge
+        if top is None:
+            break
+        a, b = top["a"], top["b"]
+        merges.append((a, b))
+        merged = a + b
+        acc0 = F.struct(
+            F.array().cast("array<string>").alias("out"),
+            F.lit(None).cast("string").alias("carry"),
+        )
+
+        def step(acc, x):
+            # closure over (a, b, merged); the expression tree is built
+            # eagerly inside this iteration, so capture is safe
+            return (
+                F.when(acc["carry"].isNull(),
+                       F.struct(acc["out"].alias("out"), x.alias("carry")))
+                .when((acc["carry"] == a) & (x == b),
+                      F.struct(
+                          F.concat(acc["out"], F.array(F.lit(merged)))
+                          .alias("out"),
+                          F.lit(None).cast("string").alias("carry")))
+                .otherwise(
+                    F.struct(
+                        F.concat(acc["out"], F.array(acc["carry"]))
+                        .alias("out"),
+                        x.alias("carry")))
+            )
+
+        def fin(acc):
+            return F.when(acc["carry"].isNull(), acc["out"]) \
+                .otherwise(F.concat(acc["out"], F.array(acc["carry"])))
+
+        seg = seg.select(
+            F.aggregate("sym", acc0, step, fin).alias("sym"), "freq"
+        ).localCheckpoint()
+    return merges
