@@ -85,8 +85,9 @@ def _decode_frame(payload: bytes, start: int, size: int) -> bytes:
     return payload[start: start + size]
 
 
-def frame_sample(media: DataFrame, every: int = 4) -> DataFrame:
-    """Sample every `every`-th FRAME_BYTES-sized frame of each video
+def frame_sample(media: DataFrame, every: int = 4,
+                 frame_bytes: int = FRAME_BYTES) -> DataFrame:
+    """Sample every `every`-th `frame_bytes`-sized frame of each video
     payload; images/audio pass through as a single frame 0. Row-local,
     streaming per Arrow batch."""
 
@@ -97,9 +98,9 @@ def frame_sample(media: DataFrame, every: int = 4) -> DataFrame:
                     pdf["media_id"], pdf["kind"], pdf["payload"]):
                 payload = bytes(payload)
                 if kind == "video":
-                    n_frames = (len(payload) + FRAME_BYTES - 1) // FRAME_BYTES
+                    n_frames = (len(payload) + frame_bytes - 1) // frame_bytes
                     for fi in range(0, n_frames, every):
-                        fb = _decode_frame(payload, fi * FRAME_BYTES, FRAME_BYTES)
+                        fb = _decode_frame(payload, fi * frame_bytes, frame_bytes)
                         out.append((mid, kind, fi, fb, len(fb)))
                 else:
                     out.append((mid, kind, 0, payload, len(payload)))
@@ -193,3 +194,55 @@ def audio_chunks(media: DataFrame, window: int = 2048,
         .select("media_id", "payload")
         .mapInPandas(kernel, schema=CHUNK_SCHEMA)
     )
+
+
+def frame_run_spans(frames: DataFrame, k: int = 3,
+                    min_count: int = 2) -> DataFrame:
+    """Repeated FRAME-RUN detection — the embedding/media-side analogue of
+    `dedup.duplicate_spans` (ExactSubstr over frame sequences instead of
+    token sequences): every run of `k` consecutive frames whose signature
+    sequence occurs >= `min_count` times corpus-wide (across OR within
+    media) marks positions [p, p+k-1] of that media's frame sequence;
+    overlapping/adjacent marked runs (gap <= k) merge into maximal spans.
+    This is the shape video-corpus curation needs for shared intros /
+    outros / static-scene stretches and looped content.
+
+    Input is `frame_sample` output (media_id, frame_idx, frame_bytes);
+    positions are 1-based indices INTO THE SAMPLED SEQUENCE (row_number
+    by frame_idx), so spans stay meaningful whatever `every` stride
+    produced the sequence. Returns (media_id, span_start, span_end,
+    n_windows), one row per maximal span.
+
+    Scale shape: the per-frame signature (md5 of the frame payload) is
+    JVM-side codegen; run fingerprints come from ONE per-media window
+    (one shuffle on media_id — same partitioning the sequence analysis
+    needs anyway); duplicate detection is ONE hash aggregation on the
+    run fingerprint — never a self-join, so a boilerplate intro shared
+    by millions of videos costs one counter, not a candidate-pair
+    explosion. Mirrors `dedup.duplicate_spans`'s guarantee: every
+    repeated run of >= 2k-1 frames is found, any repeated run of >= k
+    frames is found in full."""
+    from pyspark.sql import Window
+
+    from .dedup import _merge_islands
+
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    fwd = w.rowsBetween(Window.currentRow, k - 1)
+    runs = (
+        frames.select(
+            "media_id", "frame_idx", F.md5("frame_bytes").alias("sig"))
+        .select(
+            "media_id",
+            F.row_number().over(w).alias("p"),
+            F.count("sig").over(fwd).alias("nk"),
+            F.md5(F.concat_ws("|", F.collect_list("sig").over(fwd)))
+            .alias("runsig"),
+        )
+        .filter(F.col("nk") == k)
+    )
+    dup = (
+        runs.groupBy("runsig").agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= min_count).select("runsig")
+    )
+    marked = runs.join(dup, "runsig").select("media_id", "p")
+    return _merge_islands(marked, k, "media_id")

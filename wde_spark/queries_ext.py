@@ -3517,3 +3517,150 @@ def ivfpq_residual_recall_gate(spark: SparkSession,
         SIM2.cosine_topk(emb, q, k=5, dim=64),
         n_queries=8, k=5, min_recall=0.55,
     )
+
+
+# ---------------------------------------------------------------------------
+# distributed BPE merge training — operators/bpe.learn_bpe_merges
+# ---------------------------------------------------------------------------
+
+_BPE_SEP = "\x1f"  # symbol delimiter; never appears in corpus text
+
+
+def _bpe_merges_oracle(k: int) -> str:
+    """SQL twin of `bpe.learn_bpe_merges` with the merge loop UNROLLED to
+    `k` stages (the k-means-oracle discipline: a pinned number of
+    iterations so a declarative engine can replay an iterative trainer).
+
+    Each word's segmentation is carried as a DELIMITED STRING — every
+    symbol wrapped in \\x1f markers ('\\x1fs1\\x1f\\x1fs2\\x1f…'), a char
+    that cannot occur in text — so one SQL `replace()` per stage applies
+    the winning pair merge with EXACTLY the trainer's semantics: SQL
+    replace scans left-to-right and never rescans replaced output, which
+    is the greedy non-overlapping fold of `learn_bpe_merges` (and of the
+    reference `train_bpe_merges` loop). Pair counting splits the string
+    back into a symbol list and explodes adjacent pairs; the argmax uses
+    the trainer's exact tie-break (count desc, then lexicographic pair).
+    Every stage is MATERIALIZED: seg{i} is read by both p{i+1} and
+    seg{i+1}, and without materialization the chain re-derives seg0
+    2^k times."""
+    s = _BPE_SEP
+    ctes = [f"""wf AS MATERIALIZED (
+      SELECT w, COUNT(*) AS freq FROM (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+        FROM documents)
+      WHERE w <> '' GROUP BY w
+    ),
+    seg0 AS MATERIALIZED (
+      SELECT regexp_replace(w, '(.)', '{s}\\1{s}', 'g') AS seg, freq FROM wf
+    )"""]
+    for i in range(1, k + 1):
+        ctes.append(f"""p{i} AS MATERIALIZED (
+      SELECT l[j] AS a, l[j+1] AS b, SUM(freq) AS c
+      FROM (SELECT string_split(trim(seg, '{s}'), '{s}{s}') AS l, freq
+            FROM seg{i - 1}) t, unnest(range(1, len(l))) u(j)
+      GROUP BY 1, 2
+    ),
+    b{i} AS MATERIALIZED (
+      SELECT a, b FROM p{i} ORDER BY c DESC, a, b LIMIT 1
+    ),
+    seg{i} AS MATERIALIZED (
+      SELECT replace(seg, '{s}' || a || '{s}{s}' || b || '{s}',
+                     '{s}' || a || b || '{s}') AS seg, freq
+      FROM seg{i - 1}, b{i}
+    )""")
+    finals = "\n      UNION ALL ".join(
+        f"SELECT {i} AS merge_rank, a AS left_sym, b AS right_sym FROM b{i}"
+        for i in range(1, k + 1))
+    return ("WITH " + ",\n    ".join(ctes)
+            + f"\n    SELECT * FROM ({finals}) ORDER BY merge_rank")
+
+
+_BPE_MERGES_K = 12
+
+
+@query("bpe_merges_documents", _bpe_merges_oracle(_BPE_MERGES_K))
+def bpe_merges_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED BPE merge training (`bpe.learn_bpe_merges` — Sennrich
+    et al. 2016 over the corpus word-frequency table, vocabulary-sized
+    state, ONE argmax row to the driver per merge): the first
+    12 learned merges as (merge_rank, left_sym, right_sym). The trainer
+    is differential-pinned to the in-process reference
+    (`train_bpe_merges`) in tests; this oracle replays the whole loop in
+    SQL — word frequencies, per-stage pair counting with the exact
+    tie-break, and the greedy non-overlapping re-segmentation (see
+    `_bpe_merges_oracle`) — so the learned MODEL itself is
+    hash-checked, not just its application."""
+    from .operators import bpe as B
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    merges = B.learn_bpe_merges(docs, num_merges=_BPE_MERGES_K)
+    return spark.createDataFrame(
+        [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
+        "merge_rank int, left_sym string, right_sym string")
+
+
+# ---------------------------------------------------------------------------
+# repeated frame-run detection — operators/multimodal.frame_run_spans
+# ---------------------------------------------------------------------------
+
+def _frame_runs_oracle(fb: int, k: int, min_count: int) -> str:
+    """SQL twin of frame_sample(every=1, frame_bytes=fb) on video-kind
+    media + frame_run_spans(k, min_count). Frame payloads are byte
+    slices of the utf-8 text (`attach_media`); the documents corpus is
+    pure ASCII (asserted in tests), so DuckDB's character substring
+    hashes the same bytes Spark's binary md5 sees. The k-frame run
+    fingerprint is unrolled as a lead() chain (k pinned); islands merge
+    with the same gap<=k rule as the token-span oracles."""
+    leads = " || '|' || ".join(
+        ["sig"] + [f"lead(sig, {j}) OVER w" for j in range(1, k)])
+    return f"""
+    WITH m AS (SELECT doc_id AS media_id, text, length(text) AS L
+               FROM documents WHERE CAST(doc_id % 3 AS INT) = 2),
+    fr AS (SELECT media_id, CAST(fi AS INT) AS frame_idx,
+                  md5(substring(text, CAST(fi * {fb} + 1 AS INT), {fb}))
+                    AS sig
+           FROM m, unnest(range(0, CAST(ceil(L / {fb}.0) AS BIGINT))) t(fi)),
+    runs AS (
+      SELECT media_id, CAST(ROW_NUMBER() OVER w AS INT) AS p,
+             md5({leads}) AS runsig
+      FROM fr WINDOW w AS (PARTITION BY media_id ORDER BY frame_idx)),
+    r2 AS (SELECT media_id, p, runsig FROM runs WHERE runsig IS NOT NULL),
+    dup AS (SELECT runsig FROM r2 GROUP BY runsig
+            HAVING COUNT(*) >= {min_count}),
+    marked AS (SELECT media_id, p FROM r2 JOIN dup USING (runsig)),
+    isl AS (
+      SELECT media_id, p,
+             CASE WHEN lag(p) OVER wm IS NULL OR p - lag(p) OVER wm > {k}
+                  THEN 1 ELSE 0 END AS brk
+      FROM marked WINDOW wm AS (PARTITION BY media_id ORDER BY p)),
+    isl2 AS (SELECT media_id, p,
+                    SUM(brk) OVER (PARTITION BY media_id ORDER BY p)
+                      AS island
+             FROM isl)
+    SELECT media_id, CAST(MIN(p) AS BIGINT) AS span_start,
+           CAST(MAX(p) + {k - 1} AS BIGINT) AS span_end,
+           CAST(COUNT(*) AS BIGINT) AS n_windows
+    FROM isl2 GROUP BY media_id, island
+    """
+
+
+@query("frame_runs_multimodal", _frame_runs_oracle(64, 3, 2))
+def frame_runs_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated frame-run detection over video frame sequences
+    (`multimodal.frame_run_spans` — ExactSubstr's guarantee carried to
+    the media axis): video payloads are sliced into 64-byte frames
+    (stub codec, real Arrow plumbing), each frame is signed JVM-side
+    (md5), every 3-frame signature run repeated >= 2 times corpus-wide
+    (shared intros/outros, looped content, within-media stills) marks
+    its positions, and marked runs merge into maximal per-media spans.
+    One per-media window + one hash agg on the run fingerprint — no
+    self-join at any corpus size. The oracle replays slicing, signing,
+    the lead-chain fingerprint, duplicate counting, and the island
+    merge, so the spans themselves are hash-checked."""
+    from .operators import multimodal as MM2
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    frames = MM2.frame_sample(
+        MM2.attach_media(docs).filter(F.col("kind") == "video"),
+        every=1, frame_bytes=64)
+    return MM2.frame_run_spans(frames, k=3, min_count=2)
