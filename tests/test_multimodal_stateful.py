@@ -136,3 +136,92 @@ def test_audio_chunks_edges(spark):
         (4, 0): (0, 0),
         (7, 0): (0, 2048), (7, 1): (1024, 1025),
     }
+
+
+def _brute_frame_runs(seqs: dict[int, list[bytes]], k: int,
+                      min_count: int) -> set[tuple]:
+    """In-process reference for frame_run_spans: count every k-run of
+    frame payloads corpus-wide, mark duplicated positions, merge islands
+    with gap <= k."""
+    from collections import Counter
+
+    runs: Counter = Counter()
+    pos: dict[int, list[int]] = {}
+    for mid, frames in seqs.items():
+        for p in range(1, len(frames) - k + 2):
+            runs[tuple(frames[p - 1:p - 1 + k])] += 1
+    for mid, frames in seqs.items():
+        marked = [p for p in range(1, len(frames) - k + 2)
+                  if runs[tuple(frames[p - 1:p - 1 + k])] >= min_count]
+        if marked:
+            pos[mid] = marked
+    spans = set()
+    for mid, ps in pos.items():
+        start = prev = ps[0]
+        n = 1
+        for p in ps[1:]:
+            if p - prev > k:
+                spans.add((mid, start, prev + k - 1, n))
+                start, n = p, 0
+            prev = p
+            n += 1
+        spans.add((mid, start, prev + k - 1, n))
+    return spans
+
+
+def test_frame_run_spans_matches_bruteforce(spark):
+    """frame_run_spans == the quadratic in-process reference on a
+    hand-buildable corpus with cross-media repeats, within-media loops,
+    adjacent-window merges, and clean sequences."""
+    from wde_spark.operators.multimodal import frame_run_spans
+
+    seqs = {
+        1: [b"A", b"B", b"C", b"D", b"E", b"F"],   # ABC repeated in 2
+        2: [b"X", b"A", b"B", b"C", b"Y", b"Z"],
+        3: [b"L", b"L", b"L", b"L", b"L", b"L"],   # within-media loop
+        4: [b"P", b"Q", b"R", b"S", b"T", b"U"],   # clean
+        5: [b"D", b"E", b"F", b"A", b"B", b"C"],   # two adjacent dup runs
+    }
+    rows = [(mid, i, fb, len(fb))
+            for mid, frames in seqs.items()
+            for i, fb in enumerate(frames)]
+    frames = spark.createDataFrame(
+        rows, "media_id long, frame_idx int, frame_bytes binary, "
+              "frame_size int")
+    got = {tuple(r) for r in frame_run_spans(frames, k=3, min_count=2)
+           .collect()}
+    assert got == _brute_frame_runs(seqs, 3, 2)
+    # spot-check the interesting shapes: media 3's loop is one maximal
+    # span over all 4 windows; media 5's two duplicated runs (DEF at p=1,
+    # ABC at p=4, gap exactly k) merge into one 2-window span
+    assert (3, 1, 6, 4) in got
+    assert (5, 1, 6, 2) in got
+
+
+def test_frame_run_spans_no_false_positives(spark):
+    from wde_spark.operators.multimodal import frame_run_spans
+
+    rows = [(1, i, bytes([i]), 1) for i in range(8)] + \
+           [(2, i, bytes([100 + i]), 1) for i in range(8)]
+    frames = spark.createDataFrame(
+        rows, "media_id long, frame_idx int, frame_bytes binary, "
+              "frame_size int")
+    assert frame_run_spans(frames, k=3, min_count=2).count() == 0
+
+
+def test_documents_corpus_is_ascii():
+    """The frame_runs_multimodal oracle hashes DuckDB CHARACTER substrings
+    against Spark's BYTE slices — sound only while the synthetic corpus is
+    pure ASCII. Pin that dataset property so a testdata change fails loudly
+    here instead of as an opaque hash mismatch."""
+    import duckdb
+
+    from conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    for sf in (SF_SMOKE, "/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        n = con.execute(
+            f"SELECT count(*) FROM '{sf}/documents.parquet' "
+            "WHERE octet_length(encode(text)) <> length(text)"
+        ).fetchone()[0]
+        assert n == 0, f"non-ASCII documents text at {sf}"
