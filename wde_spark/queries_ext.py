@@ -2781,6 +2781,79 @@ def nb_classify_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.nb_classify(docs, model, priors)
 
 
+def _nb_pred_cte_block(train_src: str, score_src: str, t: str,
+                       k: float = 0.5) -> str:
+    """CTE chain `pred_{t}` = (doc_id, pred_label, score, margin): add-k
+    multinomial NB trained on `train_src` (label, text), every `score_src`
+    doc argmax-classified — SQL twin of classifier.train_naive_bayes +
+    nb_classify (same CTE shapes as the nb_classify_documents oracle,
+    suffixed so the block composes into larger queries)."""
+    return f"""
+    tr_{t} AS (SELECT label, text FROM {train_src}),
+    ttok_{t} AS (
+      SELECT label, unnest(string_split_regex(trim(lower(text)), '\\s+'))
+               AS token
+      FROM tr_{t}
+    ),
+    clt_{t} AS (SELECT label, token, COUNT(*) AS c_lt FROM ttok_{t}
+                WHERE token <> '' GROUP BY label, token),
+    cl_{t} AS (SELECT label, SUM(c_lt) AS c_l FROM clt_{t} GROUP BY label),
+    nvoc_{t} AS (SELECT COUNT(DISTINCT token) AS v FROM clt_{t}),
+    nbmodel_{t} AS (
+      SELECT label, token, ln((c_lt + {k}) / (c_l + {k} * (v + 1))) AS logp
+      FROM clt_{t} JOIN cl_{t} USING (label) CROSS JOIN nvoc_{t}
+    ),
+    nbnd_{t} AS (SELECT label, COUNT(*) AS n_l FROM tr_{t} GROUP BY label),
+    nbpri_{t} AS (
+      SELECT label,
+             ln(CAST(n_l AS DOUBLE) / (SELECT SUM(n_l) FROM nbnd_{t}))
+               AS logprior,
+             ln({k} / (c_l + {k} * (v + 1))) AS lp_floor
+      FROM nbnd_{t} JOIN cl_{t} USING (label) CROSS JOIN nvoc_{t}
+    ),
+    stok_{t} AS (
+      SELECT doc_id, token FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+        FROM {score_src})
+      WHERE token <> ''
+    ),
+    nbseen_{t} AS (
+      SELECT s.doc_id, m.label, SUM(m.logp) AS s_seen, COUNT(*) AS n_seen
+      FROM stok_{t} s JOIN nbmodel_{t} m USING (token)
+      GROUP BY s.doc_id, m.label
+    ),
+    nbnt_{t} AS (SELECT doc_id, COUNT(*) AS n_tok FROM stok_{t}
+                 GROUP BY doc_id),
+    nbgrid_{t} AS (
+      SELECT d.doc_id, COALESCE(nt.n_tok, 0) AS n_tok, p.label,
+             p.logprior, p.lp_floor
+      FROM {score_src} d LEFT JOIN nbnt_{t} nt ON nt.doc_id = d.doc_id
+      CROSS JOIN nbpri_{t} p
+    ),
+    nbsc_{t} AS (
+      SELECT g.doc_id, g.label,
+             ROUND(g.logprior + COALESCE(sa.s_seen, 0)
+                   + (g.n_tok - COALESCE(sa.n_seen, 0)) * g.lp_floor,
+                   6) AS score
+      FROM nbgrid_{t} g LEFT JOIN nbseen_{t} sa
+        ON sa.doc_id = g.doc_id AND sa.label = g.label
+    ),
+    nbrk_{t} AS (
+      SELECT doc_id, label, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, label) AS rnk,
+             LEAD(score) OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, label) AS nxt
+      FROM nbsc_{t}
+    ),
+    pred_{t} AS (
+      SELECT doc_id, label AS pred_label, score,
+             ROUND(score - COALESCE(nxt, score), 6) AS margin
+      FROM nbrk_{t} WHERE rnk = 1
+    )"""
+
+
 @query(
     "source_overlap_documents",
     """
@@ -2951,35 +3024,58 @@ def strip_duplicate_spans_documents(spark: SparkSession,
     WITH
     {_lm_score_cte_block("(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0)", "documents", "sq")},
     {_dup_win_sql(16, 2)},
+    {_nb_pred_cte_block("(SELECT lang AS label, text, doc_id FROM documents WHERE doc_id % 2 = 0)", "documents", "sn")},
+    comps_sc AS MATERIALIZED (SELECT * FROM ({_components_oracle()})),
+    csz_sc AS (SELECT component, COUNT(*) AS cs FROM comps_sc
+               GROUP BY component),
+    wts_sc AS (
+      SELECT d.doc_id, ROUND(1.0 / COALESCE(s.cs, 1), 6) AS weight
+      FROM documents d
+      LEFT JOIN comps_sc c ON c.node = d.doc_id
+      LEFT JOIN csz_sc s ON s.component = c.component
+    ),
     dup_docs AS (SELECT DISTINCT doc_id FROM spans),
     base AS (
       SELECT d.doc_id, d.source,
              len(string_split_regex(trim(lower(d.text)), '\\s+')) AS n_tok,
              ROUND(agg_sq.al, 6) AS lm,
-             CASE WHEN dd.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+             CASE WHEN dd.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup,
+             pr.margin AS nb_margin,
+             w.weight AS weight
       FROM documents d
       LEFT JOIN agg_sq ON agg_sq.doc_id = d.doc_id
       LEFT JOIN dup_docs dd ON dd.doc_id = d.doc_id
+      LEFT JOIN pred_sn pr ON pr.doc_id = d.doc_id
+      LEFT JOIN wts_sc w ON w.doc_id = d.doc_id
     )
     SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
            ROUND(AVG(n_tok), 4) AS avg_tokens,
            ROUND(AVG(lm), 6) AS avg_lm_logp,
            CAST(SUM(is_dup) AS BIGINT) AS substr_dup_docs,
-           ROUND(AVG(CAST(is_dup AS DOUBLE)), 6) AS substr_dup_rate
+           ROUND(AVG(CAST(is_dup AS DOUBLE)), 6) AS substr_dup_rate,
+           ROUND(AVG(nb_margin), 6) AS avg_nb_margin,
+           ROUND(AVG(weight), 6) AS soft_dedup_mass
     FROM base GROUP BY source
     """,
 )
 def source_scorecard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quality scorecard — the one-table summary a corpus
-    curator reads before setting mixture weights, composing three
-    oracled operator families over ONE pass of the documents table:
-    volume (docs, mean whitespace tokens), fluency (mean CCNet bigram-LM
-    score, LM trained on the doc_id-even half — `operators/lm_score`),
-    and redundancy (share of docs carrying at least one corpus-wide
-    duplicated 16-token span — `dedup.duplicate_spans`). All three
-    joined per doc, then one grouped aggregation per source; the oracle
-    replays LM training, scoring, the span pipeline, and the rollup."""
+    curator reads before setting mixture weights, composing FIVE oracled
+    operator families over the documents table: volume (docs, mean
+    whitespace tokens), fluency (mean CCNet bigram-LM score, LM trained
+    on the doc_id-even half — `operators/lm_score`), redundancy (share
+    of docs carrying a corpus-wide duplicated 16-token span —
+    `dedup.duplicate_spans`), classifier confidence (mean NB runner-up
+    margin, the GPT-3-style quality-filter signal —
+    `operators/classifier`), and soft-dedup mass (mean 1/cluster-size
+    weight over the near-dup component graph — `dedup.dedup_weights`;
+    1.0 = no redundancy, lower = mass the mixture should discount). All
+    five joined per doc, then one grouped aggregation per source; the
+    oracle replays LM training+scoring, the span pipeline, NB
+    training+argmax, the LSH-verified pair graph with its component
+    fixpoint, and the rollup."""
     from .functions.strings import tokens as _tokens
+    from .operators import classifier as C
     from .operators import dedup as D
     from .operators import lm_score as LM
 
@@ -2988,13 +3084,21 @@ def source_scorecard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores = LM.lm_quality(docs, lm).select("doc_id", "avg_logp")
     dup_docs = D.duplicate_spans(docs, k=16, min_count=2) \
         .select("doc_id").distinct().withColumn("_dup", F.lit(1))
+    model, priors = C.train_naive_bayes(
+        docs.filter(F.col("doc_id") % 2 == 0))
+    nb = C.nb_classify(docs, model, priors).select("doc_id", "margin")
+    edges = D.neardup_lsh_verified(docs).select("id_a", "id_b")
+    wts = D.dedup_weights(docs, edges).select("doc_id", "weight")
     base = (
         docs.select("doc_id", "source",
                     F.size(_tokens(F.col("text"))).alias("n_tok"))
         .join(scores, "doc_id", "left")
         .join(dup_docs, "doc_id", "left")
+        .join(nb, "doc_id", "left")
+        .join(wts, "doc_id", "left")
         .select("source", "n_tok", "avg_logp",
-                F.coalesce("_dup", F.lit(0)).alias("is_dup"))
+                F.coalesce("_dup", F.lit(0)).alias("is_dup"),
+                "margin", "weight")
     )
     return base.groupBy("source").agg(
         F.count("*").alias("n_docs"),
@@ -3003,6 +3107,8 @@ def source_scorecard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_dup").cast("long").alias("substr_dup_docs"),
         F.round(F.avg(F.col("is_dup").cast("double")), 6)
         .alias("substr_dup_rate"),
+        F.round(F.avg("margin"), 6).alias("avg_nb_margin"),
+        F.round(F.avg("weight"), 6).alias("soft_dedup_mass"),
     )
 
 
