@@ -450,3 +450,74 @@ def test_streaming_lm_gated_admission(spark, tmp_path):
     assert sorted(os.listdir(target)) == versions
     assert _kept_ids(read_corpus(spark, target)) == got
     assert {r.doc_id for r in read_quarantine(spark, quar).collect()} == bad
+
+
+def test_streaming_nb_gated_admission(spark, tmp_path):
+    """Classifier-gated admission (streaming/nb_admission.py), the GPT-3
+    shape: a frozen NB model argmax-classifies every batch doc, ALL
+    predictions land in the per-batch prediction ledger, docs predicted
+    outside keep_labels are quarantined, survivors dedup-admitted; the
+    final corpus equals a flat dedup_corpus re-run over init ∪ {docs
+    predicted in keep_labels}; replay rewrites the same ledgers."""
+    import os
+
+    from wde_spark.operators.classifier import nb_classify, train_naive_bayes
+    from wde_spark.streaming.dedup_admission import read_corpus
+    from wde_spark.streaming.nb_admission import (
+        read_predictions, streaming_nb_dedup_admission)
+
+    corpus0 = D.dedup_corpus(spark.createDataFrame(CORPUS, SCHEMA))
+    train = spark.createDataFrame(
+        [(1, "tech", "spark parquet streaming database scans columns data"),
+         (2, "tech", "tokenizer vocabularies embeddings training corpus"),
+         (3, "nature", "fox dog gale hill isle reef elm lake oak"),
+         (4, "nature", "bay cliff yard tarn ash mesa quay bluff fern")],
+        "doc_id long, lang string, text string")
+    model, priors = train_naive_bayes(train)
+    batch_df = spark.createDataFrame(BATCH, SCHEMA)
+    preds = {r.doc_id: r
+             for r in nb_classify(batch_df, model, priors).collect()}
+    keep = {i for i, r in preds.items() if r.pred_label == "tech"}
+    rej = set(preds) - keep
+    assert keep and rej  # the gate separates this batch both ways
+
+    src = tmp_path / "docs"
+    for i, rows in enumerate((BATCH[:4], BATCH[4:])):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1) \
+            .write.mode("overwrite").parquet(str(src / f"f{i}.parquet"))
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*.parquet"))
+    )
+    target, ckpt = str(tmp_path / "corpus"), str(tmp_path / "ckpt")
+    quar = str(tmp_path / "quarantine")
+    streaming_nb_dedup_admission(stream, corpus0, train, target, ckpt,
+                                 quar, keep_labels=["tech"])
+
+    # streaming ≡ batch: final corpus == full rerun over init ∪ admitted
+    got = _kept_ids(read_corpus(spark, target))
+    want = _full(spark,
+                 [r for r in CORPUS if r[0] in _kept_ids(corpus0)]
+                 + [r for r in BATCH if r[0] in keep])
+    assert got == want
+
+    # prediction ledger covers EVERY batch doc with the frozen model's
+    # exact outputs; quarantine holds exactly the rejected docs
+    led = {r.doc_id: r for r in read_predictions(spark, target).collect()}
+    assert set(led) == set(preds)
+    assert all(led[i].pred_label == preds[i].pred_label
+               and led[i].score == preds[i].score
+               and led[i].margin == preds[i].margin for i in preds)
+    q = {r.doc_id for r in spark.read.parquet(
+        os.path.join(quar, "b*")).collect()}
+    assert q == rej
+
+    # replay: same version dirs, same ledgers, same corpus
+    versions = sorted(os.listdir(target))
+    streaming_nb_dedup_admission(stream, corpus0, train, target, ckpt,
+                                 quar, keep_labels=["tech"])
+    assert sorted(os.listdir(target)) == versions
+    assert _kept_ids(read_corpus(spark, target)) == got
+    assert {r.doc_id for r in read_predictions(spark, target)
+            .collect()} == set(preds)

@@ -1916,13 +1916,16 @@ from . import queries_ext  # noqa: E402,F401
 # smoke). 28 slots now seat queries that have never had a driver row —
 # Round-6 window: rotation per se STOPPED after r05 (all 107 pre-r6
 # entries have a driver-green row; 101 in r03-r05). This window seats the
-# round's 7 net-new registrations (semantic dedup + its recall audit,
+# round's 20 net-new registrations (semantic dedup + its recall audit,
 # corpus drift, LM quality, the composed text+semantic dedup, LM-gated
-# streaming admission, residual-IVFPQ gate), re-seats the six queries
-# whose only driver rows date to r01/r02 (recency, per the r5 verdict's
-# item 8), and fills the remaining slots (17 net-new + 6 re-seats + 27 =
-# the driver's 50) with fast already-green representatives spanning every
-# operator family.
+# streaming admission, residual-IVFPQ gate, DSIR sampling + gated
+# admission, ExactSubstr spans/strip/increment, NB classifier + gated
+# admission, source overlap, dedup weights, bloom semi-join, the source
+# scorecard, distributed-BPE merges, frame-run detection), re-seats the
+# six queries whose only driver rows date to r01/r02 (recency, per the
+# r5 verdict's item 8), and fills the remaining slots (20 net-new + 6
+# re-seats + 24 = the driver's 50) with fast already-green
+# representatives spanning every operator family.
 _DRIVER_PRIORITY = [
     # --- net-new this round (first driver rows) ---
     "semantic_dedup_embeddings", "embedding_recall_audit_embeddings",
@@ -1934,15 +1937,15 @@ _DRIVER_PRIORITY = [
     "source_overlap_documents", "dedup_weights_documents",
     "substr_increment_documents", "bloom_semi_join_lineitem",
     "source_scorecard_documents", "dsir_gated_admission_documents",
+    "bpe_merges_documents", "frame_runs_multimodal",
+    "nb_gated_admission_documents",
     # --- r01/r02-only greens, re-seated for driver recency ---
     "q5_local_supplier_volume", "doc_source_stats", "group_collect_langs",
     "q10_returned_items", "q11_supplier_share", "q15_top_supplier",
-    # --- 37 fast already-green family representatives ---
+    # --- 24 fast already-green family representatives ---
     # TPC-H relational core
-    "q1_pricing_summary", "q3_shipping_priority", "q4_order_priority",
+    "q1_pricing_summary", "q3_shipping_priority",
     "q6_forecast_revenue", "q18_large_volume_orders",
-    # aggregation variants
-    "agg_order_stats",
     # sketch gates
     "hll_distinct_gate", "quantile_sketch_gate",
     # joins
@@ -1961,8 +1964,9 @@ _DRIVER_PRIORITY = [
     # similarity / ANN
     "embedding_vector_stats", "cosine_topk_embeddings",
     "streaming_pq_adc_ann",
-    # multimodal + quality
-    "multimodal_resize", "data_quality_orders",
+    # multimodal + quality (frame_runs_multimodal seats the multimodal
+    # family above; data_quality covers the expectations family)
+    "data_quality_orders",
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]

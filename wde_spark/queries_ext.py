@@ -3770,3 +3770,122 @@ def frame_runs_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
         MM2.attach_media(docs).filter(F.col("kind") == "video"),
         every=1, frame_bytes=64)
     return MM2.frame_run_spans(frames, k=3, min_count=2)
+
+
+# ---------------------------------------------------------------------------
+# classifier-gated streaming admission — streaming/nb_admission
+# ---------------------------------------------------------------------------
+
+_NB_KEEP_LABELS = ["en"]  # majority class of the synthetic corpus
+
+
+def _streaming_nb_corpus_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per parquet snapshot) a CLASSIFIER-GATED streamed
+    corpus over the documents table and return its ledger directory: the
+    doc_id%5!=0 slice bootstraps the dedup'd init corpus AND (with its
+    lang labels) trains the frozen NB model; the %5==0 slice arrives as
+    two file-source micro-batches through
+    `streaming/nb_admission.streaming_nb_dedup_admission` (docs
+    predicted outside keep_labels quarantined, every prediction in the
+    per-batch ledger, survivors dedup-admitted as COW versions). Same
+    process-unique staging + atomic-rename cache as
+    `_streaming_lm_corpus_dir`."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    src_parquet = os.path.join(sf_dir, "documents.parquet")
+    try:
+        mtime = str(int(os.path.getmtime(src_parquet)))
+    except OSError:
+        mtime = "0"
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{mtime}".encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"wde_nb_adm_{tag}")
+    corpus_dir = os.path.join(base, "corpus")
+    done = os.path.join(base, "_COMPLETE")
+    if os.path.exists(done):
+        return corpus_dir
+    from .operators import dedup as D
+    from .streaming.nb_admission import streaming_nb_dedup_admission
+
+    if os.path.exists(base):
+        shutil.rmtree(base, ignore_errors=True)
+    stage = f"{base}.build.{os.getpid()}"
+    shutil.rmtree(stage, ignore_errors=True)
+    all_docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "text", "lang")
+    docs = all_docs.select("doc_id", "text")
+    corpus0 = D.dedup_corpus(docs.filter(F.col("doc_id") % 5 != 0),
+                             max_bucket=None)
+    train = all_docs.filter(F.col("doc_id") % 5 != 0)
+    feed = os.path.join(stage, "feed")
+    for i, pred in ((1, F.col("doc_id") % 10 == 0),
+                    (2, F.col("doc_id") % 10 == 5)):
+        docs.filter(pred).coalesce(1).write.mode("overwrite") \
+            .parquet(os.path.join(feed, f"b{i}.parquet"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(feed, "*.parquet"))
+    )
+    streaming_nb_dedup_admission(
+        stream, corpus0, train, os.path.join(stage, "corpus"),
+        os.path.join(stage, "ckpt"), os.path.join(stage, "quarantine"),
+        keep_labels=_NB_KEEP_LABELS, max_bucket=None)
+    with open(os.path.join(stage, "_COMPLETE"), "w") as fh:
+        fh.write("ok")
+    try:
+        os.rename(stage, base)
+    except OSError:
+        if not os.path.exists(done):
+            raise
+        shutil.rmtree(stage, ignore_errors=True)
+    return corpus_dir
+
+
+def _nb_gated_admission_oracle() -> str:
+    keep = ", ".join(f"'{l}'" for l in _NB_KEEP_LABELS)
+    return f"""
+    WITH RECURSIVE corpus_part AS MATERIALIZED (
+      SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+    batch_part AS MATERIALIZED (
+      SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+    {_dedup_kept_cte_block('corpus_part', 'c')},
+    {_nb_pred_cte_block(
+        "(SELECT lang AS label, text FROM documents WHERE doc_id % 5 <> 0)",
+        'batch_part', 'ng')},
+    admitted AS MATERIALIZED (
+      SELECT b.doc_id, b.text FROM batch_part b
+      JOIN pred_ng p ON p.doc_id = b.doc_id
+      WHERE p.pred_label IN ({keep})
+    ),
+    unioned AS MATERIALIZED (
+      SELECT * FROM kept_c UNION ALL SELECT * FROM admitted),
+    {_dedup_kept_cte_block('unioned', 'f')}
+    SELECT doc_id FROM kept_f
+    """
+
+
+@query("nb_gated_admission_documents", _nb_gated_admission_oracle())
+def nb_gated_admission_documents(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """End-to-end CLASSIFIER-GATED STREAMING ADMISSION
+    (`streaming/nb_admission.py` — the GPT-3 production shape: a frozen
+    linear classifier decides which crawled documents enter the corpus),
+    oracled against the flat batch composition: the %5!=0 slice
+    bootstraps a dedup'd init corpus and (with its lang labels) the
+    frozen NB model; the %5==0 slice streams in as two micro-batches,
+    every document is argmax-classified into the per-batch prediction
+    ledger, docs predicted outside {{'en'}} are quarantined, survivors
+    flow through `dedup_increment` as COW versions. The frozen-model
+    gate is per-document (batching-invariant) and increment ≡ full-rerun
+    (max_bucket=None), so the final streamed version equals
+    dedup(dedup(init) ∪ {{batch docs predicted 'en'}}) — which the
+    oracle computes flat (text-dedup CTE block + the NB prediction CTE
+    block, nested). Returns the latest admitted corpus version's ids —
+    the driver hash-checks the maintained ledger itself."""
+    from .streaming.dedup_admission import read_corpus
+
+    corpus_dir = _streaming_nb_corpus_dir(spark, sf_dir)
+    return read_corpus(spark, corpus_dir).select("doc_id")
