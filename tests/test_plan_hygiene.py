@@ -253,7 +253,10 @@ def test_no_cartesian_or_undeclared_python_anywhere(spark):
                  # banded-LSH signature UDF (Arrow) feeds the audit's
                  # pipeline side
                  "embedding_recall_audit_embeddings",
-                 "resolve_ladder_parts", "hybrid_neardup_pairs"}
+                 "resolve_ladder_parts", "hybrid_neardup_pairs",
+                 # frame slicing is the declared multimodal Arrow kernel
+                 # (frame_sample feeding the JVM-side run detection)
+                 "frame_runs_multimodal"}
     bad = {}
     for name, fn in QUERIES.items():
         try:
