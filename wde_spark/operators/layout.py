@@ -19,7 +19,7 @@ two-column point/range predicate collapses versus the natural layout.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -54,4 +54,67 @@ def write_zordered(
         .sortWithinPartitions("_z")
         .drop("_z")
         .write.mode("overwrite").parquet(out)
+    )
+
+
+def export_shards(df: DataFrame, docs_per_shard: int,
+                  id_col: str = "doc_id", salt: str = "wde",
+                  n_buckets: int = 256) -> DataFrame:
+    """Deterministic GLOBAL SHUFFLE + fixed-size shard assignment — the
+    last stage of a training-data pipeline (docs leave the engine as
+    uniformly shuffled, reproducible shards; a model's data order must
+    not follow ingest order, and re-running the export on the same
+    corpus must yield byte-identical shards).
+
+    Every row gets (global_rank, shard_id, seq_in_shard) under the total
+    order of a salted md5 of its id — content-free, uniform, and
+    engine-independent. The ranking is the scale-safe TWO-PHASE form,
+    never a single-partition window:
+
+      1. bucket = first `n_buckets`-slice of the hash (one scan);
+      2. per-bucket counts -> driver (n_buckets rows, the k-means
+         collect pattern) -> cumulative offsets rejoined as a broadcast
+         n_buckets-row table;
+      3. local rank inside each bucket (window PARTITIONED BY bucket —
+         ~n/n_buckets rows per partition at any corpus size);
+      4. global_rank = offset[bucket] + local_rank.
+
+    Equivalent to ROW_NUMBER() OVER (ORDER BY hash) because bucket order
+    is the hash's own prefix order: ranks within bucket b all sort after
+    every bucket < b. At 100 TB raise `n_buckets` (hex prefix length) so
+    buckets stay executor-sized; the driver still sees only n_buckets
+    rows."""
+    assert docs_per_shard > 0
+    hx = F.md5(F.concat(F.lit(salt + "|"),
+                        F.col(id_col).cast("string")))
+    # prefix length that yields exactly n_buckets hex buckets
+    plen = 1
+    while 16 ** plen < n_buckets:
+        plen += 1
+    keyed = df.withColumn("_hx", hx).withColumn(
+        "_bkt", F.substring("_hx", 1, plen))
+    counts = keyed.groupBy("_bkt").agg(F.count("*").alias("_c"))
+    rows = sorted((r["_bkt"], r["_c"]) for r in counts.collect())
+    offs, acc = [], 0
+    for b, c in rows:
+        offs.append((b, acc))
+        acc += c
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offs, "_bkt string, _off long")
+    w = Window.partitionBy("_bkt").orderBy("_hx", id_col)
+    ranked = (
+        keyed.join(F.broadcast(off_df), "_bkt")
+        .withColumn("_lr", F.row_number().over(w))
+        .withColumn("global_rank", (F.col("_off") + F.col("_lr"))
+                    .cast("long"))
+    )
+    return (
+        ranked.withColumn(
+            "shard_id",
+            ((F.col("global_rank") - 1) / docs_per_shard)
+            .cast("long"))
+        .withColumn(
+            "seq_in_shard",
+            ((F.col("global_rank") - 1) % docs_per_shard).cast("long"))
+        .drop("_hx", "_bkt", "_off", "_lr")
     )

@@ -1916,16 +1916,17 @@ from . import queries_ext  # noqa: E402,F401
 # smoke). 28 slots now seat queries that have never had a driver row —
 # Round-6 window: rotation per se STOPPED after r05 (all 107 pre-r6
 # entries have a driver-green row; 101 in r03-r05). This window seats the
-# round's 20 net-new registrations (semantic dedup + its recall audit,
+# round's 23 net-new registrations (semantic dedup + its recall audit,
 # corpus drift, LM quality, the composed text+semantic dedup, LM-gated
 # streaming admission, residual-IVFPQ gate, DSIR sampling + gated
 # admission, ExactSubstr spans/strip/increment, NB classifier + gated
 # admission, source overlap, dedup weights, bloom semi-join, the source
-# scorecard, distributed-BPE merges, frame-run detection), re-seats the
-# six queries whose only driver rows date to r01/r02 (recency, per the
-# r5 verdict's item 8), and fills the remaining slots (20 net-new + 6
-# re-seats + 24 = the driver's 50) with fast already-green
-# representatives spanning every operator family.
+# scorecard, distributed-BPE merges, frame-run detection, NB-gated
+# admission, k-means clustering, export shards, token-budget mixture),
+# re-seats the six queries whose only driver rows date to r01/r02
+# (recency, per the r5 verdict's item 8), and fills the remaining slots
+# (23 net-new + 6 re-seats + 21 = the driver's 50) with fast
+# already-green representatives spanning every operator family.
 _DRIVER_PRIORITY = [
     # --- net-new this round (first driver rows) ---
     "semantic_dedup_embeddings", "embedding_recall_audit_embeddings",
@@ -1938,7 +1939,8 @@ _DRIVER_PRIORITY = [
     "substr_increment_documents", "bloom_semi_join_lineitem",
     "source_scorecard_documents", "dsir_gated_admission_documents",
     "bpe_merges_documents", "frame_runs_multimodal",
-    "nb_gated_admission_documents",
+    "nb_gated_admission_documents", "kmeans_clusters_embeddings",
+    "export_shards_documents", "token_budget_mixture_documents",
     # --- r01/r02-only greens, re-seated for driver recency ---
     "q5_local_supplier_volume", "doc_source_stats", "group_collect_langs",
     "q10_returned_items", "q11_supplier_share", "q15_top_supplier",
@@ -1948,15 +1950,14 @@ _DRIVER_PRIORITY = [
     "q6_forecast_revenue", "q18_large_volume_orders",
     # sketch gates
     "hll_distinct_gate", "quantile_sketch_gate",
-    # joins
-    "lww_latest_order",
+    # joins (lww/carry-forward banked r05; asof+range keep the family)
     "asof_join_purchase_view", "range_join_error_clicks",
     # windows / temporal
-    "topk_orders_per_customer", "carry_forward_purchase",
+    "topk_orders_per_customer",
     # set ops + resolve
     "set_ops_segments", "resolve_ladder_parts",
-    # text analysis
-    "word_count_top100", "lang_id_documents",
+    # text analysis (lang_id banked r03+r05-local; word_count keeps it)
+    "word_count_top100",
     # dedup family
     "exact_dedup_documents",
     "minhash_signatures_documents", "neardup_components_documents",

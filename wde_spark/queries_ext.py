@@ -3889,3 +3889,164 @@ def nb_gated_admission_documents(spark: SparkSession,
 
     corpus_dir = _streaming_nb_corpus_dir(spark, sf_dir)
     return read_corpus(spark, corpus_dir).select("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# corpus clustering / export layout / mixture budgeting
+# ---------------------------------------------------------------------------
+
+def _kmeans_clusters_oracle() -> str:
+    from .queries import _IVF_ASSIGN, _IVF_UPDATE
+
+    return """
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    nv AS (SELECT vec_id,
+                  list_transform(v, x -> x / sqrt(list_aggregate(
+                      list_transform(v, y -> y*y), 'sum'))) AS nv
+           FROM v),
+    seed AS (
+      SELECT rn - 1 AS cell, nv AS cv FROM (
+        SELECT nv, ROW_NUMBER() OVER (
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM nv) WHERE rn <= 16
+    ),
+    a1 AS (""" + _IVF_ASSIGN.format(cents="seed", qfilter="", rncond="= 1") + """),
+    """ + _IVF_UPDATE.format(it=1, prev="seed") + """,
+    a2 AS (""" + _IVF_ASSIGN.format(cents="c1f", qfilter="", rncond="= 1") + """),
+    """ + _IVF_UPDATE.format(it=2, prev="c1f") + """,
+    itemcell AS (""" + _IVF_ASSIGN.format(cents="c2f", qfilter="", rncond="= 1") + """),
+    sz AS (SELECT cell, COUNT(*) AS n FROM itemcell GROUP BY cell)
+    SELECT i.vec_id, CAST(i.cell AS INT) AS cluster,
+           CAST(sz.n AS BIGINT) AS cluster_size
+    FROM itemcell i JOIN sz USING (cell)
+    """
+
+
+@query("kmeans_clusters_embeddings", _kmeans_clusters_oracle())
+def kmeans_clusters_embeddings(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Corpus clustering for domain discovery / cluster-balanced mixing
+    (the clustering stage of SemDeDup and of cluster-based data
+    curation): every embedding assigned to its deterministic k-means
+    cell (`similarity.train_ivf_centroids` — md5-ordered seeding, 2
+    Lloyd iterations, Arrow-vectorized argmin assignment) with the
+    cluster's population joined on. The centroids are the model
+    (n_cells × dim doubles on the driver — the k-means collect pattern);
+    the data never leaves the executors. The oracle unrolls the same
+    seed → assign → update → assign → update → assign sequence in SQL,
+    so every ASSIGNMENT is hash-checked, not just the cell sizes."""
+    from .operators import similarity as SIM2
+    from .operators.similarity import (_as_double, _normalize,
+                                       _probe_cells_udf)
+
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    cents = SIM2.train_ivf_centroids(emb, n_cells=16, iters=2)
+    assign1 = _probe_cells_udf(spark, cents, nprobe=1)
+    assigned = emb.select(
+        "vec_id",
+        assign1(_normalize(_as_double(F.col("embedding"))))[0]
+        .alias("cluster"))
+    sz = assigned.groupBy("cluster").agg(F.count("*").alias("cluster_size"))
+    return assigned.join(F.broadcast(sz), "cluster") \
+        .select("vec_id", F.col("cluster").cast("int").alias("cluster"),
+                "cluster_size")
+
+
+_SHARD_DOCS = 64
+
+
+@query(
+    "export_shards_documents",
+    f"""
+    SELECT doc_id, global_rank,
+           CAST((global_rank - 1) // {_SHARD_DOCS} AS BIGINT) AS shard_id,
+           CAST((global_rank - 1) % {_SHARD_DOCS} AS BIGINT) AS seq_in_shard
+    FROM (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (
+               ORDER BY md5('wde|' || CAST(doc_id AS VARCHAR)), doc_id)
+               AS global_rank
+      FROM documents)
+    """,
+)
+def export_shards_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + fixed-size shard assignment
+    (`layout.export_shards`) — the final stage of a training-data
+    pipeline: every document ranked under the total order of a salted
+    md5 of its id and packed into fixed 64-doc shards,
+    reproducible across engines, runs, and cluster sizes. The Spark
+    plan is the scale-safe TWO-PHASE ranking (hash-prefix bucket counts
+    to the driver → broadcast offsets → per-bucket local rank), never a
+    single-partition window; the oracle states the same total order
+    naively (one global ROW_NUMBER), so equality of every rank is the
+    proof the two-phase decomposition is exact."""
+    from .operators import layout as L
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return L.export_shards(docs.select("doc_id"), docs_per_shard=_SHARD_DOCS) \
+        .select("doc_id", "global_rank", "shard_id", "seq_in_shard")
+
+
+# per-source token budgets (whitespace tokens): named sources get their
+# own cap, everything else the default — the "sample each source until
+# its token budget is spent" mixture draw.
+_TOKEN_BUDGET = {"src0": 900, "src1": 450, "src2": 220}
+_TOKEN_BUDGET_DEFAULT = 600
+
+
+@query(
+    "token_budget_mixture_documents",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tok,
+             md5('wde@' || CAST(doc_id AS VARCHAR)) AS hx
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY hx, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c
+    WHERE cum_tokens <= CASE source
+      {' '.join(f"WHEN '{s}' THEN {b}" for s, b in _TOKEN_BUDGET.items())}
+      ELSE {_TOKEN_BUDGET_DEFAULT} END
+    """,
+)
+def token_budget_mixture_documents(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """TOKEN-budget mixture sampling — the draw a real pre-training
+    mixture uses (budgets are set in tokens, not documents, because the
+    model trains on tokens): each source admits documents in a
+    deterministic salted-hash order until its token budget is spent
+    (inclusive running sum <= budget; doc-granular, no partial docs).
+    Complements `mixture_sample_documents` (fractional, doc-count-based)
+    with the absolute-token form. One window per source — at real scale
+    the budget splits proportionally across hash sub-buckets first (the
+    `pack_token_budget` shard discipline), keeping partitions bounded;
+    the hash order makes the admitted set independent of ingest order
+    and cluster size."""
+    from .functions.strings import tokens as _tokens
+
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    t = d.select(
+        "doc_id", "source",
+        F.size(_tokens(F.col("text"))).alias("n_tok"),
+        F.md5(F.concat(F.lit("wde@"), F.col("doc_id").cast("string")))
+        .alias("hx"))
+    w = Window.partitionBy("source").orderBy("hx", "doc_id") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    budget = F.lit(_TOKEN_BUDGET_DEFAULT)
+    for s, b in reversed(list(_TOKEN_BUDGET.items())):
+        budget = F.when(F.col("source") == s, F.lit(b)).otherwise(budget)
+    return (
+        t.withColumn("cum_tokens", F.sum("n_tok").over(w))
+        .filter(F.col("cum_tokens") <= budget)
+        .select("doc_id", "source", F.col("n_tok").cast("long").alias("n_tok"),
+                F.col("cum_tokens").cast("long").alias("cum_tokens"))
+    )
