@@ -4050,3 +4050,52 @@ def token_budget_mixture_documents(spark: SparkSession,
         .select("doc_id", "source", F.col("n_tok").cast("long").alias("n_tok"),
                 F.col("cum_tokens").cast("long").alias("cum_tokens"))
     )
+
+
+_CLUSTER_CAP = 24
+
+
+@query(
+    "cluster_cap_embeddings",
+    f"""
+    WITH asg AS ({_kmeans_clusters_oracle()})
+    SELECT vec_id, cluster FROM (
+      SELECT vec_id, cluster,
+             ROW_NUMBER() OVER (
+               PARTITION BY cluster
+               ORDER BY md5('cap|' || CAST(vec_id AS VARCHAR)), vec_id)
+               AS rn
+      FROM asg)
+    WHERE rn <= {_CLUSTER_CAP}
+    """,
+)
+def cluster_cap_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced sampling (the SemDeDup/DataComp prototype-pruning
+    shape: dense regions of embedding space contribute at most a fixed
+    quota, so the kept set covers the distribution instead of echoing
+    its modes): at most 24 vectors per deterministic k-means
+    cell, chosen in salted-hash order (reproducible, order- and
+    cluster-size-independent). Composes `kmeans_clusters_embeddings`'
+    assignment with one per-cluster window — partitions are
+    cluster-sized, never corpus-sized. The oracle nests the unrolled
+    k-means and replays the capped draw, so the KEPT SET is
+    hash-checked."""
+    from .operators import similarity as SIM2
+    from .operators.similarity import (_as_double, _normalize,
+                                       _probe_cells_udf)
+
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    cents = SIM2.train_ivf_centroids(emb, n_cells=16, iters=2)
+    assign1 = _probe_cells_udf(spark, cents, nprobe=1)
+    assigned = emb.select(
+        "vec_id",
+        assign1(_normalize(_as_double(F.col("embedding"))))[0]
+        .cast("int").alias("cluster"))
+    w = Window.partitionBy("cluster").orderBy(
+        F.md5(F.concat(F.lit("cap|"), F.col("vec_id").cast("string"))),
+        "vec_id")
+    return (
+        assigned.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _CLUSTER_CAP)
+        .select("vec_id", "cluster")
+    )
