@@ -121,3 +121,30 @@ def test_zorder_clustering_enables_file_skipping(spark, tmp_path):
     exact = o.filter((F.col("o_custkey").between(ck_lo, ck_hi))
                      & (F.col("o_day").between(day_lo, day_hi))).count()
     assert got == exact
+
+
+def test_export_shards_total_order_and_shapes(spark):
+    """export_shards: ranks are a permutation of 1..n, shard sizes are
+    exactly docs_per_shard except the last, seq_in_shard is 0-based
+    within shard, and the assignment is reproducible across calls and
+    partitionings."""
+    from pyspark.sql import functions as F
+
+    from wde_spark.operators.layout import export_shards
+
+    n, per = 1000, 64
+    df = spark.range(n).select(F.col("id").alias("doc_id"))
+    out = export_shards(df, per).collect()
+    ranks = sorted(r.global_rank for r in out)
+    assert ranks == list(range(1, n + 1))
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard_id, []).append(r.seq_in_shard)
+        assert r.shard_id == (r.global_rank - 1) // per
+    for sid, seqs in by_shard.items():
+        want = per if sid < (n - 1) // per else n - per * ((n - 1) // per)
+        assert sorted(seqs) == list(range(want))
+    # reproducible under a different input partitioning
+    out2 = export_shards(df.repartition(7), per).collect()
+    assert {(r.doc_id, r.global_rank) for r in out2} == \
+           {(r.doc_id, r.global_rank) for r in out}
