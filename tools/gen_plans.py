@@ -33,6 +33,10 @@ PICKS = {
     "duplicate_spans_documents": "ExactSubstr spans: windows hashed once inside codegen after the position explode; duplicate detection is ONE aggregation on the window hash (a corpus-wide boilerplate window costs one counter, never a pair product); island merge is a per-doc window.",
     "dsir_sample_documents": "DSIR selection: one bigram explode feeds BOTH LM scorings via broadcast joins (the two one-row vocab sides are the declared bounded nested loops); ratio + Gumbel key are row-local; top-k is a window over the doc-sized score table.",
     "nb_classify_documents": "NB inference: tokens join only classes that observed them (one equi-join against the broadcast model); the docs-x-labels grid is the declared bounded L-row nested loop; argmax is a per-doc window.",
+    "frame_runs_multimodal": "Frame-run detection: the Arrow frame-slicing kernel is the only Python stage; signatures and run fingerprints are codegen md5s; duplicate detection is ONE hash agg on the fingerprint (a shared intro costs one counter, never a self-join); islands merge in a per-media window.",
+    "export_shards_documents": "Two-phase global ranking: the ONLY window partitions by the 256-way hash-prefix bucket (~n/256 rows each); the offsets side is a broadcast 256-row table; no single-partition exchange anywhere.",
+    "token_budget_mixture_documents": "Token-budget mixture: one window per source (running sum in hash order) over the scan; the budget CASE is row-local — no joins, no Python.",
+    "kmeans_clusters_embeddings": "Corpus clustering: assignment is the Arrow-vectorized argmin against the broadcast centroid matrix (row-local); the size rollup is one hash agg joined back broadcast.",
 }
 
 HEADER = """# PLANS — physical-plan audit of representative queries
