@@ -1916,7 +1916,7 @@ from . import queries_ext  # noqa: E402,F401
 # smoke). 28 slots now seat queries that have never had a driver row —
 # Round-6 window: rotation per se STOPPED after r05 (all 107 pre-r6
 # entries have a driver-green row; 101 in r03-r05). This window seats the
-# round's 24 net-new registrations (semantic dedup + its recall audit,
+# round's 26 net-new registrations (semantic dedup + its recall audit,
 # corpus drift, LM quality, the composed text+semantic dedup, LM-gated
 # streaming admission, residual-IVFPQ gate, DSIR sampling + gated
 # admission, ExactSubstr spans/strip/increment, NB classifier + gated
@@ -1925,7 +1925,7 @@ from . import queries_ext  # noqa: E402,F401
 # admission, k-means clustering, export shards, token-budget mixture),
 # re-seats the six queries whose only driver rows date to r01/r02
 # (recency, per the r5 verdict's item 8), and fills the remaining slots
-# (24 net-new + 6 re-seats + 20 = the driver's 50) with fast
+# (26 net-new + 6 re-seats + 18 = the driver's 50) with fast
 # already-green representatives spanning every operator family.
 _DRIVER_PRIORITY = [
     # --- net-new this round (first driver rows) ---
@@ -1941,7 +1941,8 @@ _DRIVER_PRIORITY = [
     "bpe_merges_documents", "frame_runs_multimodal",
     "nb_gated_admission_documents", "kmeans_clusters_embeddings",
     "export_shards_documents", "token_budget_mixture_documents",
-    "cluster_cap_embeddings",
+    "cluster_cap_embeddings", "cluster_prototypes_embeddings",
+    "contamination_by_source_documents",
     # --- r01/r02-only greens, re-seated for driver recency ---
     "q5_local_supplier_volume", "doc_source_stats", "group_collect_langs",
     "q10_returned_items", "q11_supplier_share", "q15_top_supplier",
@@ -1955,10 +1956,11 @@ _DRIVER_PRIORITY = [
     "asof_join_purchase_view", "range_join_error_clicks",
     # windows / temporal
     "topk_orders_per_customer",
-    # set ops + resolve
-    "set_ops_segments", "resolve_ladder_parts",
-    # text analysis (lang_id banked r03+r05-local; word_count keeps it)
-    "word_count_top100",
+    # set ops + resolve (set_ops banked r05; resolve keeps the family)
+    "resolve_ladder_parts",
+    # text analysis: word_count banked r03; the round's net-new text
+    # queries (lm_quality, spans, scorecard, contamination) re-check the
+    # family this window
     # dedup family (exact_dedup banked r05; 4 reps keep the family)
     "minhash_signatures_documents", "neardup_components_documents",
     "dedup_recall_audit_documents", "dedup_increment_documents",

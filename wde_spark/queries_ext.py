@@ -4099,3 +4099,151 @@ def cluster_cap_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _CLUSTER_CAP)
         .select("vec_id", "cluster")
     )
+
+
+@query(
+    "contamination_by_source_documents",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents WHERE doc_id % 17 <> 0
+    ),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct({_shingle_sql(3, 'toks')})) AS sh
+      FROM tok
+    ),
+    btok AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents WHERE doc_id % 17 = 0
+    ),
+    bench AS (
+      SELECT DISTINCT sh FROM (
+        SELECT unnest(list_distinct({_shingle_sql(3, 'toks')})) AS sh
+        FROM btok)
+    ),
+    hits AS (
+      SELECT s.doc_id, COUNT(*) AS n_shared
+      FROM sh s JOIN bench b ON s.sh = b.sh
+      GROUP BY s.doc_id
+    ),
+    per_doc AS (
+      SELECT d.doc_id, d.source, COALESCE(h.n_shared, 0) AS n_shared
+      FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+      WHERE d.doc_id % 17 <> 0
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_shared > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS contaminated_docs,
+           ROUND(AVG(CASE WHEN n_shared > 0 THEN 1.0 ELSE 0.0 END), 6)
+             AS contamination_rate,
+           CAST(SUM(n_shared) AS BIGINT) AS shared_shingles
+    FROM per_doc GROUP BY source
+    """,
+)
+def contamination_by_source_documents(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """Per-source benchmark-contamination rollup — the table a curator
+    reads to decide which SOURCES leak eval data (doc-level flags alone
+    don't show that a single feed contributes most of the overlap):
+    `curation.decontaminate` of the non-benchmark corpus against the
+    deterministic benchmark stand-in (doc_id % 17 = 0), rolled up per
+    source as docs / contaminated docs / rate / total shared shingles.
+    The benchmark shingle set broadcasts; the rollup is one grouped
+    aggregation; the oracle replays shingling, the overlap join, and
+    the rollup."""
+    from .operators import curation as CU
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+    scored = CU.decontaminate(corpus, docs.filter(F.col("doc_id") % 17 == 0))
+    per_doc = corpus.select("doc_id", "source") \
+        .join(scored, "doc_id", "left")
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("n_shared_shingles") > 0, 1).otherwise(0))
+        .cast("long").alias("contaminated_docs"),
+        F.round(F.avg(F.when(F.col("n_shared_shingles") > 0, 1.0)
+                      .otherwise(0.0)), 6).alias("contamination_rate"),
+        F.sum("n_shared_shingles").cast("long").alias("shared_shingles"),
+    )
+
+
+_PROTO_PER_CELL = 16
+
+
+def _cluster_prototypes_oracle() -> str:
+    from .queries import _IVF_ASSIGN, _IVF_UPDATE
+
+    return """
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    nv AS (SELECT vec_id,
+                  list_transform(v, x -> x / sqrt(list_aggregate(
+                      list_transform(v, y -> y*y), 'sum'))) AS nv
+           FROM v),
+    seed AS (
+      SELECT rn - 1 AS cell, nv AS cv FROM (
+        SELECT nv, ROW_NUMBER() OVER (
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM nv) WHERE rn <= 16
+    ),
+    a1 AS (""" + _IVF_ASSIGN.format(cents="seed", qfilter="", rncond="= 1") + """),
+    """ + _IVF_UPDATE.format(it=1, prev="seed") + """,
+    a2 AS (""" + _IVF_ASSIGN.format(cents="c1f", qfilter="", rncond="= 1") + """),
+    """ + _IVF_UPDATE.format(it=2, prev="c1f") + """,
+    itemcell AS (""" + _IVF_ASSIGN.format(cents="c2f", qfilter="", rncond="= 1") + """),
+    scored AS (
+      SELECT i.vec_id, CAST(i.cell AS INT) AS cluster,
+             ROUND(list_aggregate(list_transform(generate_series(1, 64),
+                                                 k -> n.nv[k] * s.cv[k]),
+                                  'sum'), 6) AS cdot
+      FROM itemcell i JOIN nv n USING (vec_id)
+                      JOIN c2f s ON s.cell = i.cell
+    )
+    SELECT vec_id, cluster, cdot FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY cluster ORDER BY cdot DESC, vec_id) AS rn
+      FROM scored)
+    WHERE rn <= """ + str(_PROTO_PER_CELL) + """
+    """
+
+
+@query("cluster_prototypes_embeddings", _cluster_prototypes_oracle())
+def cluster_prototypes_embeddings(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """QUALITY-ordered cluster quota — prototype selection (the
+    companion draw to `cluster_cap_embeddings`' hash-order quota): per
+    deterministic k-means cell, keep the 16 vectors MOST ALIGNED with
+    the cell centroid (highest normalized-vector · centroid dot,
+    rounded, id tie-break) — the 'representative exemplars per domain'
+    draw used for prototype-based curation and few-shot pool building.
+    Assignment is the Arrow-vectorized argmin; the centrality score is
+    a JVM fold against the broadcast 16-row centroid table; the quota
+    is one per-cluster window. The oracle nests the unrolled Lloyd loop
+    and replays scoring + the capped draw, so the kept set AND each
+    vector's centrality are hash-checked."""
+    from .operators import similarity as SIM2
+    from .operators.similarity import (_as_double, _normalize,
+                                       _probe_cells_udf, dot)
+
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    cents = SIM2.train_ivf_centroids(emb, n_cells=16, iters=2)
+    spark_cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cluster int, cv array<double>")
+    # assignment + centrality in one pass against the broadcast model
+    assign1 = _probe_cells_udf(spark, cents, nprobe=1)
+    assigned = emb.select(
+        "vec_id", _normalize(_as_double(F.col("embedding"))).alias("nv")
+    ).withColumn("cluster", assign1(F.col("nv"))[0].cast("int"))
+    scored = (
+        assigned.join(F.broadcast(spark_cents), "cluster")
+        .select("vec_id", "cluster",
+                F.round(dot(F.col("nv"), F.col("cv"), 64), 6).alias("cdot"))
+    )
+    w = Window.partitionBy("cluster").orderBy(F.desc("cdot"), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _PROTO_PER_CELL)
+        .select("vec_id", "cluster", "cdot")
+    )
