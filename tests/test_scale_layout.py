@@ -148,3 +148,64 @@ def test_export_shards_total_order_and_shapes(spark):
     out2 = export_shards(df.repartition(7), per).collect()
     assert {(r.doc_id, r.global_rank) for r in out2} == \
            {(r.doc_id, r.global_rank) for r in out}
+
+
+def test_streaming_shard_manifest(spark, tmp_path):
+    """streaming export manifest: arrival-order sharding — the final
+    ledger is a contiguous rank permutation whose per-batch segments
+    each equal the batch's own deterministic hash ranking shifted by
+    the running total; shards fill across batch edges; replay rewrites
+    identical ledgers."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from wde_spark.operators.layout import (export_shards,
+                                            shard_manifest_increment)
+    from wde_spark.streaming.export_admission import (
+        read_manifest, streaming_shard_manifest)
+
+    per = 16
+    init = spark.range(0, 37).select(F.col("id").alias("doc_id"))
+    b1 = spark.range(100, 121).select(F.col("id").alias("doc_id"))
+    b2 = spark.range(200, 211).select(F.col("id").alias("doc_id"))
+
+    src = tmp_path / "docs"
+    for i, df in enumerate((b1, b2)):
+        df.coalesce(1).write.mode("overwrite") \
+            .parquet(str(src / f"f{i}.parquet"))
+    stream = (
+        spark.readStream.schema("doc_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*.parquet"))
+    )
+    target, ckpt = str(tmp_path / "exp"), str(tmp_path / "ckpt")
+    streaming_shard_manifest(stream, init, target, ckpt, per)
+
+    got = {r.doc_id: (r.global_rank, r.shard_id, r.seq_in_shard)
+           for r in read_manifest(spark, target).collect()}
+    # want: init ranks 1..37, b1 ranks 38..58, b2 ranks 59..69 — each
+    # segment in its own salted-hash order (the increment composition)
+    want = {}
+    for off, df in ((0, init), (37, b1), (58, b2)):
+        seg = (export_shards(df, per) if off == 0
+               else shard_manifest_increment(off, df, per))
+        for r in seg.collect():
+            want[r.doc_id] = (r.global_rank, r.shard_id, r.seq_in_shard)
+    assert got == want
+    ranks = sorted(v[0] for v in got.values())
+    assert ranks == list(range(1, 70))          # contiguous permutation
+    for doc, (g, s, q) in got.items():
+        assert s == (g - 1) // per and q == (g - 1) % per
+    # shard 2 (ranks 33..48) spans the init/b1 boundary
+    owners = {v[0]: k for k, v in got.items()}
+    assert any(owners[r] < 100 for r in range(33, 38))
+    assert any(owners[r] >= 100 for r in range(38, 49))
+
+    # replay: identical ledgers
+    before = sorted(os.listdir(os.path.join(target, "manifest")))
+    streaming_shard_manifest(stream, init, target, ckpt, per)
+    assert sorted(os.listdir(os.path.join(target, "manifest"))) == before
+    got2 = {r.doc_id: (r.global_rank, r.shard_id, r.seq_in_shard)
+            for r in read_manifest(spark, target).collect()}
+    assert got2 == got

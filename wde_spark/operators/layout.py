@@ -118,3 +118,35 @@ def export_shards(df: DataFrame, docs_per_shard: int,
             ((F.col("global_rank") - 1) % docs_per_shard).cast("long"))
         .drop("_hx", "_bkt", "_off", "_lr")
     )
+
+
+def shard_manifest_increment(n_so_far: int, batch: DataFrame,
+                             docs_per_shard: int,
+                             id_col: str = "doc_id",
+                             salt: str = "wde") -> DataFrame:
+    """APPEND-ONLY shard assignment for a new batch: rows rank
+    deterministically WITHIN the batch (the same salted-hash two-phase
+    ranking as `export_shards`) and take global ranks after the
+    `n_so_far` rows already exported — the last partial shard fills
+    first, then new shards open. `n_so_far` is ledger metadata (one
+    count), never a scan of prior manifests.
+
+    Semantics contract (pinned in tests): composing increments over
+    batches B1..Bn equals ranking each batch independently and
+    concatenating — ARRIVAL-ORDER sharding. This is deliberately NOT
+    `export_shards` over the union (corpus-wide hash order): an
+    append-only stream cannot re-rank history, and shards already
+    shipped to trainers must never be rewritten. Re-sharding the world
+    is the batch operator's job."""
+    assert n_so_far >= 0
+    shifted = export_shards(batch, docs_per_shard, id_col, salt) \
+        .withColumn("global_rank",
+                    (F.col("global_rank") + n_so_far).cast("long"))
+    return (
+        shifted.withColumn(
+            "shard_id",
+            ((F.col("global_rank") - 1) / docs_per_shard).cast("long"))
+        .withColumn(
+            "seq_in_shard",
+            ((F.col("global_rank") - 1) % docs_per_shard).cast("long"))
+    )

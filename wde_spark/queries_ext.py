@@ -4247,3 +4247,117 @@ def cluster_prototypes_embeddings(spark: SparkSession,
         .filter(F.col("rn") <= _PROTO_PER_CELL)
         .select("vec_id", "cluster", "cdot")
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming export-shard manifest — streaming/export_admission
+# ---------------------------------------------------------------------------
+
+_MANIFEST_PER = 64
+
+
+def _streaming_manifest_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per parquet snapshot) a STREAMED export manifest over
+    the documents table and return its ledger directory: the doc_id%5!=0
+    slice is ranked as batch 0 (bootstrap), the %5==0 slice arrives as
+    two file-source micro-batches through
+    `streaming/export_admission.streaming_shard_manifest` (append-only
+    shard coordinates continuing after the running total). Same
+    process-unique staging + atomic-rename cache as the other streaming
+    builders."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    src_parquet = os.path.join(sf_dir, "documents.parquet")
+    try:
+        mtime = str(int(os.path.getmtime(src_parquet)))
+    except OSError:
+        mtime = "0"
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{mtime}".encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"wde_exp_adm_{tag}")
+    out_dir = os.path.join(base, "exp")
+    done = os.path.join(base, "_COMPLETE")
+    if os.path.exists(done):
+        return out_dir
+    from .streaming.export_admission import streaming_shard_manifest
+
+    if os.path.exists(base):
+        shutil.rmtree(base, ignore_errors=True)
+    stage = f"{base}.build.{os.getpid()}"
+    shutil.rmtree(stage, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    init = docs.filter(F.col("doc_id") % 5 != 0)
+    feed = os.path.join(stage, "feed")
+    for i, pred in ((1, F.col("doc_id") % 10 == 0),
+                    (2, F.col("doc_id") % 10 == 5)):
+        docs.filter(pred).coalesce(1).write.mode("overwrite") \
+            .parquet(os.path.join(feed, f"b{i}.parquet"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(feed, "*.parquet"))
+    )
+    streaming_shard_manifest(stream, init, os.path.join(stage, "exp"),
+                             os.path.join(stage, "ckpt"), _MANIFEST_PER)
+    with open(os.path.join(stage, "_COMPLETE"), "w") as fh:
+        fh.write("ok")
+    try:
+        os.rename(stage, base)
+    except OSError:
+        if not os.path.exists(done):
+            raise
+        shutil.rmtree(stage, ignore_errors=True)
+    return out_dir
+
+
+@query(
+    "export_manifest_stream_documents",
+    f"""
+    WITH init AS (SELECT doc_id FROM documents WHERE doc_id % 5 <> 0),
+    b1 AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0),
+    b2 AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 5),
+    u AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (
+               ORDER BY md5('wde|' || CAST(doc_id AS VARCHAR)), doc_id)
+               AS r
+      FROM init
+      UNION ALL
+      SELECT doc_id,
+             (SELECT COUNT(*) FROM init)
+             + ROW_NUMBER() OVER (
+                 ORDER BY md5('wde|' || CAST(doc_id AS VARCHAR)), doc_id)
+      FROM b1
+      UNION ALL
+      SELECT doc_id,
+             (SELECT COUNT(*) FROM init) + (SELECT COUNT(*) FROM b1)
+             + ROW_NUMBER() OVER (
+                 ORDER BY md5('wde|' || CAST(doc_id AS VARCHAR)), doc_id)
+      FROM b2
+    )
+    SELECT doc_id, r AS global_rank,
+           CAST((r - 1) // {_MANIFEST_PER} AS BIGINT) AS shard_id,
+           CAST((r - 1) % {_MANIFEST_PER} AS BIGINT) AS seq_in_shard
+    FROM u
+    """,
+)
+def export_manifest_stream_documents(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """End-to-end STREAMING EXPORT MANIFEST
+    (`streaming/export_admission.py` — training-data export as an
+    ingest path): the %5!=0 slice is ranked as batch 0, the %5==0 slice
+    streams in as two micro-batches, each assigned APPEND-ONLY shard
+    coordinates continuing after the running total (the last partial
+    shard fills across batch edges; shipped shards are never
+    rewritten). Arrival-order sharding is batching-DEPENDENT by design,
+    so the oracle states the exact batch decomposition (three hash-
+    ordered ROW_NUMBER segments with count offsets) — every rank,
+    shard, and in-shard position of the maintained ledger is
+    hash-checked."""
+    from .streaming.export_admission import read_manifest
+
+    out_dir = _streaming_manifest_dir(spark, sf_dir)
+    return read_manifest(spark, out_dir) \
+        .select("doc_id", "global_rank", "shard_id", "seq_in_shard")
