@@ -44,6 +44,20 @@ def term_distribution(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .select("term", "cnt", (F.col("cnt") / F.col("n")).alias("p"))
 
 
+def categorical_distribution(df: DataFrame, cat_col: str) -> DataFrame:
+    """(term, cnt, p) over any categorical column (k-means cell ids,
+    sources, languages) — the non-text analogue of `term_distribution`,
+    so `corpus_divergence` monitors ANY discrete corpus composition: one
+    hash agg + one scalar total."""
+    t = (
+        df.select(F.col(cat_col).cast("string").alias("term"))
+        .groupBy("term").agg(F.count("*").alias("cnt"))
+    )
+    total = t.agg(F.sum("cnt").alias("n"))
+    return t.crossJoin(F.broadcast(total)) \
+        .select("term", "cnt", (F.col("cnt") / F.col("n")).alias("p"))
+
+
 def corpus_divergence(dist_a: DataFrame, dist_b: DataFrame) -> DataFrame:
     """One row: (jsd, l1, n_terms_a, n_terms_b, n_terms_common) between
     two `term_distribution` outputs. JSD in natural log, computed term

@@ -4361,3 +4361,82 @@ def export_manifest_stream_documents(spark: SparkSession,
     out_dir = _streaming_manifest_dir(spark, sf_dir)
     return read_manifest(spark, out_dir) \
         .select("doc_id", "global_rank", "shard_id", "seq_in_shard")
+
+
+def _cluster_drift_oracle() -> str:
+    from .queries import _IVF_ASSIGN, _IVF_UPDATE
+
+    return """
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    nv AS (SELECT vec_id,
+                  list_transform(v, x -> x / sqrt(list_aggregate(
+                      list_transform(v, y -> y*y), 'sum'))) AS nv
+           FROM v),
+    seed AS (
+      SELECT rn - 1 AS cell, nv AS cv FROM (
+        SELECT nv, ROW_NUMBER() OVER (
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM nv) WHERE rn <= 16
+    ),
+    a1 AS (""" + _IVF_ASSIGN.format(cents="seed", qfilter="", rncond="= 1") + """),
+    """ + _IVF_UPDATE.format(it=1, prev="seed") + """,
+    a2 AS (""" + _IVF_ASSIGN.format(cents="c1f", qfilter="", rncond="= 1") + """),
+    """ + _IVF_UPDATE.format(it=2, prev="c1f") + """,
+    itemcell AS (""" + _IVF_ASSIGN.format(cents="c2f", qfilter="", rncond="= 1") + """),
+    ca AS (SELECT CAST(cell AS VARCHAR) AS term, COUNT(*) AS cnt
+           FROM itemcell WHERE vec_id % 2 = 0 GROUP BY cell),
+    cb AS (SELECT CAST(cell AS VARCHAR) AS term, COUNT(*) AS cnt
+           FROM itemcell WHERE vec_id % 2 = 1 GROUP BY cell),
+    pa_t AS (SELECT term, cnt / (SELECT SUM(cnt) FROM ca) AS p FROM ca),
+    pb_t AS (SELECT term, cnt / (SELECT SUM(cnt) FROM cb) AS p FROM cb),
+    j AS (
+      SELECT COALESCE(a.p, 0.0) AS pa, COALESCE(b.p, 0.0) AS pb
+      FROM pa_t a FULL OUTER JOIN pb_t b USING (term)
+    ),
+    t AS (SELECT pa, pb, (pa + pb) / 2 AS m FROM j)
+    SELECT
+      ROUND(SUM(CASE WHEN pa > 0 THEN pa * ln(pa / m) ELSE 0.0 END
+                + CASE WHEN pb > 0 THEN pb * ln(pb / m) ELSE 0.0 END) / 2,
+            6) AS jsd,
+      ROUND(SUM(ABS(pa - pb)), 6) AS l1,
+      CAST(SUM(CASE WHEN pa > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_terms_a,
+      CAST(SUM(CASE WHEN pb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_terms_b,
+      CAST(SUM(CASE WHEN pa > 0 AND pb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_terms_common
+    FROM t
+    """
+
+
+@query("cluster_drift_embeddings", _cluster_drift_oracle())
+def cluster_drift_embeddings(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """PER-CLUSTER drift — "did the new admissions shift WHERE the
+    corpus lives in embedding space?", the semantic companion to the
+    term-level `corpus_drift_documents`: both snapshot halves (vec_id
+    parity stands in for two ledger versions) are assigned to the SAME
+    frozen k-means cells, and the two CELL-POPULATION distributions are
+    compared by JSD/L1 (`drift.categorical_distribution` +
+    `corpus_divergence` — the divergence operator is distribution-
+    generic, this instantiates it over cluster ids instead of terms).
+    Cell populations are 16-row tables whatever the corpus size; the
+    oracle nests the unrolled Lloyd loop and recomputes the divergence
+    term-by-term, so the VALUE is hash-checked."""
+    from .operators import drift as DR
+    from .operators import similarity as SIM2
+    from .operators.similarity import (_as_double, _normalize,
+                                       _probe_cells_udf)
+
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    cents = SIM2.train_ivf_centroids(emb, n_cells=16, iters=2)
+    assign1 = _probe_cells_udf(spark, cents, nprobe=1)
+    assigned = emb.select(
+        "vec_id",
+        assign1(_normalize(_as_double(F.col("embedding"))))[0]
+        .cast("int").alias("cluster"))
+    return DR.corpus_divergence(
+        DR.categorical_distribution(
+            assigned.filter(F.col("vec_id") % 2 == 0), "cluster"),
+        DR.categorical_distribution(
+            assigned.filter(F.col("vec_id") % 2 == 1), "cluster"),
+    )
