@@ -3895,6 +3895,28 @@ def nb_gated_admission_documents(spark: SparkSession,
 # corpus clustering / export layout / mixture budgeting
 # ---------------------------------------------------------------------------
 
+def _kmeans_assigned(spark, emb):
+    """(assigned, centroids): every embedding's deterministic k-means cell
+    (16 cells, 2 Lloyd iterations) as (vec_id, cluster int). Empty-corpus
+    safe: with no trainable vectors there is no model — returns an empty
+    assignment and [] instead of handing an empty centroid matrix to the
+    probe kernel (the date-filter-leaves-zero-rows case every composed
+    plan must survive)."""
+    from .operators import similarity as SIM2
+    from .operators.similarity import (_as_double, _normalize,
+                                       _probe_cells_udf)
+
+    cents = SIM2.train_ivf_centroids(emb, n_cells=16, iters=2)
+    if not cents:
+        return spark.createDataFrame([], "vec_id long, cluster int"), []
+    assign1 = _probe_cells_udf(spark, cents, nprobe=1)
+    assigned = emb.select(
+        "vec_id",
+        assign1(_normalize(_as_double(F.col("embedding"))))[0]
+        .cast("int").alias("cluster"))
+    return assigned, cents
+
+
 def _kmeans_clusters_oracle() -> str:
     from .queries import _IVF_ASSIGN, _IVF_UPDATE
 
@@ -3936,21 +3958,11 @@ def kmeans_clusters_embeddings(spark: SparkSession,
     the data never leaves the executors. The oracle unrolls the same
     seed → assign → update → assign → update → assign sequence in SQL,
     so every ASSIGNMENT is hash-checked, not just the cell sizes."""
-    from .operators import similarity as SIM2
-    from .operators.similarity import (_as_double, _normalize,
-                                       _probe_cells_udf)
-
     emb = load_table(spark, sf_dir, "embeddings", spread=True)
-    cents = SIM2.train_ivf_centroids(emb, n_cells=16, iters=2)
-    assign1 = _probe_cells_udf(spark, cents, nprobe=1)
-    assigned = emb.select(
-        "vec_id",
-        assign1(_normalize(_as_double(F.col("embedding"))))[0]
-        .alias("cluster"))
+    assigned, _ = _kmeans_assigned(spark, emb)
     sz = assigned.groupBy("cluster").agg(F.count("*").alias("cluster_size"))
     return assigned.join(F.broadcast(sz), "cluster") \
-        .select("vec_id", F.col("cluster").cast("int").alias("cluster"),
-                "cluster_size")
+        .select("vec_id", "cluster", "cluster_size")
 
 
 _SHARD_DOCS = 64
@@ -4080,17 +4092,8 @@ def cluster_cap_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster-sized, never corpus-sized. The oracle nests the unrolled
     k-means and replays the capped draw, so the KEPT SET is
     hash-checked."""
-    from .operators import similarity as SIM2
-    from .operators.similarity import (_as_double, _normalize,
-                                       _probe_cells_udf)
-
     emb = load_table(spark, sf_dir, "embeddings", spread=True)
-    cents = SIM2.train_ivf_centroids(emb, n_cells=16, iters=2)
-    assign1 = _probe_cells_udf(spark, cents, nprobe=1)
-    assigned = emb.select(
-        "vec_id",
-        assign1(_normalize(_as_double(F.col("embedding"))))[0]
-        .cast("int").alias("cluster"))
+    assigned, _ = _kmeans_assigned(spark, emb)
     w = Window.partitionBy("cluster").orderBy(
         F.md5(F.concat(F.lit("cap|"), F.col("vec_id").cast("string"))),
         "vec_id")
@@ -4222,22 +4225,23 @@ def cluster_prototypes_embeddings(spark: SparkSession,
     is one per-cluster window. The oracle nests the unrolled Lloyd loop
     and replays scoring + the capped draw, so the kept set AND each
     vector's centrality are hash-checked."""
-    from .operators import similarity as SIM2
-    from .operators.similarity import (_as_double, _normalize,
-                                       _probe_cells_udf, dot)
+    from .operators.similarity import _as_double, _normalize, dot
 
     emb = load_table(spark, sf_dir, "embeddings", spread=True)
-    cents = SIM2.train_ivf_centroids(emb, n_cells=16, iters=2)
+    assigned, cents = _kmeans_assigned(spark, emb)
+    if not cents:
+        return spark.createDataFrame(
+            [], "vec_id long, cluster int, cdot double")
     spark_cents = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
         "cluster int, cv array<double>")
-    # assignment + centrality in one pass against the broadcast model
-    assign1 = _probe_cells_udf(spark, cents, nprobe=1)
-    assigned = emb.select(
-        "vec_id", _normalize(_as_double(F.col("embedding"))).alias("nv")
-    ).withColumn("cluster", assign1(F.col("nv"))[0].cast("int"))
     scored = (
-        assigned.join(F.broadcast(spark_cents), "cluster")
+        assigned
+        .join(emb.select(
+            "vec_id",
+            _normalize(_as_double(F.col("embedding"))).alias("nv")),
+            "vec_id")
+        .join(F.broadcast(spark_cents), "cluster")
         .select("vec_id", "cluster",
                 F.round(dot(F.col("nv"), F.col("cv"), 64), 6).alias("cdot"))
     )
@@ -4423,17 +4427,9 @@ def cluster_drift_embeddings(spark: SparkSession,
     oracle nests the unrolled Lloyd loop and recomputes the divergence
     term-by-term, so the VALUE is hash-checked."""
     from .operators import drift as DR
-    from .operators import similarity as SIM2
-    from .operators.similarity import (_as_double, _normalize,
-                                       _probe_cells_udf)
 
     emb = load_table(spark, sf_dir, "embeddings", spread=True)
-    cents = SIM2.train_ivf_centroids(emb, n_cells=16, iters=2)
-    assign1 = _probe_cells_udf(spark, cents, nprobe=1)
-    assigned = emb.select(
-        "vec_id",
-        assign1(_normalize(_as_double(F.col("embedding"))))[0]
-        .cast("int").alias("cluster"))
+    assigned, _ = _kmeans_assigned(spark, emb)
     return DR.corpus_divergence(
         DR.categorical_distribution(
             assigned.filter(F.col("vec_id") % 2 == 0), "cluster"),
