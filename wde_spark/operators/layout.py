@@ -57,6 +57,55 @@ def write_zordered(
     )
 
 
+def global_prefix_sum(df: DataFrame, weight_col, id_col: str = "doc_id",
+                      salt: str = "wde", n_buckets: int = 256) -> DataFrame:
+    """Distributed EXCLUSIVE prefix sum of `weight_col` under the total
+    order of a salted md5 of `id_col` — the primitive behind global
+    ranking (`export_shards`, weight 1) and token-stream packing
+    (`pack_stream`, weight = token count). Scale-safe two-phase form:
+
+      1. bucket = hash prefix (one scan);
+      2. per-bucket weight totals -> driver (n_buckets rows) ->
+         exclusive bucket offsets rejoined broadcast;
+      3. running sum INSIDE each bucket (window PARTITIONED BY bucket);
+      4. start = bucket offset + in-bucket running sum − own weight.
+
+    Equivalent to SUM(w) OVER (ORDER BY hash) − w because bucket order
+    is the hash's own prefix order. Adds columns `start` (long,
+    exclusive prefix sum) and `_w` is consumed; `weight_col` may be any
+    Column expression. At 100 TB raise `n_buckets` so buckets stay
+    executor-sized; the driver still sees only n_buckets rows."""
+    hx = F.md5(F.concat(F.lit(salt + "|"),
+                        F.col(id_col).cast("string")))
+    plen = 1
+    while 16 ** plen < n_buckets:
+        plen += 1
+    wcol = weight_col if not isinstance(weight_col, str) \
+        else F.col(weight_col)
+    keyed = (
+        df.withColumn("_w", wcol.cast("long"))
+        .withColumn("_hx", hx)
+        .withColumn("_bkt", F.substring("_hx", 1, plen))
+    )
+    totals = keyed.groupBy("_bkt").agg(F.sum("_w").alias("_t"))
+    rows = sorted((r["_bkt"], r["_t"]) for r in totals.collect())
+    offs, acc = [], 0
+    for b, t in rows:
+        offs.append((b, acc))
+        acc += t
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offs, "_bkt string, _off long")
+    w = Window.partitionBy("_bkt").orderBy("_hx", id_col) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        keyed.join(F.broadcast(off_df), "_bkt")
+        .withColumn("start",
+                    (F.col("_off") + F.sum("_w").over(w) - F.col("_w"))
+                    .cast("long"))
+        .drop("_hx", "_bkt", "_off", "_w")
+    )
+
+
 def export_shards(df: DataFrame, docs_per_shard: int,
                   id_col: str = "doc_id", salt: str = "wde",
                   n_buckets: int = 256) -> DataFrame:
@@ -68,46 +117,13 @@ def export_shards(df: DataFrame, docs_per_shard: int,
 
     Every row gets (global_rank, shard_id, seq_in_shard) under the total
     order of a salted md5 of its id — content-free, uniform, and
-    engine-independent. The ranking is the scale-safe TWO-PHASE form,
-    never a single-partition window:
-
-      1. bucket = first `n_buckets`-slice of the hash (one scan);
-      2. per-bucket counts -> driver (n_buckets rows, the k-means
-         collect pattern) -> cumulative offsets rejoined as a broadcast
-         n_buckets-row table;
-      3. local rank inside each bucket (window PARTITIONED BY bucket —
-         ~n/n_buckets rows per partition at any corpus size);
-      4. global_rank = offset[bucket] + local_rank.
-
-    Equivalent to ROW_NUMBER() OVER (ORDER BY hash) because bucket order
-    is the hash's own prefix order: ranks within bucket b all sort after
-    every bucket < b. At 100 TB raise `n_buckets` (hex prefix length) so
-    buckets stay executor-sized; the driver still sees only n_buckets
-    rows."""
+    engine-independent. The ranking is `global_prefix_sum` with weight 1
+    (the scale-safe two-phase form, never a single-partition window):
+    rank = exclusive prefix count + 1."""
     assert docs_per_shard > 0
-    hx = F.md5(F.concat(F.lit(salt + "|"),
-                        F.col(id_col).cast("string")))
-    # prefix length that yields exactly n_buckets hex buckets
-    plen = 1
-    while 16 ** plen < n_buckets:
-        plen += 1
-    keyed = df.withColumn("_hx", hx).withColumn(
-        "_bkt", F.substring("_hx", 1, plen))
-    counts = keyed.groupBy("_bkt").agg(F.count("*").alias("_c"))
-    rows = sorted((r["_bkt"], r["_c"]) for r in counts.collect())
-    offs, acc = [], 0
-    for b, c in rows:
-        offs.append((b, acc))
-        acc += c
-    spark = df.sparkSession
-    off_df = spark.createDataFrame(offs, "_bkt string, _off long")
-    w = Window.partitionBy("_bkt").orderBy("_hx", id_col)
-    ranked = (
-        keyed.join(F.broadcast(off_df), "_bkt")
-        .withColumn("_lr", F.row_number().over(w))
-        .withColumn("global_rank", (F.col("_off") + F.col("_lr"))
-                    .cast("long"))
-    )
+    ranked = global_prefix_sum(df, F.lit(1), id_col, salt, n_buckets) \
+        .withColumn("global_rank", (F.col("start") + 1).cast("long")) \
+        .drop("start")
     return (
         ranked.withColumn(
             "shard_id",
@@ -116,7 +132,49 @@ def export_shards(df: DataFrame, docs_per_shard: int,
         .withColumn(
             "seq_in_shard",
             ((F.col("global_rank") - 1) % docs_per_shard).cast("long"))
-        .drop("_hx", "_bkt", "_off", "_lr")
+    )
+
+
+def pack_stream(docs: DataFrame, seq_len: int, weight_col: str = "n_tok",
+                id_col: str = "doc_id", salt: str = "pack",
+                n_buckets: int = 256) -> DataFrame:
+    """Concat-and-chunk sequence packing — THE pre-training batch layout
+    (GPT-2/3 style): all documents concatenate into one deterministic
+    token stream (salted-hash order, engine/cluster-size independent)
+    that is cut into fixed `seq_len` context windows; documents SPAN
+    window boundaries instead of wasting tail padding. Returns one row
+    per (window, document) overlap: (seq_id, id, start_in_seq,
+    n_tokens) — exactly which slice of which doc fills which positions
+    of which training sequence, the manifest a tokenizing exporter
+    executes.
+
+    Relational end-to-end: `global_prefix_sum` places each doc at its
+    stream offset (two-phase, no single-partition window), the
+    window-overlap explode emits ceil(w/seq_len)+1 rows per doc, and
+    every output column is integer arithmetic — reproducible, and
+    verifiable against a naive SQL running sum. Zero-token docs carry no
+    stream mass and are dropped (no position to assign)."""
+    assert seq_len > 0
+    ps = global_prefix_sum(docs, weight_col, id_col, salt, n_buckets)
+    e = (
+        ps.filter(F.col(weight_col) > 0)
+        .withColumn("_end", F.col("start") + F.col(weight_col))
+        .withColumn("_w0", F.floor(F.col("start") / seq_len).cast("long"))
+        .withColumn("_w1",
+                    F.floor((F.col("_end") - 1) / seq_len).cast("long"))
+    )
+    seq = F.explode(F.sequence(F.col("_w0"), F.col("_w1"))).alias("seq_id")
+    lo = F.greatest(F.col("start"), F.col("seq_id") * seq_len)
+    hi = F.least(F.col("_end"), (F.col("seq_id") + 1) * seq_len)
+    return (
+        e.select(F.col(id_col), "start", "_end", seq)
+        .select(
+            F.col("seq_id").cast("long"),
+            F.col(id_col),
+            (lo - F.col("seq_id") * seq_len).cast("long")
+            .alias("start_in_seq"),
+            (hi - lo).cast("long").alias("n_tokens"),
+        )
     )
 
 

@@ -4436,3 +4436,53 @@ def cluster_drift_embeddings(spark: SparkSession,
         DR.categorical_distribution(
             assigned.filter(F.col("vec_id") % 2 == 1), "cluster"),
     )
+
+
+_PACK_SEQ_LEN = 128
+
+
+@query(
+    "packed_sequences_documents",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tok,
+             md5('pack|' || CAST(doc_id AS VARCHAR)) AS hx
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tok,
+             CAST(SUM(n_tok) OVER (ORDER BY hx, doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tok
+                  AS BIGINT) AS st
+      FROM t
+    ),
+    e AS (SELECT doc_id, st, st + n_tok AS en FROM c WHERE n_tok > 0)
+    SELECT CAST(wi AS BIGINT) AS seq_id, doc_id,
+           CAST(GREATEST(st, wi * {_PACK_SEQ_LEN})
+                - wi * {_PACK_SEQ_LEN} AS BIGINT) AS start_in_seq,
+           CAST(LEAST(en, (wi + 1) * {_PACK_SEQ_LEN})
+                - GREATEST(st, wi * {_PACK_SEQ_LEN}) AS BIGINT) AS n_tokens
+    FROM e, unnest(range(st // {_PACK_SEQ_LEN},
+                         (en - 1) // {_PACK_SEQ_LEN} + 1)) u(wi)
+    """,
+)
+def packed_sequences_documents(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (`layout.pack_stream` — the
+    GPT-style pre-training batch layout): all documents concatenate into
+    one deterministic hash-ordered token stream cut into fixed 128-token
+    context windows, documents spanning window boundaries (zero tail
+    padding); returns the (seq_id, doc_id, start_in_seq, n_tokens)
+    manifest a tokenizing exporter executes. The Spark stream offsets
+    come from the two-phase `global_prefix_sum` (bucket totals →
+    broadcast offsets → per-bucket running sums — no single-partition
+    window); the oracle states the same stream with a naive global
+    running sum, so every window assignment is hash-checked and the
+    prefix-sum decomposition is proven exact."""
+    from .functions.strings import tokens as _tokens
+    from .operators import layout as L
+
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    t = d.select("doc_id", F.size(_tokens(F.col("text"))).alias("n_tok"))
+    return L.pack_stream(t, seq_len=_PACK_SEQ_LEN)
