@@ -209,3 +209,40 @@ def test_streaming_shard_manifest(spark, tmp_path):
     got2 = {r.doc_id: (r.global_rank, r.shard_id, r.seq_in_shard)
             for r in read_manifest(spark, target).collect()}
     assert got2 == got
+
+
+def test_pack_stream_conservation_and_density(spark):
+    """pack_stream: token mass is conserved per doc, every training
+    sequence except the last is exactly full (zero padding waste),
+    in-sequence offsets tile each window without gaps, and the layout is
+    reproducible across input partitionings."""
+    from pyspark.sql import functions as F
+
+    from wde_spark.operators.layout import pack_stream
+
+    rows = [(i, (i * 37) % 90 + (1 if i % 7 else 0)) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    C = 64
+    out = pack_stream(docs, seq_len=C).collect()
+
+    per_doc = {}
+    per_seq = {}
+    for r in out:
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + r.n_tokens
+        per_seq.setdefault(r.seq_id, []).append((r.start_in_seq, r.n_tokens))
+        assert 0 <= r.start_in_seq < C and 1 <= r.n_tokens <= C
+    want = {i: n for i, n in rows if n > 0}
+    assert per_doc == want                       # conservation
+    total = sum(want.values())
+    last = max(per_seq)
+    assert set(per_seq) == set(range(last + 1))  # contiguous sequences
+    for sid, pieces in per_seq.items():
+        pieces.sort()
+        filled = sum(n for _, n in pieces)
+        assert filled == (C if sid < last else total - C * last)
+        pos = 0
+        for st, n in pieces:                     # gapless tiling
+            assert st == pos
+            pos += n
+    out2 = pack_stream(docs.repartition(7), seq_len=C).collect()
+    assert {tuple(r) for r in out2} == {tuple(r) for r in out}
