@@ -230,6 +230,9 @@ def test_no_cartesian_or_undeclared_python_anywhere(spark):
                     # term distributions crossJoin a ONE-ROW total
                     # (denominator) — O(vocabulary), scale-safe
                     "corpus_drift_documents",
+                    # cell-population distributions: same ONE-ROW total
+                    # shape over 16-row tables
+                    "cluster_drift_embeddings",
                     # LM scoring crossJoins the ONE-ROW vocabulary size
                     "lm_quality_documents",
                     # scorecard embeds the same LM scoring shape
@@ -256,7 +259,12 @@ def test_no_cartesian_or_undeclared_python_anywhere(spark):
                  "resolve_ladder_parts", "hybrid_neardup_pairs",
                  # frame slicing is the declared multimodal Arrow kernel
                  # (frame_sample feeding the JVM-side run detection)
-                 "frame_runs_multimodal"}
+                 "frame_runs_multimodal",
+                 # the k-means cell-assignment kernel (the same
+                 # Arrow-vectorized argmin the IVF paths declare)
+                 "kmeans_clusters_embeddings", "cluster_cap_embeddings",
+                 "cluster_prototypes_embeddings",
+                 "cluster_drift_embeddings"}
     bad = {}
     for name, fn in QUERIES.items():
         try:

@@ -37,6 +37,7 @@ PICKS = {
     "export_shards_documents": "Two-phase global ranking: the ONLY window partitions by the 256-way hash-prefix bucket (~n/256 rows each); the offsets side is a broadcast 256-row table; no single-partition exchange anywhere.",
     "token_budget_mixture_documents": "Token-budget mixture: one window per source (running sum in hash order) over the scan; the budget CASE is row-local — no joins, no Python.",
     "kmeans_clusters_embeddings": "Corpus clustering: assignment is the Arrow-vectorized argmin against the broadcast centroid matrix (row-local); the size rollup is one hash agg joined back broadcast.",
+    "packed_sequences_documents": "Concat-and-chunk packing: stream offsets from the two-phase prefix sum (bucket-partitioned window + broadcast 256-row offsets); the window-overlap explode and slice arithmetic are pure codegen.",
 }
 
 HEADER = """# PLANS — physical-plan audit of representative queries
