@@ -1916,7 +1916,7 @@ from . import queries_ext  # noqa: E402,F401
 # smoke). 28 slots now seat queries that have never had a driver row —
 # Round-6 window: rotation per se STOPPED after r05 (all 107 pre-r6
 # entries have a driver-green row; 101 in r03-r05). This window seats the
-# round's 29 net-new registrations (semantic dedup + its recall audit,
+# round's 30 net-new registrations (semantic dedup + its recall audit,
 # corpus drift, LM quality, the composed text+semantic dedup, LM-gated
 # streaming admission, residual-IVFPQ gate, DSIR sampling + gated
 # admission, ExactSubstr spans/strip/increment, NB classifier + gated
@@ -1925,7 +1925,7 @@ from . import queries_ext  # noqa: E402,F401
 # admission, k-means clustering, export shards, token-budget mixture),
 # re-seats the six queries whose only driver rows date to r01/r02
 # (recency, per the r5 verdict's item 8), and fills the remaining slots
-# (29 net-new + 6 re-seats + 15 = the driver's 50) with fast
+# (30 net-new + 6 re-seats + 14 = the driver's 50) with fast
 # already-green representatives spanning every operator family.
 _DRIVER_PRIORITY = [
     # --- net-new this round (first driver rows) ---
@@ -1944,7 +1944,7 @@ _DRIVER_PRIORITY = [
     "cluster_cap_embeddings", "cluster_prototypes_embeddings",
     "contamination_by_source_documents",
     "export_manifest_stream_documents", "cluster_drift_embeddings",
-    "packed_sequences_documents",
+    "packed_sequences_documents", "stateful_sessions_events",
     # --- r01/r02-only greens, re-seated for driver recency ---
     "q5_local_supplier_volume", "doc_source_stats", "group_collect_langs",
     "q10_returned_items", "q11_supplier_share", "q15_top_supplier",
@@ -1954,8 +1954,8 @@ _DRIVER_PRIORITY = [
     "q6_forecast_revenue", "q18_large_volume_orders",
     # sketch gates (hll banked r04; quantile keeps the family)
     "quantile_sketch_gate",
-    # joins (lww/carry-forward banked r05; asof+range keep the family)
-    "asof_join_purchase_view", "range_join_error_clicks",
+    # joins (lww/carry-forward/range banked r03-r05; asof keeps the family)
+    "asof_join_purchase_view",
     # windows / temporal: topk banked r05; the round's net-new window
     # queries (export ranking, cluster quotas, token budget) re-check it
     # set ops + resolve (set_ops banked r05; resolve keeps the family)

@@ -4486,3 +4486,150 @@ def packed_sequences_documents(spark: SparkSession,
     d = load_table(spark, sf_dir, "documents", spread=True)
     t = d.select("doc_id", F.size(_tokens(F.col("text"))).alias("n_tok"))
     return L.pack_stream(t, seq_len=_PACK_SEQ_LEN)
+
+
+# ---------------------------------------------------------------------------
+# custom stateful streaming operator — streaming/stateful.sessionize_stateful
+# ---------------------------------------------------------------------------
+
+def _streaming_sessions_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per parquet snapshot) the CLOSED-SESSION ledger of the
+    applyInPandasWithState sessionizer run over the events table as two
+    chronological micro-batches, and return its directory. Same
+    process-unique staging + atomic-rename cache as the other streaming
+    builders."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    src_parquet = os.path.join(sf_dir, "events.parquet")
+    try:
+        mtime = str(int(os.path.getmtime(src_parquet)))
+    except OSError:
+        mtime = "0"
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{mtime}".encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"wde_sess_adm_{tag}")
+    out_dir = os.path.join(base, "sessions")
+    done = os.path.join(base, "_COMPLETE")
+    if os.path.exists(done):
+        return out_dir
+    from .streaming.stateful import sessionize_stateful
+
+    if os.path.exists(base):
+        shutil.rmtree(base, ignore_errors=True)
+    stage = f"{base}.build.{os.getpid()}"
+    shutil.rmtree(stage, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events") \
+        .select("ts", "user_id", F.col("value").cast("double")
+                .alias("value"))
+    # two chronological halves (total order: ts, user_id, value — the
+    # split point is deterministic; any split inside an equal-ts run is
+    # still chronological, so no row is ever watermark-late)
+    rows = ev.orderBy("ts", "user_id", "value").collect()
+    half = len(rows) // 2
+    feed = os.path.join(stage, "feed")
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        spark.createDataFrame(chunk, ev.schema).coalesce(1) \
+            .write.mode("overwrite") \
+            .parquet(os.path.join(feed, f"b{i}.parquet"))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(feed, "*.parquet"))
+    )
+    q = (
+        sessionize_stateful(stream, gap_seconds=1800,
+                            watermark="0 seconds")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", os.path.join(stage, "sessions_stream"))
+        .option("checkpointLocation", os.path.join(stage, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    # the streaming sink's _spark_metadata log records ABSOLUTE staged
+    # paths, which the atomic rename would orphan — compact the ledger
+    # to a plain parquet directory first (also what a downstream batch
+    # consumer wants: no metadata-log coupling)
+    spark.read.parquet(os.path.join(stage, "sessions_stream")) \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(os.path.join(stage, "sessions"))
+    shutil.rmtree(os.path.join(stage, "sessions_stream"),
+                  ignore_errors=True)
+    with open(os.path.join(stage, "_COMPLETE"), "w") as fh:
+        fh.write("ok")
+    try:
+        os.rename(stage, base)
+    except OSError:
+        if not os.path.exists(done):
+            raise
+        shutil.rmtree(stage, ignore_errors=True)
+    return out_dir
+
+
+@query(
+    "stateful_sessions_events",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                          > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    ),
+    agg AS (
+      SELECT user_id, sid, MIN(ts) AS st, MAX(ts) AS en,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             ROUND(SUM(value), 4) AS sum_value
+      FROM sessions GROUP BY 1, 2
+    ),
+    mx AS (SELECT MAX(ts) AS m FROM events),
+    lastsess AS (SELECT user_id, MAX(sid) AS last_id FROM agg
+                 GROUP BY user_id)
+    SELECT a.user_id,
+           strftime(a.st, '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(a.en, '%Y-%m-%d %H:%M:%S') AS session_end,
+           a.n_events, a.sum_value
+    FROM agg a JOIN lastsess l USING (user_id), mx
+    WHERE a.sid < l.last_id
+       OR epoch_ms(mx.m) > epoch_ms(a.en) + 1800 * 1000
+    """,
+)
+def stateful_sessions_events(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """CUSTOM STATEFUL STREAMING OPERATOR driver-checked end-to-end
+    (`streaming/stateful.sessionize_stateful` — applyInPandasWithState
+    per-user session state with event-time timeout): the events table
+    streams in as two chronological micro-batches; sessions close
+    in-stream when a later event lapses the 30-min gap, and remaining
+    open sessions flush on event-time TIMEOUT when the final watermark
+    passes end+gap. The emitted set is batching-invariant and exactly
+    SQL-expressible — every non-final session per user, plus final
+    sessions whose end+gap the global max event time strictly exceeds
+    (Spark's watermark>timeout semantics) — so the oracle states
+    gap-island sessionization with that closure predicate and the
+    driver hash-checks the LEDGER the stateful operator actually
+    wrote."""
+    sess_dir = _streaming_sessions_dir(spark, sf_dir)
+    out = spark.read.parquet(sess_dir)
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss")
+        .alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss")
+        .alias("session_end"),
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+    )
