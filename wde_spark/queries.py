@@ -1916,7 +1916,7 @@ from . import queries_ext  # noqa: E402,F401
 # smoke). 28 slots now seat queries that have never had a driver row —
 # Round-6 window: rotation per se STOPPED after r05 (all 107 pre-r6
 # entries have a driver-green row; 101 in r03-r05). This window seats the
-# round's 30 net-new registrations (semantic dedup + its recall audit,
+# round's 31 net-new registrations (semantic dedup + its recall audit,
 # corpus drift, LM quality, the composed text+semantic dedup, LM-gated
 # streaming admission, residual-IVFPQ gate, DSIR sampling + gated
 # admission, ExactSubstr spans/strip/increment, NB classifier + gated
@@ -1925,7 +1925,7 @@ from . import queries_ext  # noqa: E402,F401
 # admission, k-means clustering, export shards, token-budget mixture),
 # re-seats the six queries whose only driver rows date to r01/r02
 # (recency, per the r5 verdict's item 8), and fills the remaining slots
-# (30 net-new + 6 re-seats + 14 = the driver's 50) with fast
+# (31 net-new + 6 re-seats + 13 = the driver's 50) with fast
 # already-green representatives spanning every operator family.
 _DRIVER_PRIORITY = [
     # --- net-new this round (first driver rows) ---
@@ -1945,6 +1945,7 @@ _DRIVER_PRIORITY = [
     "contamination_by_source_documents",
     "export_manifest_stream_documents", "cluster_drift_embeddings",
     "packed_sequences_documents", "stateful_sessions_events",
+    "curation_pipeline_documents",
     # --- r01/r02-only greens, re-seated for driver recency ---
     "q5_local_supplier_volume", "doc_source_stats", "group_collect_langs",
     "q10_returned_items", "q11_supplier_share", "q15_top_supplier",
@@ -1963,8 +1964,9 @@ _DRIVER_PRIORITY = [
     # text analysis: word_count banked r03; the round's net-new text
     # queries (lm_quality, spans, scorecard, contamination) re-check the
     # family this window
-    # dedup family (exact_dedup banked r05; 4 reps keep the family)
-    "minhash_signatures_documents", "neardup_components_documents",
+    # dedup family (exact_dedup/components banked r05; 3 reps + the
+    # round's composed dedup queries keep the family)
+    "minhash_signatures_documents",
     "dedup_recall_audit_documents", "dedup_increment_documents",
     # similarity / ANN (vector_stats banked r05; two reps keep the family)
     "cosine_topk_embeddings", "streaming_pq_adc_ann",

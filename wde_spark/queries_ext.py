@@ -4633,3 +4633,81 @@ def stateful_sessions_events(spark: SparkSession,
         "n_events",
         F.round("sum_value", 4).alias("sum_value"),
     )
+
+
+@query(
+    "curation_pipeline_documents",
+    f"""
+    WITH RECURSIVE
+    {_lm_score_cte_block("(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0)", "documents", "cp")},
+    ctok AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    csh AS (
+      SELECT doc_id, unnest(list_distinct({_shingle_sql(3, 'toks')})) AS sh
+      FROM ctok
+    ),
+    cbench AS (SELECT DISTINCT sh FROM csh WHERE doc_id % 17 = 0),
+    chits AS (
+      SELECT s.doc_id, COUNT(*) AS n_shared
+      FROM csh s JOIN cbench b ON s.sh = b.sh
+      GROUP BY s.doc_id
+    ),
+    gated AS MATERIALIZED (
+      SELECT d.doc_id, d.text FROM documents d
+      JOIN agg_cp ON agg_cp.doc_id = d.doc_id
+      LEFT JOIN chits h ON h.doc_id = d.doc_id
+      WHERE ROUND(agg_cp.al, 6) >= {_LM_GATE_CUTOFF}
+        AND COALESCE(h.n_shared, 0) = 0
+    ),
+    {_dedup_kept_cte_block('gated', 'pp')}
+    SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split_regex(trim(lower(k.text)), '\\s+')))
+                AS BIGINT) AS n_tokens
+    FROM kept_pp k JOIN documents d ON d.doc_id = k.doc_id
+    GROUP BY d.source
+    """,
+)
+def curation_pipeline_documents(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """The END-TO-END CURATION PIPELINE as one declarative plan — the
+    composition a user of this engine actually ships, exercising four
+    oracled families in sequence: (1) CCNet bigram-LM fluency gate
+    (frozen LM trained on the doc_id-even half, cutoff = the LM-gated
+    admission's), (2) benchmark decontamination (docs sharing any
+    3-shingle with the %17==0 benchmark stand-in drop — including the
+    benchmark docs themselves), (3) full `dedup_corpus` over the
+    survivors (exact collapse → LSH-verified near-dup pairs →
+    connected components → min-id representative), (4) the per-source
+    volume rollup a mixture designer reads (docs + whitespace tokens of
+    the final corpus). Catalyst sees ONE plan — the gates are joins +
+    filters feeding the dedup tiers, so filter pushdown and broadcast
+    selection span stage boundaries a hand-rolled pipeline would
+    materialize. The oracle nests the LM CTE block, the shingle-overlap
+    CTEs, and the flat dedup fixpoint block, so the FINAL CORPUS
+    ROLLUP is hash-checked end-to-end."""
+    from .operators import curation as CU
+    from .operators import dedup as D
+    from .operators import lm_score as LM
+    from .functions.strings import tokens as _tokens
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    lm = LM.train_bigram_lm(docs.filter(F.col("doc_id") % 2 == 0))
+    scores = LM.lm_quality(docs, lm).select("doc_id", "avg_logp")
+    cont = CU.decontaminate(docs, docs.filter(F.col("doc_id") % 17 == 0)) \
+        .select("doc_id", "contaminated")
+    gated = (
+        docs.join(scores, "doc_id").join(cont, "doc_id")
+        .filter((F.col("avg_logp") >= _LM_GATE_CUTOFF)
+                & ~F.col("contaminated"))
+        .select("doc_id", "text", "source")
+    )
+    kept = D.dedup_corpus(gated.select("doc_id", "text"), max_bucket=None)
+    return (
+        kept.join(gated.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum(F.size(_tokens(F.col("text")))).cast("long")
+             .alias("n_tokens"))
+    )
