@@ -237,6 +237,9 @@ def test_no_cartesian_or_undeclared_python_anywhere(spark):
                     "lm_quality_documents",
                     # scorecard embeds the same LM scoring shape
                     "source_scorecard_documents",
+                    # the composed pipeline embeds the same LM-scoring
+                    # ONE-ROW vocabulary crossJoin as its fluency gate
+                    "curation_pipeline_documents",
                     # DSIR ratio crossJoins BOTH models' ONE-ROW
                     # vocabulary sizes — same scalar-subquery shape
                     "dsir_sample_documents",
