@@ -1,0 +1,121 @@
+"""Deterministic corpus sampling operators.
+
+Two primitives the inline registry samplers (stratified / mixture /
+train-val split in `queries_ext.py`) don't cover:
+
+- `weighted_sample`: weighted sampling WITHOUT replacement
+  (Efraimidis–Spirakis A-ES, "Weighted random sampling with a reservoir",
+  IPL 2006): draw k items with inclusion probability proportional to a
+  weight column — the primitive behind token-weighted corpus draws
+  ("sample 1M documents proportional to token count"). The classic
+  streaming form keeps a size-k heap of u^(1/w) keys; the distributed
+  form is rank-by-key: key_i = ln(u_i)/w_i with u_i uniform, take the
+  global top-k — a TakeOrdered (per-partition top-k + driver merge of
+  k-row heads), never a full sort. u_i is md5-derived, so the draw is
+  reproducible across engines, runs, and cluster sizes, and every key is
+  ROUND()ed before ranking so the order is libm-independent (house rule,
+  cf. tfidf_topk).
+
+- `quantile_gate`: per-group relative filtering — keep the top
+  num/den quantile of each group by a score column (the FineWeb /
+  CCNet-head shape: "keep the most fluent quartile PER LANGUAGE", so
+  high-resource languages don't eat low-resource ones' budget). The
+  exact form ranks inside each group (one shuffle on the group key;
+  partitions are group-sized); the quantile test is pure integer
+  arithmetic (rn * den <= n * num), no float thresholds to disagree on.
+  `quantile_gate_approx` is the 100 TB path: a per-group
+  `percentile_approx` threshold (one agg, broadcast back, one scan) —
+  no per-group sort at all; the exact form is its oracle.
+
+Reference scope note: the reference pipeline (katabase/3_WikidataEnrichment)
+has no sampling stage — these extend the engine's training-data surface
+per the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# md5 first-12-hex-chars value space: 16^12 buckets.
+_U_DEN = float(16 ** 12) + 1.0
+
+
+def es_key(id_col: str, weight_col: str, salt: str = "es",
+           ndigits: int = 6):
+    """The Efraimidis–Spirakis rank key ln(u)/w as a Column: u uniform in
+    (0,1) from the first 12 md5 hex chars of the salted id (exact in a
+    double: 16^12 < 2^53). Larger key (closer to 0) = more likely kept;
+    E-S proves top-k by this key IS weighted sampling without
+    replacement. Rounded so Spark and any SQL twin rank identically."""
+    v = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))),
+            1, 12),
+        16, 10,
+    ).cast("double")
+    u = (v + F.lit(1.0)) / F.lit(_U_DEN)
+    return F.round(F.log(u) / F.col(weight_col).cast("double"), ndigits)
+
+
+def weighted_sample(df: DataFrame, k: int, weight_col: str,
+                    id_col: str = "doc_id", salt: str = "es") -> DataFrame:
+    """Draw k rows with probability proportional to `weight_col`, without
+    replacement, deterministically. Rows with weight <= 0 are excluded
+    (E-S requires positive weights). Adds `es_key`; ties on the rounded
+    key break by id, so the kept set is a total-order prefix.
+
+    Scale shape: one row-local key computation + TakeOrderedAndProject —
+    each task keeps its local top-k, the driver merges k-row heads; no
+    global sort, no shuffle of the data itself."""
+    keyed = (
+        df.filter(F.col(weight_col).cast("double") > 0)
+        .withColumn("es_key", es_key(id_col, weight_col, salt))
+    )
+    return keyed.orderBy(F.col("es_key").desc(), F.col(id_col)).limit(k)
+
+
+def quantile_gate(scored: DataFrame, score_col: str, group_col: str,
+                  keep_num: int = 1, keep_den: int = 4,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Keep the top keep_num/keep_den fraction of each group by score
+    (score desc, id asc — rank the score ROUNDED upstream per house
+    determinism rules). NULL scores never pass (ranked last, and the
+    integer test already excludes them only if the group quota is hit —
+    so they are filtered explicitly). Adds `grp_rank` and `grp_n`.
+
+    The quantile test `rn * den <= n * num` is integer-exact: both
+    engines agree on ceil/floor behavior without any float threshold.
+    One shuffle on the group key; each window partition is one group."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col))
+    ranked = (
+        scored.filter(F.col(score_col).isNotNull())
+        .withColumn("grp_rank", F.row_number().over(w))
+        .withColumn("grp_n", F.count("*").over(Window.partitionBy(group_col)))
+    )
+    return ranked.filter(
+        F.col("grp_rank") * keep_den <= F.col("grp_n") * keep_num)
+
+
+def quantile_gate_approx(scored: DataFrame, score_col: str, group_col: str,
+                         keep_frac: float = 0.25,
+                         accuracy: int = 10000) -> DataFrame:
+    """Scale path for `quantile_gate`: per-group approx threshold
+    (Greenwald-Khanna via percentile_approx) broadcast back, then one
+    filter scan — no per-group sort, so a 10-billion-doc language costs
+    an agg + a scan. Admits slightly more/fewer rows than the exact gate
+    near the threshold (bounded by the sketch accuracy); the exact form
+    is the correctness oracle."""
+    thr = (
+        scored.filter(F.col(score_col).isNotNull())
+        .groupBy(group_col)
+        .agg(F.percentile_approx(
+            F.col(score_col), F.lit(1.0 - keep_frac), F.lit(accuracy)
+        ).alias("_thr"))
+    )
+    return (
+        scored.join(F.broadcast(thr), group_col)
+        .filter(F.col(score_col) >= F.col("_thr"))
+        .drop("_thr")
+    )
