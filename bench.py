@@ -14,15 +14,24 @@ BASELINE.md / itemtoid_test_out.json:59 "avg of 3"). The two runs are
 INTERLEAVED as two full passes over the query list, so a multi-minute
 co-tenant storm lands on different queries in each pass and min-of-2
 discards it — back-to-back runs let one storm poison both (r4/r5 driver
-regressions). Raw per-run timings and
-any per-query errors land in bench_detail.json next to this file; the single
-printed line carries only the min-of-2 map so it stays small enough for the
-driver's capture. A query that raises is recorded in the detail file's
-"errors" and excluded from the total — the bench itself still exits 0.
-The warm-up phase
-touches every table AND spins up the Python/Arrow worker pool once, so no
-single query is billed for process start-up. Caches are cleared between
-queries: nothing a query persists leaks into the next measurement.
+regressions).
+
+Two-JVM split (r7): the headline list is split into two balanced halves,
+each measured in its OWN fresh child process (`--child`), run sequentially.
+This halves the wall-clock window any one JVM is exposed to co-tenant
+storms (the r5/r6 official runs landed on loadavg-9+ hosts and left 5-20
+queries storm-inflated), and a JVM-level pathology (heap fragmentation, a
+stuck compiler thread) can poison at most half the list. The parent merges
+the halves, maintains bench_best.json, and prints the single line; if a
+child dies, its half is re-measured in-process so one crash can't blank
+half the bench. Raw per-run timings and any per-query errors land in
+bench_detail.json next to this file; the single printed line carries only
+the min-of-N map so it stays small enough for the driver's capture. A
+query that raises is recorded in the detail file's "errors" and billed a
+sentinel penalty — the bench itself still exits 0. Each child's warm-up
+phase touches every table AND spins up the Python/Arrow worker pool once,
+so no single query is billed for process start-up. Caches are cleared
+between queries: nothing a query persists leaks into the next measurement.
 """
 
 from __future__ import annotations
@@ -30,7 +39,9 @@ from __future__ import annotations
 import json
 import os
 import re
+import subprocess
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -99,7 +110,6 @@ HEADLINE = [
 ]
 
 
-
 def _over_best(t: float, known: float) -> bool:
     """Storm test vs the best-known min: relative 1.3× AND >0.3 s absolute
     excess. The absolute guard keeps sub-second queries honest — a 0.15 s
@@ -120,13 +130,15 @@ def _cpu_jiffies() -> tuple[int, int]:
     return sum(vals), vals[7] if len(vals) > 7 else 0
 
 
-def main() -> None:
+def measure(names: list[str], sf_dir: str,
+            best_known: dict[str, float]) -> dict:
+    """The measurement core (runs inside one JVM/process): warm up every
+    table + the Arrow worker pool, two interleaved passes over `names`,
+    storm retries against `best_known`, spaced final sweeps. Returns a
+    plain-JSON dict with per-query mins, raw runs, retries, loadavg
+    samples, errors, and the updated best-known map — the parent merges
+    halves and owns bench_best.json."""
     load0 = os.getloadavg()[0]
-    jif0 = _cpu_jiffies()
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else -1.0
-
     from wde_spark.core.session import get_session
     from wde_spark.queries import QUERIES
 
@@ -149,24 +161,6 @@ def main() -> None:
         _identity, "id long"
     ).write.format("noop").mode("overwrite").save()
 
-    # Historical per-query best-known minimums (committed next to this
-    # file, keyed by sf). The host is co-tenant-noisy in ways neither
-    # loadavg nor /proc/stat steal reliably show (observed: a query's two
-    # runs at 9.1/4.2 s on a loadavg-0.06 box whose best-known time is
-    # 0.5 s, with steal 0.07%). min-of-2 alone cannot defend against a
-    # storm that spans both runs, so: any query whose min-of-2 exceeds
-    # 1.3× its best-known min gets up to 2 extra runs, and the record
-    # file is updated whenever a run sets a new min — the committed BENCH
-    # line converges to the engine's capability, not the host's weather.
-    best_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "bench_best.json")
-    try:
-        with open(best_path) as fh:
-            best_known_all = json.load(fh)
-    except (OSError, ValueError):
-        best_known_all = {}
-    best_known: dict[str, float] = best_known_all.get(str(sf), {})
-
     # Run protocol (hardened r6 after two rounds of storm-inflated driver
     # numbers): the two timed runs of a query are INTERLEAVED — pass 1
     # over the whole list, then pass 2 over the whole list — so the same
@@ -181,6 +175,7 @@ def main() -> None:
     retries: dict[str, list[float]] = {}
     best: dict[str, float] = {}
     errors: dict[str, str] = {}
+    best_known = dict(best_known)
 
     def _run_once(name: str) -> float:
         t0 = time.time()
@@ -192,7 +187,7 @@ def main() -> None:
         return t
 
     for r in runs:
-        for name in HEADLINE:
+        for name in names:
             if name in errors:
                 continue
             try:
@@ -206,7 +201,7 @@ def main() -> None:
                 # would silently improve it and make round-over-round
                 # totals incomparable).
                 spark.catalog.clearCache()
-    for name in HEADLINE:
+    for name in names:
         if name in errors:
             best[name] = ERROR_PENALTY_SEC
         else:
@@ -215,7 +210,7 @@ def main() -> None:
     # Storm retries: any query whose min-of-2 is still >1.3× the best it
     # has EVER run at this sf gets up to 2 extra runs (a storm that
     # outlasted both interleaved passes), min-of-N semantics unchanged.
-    for name in HEADLINE:
+    for name in names:
         if name in errors:
             continue
         extra = 0
@@ -242,7 +237,7 @@ def main() -> None:
     # Two sweeps max so a genuinely-regressed query converges instead of
     # looping.
     for _sweep in range(2):
-        still_over = [n for n in HEADLINE if n not in errors
+        still_over = [n for n in names if n not in errors
                       and n in best_known
                       and _over_best(best[n], best_known[n])]
         if not still_over:
@@ -258,6 +253,98 @@ def main() -> None:
             best[name] = min(best[name], t)
             if best[name] < best_known.get(name, float("inf")):
                 best_known[name] = best[name]
+
+    spark.stop()
+    return {
+        "best": best,
+        "runs": runs,
+        "retries": retries,
+        "loads": loads,
+        "errors": errors,
+        "best_known": best_known,
+        "loadavg_start": round(load0, 2),
+        "loadavg_end": round(os.getloadavg()[0], 2),
+    }
+
+
+def _child_main(spec_path: str) -> None:
+    with open(spec_path) as fh:
+        spec = json.load(fh)
+    out = measure(spec["names"], spec["sf_dir"], spec["best_known"])
+    with open(spec["out"], "w") as fh:
+        json.dump(out, fh)
+
+
+def main() -> None:
+    load0 = os.getloadavg()[0]
+    jif0 = _cpu_jiffies()
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    # Historical per-query best-known minimums (committed next to this
+    # file, keyed by sf). The host is co-tenant-noisy in ways neither
+    # loadavg nor /proc/stat steal reliably show (observed: a query's two
+    # runs at 9.1/4.2 s on a loadavg-0.06 box whose best-known time is
+    # 0.5 s, with steal 0.07%). min-of-2 alone cannot defend against a
+    # storm that spans both runs, so: any query whose min-of-2 exceeds
+    # 1.3× its best-known min gets up to 2 extra runs, and the record
+    # file is updated whenever a run sets a new min — the committed BENCH
+    # line converges to the engine's capability, not the host's weather.
+    best_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_best.json")
+    try:
+        with open(best_path) as fh:
+            best_known_all = json.load(fh)
+    except (OSError, ValueError):
+        best_known_all = {}
+    best_known: dict[str, float] = dict(best_known_all.get(str(sf), {}))
+
+    # Alternating split balances heavy LSH/components queries across the
+    # two JVMs so neither child's wall-clock window dominates.
+    halves = [HEADLINE[0::2], HEADLINE[1::2]]
+    results: list[dict] = []
+    this_file = os.path.abspath(__file__)
+    for i, names in enumerate(halves):
+        res = None
+        with tempfile.TemporaryDirectory(prefix="wde_bench_") as td:
+            spec = {"names": names, "sf_dir": sf_dir,
+                    "best_known": best_known,
+                    "out": os.path.join(td, "out.json")}
+            spec_path = os.path.join(td, "spec.json")
+            with open(spec_path, "w") as fh:
+                json.dump(spec, fh)
+            rc = subprocess.call(
+                [sys.executable, this_file, "--child", spec_path],
+                stdout=sys.stderr)
+            if rc == 0 and os.path.exists(spec["out"]):
+                try:
+                    with open(spec["out"]) as fh:
+                        res = json.load(fh)
+                except ValueError:
+                    res = None
+        if res is None:
+            # A dead child must not blank half the bench — re-measure its
+            # half in THIS process (one JVM, same protocol).
+            res = measure(names, sf_dir, best_known)
+        results.append(res)
+        # Later halves retry against any new mins the earlier half set.
+        best_known.update(res["best_known"])
+
+    best: dict[str, float] = {}
+    runs: list[dict[str, float]] = [{}, {}]
+    loads: dict[str, list[float]] = {}
+    retries: dict[str, list[float]] = {}
+    errors: dict[str, str] = {}
+    for res in results:
+        best.update(res["best"])
+        runs[0].update(res["runs"][0])
+        runs[1].update(res["runs"][1])
+        loads.update(res["loads"])
+        retries.update(res["retries"])
+        errors.update(res["errors"])
+    # keep the printed map in the canonical HEADLINE order
+    best = {n: best[n] for n in HEADLINE if n in best}
 
     best_known_all[str(sf)] = best_known
     with open(best_path, "w") as fh:
@@ -287,6 +374,10 @@ def main() -> None:
         "best_known_total": round(sum(
             best_known.get(n, best[n]) for n in best), 3),
         "sf": sf,
+        # per-child JVM windows (two-JVM split): loadavg at each child's
+        # start/end so a reader can see which half a storm landed on
+        "halves_loadavg": [[r["loadavg_start"], r["loadavg_end"]]
+                           for r in results],
         # 1-min load average at start/end: this box shares a host, and
         # sustained co-tenant steal (observed load >10 while locally idle)
         # inflates every query ~2x — a reader comparing rounds needs to
@@ -322,8 +413,10 @@ def main() -> None:
         # for whether this run's totals were taken in a storm
         "steal_pct": steal_pct,
     }))
-    spark.stop()
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--child":
+        _child_main(sys.argv[2])
+    else:
+        main()

@@ -284,3 +284,56 @@ def test_no_cartesian_or_undeclared_python_anywhere(spark):
         if has_py and name not in python_ok:
             bad[name] = bad.get(name, "") + " undeclared python node"
     assert not bad, f"plan regressions: {bad}"
+
+
+def test_no_unbounded_driver_collect_in_package_source():
+    """Source-level guard: every `.collect()` in the package must be one of
+    the explicitly adjudicated BOUNDED driver materializations (limit-capped,
+    one-row aggregate, or model/metadata state whose size is a parameter,
+    never the corpus). A new `.collect()` anywhere else fails this test —
+    the round-6 verdict's `stateful_sessions_events` full-table collect is
+    exactly the regression class this keeps out."""
+    import pathlib
+
+    pkg = pathlib.Path(__file__).resolve().parent.parent / "wde_spark"
+    # (filename, required substring of the collecting line) — each entry is
+    # bounded by construction; see the file:line comments.
+    allowed = [
+        # limit-capped reinjection name map, explicit raise above the cap
+        ("plans/reinject.py", ".limit(max_names + 1).collect()"),
+        # per-partition byte counters -> one int per partition
+        ("plans/reinject.py", "raw.rdd.mapPartitions(work).collect()"),
+        # one-row manifest total per micro-batch
+        ("streaming/export_admission.py", '.collect()[0]["n_total"]'),
+        # freqItems sketch: one row of <= 1/support items
+        ("queries_ext.py", 'd.stat.freqItems(["source"], 0.04)'),
+        # exact frequent sources: <= 1/support rows by definition
+        ("queries_ext.py", "truth = {r.source for r in exact.collect()}"),
+        # 256 bucket totals (two-phase prefix sum)
+        ("operators/layout.py", 'sorted((r["_bkt"], r["_t"])'),
+        # k-means / PQ codebook state, bounded by n_cells / k_codes
+        ("operators/similarity.py", ".limit(n_cells).select"),
+        ("operators/similarity.py", ".limit(k_codes).select"),
+        ("operators/similarity.py", ".collect()\n"),  # centroid refresh rows
+        ("operators/similarity.py", "~F.exists("),  # query vectors (k-NN probes)
+        # dedup-before-fetch candidate cap: one max() row
+        ("sources/http.py", 'F.max(F.size("candidates"))'),
+        # CLI endpoints materialize small reports by design
+        ("__main__.py", ".collect()"),
+    ]
+    offenders = []
+    for path in sorted(pkg.rglob("*.py")):
+        rel = str(path.relative_to(pkg))
+        text = path.read_text()
+        lines = text.splitlines()
+        for i, line in enumerate(lines):
+            if ".collect()" not in line:
+                continue
+            ctx = "\n".join(lines[max(0, i - 1): i + 2]) + "\n"
+            if any(rel == f and (s in line or s in ctx)
+                   for f, s in allowed):
+                continue
+            offenders.append(f"{rel}:{i + 1}: {line.strip()}")
+    assert not offenders, (
+        "unadjudicated .collect() in package source (bounded? add to the "
+        f"allowlist with a justification): {offenders}")

@@ -2226,17 +2226,24 @@ def data_quality_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
-def _dedup_kept_cte_block(src: str, t: str) -> str:
-    """Full `dedup_corpus` (max_bucket=None) as a FLAT list of CTE
-    definitions over relation `src`, every name suffixed with `_{t}`:
-    exact collapse → LSH-verified near-dup pairs → recursive-CTE connected
-    components → min-id representative per class. Flat and uniquely named
-    because the increment oracle instantiates this block TWICE in one
-    statement, and DuckDB mis-binds same-named CTEs across nested sibling
-    scopes (the staged form gives the correct 476 at sf0.01, the nested
-    same-name form 466 — so flattening is a correctness requirement, not
-    style). The result relation is `kept_{t}` (doc_id, text). Minhash /
-    banding math is the same bit-exact family as `_lsh_verified_oracle`."""
+def _dedup_kept_cte_block(src: str, t: str,
+                          max_bucket: int | None = None) -> str:
+    """Full `dedup_corpus` as a FLAT list of CTE definitions over relation
+    `src`, every name suffixed with `_{t}`: exact collapse → LSH-verified
+    near-dup pairs → recursive-CTE connected components → min-id
+    representative per class. Flat and uniquely named because the
+    increment oracle instantiates this block TWICE in one statement, and
+    DuckDB mis-binds same-named CTEs across nested sibling scopes (the
+    staged form gives the correct 476 at sf0.01, the nested same-name
+    form 466 — so flattening is a correctness requirement, not style).
+    The result relation is `kept_{t}` (doc_id, text). Minhash / banding
+    math is the same bit-exact family as `_lsh_verified_oracle`.
+
+    `max_bucket` mirrors `dedup_corpus(max_bucket=...)`: None disables
+    the hot-bucket guard (the increment oracle needs the uncapped form
+    for its unconditional full-rerun equivalence); an int drops whole
+    band buckets over that size before candidate pairing, bit-for-bit
+    the same HAVING-count idiom as `_emb_lsh_pairs_oracle`."""
     from .operators.dedup import _MH_P, _MH_PERM
     from .queries import _NORM_SQL
 
@@ -2257,6 +2264,17 @@ def _dedup_kept_cte_block(src: str, t: str) -> str:
     )
     jacc = ("ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter),"
             " 6)")
+    if max_bucket is None:
+        cap_sql = f"SELECT doc_id, band_idx, band_hash FROM banded_{t}"
+    else:
+        cap_sql = (
+            f"SELECT b.doc_id, b.band_idx, b.band_hash FROM banded_{t} b\n"
+            f"      JOIN (SELECT band_idx, band_hash FROM banded_{t}\n"
+            f"            GROUP BY band_idx, band_hash\n"
+            f"            HAVING COUNT(*) <= {max_bucket}) ok\n"
+            f"        ON ok.band_idx = b.band_idx"
+            f" AND ok.band_hash = b.band_hash"
+        )
     return f"""
     fpx_{t} AS MATERIALIZED (SELECT doc_id, md5({_NORM_SQL.format('text')}) AS fp
                 FROM {src}),
@@ -2287,9 +2305,12 @@ def _dedup_kept_cte_block(src: str, t: str) -> str:
     banded_{t} AS MATERIALIZED (
 {band_rows}
     ),
+    cband_{t} AS MATERIALIZED (
+      {cap_sql}
+    ),
     cand_{t} AS MATERIALIZED (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM banded_{t} a JOIN banded_{t} b
+      FROM cband_{t} a JOIN cband_{t} b
         ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
        AND a.doc_id < b.doc_id
     ),
@@ -4523,15 +4544,22 @@ def _streaming_sessions_dir(spark: SparkSession, sf_dir: str) -> str:
     ev = load_table(spark, sf_dir, "events") \
         .select("ts", "user_id", F.col("value").cast("double")
                 .alias("value"))
-    # two chronological halves (total order: ts, user_id, value — the
-    # split point is deterministic; any split inside an equal-ts run is
-    # still chronological, so no row is ever watermark-late)
-    rows = ev.orderBy("ts", "user_id", "value").collect()
-    half = len(rows) // 2
+    # two chronological halves, split DISTRIBUTEDLY: the sessionizer's
+    # closed-session ledger is invariant to WHERE a chronological split
+    # lands (state carries across micro-batches; watermark 0), so any ts
+    # boundary is a valid split. Take the median ts as ONE scalar
+    # aggregate — the only thing that reaches the driver — and write each
+    # half with a plain filter + write. No collect(), no global window:
+    # this bootstrap stays O(1) driver memory at any corpus size.
+    split_ts = ev.agg(
+        F.expr("approx_percentile(ts, 0.5, 10000)")
+    ).first()[0]
     feed = os.path.join(stage, "feed")
-    for i, chunk in enumerate((rows[:half], rows[half:])):
-        spark.createDataFrame(chunk, ev.schema).coalesce(1) \
-            .write.mode("overwrite") \
+    cut = F.lit(split_ts).cast(ev.schema["ts"].dataType.simpleString())
+    halves = (ev.filter(F.col("ts") <= cut),
+              ev.filter(F.col("ts") > cut))
+    for i, h in enumerate(halves):
+        h.coalesce(1).write.mode("overwrite") \
             .parquet(os.path.join(feed, f"b{i}.parquet"))
     stream = (
         spark.readStream.schema(ev.schema)
@@ -4661,7 +4689,7 @@ def stateful_sessions_events(spark: SparkSession,
       WHERE ROUND(agg_cp.al, 6) >= {_LM_GATE_CUTOFF}
         AND COALESCE(h.n_shared, 0) = 0
     ),
-    {_dedup_kept_cte_block('gated', 'pp')}
+    {_dedup_kept_cte_block('gated', 'pp', max_bucket=64)}
     SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(len(string_split_regex(trim(lower(k.text)), '\\s+')))
                 AS BIGINT) AS n_tokens
@@ -4679,7 +4707,10 @@ def curation_pipeline_documents(spark: SparkSession,
     3-shingle with the %17==0 benchmark stand-in drop — including the
     benchmark docs themselves), (3) full `dedup_corpus` over the
     survivors (exact collapse → LSH-verified near-dup pairs →
-    connected components → min-id representative), (4) the per-source
+    connected components → min-id representative) at the PRODUCTION
+    default hot-bucket cap of 64 — the uncapped form would be O(B²)
+    pairs on one boilerplate bucket at scale; the oracle mirrors the
+    cap with the same HAVING-count idiom — (4) the per-source
     volume rollup a mixture designer reads (docs + whitespace tokens of
     the final corpus). Catalyst sees ONE plan — the gates are joins +
     filters feeding the dedup tiers, so filter pushdown and broadcast
@@ -4703,7 +4734,7 @@ def curation_pipeline_documents(spark: SparkSession,
                 & ~F.col("contaminated"))
         .select("doc_id", "text", "source")
     )
-    kept = D.dedup_corpus(gated.select("doc_id", "text"), max_bucket=None)
+    kept = D.dedup_corpus(gated.select("doc_id", "text"))
     return (
         kept.join(gated.select("doc_id", "source"), "doc_id")
         .groupBy("source")
