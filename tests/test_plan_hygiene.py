@@ -243,6 +243,9 @@ def test_no_cartesian_or_undeclared_python_anywhere(spark):
                     # DSIR ratio crossJoins BOTH models' ONE-ROW
                     # vocabulary sizes — same scalar-subquery shape
                     "dsir_sample_documents",
+                    # quality-ranked quota draw embeds the same LM
+                    # ONE-ROW vocabulary crossJoin as its scorer
+                    "quality_quota_sample_documents",
                     # NB grid crossJoins the L-ROW priors table (L =
                     # label count, single digits) — O(n·L), scale-safe
                     "nb_classify_documents",
@@ -267,7 +270,12 @@ def test_no_cartesian_or_undeclared_python_anywhere(spark):
                  # Arrow-vectorized argmin the IVF paths declare)
                  "kmeans_clusters_embeddings", "cluster_cap_embeddings",
                  "cluster_prototypes_embeddings",
-                 "cluster_drift_embeddings"}
+                 "cluster_drift_embeddings",
+                 # quota draw embeds the same k-means argmin kernel
+                 "quality_quota_sample_documents",
+                 # BPE-exact counting: the declared distinct-pretoken
+                 # Arrow encoder (Heaps'-law sized input, never corpus)
+                 "packed_bpe_sequences_documents"}
     bad = {}
     for name, fn in QUERIES.items():
         try:

@@ -3653,10 +3653,14 @@ def ivfpq_residual_recall_gate(spark: SparkSession,
 _BPE_SEP = "\x1f"  # symbol delimiter; never appears in corpus text
 
 
-def _bpe_merges_oracle(k: int) -> str:
-    """SQL twin of `bpe.learn_bpe_merges` with the merge loop UNROLLED to
+def _bpe_train_ctes(k: int) -> str:
+    """The BPE TRAINING CTE chain (wf, seg0, p1/b1/seg1, …, seg{k}) — the
+    SQL twin of `bpe.learn_bpe_merges` with the merge loop UNROLLED to
     `k` stages (the k-means-oracle discipline: a pinned number of
     iterations so a declarative engine can replay an iterative trainer).
+    Shared by `_bpe_merges_oracle` (reads the b{i} argmax rows as the
+    learned model) and the packed-BPE export oracle (reads the same b{i}
+    rows to replay the merges over the ENCODING vocabulary).
 
     Each word's segmentation is carried as a DELIMITED STRING — every
     symbol wrapped in \\x1f markers ('\\x1fs1\\x1f\\x1fs2\\x1f…'), a char
@@ -3695,10 +3699,15 @@ def _bpe_merges_oracle(k: int) -> str:
                      '{s}' || a || b || '{s}') AS seg, freq
       FROM seg{i - 1}, b{i}
     )""")
+    return ",\n    ".join(ctes)
+
+
+def _bpe_merges_oracle(k: int) -> str:
+    """The learned model itself as rows: see `_bpe_train_ctes`."""
     finals = "\n      UNION ALL ".join(
         f"SELECT {i} AS merge_rank, a AS left_sym, b AS right_sym FROM b{i}"
         for i in range(1, k + 1))
-    return ("WITH " + ",\n    ".join(ctes)
+    return ("WITH " + _bpe_train_ctes(k)
             + f"\n    SELECT * FROM ({finals}) ORDER BY merge_rank")
 
 
@@ -4126,6 +4135,62 @@ def cluster_cap_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "quality_quota_sample_documents",
+    f"""
+    WITH asg AS ({_kmeans_clusters_oracle()}),
+    {_lm_score_cte_block(
+        "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0)",
+        "documents", "qq")}
+    SELECT doc_id, cluster, avg_logp FROM (
+      SELECT d.doc_id, a.cluster, ROUND(agg_qq.al, 6) AS avg_logp,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.cluster
+               ORDER BY ROUND(agg_qq.al, 6) DESC, d.doc_id) AS rn
+      FROM documents d
+      JOIN asg a ON a.vec_id = d.doc_id
+      JOIN agg_qq ON agg_qq.doc_id = d.doc_id
+    ) WHERE rn <= {_CLUSTER_CAP}
+    """,
+)
+def quality_quota_sample_documents(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """The ACTUAL CURATION DRAW: cluster-balanced AND quality-ranked —
+    each deterministic k-means cell of embedding space contributes at
+    most {_CLUSTER_CAP} documents, and within its quota a cluster admits
+    its BEST documents by CCNet bigram-LM fluency (`lm_quality`, LM
+    frozen on the doc_id-even half) instead of `cluster_cap_embeddings`'
+    neutral hash order. This is the DataComp/SemDeDup-style selection a
+    mixture designer actually ships: coverage across embedding space
+    (no mode echo), quality within each region. Composes two
+    driver-green families — `_kmeans_assigned` (centroids = bounded
+    driver state) and the broadcast-LM scorer — into one Catalyst plan:
+    score join + assignment join + ONE per-cluster window (partitions
+    are cluster-sized, never corpus-sized). Docs too short to score
+    (NULL avg_logp) are routed out, matching the oracle's inner join;
+    ordering is on the ROUNDED score with a doc_id tie-break, so the
+    kept set is reproducible bit-for-bit. The oracle nests the unrolled
+    k-means and the LM CTE block and replays the ranked quota draw —
+    the ADMITTED SET ITSELF is hash-checked."""
+    from .operators import lm_score as LM
+
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    assigned, _ = _kmeans_assigned(spark, emb)
+    lm = LM.train_bigram_lm(docs.filter(F.col("doc_id") % 2 == 0))
+    scores = LM.lm_quality(docs, lm) \
+        .filter(F.col("avg_logp").isNotNull())
+    w = Window.partitionBy("cluster") \
+        .orderBy(F.desc("avg_logp"), F.asc("doc_id"))
+    return (
+        scores.join(assigned, scores.doc_id == assigned.vec_id)
+        .select("doc_id", "cluster", "avg_logp")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _CLUSTER_CAP)
+        .select("doc_id", "cluster", "avg_logp")
+    )
+
+
+@query(
     "contamination_by_source_documents",
     f"""
     WITH tok AS (
@@ -4506,6 +4571,101 @@ def packed_sequences_documents(spark: SparkSession,
 
     d = load_table(spark, sf_dir, "documents", spread=True)
     t = d.select("doc_id", F.size(_tokens(F.col("text"))).alias("n_tok"))
+    return L.pack_stream(t, seq_len=_PACK_SEQ_LEN)
+
+
+def _packed_bpe_oracle(k: int, seq_len: int) -> str:
+    """End-to-end SQL twin of the TOKENIZING EXPORTER: BPE training
+    (`_bpe_train_ctes`, k unrolled stages) → merge REPLAY over the
+    distinct ENCODING pretokens (es0..es{k}: the same replace-fold the
+    training stages use, applied to `bpe_token_counts`'s PRETOKEN_RE
+    vocabulary — sequential rank-order replay equals the encoder's
+    lowest-rank-first loop for a consistently learned merge list, since a
+    later merge can never create an earlier merge's pair) → per-doc
+    BPE-exact token counts → the naive-running-sum restatement of
+    `pack_stream`'s two-phase prefix sum. One statement, so the packed
+    manifest a tokenizer-exact exporter would execute is hash-checked
+    end-to-end from raw text."""
+    s = _BPE_SEP
+    enc = []
+    for i in range(1, k + 1):
+        enc.append(f"""es{i} AS MATERIALIZED (
+      SELECT w, replace(seg, '{s}' || a || '{s}{s}' || b || '{s}',
+                        '{s}' || a || b || '{s}') AS seg
+      FROM es{i - 1}, b{i}
+    )""")
+    enc_chain = ",\n    ".join(enc)
+    return f"""
+    WITH {_bpe_train_ctes(k)},
+    pre AS MATERIALIZED (
+      SELECT doc_id,
+             unnest(regexp_extract_all(text, '[A-Za-z]+|\\d+|[^\\w\\s]'))
+               AS w
+      FROM documents
+    ),
+    pdw AS MATERIALIZED (
+      SELECT doc_id, w, COUNT(*) AS n_w FROM pre GROUP BY 1, 2
+    ),
+    es0 AS MATERIALIZED (
+      SELECT w, regexp_replace(w, '(.)', '{s}\\1{s}', 'g') AS seg
+      FROM (SELECT DISTINCT w FROM pdw)
+    ),
+    {enc_chain},
+    wlen AS MATERIALIZED (
+      SELECT w, len(string_split(trim(seg, '{s}'), '{s}{s}')) AS n_sym
+      FROM es{k}
+    ),
+    cnt AS (
+      SELECT doc_id, CAST(SUM(n_w * n_sym) AS BIGINT) AS n_tok
+      FROM pdw JOIN wlen USING (w) GROUP BY doc_id
+    ),
+    t AS (
+      SELECT doc_id, n_tok, md5('pack|' || CAST(doc_id AS VARCHAR)) AS hx
+      FROM cnt
+    ),
+    c AS (
+      SELECT doc_id, n_tok,
+             CAST(SUM(n_tok) OVER (ORDER BY hx, doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tok
+                  AS BIGINT) AS st
+      FROM t
+    ),
+    e AS (SELECT doc_id, st, st + n_tok AS en FROM c WHERE n_tok > 0)
+    SELECT CAST(wi AS BIGINT) AS seq_id, doc_id,
+           CAST(GREATEST(st, wi * {seq_len}) - wi * {seq_len} AS BIGINT)
+             AS start_in_seq,
+           CAST(LEAST(en, (wi + 1) * {seq_len})
+                - GREATEST(st, wi * {seq_len}) AS BIGINT) AS n_tokens
+    FROM e, unnest(range(st // {seq_len}, (en - 1) // {seq_len} + 1)) u(wi)
+    """
+
+
+@query("packed_bpe_sequences_documents",
+       _packed_bpe_oracle(_BPE_MERGES_K, _PACK_SEQ_LEN))
+def packed_bpe_sequences_documents(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """The TOKENIZING EXPORTER the packing manifest promises
+    (`layout.pack_stream`'s docstring), composed end-to-end: train the
+    BPE merge table on the corpus (`bpe.learn_bpe_merges` — one argmax
+    row to the driver per merge), count each document's BPE-EXACT token
+    length under that vocabulary (`bpe.bpe_token_counts` — Python only
+    on DISTINCT pretokens, Heaps'-law sized), and cut the hash-ordered
+    token stream into fixed 128-token training windows
+    (`pack_stream`'s two-phase prefix sum — no single-partition
+    window). The manifest's offsets are now in REAL tokenizer units
+    rather than whitespace counts, so a downstream trainer's sequences
+    are exactly full. The oracle replays training, merge application,
+    counting, and the packing running sum in ONE statement, so the
+    manifest is hash-checked from raw text (`_packed_bpe_oracle`).
+    Empty/whitespace-only docs carry no stream mass and are dropped on
+    both sides."""
+    from .operators import bpe as B
+    from .operators import layout as L
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    merges = B.learn_bpe_merges(docs, num_merges=_BPE_MERGES_K)
+    counts = B.bpe_token_counts(docs.select("doc_id", "text"), merges)
+    t = counts.select("doc_id", F.col("bpe_tokens").alias("n_tok"))
     return L.pack_stream(t, seq_len=_PACK_SEQ_LEN)
 
 
