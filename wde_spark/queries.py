@@ -1914,65 +1914,46 @@ from . import queries_ext  # noqa: E402,F401
 # once green (their r03 evidence is recorded in CORRECTNESS_r03.json and
 # they stay covered by tools/verify_local.py + the full-registry pytest
 # smoke). 28 slots now seat queries that have never had a driver row —
-# Round-6 window: rotation per se STOPPED after r05 (all 107 pre-r6
-# entries have a driver-green row; 101 in r03-r05). This window seats the
-# round's 31 net-new registrations (semantic dedup + its recall audit,
-# corpus drift, LM quality, the composed text+semantic dedup, LM-gated
-# streaming admission, residual-IVFPQ gate, DSIR sampling + gated
-# admission, ExactSubstr spans/strip/increment, NB classifier + gated
-# admission, source overlap, dedup weights, bloom semi-join, the source
-# scorecard, distributed-BPE merges, frame-run detection, NB-gated
-# admission, k-means clustering, export shards, token-budget mixture),
-# re-seats the six queries whose only driver rows date to r01/r02
-# (recency, per the r5 verdict's item 8), and fills the remaining slots
-# (31 net-new + 6 re-seats + 13 = the driver's 50) with fast
-# already-green representatives spanning every operator family.
+# Round-7 window (picked by tools/plan_rotation.py — all 138 pre-r7
+# entries have a driver-green row, so the window is now pure rotation by
+# evidence age): the flagship keeps its slot, the round's 2 net-new
+# registrations (quality-ranked cluster quotas, BPE-exact packing) seat
+# first driver rows, the 2 queries whose CODE changed this round
+# (curation_pipeline_documents — hot-bucket cap re-enabled;
+# stateful_sessions_events — distributed feed bootstrap) re-bank rows
+# proving the fixes under the driver's hash, and the remaining 45 slots
+# re-check the longest-unchecked greens (r3 vintage first, then r4) per
+# the rotation tool's proposal.
 _DRIVER_PRIORITY = [
+    # --- flagship (keeps a driver row every round) ---
+    "semantic_dedup_embeddings",
     # --- net-new this round (first driver rows) ---
-    "semantic_dedup_embeddings", "embedding_recall_audit_embeddings",
-    "corpus_drift_documents", "lm_quality_documents",
-    "dedup_corpus_semantic_documents", "lm_gated_admission_documents",
-    "ivfpq_residual_recall_gate",
-    "dsir_sample_documents", "duplicate_spans_documents",
-    "strip_duplicate_spans_documents", "nb_classify_documents",
-    "source_overlap_documents", "dedup_weights_documents",
-    "substr_increment_documents", "bloom_semi_join_lineitem",
-    "source_scorecard_documents", "dsir_gated_admission_documents",
-    "bpe_merges_documents", "frame_runs_multimodal",
-    "nb_gated_admission_documents", "kmeans_clusters_embeddings",
-    "export_shards_documents", "token_budget_mixture_documents",
-    "cluster_cap_embeddings", "cluster_prototypes_embeddings",
-    "contamination_by_source_documents",
-    "export_manifest_stream_documents", "cluster_drift_embeddings",
-    "packed_sequences_documents", "stateful_sessions_events",
-    "curation_pipeline_documents",
-    # --- r01/r02-only greens, re-seated for driver recency ---
-    "q5_local_supplier_volume", "doc_source_stats", "group_collect_langs",
-    "q10_returned_items", "q11_supplier_share", "q15_top_supplier",
-    # --- 24 fast already-green family representatives ---
-    # TPC-H relational core
-    "q1_pricing_summary", "q3_shipping_priority",
-    "q6_forecast_revenue", "q18_large_volume_orders",
-    # sketch gates (hll banked r04; quantile keeps the family)
-    "quantile_sketch_gate",
-    # joins (lww/carry-forward/range banked r03-r05; asof keeps the family)
-    "asof_join_purchase_view",
-    # windows / temporal: topk banked r05; the round's net-new window
-    # queries (export ranking, cluster quotas, token budget) re-check it
-    # set ops + resolve (set_ops banked r05; resolve keeps the family)
-    "resolve_ladder_parts",
-    # text analysis: word_count banked r03; the round's net-new text
-    # queries (lm_quality, spans, scorecard, contamination) re-check the
-    # family this window
-    # dedup family (exact_dedup/components banked r05; 3 reps + the
-    # round's composed dedup queries keep the family)
-    "minhash_signatures_documents",
-    "dedup_recall_audit_documents", "dedup_increment_documents",
-    # similarity / ANN (vector_stats banked r05; two reps keep the family)
-    "cosine_topk_embeddings", "streaming_pq_adc_ann",
-    # multimodal + quality (frame_runs_multimodal seats the multimodal
-    # family above; data_quality covers the expectations family)
-    "data_quality_orders",
+    "quality_quota_sample_documents", "packed_bpe_sequences_documents",
+    # --- code changed this round (re-prove under the driver hash) ---
+    "curation_pipeline_documents", "stateful_sessions_events",
+    # --- longest-unchecked greens: r3-vintage driver rows ---
+    "window_frames_running", "fingerprint_documents",
+    "snm_neardup_documents", "quality_score_documents",
+    "simhash_documents", "embedding_neardup_exact",
+    "multimodal_frames", "tumbling_events", "session_events",
+    "q12_priority_by_status", "q13_customer_distribution",
+    "q16_supplier_part_counts", "grouping_sets_orders",
+    "set_ops_all_forms", "multimodal_audio_chunks",
+    "stratified_sample_documents", "tfidf_top_terms_documents",
+    "pack_token_budget_documents", "fuzzy_name_pairs",
+    "q21_single_late_supplier",
+    # --- r4-vintage driver rows ---
+    "anti_join_idle_customers", "topk_orders_salted",
+    "lww_latest_order_agg", "ngram_jaccard_pairs",
+    "neardup_lsh_verified", "lsh_ann_embeddings", "lsh_ann_recall_gate",
+    "ivf_ann_embeddings", "ivf_ann_recall_gate", "multimodal_features",
+    "sliding_events", "session_events_bucketed",
+    "string_pipeline_documents", "q2_cheapest_part_per_brand",
+    "q17_small_quantity_revenue", "q22_idle_rich_customers",
+    "cube_orders", "percentile_prices", "json_props_stats_events",
+    "hybrid_neardup_pairs", "neardup_components_documents",
+    "zscore_outliers_documents", "merge_changeset_orders",
+    "window_rank_variants_orders", "repetition_stats_documents",
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]
