@@ -246,6 +246,9 @@ def test_no_cartesian_or_undeclared_python_anywhere(spark):
                     # quality-ranked quota draw embeds the same LM
                     # ONE-ROW vocabulary crossJoin as its scorer
                     "quality_quota_sample_documents",
+                    # DoReMi EG step: ONE-ROW vocab (ratio scoring) +
+                    # ONE-ROW token-mass and normalizer totals
+                    "doremi_mixture_documents",
                     # NB grid crossJoins the L-ROW priors table (L =
                     # label count, single digits) — O(n·L), scale-safe
                     "nb_classify_documents",

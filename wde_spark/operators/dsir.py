@@ -162,3 +162,55 @@ def dsir_sample(ratios: DataFrame, k: int = 100, temperature: float = 1.0,
         .filter(F.col("_rnk") <= k)
         .drop("_rnk")
     )
+
+
+def doremi_weights(ratios: DataFrame, docs: DataFrame, eta: float = 1.0,
+                   id_col: str = "doc_id",
+                   domain_col: str = "source") -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al., "DoReMi: Optimizing
+    Data Mixtures Speeds Up Language Model Pretraining", NeurIPS 2023),
+    relationalized to ONE exponentiated-gradient step over the DSIR
+    importance ratios (the pinned-iteration discipline the k-means and
+    BPE oracles use): the paper's per-domain EXCESS LOSS of a proxy vs a
+    reference model becomes each domain's mean clipped per-bigram log
+    importance ratio max(0, log_ratio / n_bigrams) — how much MORE the
+    target distribution likes the domain's text than the raw corpus
+    does, zero-floored exactly like the paper clips negative excess.
+    The EG update reweights the baseline token share:
+    w_dom ∝ share_dom · exp(η · excess_dom), normalized to sum 1.
+
+    Scale shape: one corpus-sized join (ratios ⋈ domains on id), one
+    per-domain aggregation, then two ONE-ROW totals (token mass,
+    normalizer) broadcast back — domain count is single digits, so
+    everything after the first agg is bounded model state. The excess is
+    rounded to 6 dp BEFORE the exp so the weights are engine-replayable
+    (both engines exp the same double)."""
+    scored = ratios.filter(F.col("n_bigrams") > 0).join(
+        docs.select(id_col, domain_col), id_col)
+    per = scored.groupBy(domain_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_bigrams").alias("nb_dom"),
+        F.round(F.avg(F.greatest(
+            F.col("log_ratio") / F.col("n_bigrams"), F.lit(0.0))), 6)
+        .alias("avg_excess"),
+    )
+    tot = per.agg(F.sum("nb_dom").alias("nb_tot"))
+    u = (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("share",
+                    F.col("nb_dom").cast("double") / F.col("nb_tot"))
+        .withColumn("u",
+                    F.col("share") * F.exp(F.lit(eta)
+                                           * F.col("avg_excess")))
+    )
+    z = u.agg(F.sum("u").alias("z"))
+    return (
+        u.crossJoin(F.broadcast(z))
+        .select(
+            domain_col,
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "avg_excess",
+            F.round("share", 6).alias("baseline_share"),
+            F.round(F.col("u") / F.col("z"), 6).alias("weight"),
+        )
+    )

@@ -2723,6 +2723,77 @@ def dsir_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doremi_mixture_documents",
+    f"""
+    WITH
+    {_lm_counts_cte("(SELECT doc_id, text FROM documents WHERE source = 'src0')", "mt")},
+    {_lm_counts_cte("documents", "mr")},
+    voc_u AS (SELECT COUNT(DISTINCT w) AS v FROM
+              (SELECT w FROM words_mt UNION ALL SELECT w FROM words_mr)),
+    {_lm_model_cte("mt", voc="voc_u")},
+    {_lm_model_cte("mr", voc="voc_u")},
+    sbg_m AS MATERIALIZED ({_lm_bigrams_sql("documents")}),
+    scored_m AS (
+      SELECT b.doc_id,
+             COALESCE(st.lp_seen, ft.lp_floor,
+                      -ln((SELECT v FROM voc_u) + 1))
+             - COALESCE(sr.lp_seen, fr.lp_floor,
+                        -ln((SELECT v FROM voc_u) + 1)) AS d
+      FROM sbg_m b
+      LEFT JOIN seen_mt st ON st.w1 = b.w1 AND st.w2 = b.w2
+      LEFT JOIN flr_mt ft ON ft.w1 = b.w1
+      LEFT JOIN seen_mr sr ON sr.w1 = b.w1 AND sr.w2 = b.w2
+      LEFT JOIN flr_mr fr ON fr.w1 = b.w1
+    ),
+    lr_m AS (SELECT doc_id, COUNT(*) AS nb, ROUND(SUM(d), 6) AS log_ratio
+             FROM scored_m GROUP BY doc_id),
+    per AS (
+      SELECT d.source, COUNT(*) AS n_docs,
+             CAST(SUM(nb) AS BIGINT) AS nb_dom,
+             ROUND(AVG(GREATEST(log_ratio / nb, 0)), 6) AS avg_excess
+      FROM lr_m JOIN documents d ON d.doc_id = lr_m.doc_id
+      GROUP BY d.source
+    ),
+    tot AS (SELECT CAST(SUM(nb_dom) AS BIGINT) AS nb_tot FROM per),
+    uw AS (
+      SELECT source, n_docs, avg_excess,
+             CAST(nb_dom AS DOUBLE) / nb_tot AS share,
+             (CAST(nb_dom AS DOUBLE) / nb_tot) * exp(avg_excess) AS u
+      FROM per, tot
+    ),
+    z AS (SELECT SUM(u) AS z FROM uw)
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs, avg_excess,
+           ROUND(share, 6) AS baseline_share,
+           ROUND(u / z.z, 6) AS weight
+    FROM uw, z
+    """,
+)
+def doremi_mixture_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style MIXTURE REWEIGHTING (`dsir.doremi_weights`, Xie et
+    al. NeurIPS 2023): each source's mean clipped per-bigram DSIR
+    importance ratio stands in for the paper's per-domain excess loss,
+    and one exponentiated-gradient step turns baseline token shares into
+    the reweighted sampling mixture w_dom ∝ share · exp(η·excess) — the
+    table a mixture designer feeds straight into
+    `mixture_sample_documents` / `token_budget_mixture_documents`.
+    Reuses the frozen DSIR LM pair (target = src0, reference = whole
+    corpus, shared vocabulary); everything after the per-domain
+    aggregation is single-digit-row model state. The oracle replays both
+    LM trainings, the per-doc ratio, the per-domain excess, and the EG
+    normalization, so the WEIGHTS THEMSELVES are hash-checked."""
+    from .operators import dsir as DS
+    from .operators import lm_score as LM
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    target = docs.filter(F.col("source") == "src0")
+    vocab = DS.shared_vocab(target, docs)
+    target_lm = LM.train_bigram_lm(target, vocab=vocab)
+    raw_lm = LM.train_bigram_lm(docs, vocab=vocab)
+    ratios = DS.dsir_logratio(docs, target_lm, raw_lm, vocab=vocab)
+    return DS.doremi_weights(ratios, docs, eta=1.0)
+
+
+@query(
     "nb_classify_documents",
     """
     WITH tr AS (SELECT lang AS label, text FROM documents
@@ -4522,6 +4593,85 @@ def cluster_drift_embeddings(spark: SparkSession,
         DR.categorical_distribution(
             assigned.filter(F.col("vec_id") % 2 == 1), "cluster"),
     )
+
+
+def _pca_oracle(iters: int = 3, dim: int = 64, seed: str = "pca") -> str:
+    """SQL twin of `pca.power_iteration_pc1` + `pca_project`, the power
+    iteration UNROLLED to `iters` stages (the k-means/BPE pinned-loop
+    discipline): md5-derived init direction (the `hyperplanes` derivation
+    the LSH oracles already replay, p=0 under this seed), per-dimension
+    mean, then per stage one per-vector dot and one per-dimension
+    weighted sum, normalized. cd (the centered long form) is MATERIALIZED
+    because every stage reads it twice."""
+    stages = []
+    prev = "v0"
+    for i in range(1, iters + 1):
+        stages.append(f"""dot{i} AS MATERIALIZED (
+      SELECT c.vec_id, SUM(c.e * {prev}.w) AS t
+      FROM cd c JOIN {prev} ON {prev}.d = c.d GROUP BY 1
+    ),
+    w{i} AS MATERIALIZED (
+      SELECT c.d, SUM(c.e * dot{i}.t) AS w
+      FROM cd c JOIN dot{i} USING (vec_id) GROUP BY 1
+    ),
+    v{i} AS (SELECT d, w / sqrt((SELECT SUM(w*w) FROM w{i})) AS w
+             FROM w{i})""")
+        prev = f"v{i}"
+    chain = ",\n    ".join(stages)
+    return f"""
+    WITH pr0 AS (
+      SELECT CAST(i + (j-1)//8 AS INT) AS d,
+             SUM(v * power(16, 7 - ((j-1) % 8))) AS u
+      FROM (
+        SELECT i, j,
+               strpos('0123456789abcdef',
+                      substr(md5('{seed}|0|' || i), CAST(j AS INT), 1)) - 1
+                 AS v
+        FROM unnest(range(0, {dim}, 4)) ti(i), unnest(range(1, 33)) tj(j)
+      ) GROUP BY 1
+    ),
+    pr AS (
+      SELECT d,
+        CAST(CASE WHEN u >= 2147483648 THEN u - 4294967296 ELSE u END
+             AS DOUBLE) / 2147483648 AS w
+      FROM pr0
+    ),
+    v0 AS (SELECT d, w / sqrt((SELECT SUM(w*w) FROM pr)) AS w FROM pr),
+    x AS (SELECT vec_id,
+                 list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+          FROM embeddings),
+    xd AS (SELECT vec_id, CAST(d AS INT) AS d, v[CAST(d AS INT)+1] AS e
+           FROM x, unnest(range(0, {dim})) t(d)),
+    mu AS (SELECT d, AVG(e) AS m FROM xd GROUP BY d),
+    cd AS MATERIALIZED (
+      SELECT xd.vec_id, xd.d, xd.e - mu.m AS e FROM xd JOIN mu USING (d)
+    ),
+    {chain}
+    SELECT c.vec_id, ROUND(SUM(c.e * {prev}.w), 6) AS pc1_score
+    FROM cd c JOIN {prev} ON {prev}.d = c.d GROUP BY 1
+    """
+
+
+@query("pca_scores_embeddings", _pca_oracle())
+def pca_scores_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading-principal-component scores of the embedding cloud
+    (`operators/pca.power_iteration_pc1` — distributed PCA by power
+    iteration, 3 pinned iterations, md5-seeded init): every vector's
+    coordinate along the corpus's dominant variance direction, the
+    standard embedding diagnostic (extreme |score| = dominant-direction
+    outliers; score quantiles = variance-balanced shards). Scale shape:
+    each iteration is TWO aggregation passes of pure column arithmetic
+    (a per-row dot, then 64 per-dimension sums in one agg row) — the
+    only driver traffic is the 64-double iterate per pass, the IVF
+    centroid pattern; no explode, no matrix materialization, no Python
+    on the corpus axis. The oracle unrolls the iteration in SQL from
+    the same md5 init, so every per-vector score is hash-checked —
+    model fitting AND application."""
+    from .operators import pca as P
+
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    mu, v = P.power_iteration_pc1(emb, dim=64, iters=3)
+    return P.pca_project(emb, mu, v)
 
 
 _PACK_SEQ_LEN = 128
