@@ -93,3 +93,38 @@ def test_doremi_skips_unscored_docs(spark):
     out = doremi_weights(ratios, docs).collect()
     assert {r.source for r in out} == {"a"}
     assert out[0].weight == pytest.approx(1.0)
+
+
+def test_pca2_matches_numpy_deflated_replay(spark):
+    """Deflated 2-component trainer vs the numpy replay of the identical
+    algorithm (same init family, 3 iterations per component, deflation
+    with the FINAL first component)."""
+    from wde_spark.core.catalog import load_table
+    from wde_spark.operators import pca as P
+    from wde_spark.operators.similarity import hyperplanes
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = [r.vec_id for r in rows]
+    X = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    C = X - X.mean(axis=0)
+
+    inits = hyperplanes(64, 2, "pca")
+    want = {}
+    for j, v0 in enumerate(inits, start=1):
+        v = np.array(v0)
+        v = v / math.sqrt(float(v @ v))
+        for _ in range(3):
+            w = C.T @ (C @ v)
+            v = w / math.sqrt(float(w @ w))
+        t = C @ v
+        want[f"pc{j}_score"] = dict(zip(ids, t.tolist()))
+        C = C - np.outer(t, v)
+
+    mu_s, comps = P.power_iteration_components(emb, n_components=2,
+                                               dim=64, iters=3)
+    got = P.pca_project_components(emb, mu_s, comps).collect()
+    for r in got:
+        for j in (1, 2):
+            w = want[f"pc{j}_score"][r.vec_id]
+            assert abs(r[f"pc{j}_score"] - w) < 1e-5, (r.vec_id, j)

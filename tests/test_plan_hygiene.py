@@ -254,7 +254,9 @@ def test_no_cartesian_or_undeclared_python_anywhere(spark):
                     "nb_classify_documents",
                     # slice-pair frame: L-ROW sizes × L-ROW sizes — the
                     # output is L²/2 rows by design, corpus-size-free
-                    "source_overlap_documents"}
+                    "source_overlap_documents",
+                    # same slice-pair frame at window-hash granularity
+                    "substr_leakage_documents"}
     # declared Arrow/Python boundaries
     python_ok = {"multimodal_frames", "multimodal_features",
                  "multimodal_resize", "multimodal_audio_chunks",

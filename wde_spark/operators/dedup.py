@@ -900,6 +900,13 @@ def corpus_overlap(docs: DataFrame, group_col: str = "source",
         )
         .distinct()
     )
+    return _slice_overlap_matrix(sh)
+
+
+def _slice_overlap_matrix(sh: DataFrame) -> DataFrame:
+    """Overlap matrix over any distinct (grp, sh) membership table —
+    the shared tail of `corpus_overlap` (shingle keys) and
+    `substr_leakage_matrix` (k-token window-hash keys)."""
     sizes = sh.groupBy("grp").agg(F.count("*").alias("n_sh"))
     inter = (
         sh.select(F.col("grp").alias("grp_a"), "sh")
@@ -931,6 +938,33 @@ def corpus_overlap(docs: DataFrame, group_col: str = "source",
             .alias("contain_b_in_a"),
         )
     )
+
+
+def substr_leakage_matrix(docs: DataFrame, group_col: str = "source",
+                          k: int = 16, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Cross-slice EXACT-SUBSTRING leakage matrix — `corpus_overlap` at
+    ExactSubstr granularity: for every slice pair, the Jaccard and
+    directional containments of their distinct k-token WINDOW-HASH sets
+    (`_window_hashes`, the same windows `duplicate_spans` marks). This
+    is the train/test-contamination reading of the span machinery
+    ("which fraction of benchmark slice B's verbatim k-grams already
+    appear in training slice A?" — the leakage Lee et al.'s ExactSubstr
+    dedup exists to remove), where the 3-shingle `corpus_overlap` reads
+    topical overlap.
+
+    Scale shape identical to `corpus_overlap`: the window explode is the
+    ~n_tokens-rows-per-doc factor every span query pays, then distinct
+    (slice, hash) membership is corpus-STATE-sized and the equi-join
+    fans out by slices-containing-the-hash (≤ L²), never by document
+    count. Output is L²/2 rows however large the corpus."""
+    sh = (
+        _window_hashes(docs, k, text_col, id_col)
+        .join(docs.select(id_col, F.col(group_col).alias("grp")), id_col)
+        .select("grp", F.col("wh").alias("sh"))
+        .distinct()
+    )
+    return _slice_overlap_matrix(sh)
 
 
 def dedup_weights(docs: DataFrame, edges: DataFrame,

@@ -93,3 +93,101 @@ def pca_project(emb: DataFrame, mu: list[float], v: list[float],
     t = sum(((x[i] - F.lit(mu[i])) * F.lit(v[i]) for i in range(1, dim)),
             (x[0] - F.lit(mu[0])) * F.lit(v[0]))
     return emb.select(F.col(id_col), F.round(t, 6).alias(score_col))
+
+
+def power_iteration_components(emb: DataFrame, n_components: int = 2,
+                               dim: int = 64, iters: int = 3,
+                               vec_col: str = "embedding",
+                               seed: str = "pca") -> tuple[list[float],
+                                                           list[list[float]]]:
+    """(mu, [v1, v2, ...]): the top `n_components` principal directions
+    by DEFLATED power iteration — component j runs the same two-pass
+    iteration on the residual x − μ − Σ_{l<j} ((x−μ)·v_l) v_l, with the
+    already-found directions folded in as LITERALS (pure column
+    arithmetic, no extra data pass for the deflation itself). Init for
+    component j is md5 hyperplane j of the seed family. Driver state:
+    (n_components+1) dim-wide rows total per iteration sweep."""
+    x = _dims(F.col(vec_col), dim)
+    mu_row = emb.agg(*[F.avg(x[i]).alias(f"m{i}")
+                       for i in range(dim)]).first()
+    inits = hyperplanes(dim, n_components, seed)
+    comps: list[list[float]] = []
+    if mu_row is None or mu_row["m0"] is None:
+        for v in inits:
+            nrm = math.sqrt(sum(c * c for c in v))
+            comps.append([c / nrm for c in v])
+        return [0.0] * dim, comps
+    mu = [float(mu_row[f"m{i}"]) for i in range(dim)]
+
+    # The residual lives as NAMED columns and each deflation is
+    # localCheckpoint-ed (the BPE-trainer lineage discipline): building
+    # the deflated cloud symbolically would inline the dim-term PC1 dot
+    # into every one of the dim deflation columns — an O(dim²·dim)
+    # expression tree Catalyst chokes on. Cost: one O(n·dim) residual
+    # materialization per EXTRA component, same order as one data pass.
+    c = [F.col(f"c{i}") for i in range(dim)]
+    work = emb.select(*[(x[i] - F.lit(mu[i])).alias(f"c{i}")
+                        for i in range(dim)]).localCheckpoint()
+    for j in range(n_components):
+        v = inits[j]
+        nrm = math.sqrt(sum(cv * cv for cv in v))
+        v = [cv / nrm for cv in v]
+        for _ in range(iters):
+            t = sum((c[i] * F.lit(v[i]) for i in range(1, dim)),
+                    c[0] * F.lit(v[0]))
+            w_row = work.agg(*[F.sum(c[i] * t).alias(f"w{i}")
+                               for i in range(dim)]).first()
+            if w_row is None or w_row["w0"] is None:
+                break
+            w = [float(w_row[f"w{i}"]) for i in range(dim)]
+            nrm = math.sqrt(sum(c_ * c_ for c_ in w))
+            if nrm == 0.0:
+                break
+            v = [c_ / nrm for c_ in w]
+        comps.append(v)
+        if j < n_components - 1:
+            t = sum((c[i] * F.lit(v[i]) for i in range(1, dim)),
+                    c[0] * F.lit(v[0]))
+            work = (
+                work.select(t.alias("_t"), *[c[i] for i in range(dim)])
+                .select(*[(c[i] - F.col("_t") * F.lit(v[i]))
+                          .alias(f"c{i}") for i in range(dim)])
+                .localCheckpoint()
+            )
+    return mu, comps
+
+
+def pca_project_components(emb: DataFrame, mu: list[float],
+                           comps: list[list[float]],
+                           vec_col: str = "embedding",
+                           id_col: str = "vec_id") -> DataFrame:
+    """(id, pc1_score, pc2_score, ...): coordinates along each deflated
+    component — score j is the residual-after-j-1-deflations dotted with
+    v_j, exactly the quantity the trainer iterated on. Staged through
+    NAMED intermediate columns (each projection's trees stay dim-term;
+    the dot is aliased before the deflation columns reference it, and
+    CollapseProject keeps non-cheap multiply-referenced expressions
+    staged) — all column arithmetic, no materialization. Rounded to
+    6 dp."""
+    dim = len(mu)
+    x = _dims(F.col(vec_col), dim)
+    c = [F.col(f"c{i}") for i in range(dim)]
+    cur = emb.select(F.col(id_col),
+                     *[(x[i] - F.lit(mu[i])).alias(f"c{i}")
+                       for i in range(dim)])
+    n = len(comps)
+    for j, vl in enumerate(comps, start=1):
+        t = sum((c[i] * F.lit(vl[i]) for i in range(1, dim)),
+                c[0] * F.lit(vl[0]))
+        prev = [F.col(f"t{l}") for l in range(1, j)]
+        cur = cur.select(F.col(id_col), *prev, t.alias(f"t{j}"),
+                         *[c[i] for i in range(dim)])
+        if j < n:
+            cur = cur.select(
+                F.col(id_col), *prev, F.col(f"t{j}"),
+                *[(c[i] - F.col(f"t{j}") * F.lit(vl[i])).alias(f"c{i}")
+                  for i in range(dim)])
+    return cur.select(
+        F.col(id_col),
+        *[F.round(F.col(f"t{j}"), 6).alias(f"pc{j}_score")
+          for j in range(1, n + 1)])

@@ -2992,6 +2992,61 @@ def source_overlap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.corpus_overlap(docs, group_col="source", shingle_k=3)
 
 
+_LEAK_K = 16
+
+
+@query(
+    "substr_leakage_documents",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT source AS grp,
+             md5(array_to_string(
+                 t[CAST(i AS INT):CAST(i AS INT) + {_LEAK_K - 1}], ' '))
+               AS sh
+      FROM tok, unnest(range(1, len(t) - {_LEAK_K} + 2)) AS u(i)
+    ),
+    sizes AS (SELECT grp, COUNT(*) AS n_sh FROM sh GROUP BY grp),
+    inter AS (
+      SELECT a.grp AS grp_a, b.grp AS grp_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.grp < b.grp
+      GROUP BY a.grp, b.grp
+    )
+    SELECT sa.grp AS grp_a, sb.grp AS grp_b,
+           CAST(sa.n_sh AS BIGINT) AS n_a, CAST(sb.n_sh AS BIGINT) AS n_b,
+           CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+           ROUND(COALESCE(i.n_inter, 0)
+                 / (sa.n_sh + sb.n_sh - COALESCE(i.n_inter, 0)), 6)
+             AS jaccard,
+           ROUND(COALESCE(i.n_inter, 0) / sa.n_sh, 6) AS contain_a_in_b,
+           ROUND(COALESCE(i.n_inter, 0) / sb.n_sh, 6) AS contain_b_in_a
+    FROM sizes sa JOIN sizes sb ON sa.grp < sb.grp
+    LEFT JOIN inter i ON i.grp_a = sa.grp AND i.grp_b = sb.grp
+    """,
+)
+def substr_leakage_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source EXACT-SUBSTRING leakage matrix
+    (`dedup.substr_leakage_matrix`): `source_overlap_documents` read at
+    ExactSubstr granularity — for every source pair, the Jaccard and
+    directional containments of their distinct {_LEAK_K}-token
+    window-hash sets (the same windows `duplicate_spans_documents`
+    marks). Where the 3-shingle matrix reads topical overlap, this one
+    reads VERBATIM leakage — the "is the benchmark inside the training
+    mix?" number a decontamination policy is set from (Lee et al.'s
+    ExactSubstr motivation). Same scale shape: one window explode, one
+    distinct membership table, one equi-join fanning out by
+    slices-per-hash (≤ L²), L²/2 output rows regardless of corpus
+    size."""
+    from .operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return D.substr_leakage_matrix(docs, group_col="source", k=_LEAK_K)
+
+
 def _dup_win_sql(k: int, min_count: int) -> str:
     """Shared CTE chain: k-token window hashes over `documents`, the
     duplicated subset, and per-doc maximal islands — SQL twin of
@@ -4595,60 +4650,110 @@ def cluster_drift_embeddings(spark: SparkSession,
     )
 
 
-def _pca_oracle(iters: int = 3, dim: int = 64, seed: str = "pca") -> str:
-    """SQL twin of `pca.power_iteration_pc1` + `pca_project`, the power
-    iteration UNROLLED to `iters` stages (the k-means/BPE pinned-loop
-    discipline): md5-derived init direction (the `hyperplanes` derivation
-    the LSH oracles already replay, p=0 under this seed), per-dimension
-    mean, then per stage one per-vector dot and one per-dimension
-    weighted sum, normalized. cd (the centered long form) is MATERIALIZED
-    because every stage reads it twice."""
-    stages = []
-    prev = "v0"
-    for i in range(1, iters + 1):
-        stages.append(f"""dot{i} AS MATERIALIZED (
-      SELECT c.vec_id, SUM(c.e * {prev}.w) AS t
-      FROM cd c JOIN {prev} ON {prev}.d = c.d GROUP BY 1
-    ),
-    w{i} AS MATERIALIZED (
-      SELECT c.d, SUM(c.e * dot{i}.t) AS w
-      FROM cd c JOIN dot{i} USING (vec_id) GROUP BY 1
-    ),
-    v{i} AS (SELECT d, w / sqrt((SELECT SUM(w*w) FROM w{i})) AS w
-             FROM w{i})""")
-        prev = f"v{i}"
-    chain = ",\n    ".join(stages)
-    return f"""
-    WITH pr0 AS (
+def _pca_init_sql(seed: str, p: int, name: str, dim: int) -> str:
+    """CTE pair deriving normalized init direction `{name}` (d, w) from
+    md5 hyperplane `p` of `seed` — the `similarity.hyperplanes`
+    derivation the LSH oracles already replay."""
+    return f"""{name}0 AS (
       SELECT CAST(i + (j-1)//8 AS INT) AS d,
              SUM(v * power(16, 7 - ((j-1) % 8))) AS u
       FROM (
         SELECT i, j,
                strpos('0123456789abcdef',
-                      substr(md5('{seed}|0|' || i), CAST(j AS INT), 1)) - 1
-                 AS v
+                      substr(md5('{seed}|{p}|' || i), CAST(j AS INT), 1))
+                 - 1 AS v
         FROM unnest(range(0, {dim}, 4)) ti(i), unnest(range(1, 33)) tj(j)
       ) GROUP BY 1
     ),
-    pr AS (
+    {name}r AS (
       SELECT d,
         CAST(CASE WHEN u >= 2147483648 THEN u - 4294967296 ELSE u END
              AS DOUBLE) / 2147483648 AS w
-      FROM pr0
+      FROM {name}0
     ),
-    v0 AS (SELECT d, w / sqrt((SELECT SUM(w*w) FROM pr)) AS w FROM pr),
-    x AS (SELECT vec_id,
+    {name} AS (SELECT d, w / sqrt((SELECT SUM(w*w) FROM {name}r)) AS w
+               FROM {name}r)"""
+
+
+def _pca_chain_sql(cd: str, pfx: str, v0: str,
+                   iters: int) -> tuple[str, str]:
+    """(stage CTEs, final-vector CTE name): the power iteration over
+    centered long form `cd` unrolled to `iters` stages — per stage one
+    per-vector dot and one per-dimension weighted sum, normalized."""
+    stages = []
+    prev = v0
+    for i in range(1, iters + 1):
+        stages.append(f"""dot{pfx}{i} AS MATERIALIZED (
+      SELECT c.vec_id, SUM(c.e * {prev}.w) AS t
+      FROM {cd} c JOIN {prev} ON {prev}.d = c.d GROUP BY 1
+    ),
+    w{pfx}{i} AS MATERIALIZED (
+      SELECT c.d, SUM(c.e * dot{pfx}{i}.t) AS w
+      FROM {cd} c JOIN dot{pfx}{i} USING (vec_id) GROUP BY 1
+    ),
+    v{pfx}{i} AS (SELECT d, w / sqrt((SELECT SUM(w*w) FROM w{pfx}{i}))
+                    AS w
+                  FROM w{pfx}{i})""")
+        prev = f"v{pfx}{i}"
+    return ",\n    ".join(stages), prev
+
+
+_PCA_BASE_CTES = """x AS (SELECT vec_id,
                  list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
           FROM embeddings),
     xd AS (SELECT vec_id, CAST(d AS INT) AS d, v[CAST(d AS INT)+1] AS e
-           FROM x, unnest(range(0, {dim})) t(d)),
+           FROM x, unnest(range(0, 64)) t(d)),
     mu AS (SELECT d, AVG(e) AS m FROM xd GROUP BY d),
     cd AS MATERIALIZED (
       SELECT xd.vec_id, xd.d, xd.e - mu.m AS e FROM xd JOIN mu USING (d)
-    ),
+    )"""
+
+
+def _pca_oracle(iters: int = 3, dim: int = 64, seed: str = "pca") -> str:
+    """SQL twin of `pca.power_iteration_pc1` + `pca_project`, the power
+    iteration UNROLLED to `iters` stages (the k-means/BPE pinned-loop
+    discipline): md5-derived init direction, per-dimension mean, then
+    per stage one per-vector dot and one per-dimension weighted sum,
+    normalized. cd (the centered long form) is MATERIALIZED because
+    every stage reads it twice."""
+    chain, vfin = _pca_chain_sql("cd", "", "v0", iters)
+    return f"""
+    WITH {_pca_init_sql(seed, 0, "v0", dim)},
+    {_PCA_BASE_CTES},
     {chain}
-    SELECT c.vec_id, ROUND(SUM(c.e * {prev}.w), 6) AS pc1_score
-    FROM cd c JOIN {prev} ON {prev}.d = c.d GROUP BY 1
+    SELECT c.vec_id, ROUND(SUM(c.e * {vfin}.w), 6) AS pc1_score
+    FROM cd c JOIN {vfin} ON {vfin}.d = c.d GROUP BY 1
+    """
+
+
+def _pca2_oracle(iters: int = 3, dim: int = 64, seed: str = "pca") -> str:
+    """SQL twin of `pca.power_iteration_components(n_components=2)` +
+    `pca_project_components`: the PC1 chain, then DEFLATION (cd2 = cd −
+    t1·v1, one join on the final PC1 scores), then the same unrolled
+    chain again from md5 hyperplane 1 of the seed family."""
+    chain_a, va = _pca_chain_sql("cd", "a", "v0a", iters)
+    chain_b, vb = _pca_chain_sql("cd2", "b", "v0b", iters)
+    return f"""
+    WITH {_pca_init_sql(seed, 0, "v0a", dim)},
+    {_pca_init_sql(seed, 1, "v0b", dim)},
+    {_PCA_BASE_CTES},
+    {chain_a},
+    t1 AS MATERIALIZED (
+      SELECT c.vec_id, SUM(c.e * {va}.w) AS t
+      FROM cd c JOIN {va} ON {va}.d = c.d GROUP BY 1
+    ),
+    cd2 AS MATERIALIZED (
+      SELECT c.vec_id, c.d, c.e - t1.t * {va}.w AS e
+      FROM cd c JOIN t1 USING (vec_id) JOIN {va} ON {va}.d = c.d
+    ),
+    {chain_b},
+    t2 AS (
+      SELECT c.vec_id, SUM(c.e * {vb}.w) AS t
+      FROM cd2 c JOIN {vb} ON {vb}.d = c.d GROUP BY 1
+    )
+    SELECT t1.vec_id, ROUND(t1.t, 6) AS pc1_score,
+           ROUND(t2.t, 6) AS pc2_score
+    FROM t1 JOIN t2 USING (vec_id)
     """
 
 
@@ -4672,6 +4777,66 @@ def pca_scores_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings", spread=True)
     mu, v = P.power_iteration_pc1(emb, dim=64, iters=3)
     return P.pca_project(emb, mu, v)
+
+
+_PCA_SHARDS = 16
+
+
+@query(
+    "pca_balanced_shards_embeddings",
+    f"""
+    WITH scores AS ({_pca_oracle()})
+    SELECT vec_id, pc1_score,
+           CAST(NTILE({_PCA_SHARDS}) OVER (ORDER BY pc1_score, vec_id)
+                AS INT) AS shard
+    FROM scores
+    """,
+)
+def pca_balanced_shards_embeddings(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """VARIANCE-BALANCED sharding — the layout `pca_scores_embeddings`'
+    docstring promises: equal-count shards cut along the corpus's
+    dominant variance direction, so each shard spans the same slice of
+    the embedding distribution instead of a random mix (downstream
+    per-shard models/statistics see comparable supports, and
+    nearest-neighbor work inside a shard stays local in PC1). NTILE over
+    the (rounded score, id) total order — one row per vector, no
+    payload, the corpus-stats sort class (`lm_quality_bands`' note); at
+    extreme n the same cut comes from approx-quantile boundaries
+    (bounded driver state) + a filter-assign pass, which the
+    deterministic key makes exact. The oracle nests the unrolled power
+    iteration and replays the NTILE, so every shard assignment is
+    hash-checked."""
+    from .operators import pca as P
+
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    mu, v = P.power_iteration_pc1(emb, dim=64, iters=3)
+    w = Window.orderBy("pc1_score", "vec_id")
+    return (
+        P.pca_project(emb, mu, v)
+        .select("vec_id", "pc1_score",
+                F.ntile(_PCA_SHARDS).over(w).alias("shard"))
+    )
+
+
+@query("pca2_scores_embeddings", _pca2_oracle())
+def pca2_scores_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP-2 principal components by DEFLATED power iteration
+    (`pca.power_iteration_components`): PC2 runs the same two-pass
+    iteration on the residual cloud x − μ − ((x−μ)·v₁)v₁, with v₁ folded
+    in as literals — deflation costs column arithmetic, not an extra
+    materialized dataset. The (pc1, pc2) plane is the standard corpus
+    MAP (cluster structure, drift between snapshots, outliers in two
+    directions instead of one); per-component driver state stays one
+    64-double iterate per pass. The oracle unrolls BOTH chains plus the
+    deflation join from the same md5 init family, so every coordinate
+    pair is hash-checked — trainer, deflation, and projection."""
+    from .operators import pca as P
+
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    mu, comps = P.power_iteration_components(emb, n_components=2,
+                                             dim=64, iters=3)
+    return P.pca_project_components(emb, mu, comps)
 
 
 _PACK_SEQ_LEN = 128
