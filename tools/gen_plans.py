@@ -38,6 +38,11 @@ PICKS = {
     "token_budget_mixture_documents": "Token-budget mixture: one window per source (running sum in hash order) over the scan; the budget CASE is row-local — no joins, no Python.",
     "kmeans_clusters_embeddings": "Corpus clustering: assignment is the Arrow-vectorized argmin against the broadcast centroid matrix (row-local); the size rollup is one hash agg joined back broadcast.",
     "packed_sequences_documents": "Concat-and-chunk packing: stream offsets from the two-phase prefix sum (bucket-partitioned window + broadcast 256-row offsets); the window-overlap explode and slice arithmetic are pure codegen.",
+    "packed_bpe_sequences_documents": "Tokenizing exporter: BPE-exact counts keep Python on the DISTINCT-pretoken table only (Heaps'-law sized Arrow stage); the corpus-axis joins are broadcast; packing reuses the two-phase prefix sum.",
+    "quality_quota_sample_documents": "Quality-ranked quotas: LM scoring (broadcast model) joins the Arrow argmin cluster assignment; the ONLY window partitions by cluster — partitions are cluster-sized, never corpus-sized.",
+    "doremi_mixture_documents": "DoReMi EG step: one corpus-sized ratio join, one per-domain agg; everything after (token-mass total, normalizer) is a broadcast ONE-ROW side — the declared bounded nested loops.",
+    "pca_scores_embeddings": "Distributed PCA: projection is pure column arithmetic inside codegen (no explode, no Python, no joins) — the trainer's per-iteration aggs have the same shape, with only the 64-double iterate leaving the executors.",
+    "substr_leakage_documents": "Substring leakage matrix: distinct (slice, window-hash) membership is corpus-STATE-sized; the equi-join fans out by slices-per-hash (<= L^2); the L-row slice-pair frame is the declared bounded nested loop.",
 }
 
 HEADER = """# PLANS — physical-plan audit of representative queries
