@@ -256,7 +256,11 @@ def test_no_cartesian_or_undeclared_python_anywhere(spark):
                     # output is L²/2 rows by design, corpus-size-free
                     "source_overlap_documents",
                     # same slice-pair frame at window-hash granularity
-                    "substr_leakage_documents"}
+                    "substr_leakage_documents",
+                    # kNN label propagation: the transpose of the
+                    # cosine_topk scan — broadcast SEED against the
+                    # streaming corpus, row-local scoring
+                    "knn_label_propagation_embeddings"}
     # declared Arrow/Python boundaries
     python_ok = {"multimodal_frames", "multimodal_features",
                  "multimodal_resize", "multimodal_audio_chunks",

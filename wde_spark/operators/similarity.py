@@ -99,7 +99,8 @@ def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
     return F.try_divide(dot(a, b, dim), l2norm(a, dim) * l2norm(b, dim))
 
 
-def _rerank_topk(scored: DataFrame, k: int) -> DataFrame:
+def _rerank_topk(scored: DataFrame, k: int,
+                 extra: tuple[str, ...] = ()) -> DataFrame:
     """Shared exact re-rank tail of every similarity operator: NaN routed
     to NULL (NaN sorts above ALL doubles in Spark, NULL sorts last under
     desc_nulls_last — same exclusion, but as a projection instead of a
@@ -108,7 +109,9 @@ def _rerank_topk(scored: DataFrame, k: int) -> DataFrame:
     pair), total-order tie-break (cos_sim DESC, item_id ASC), row_number
     top-k, NULL rows dropped after ranking (they sit below every real
     neighbor, so real ranks are unchanged). One definition so a future
-    tie-break or NaN-policy change has exactly one site."""
+    tie-break or NaN-policy change has exactly one site. `extra` names
+    additional `scored` columns to carry through the ranking (e.g. the
+    neighbor's label in `knn_label_propagation`)."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(
@@ -118,7 +121,7 @@ def _rerank_topk(scored: DataFrame, k: int) -> DataFrame:
             "cos_sim", F.nanvl(F.col("cos_sim"), F.lit(None).cast("double")))
         .withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter((F.col("rnk") <= k) & F.col("cos_sim").isNotNull())
-        .select("query_id", "item_id", "cos_sim", "rnk")
+        .select("query_id", "item_id", "cos_sim", "rnk", *extra)
     )
 
 
@@ -1173,3 +1176,52 @@ def ivfpq_residual_ann(items: DataFrame, queries: DataFrame, k: int = 5,
                 .alias("cos_sim"))
     )
     return _rerank_topk(scored, k)
+
+
+def knn_label_propagation(labeled: DataFrame, unlabeled: DataFrame,
+                          k: int = 5, id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          label_col: str = "label",
+                          dim: int | None = None) -> DataFrame:
+    """Semi-supervised kNN LABEL PROPAGATION — auto-label a huge corpus
+    from a small labeled seed (weak supervision's nearest-neighbor
+    baseline): every unlabeled vector takes the MAJORITY label of its k
+    exact cosine neighbors in the seed (vote-count desc, then smallest
+    label — a total order, so the assignment is reproducible).
+
+    Scale shape — the transpose of `cosine_topk`: the SEED side is
+    broadcast (a labeled seed is model-sized, not corpus-sized) and the
+    unlabeled CORPUS streams through once with row-local scoring; the
+    only corpus-keyed shuffles are the per-vector top-k window and the
+    vote rollup. At seed sizes past broadcast range, the candidate tier
+    swaps to the banded-LSH / ADC paths (same pattern as every ANN
+    operator here); the vote tail is unchanged."""
+    q = unlabeled.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    ).withColumn("qn", l2norm(F.col("qv"), dim))
+    it = labeled.select(
+        F.col(id_col).alias("item_id"), F.col(label_col).alias("_lbl"),
+        _as_double(F.col(vec_col)).alias("iv"),
+    ).withColumn("inorm", l2norm(F.col("iv"), dim))
+    scored = (
+        q.join(F.broadcast(it), F.col("item_id") != F.col("query_id"))
+        .select(
+            "query_id", "item_id", "_lbl",
+            F.round(F.try_divide(dot(F.col("qv"), F.col("iv"), dim),
+                                 F.col("qn") * F.col("inorm")),
+                    6).alias("cos_sim"),
+        )
+    )
+    topk = _rerank_topk(scored, k, extra=("_lbl",))
+    votes = topk.groupBy("query_id", "_lbl") \
+        .agg(F.count("*").alias("votes"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.asc("_lbl"))
+    return (
+        votes.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select(F.col("query_id").alias(id_col),
+                F.col("_lbl").alias("pred_label"),
+                F.col("votes").cast("long").alias("votes"))
+    )

@@ -4819,6 +4819,72 @@ def pca_balanced_shards_embeddings(spark: SparkSession,
     )
 
 
+@query(
+    "knn_label_propagation_embeddings",
+    """
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    seed AS (SELECT vec_id AS item_id, label, v AS iv FROM v
+             WHERE vec_id % 7 = 0),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id % 7 <> 0),
+    scored AS (
+      SELECT q.query_id, s.item_id, s.label,
+             ROUND(
+               list_aggregate(list_transform(generate_series(1, 64),
+                                             j -> qv[j] * s.iv[j]), 'sum')
+               / (sqrt(list_aggregate(list_transform(qv, x -> x * x),
+                                      'sum'))
+                  * sqrt(list_aggregate(list_transform(s.iv, x -> x * x),
+                                        'sum'))), 6) AS cos_sim
+      FROM q CROSS JOIN seed s WHERE s.item_id <> q.query_id
+    ),
+    topk AS (
+      SELECT query_id, label FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id
+          ORDER BY cos_sim DESC, item_id ASC) AS rnk
+        FROM scored WHERE cos_sim IS NOT NULL
+      ) WHERE rnk <= 5
+    ),
+    votes AS (
+      SELECT query_id, label, COUNT(*) AS votes
+      FROM topk GROUP BY 1, 2
+    )
+    SELECT query_id AS vec_id, label AS pred_label,
+           CAST(votes AS BIGINT) AS votes
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY votes DESC, label ASC) AS r
+      FROM votes
+    ) WHERE r = 1
+    """,
+)
+def knn_label_propagation_embeddings(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Semi-supervised kNN LABEL PROPAGATION
+    (`similarity.knn_label_propagation`): the 1-in-7 slice plays the
+    LABELED SEED (its `label` column finally carries semantics), every
+    remaining vector takes the majority label of its 5 exact cosine
+    neighbors in the seed — weak supervision's nearest-neighbor
+    baseline, the auto-labeling pass a curation pipeline runs before a
+    classifier exists. Scale shape is the TRANSPOSE of `cosine_topk`:
+    the model-sized seed broadcasts, the corpus streams once with
+    row-local scoring, and only the top-k window + vote rollup shuffle
+    on the corpus id (past broadcast range the candidate tier swaps to
+    the banded-LSH/ADC paths). Majority = votes desc then smallest
+    label — a total order, so the oracle replays scoring, ranking, and
+    the vote argmax and the ASSIGNMENT ITSELF is hash-checked."""
+    from .operators import similarity as SIM2
+
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    return SIM2.knn_label_propagation(
+        emb.filter(F.col("vec_id") % 7 == 0),
+        emb.filter(F.col("vec_id") % 7 != 0), k=5, dim=64)
+
+
 @query("pca2_scores_embeddings", _pca2_oracle())
 def pca2_scores_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TOP-2 principal components by DEFLATED power iteration
