@@ -128,3 +128,49 @@ def test_pca2_matches_numpy_deflated_replay(spark):
         for j in (1, 2):
             w = want[f"pc{j}_score"][r.vec_id]
             assert abs(r[f"pc{j}_score"] - w) < 1e-5, (r.vec_id, j)
+
+
+def test_moment_merge_equals_single_pass(spark):
+    """Moment state is associative: accumulating per-half and merging
+    must equal numpy's single-pass moments, and the derived PC1 must
+    match a numpy replay of the same covariance power iteration."""
+    from wde_spark.core.catalog import load_table
+    from wde_spark.operators import pca as P
+    from wde_spark.operators.similarity import hyperplanes
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    X = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+
+    n, s, m = P.merge_moments(
+        P.second_moments(emb.filter(F.col("vec_id") % 2 == 0)),
+        P.second_moments(emb.filter(F.col("vec_id") % 2 != 0)))
+    assert n == X.shape[0]
+    np.testing.assert_allclose(np.array(s), X.sum(axis=0),
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.array(m).reshape(64, 64), X.T @ X,
+                               rtol=1e-9, atol=1e-9)
+
+    mu, v = P.pc1_from_moments(n, s, m, iters=3)
+    C = (X.T @ X) / n - np.outer(X.mean(axis=0), X.mean(axis=0))
+    vr = np.array(hyperplanes(64, 1, "pcacov")[0])
+    vr = vr / math.sqrt(float(vr @ vr))
+    for _ in range(3):
+        w = C @ vr
+        vr = w / math.sqrt(float(w @ w))
+    np.testing.assert_allclose(np.array(v), vr, atol=1e-9)
+
+
+def test_moments_empty_and_invalid_rows(spark):
+    from wde_spark.operators import pca as P
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    n, s, m = P.merge_moments(P.second_moments(empty))
+    assert n == 0
+    mu, v = P.pc1_from_moments(n, s, m)
+    assert mu == [0.0] * 64 and abs(sum(c * c for c in v) - 1.0) < 1e-12
+
+    bad = spark.createDataFrame(
+        [(1, None), (2, [1.0] * 3)], "vec_id long, embedding array<float>")
+    n, _, _ = P.merge_moments(P.second_moments(bad))
+    assert n == 0

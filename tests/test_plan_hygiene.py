@@ -284,7 +284,10 @@ def test_no_cartesian_or_undeclared_python_anywhere(spark):
                  "quality_quota_sample_documents",
                  # BPE-exact counting: the declared distinct-pretoken
                  # Arrow encoder (Heaps'-law sized input, never corpus)
-                 "packed_bpe_sequences_documents"}
+                 "packed_bpe_sequences_documents",
+                 # moment accumulation is the declared Arrow kernel
+                 # (numpy X.T@X per partition, one state row out)
+                 "pca_incremental_moments_embeddings"}
     bad = {}
     for name, fn in QUERIES.items():
         try:
@@ -328,6 +331,9 @@ def test_no_unbounded_driver_collect_in_package_source():
         ("queries_ext.py", "truth = {r.source for r in exact.collect()}"),
         # 256 bucket totals (two-phase prefix sum)
         ("operators/layout.py", 'sorted((r["_bkt"], r["_t"])'),
+        # moment-state merge: one dim²-wide row per PARTITION (bounded
+        # by cluster width, the bucket-totals class)
+        ("operators/pca.py", "one row per partition: bounded state"),
         # k-means / PQ codebook state, bounded by n_cells / k_codes
         ("operators/similarity.py", ".limit(n_cells).select"),
         ("operators/similarity.py", ".limit(k_codes).select"),

@@ -191,3 +191,93 @@ def pca_project_components(emb: DataFrame, mu: list[float],
         F.col(id_col),
         *[F.round(F.col(f"t{j}"), 6).alias(f"pc{j}_score")
           for j in range(1, n + 1)])
+
+
+def second_moments(emb: DataFrame, dim: int = 64,
+                   vec_col: str = "embedding") -> DataFrame:
+    """MERGEABLE moment state of an embedding batch — the streaming-PCA
+    representation: one (n, s[dim], m[dim²]) row per Arrow partition,
+    where s = Σx and m = ΣxxT (flattened row-major). Moments are
+    ASSOCIATIVE state (add them), so batches/partitions/corpus versions
+    merge exactly like the engine's sketches (`operators/sketches.py`) —
+    the model (mean + covariance + principal components) derives from
+    STATE, never from a second data pass. The accumulation is a numpy
+    matmul per Arrow batch (`X.T @ X` — the declared Arrow kernel, BLAS
+    inside); rows with NULL/wrong-dim vectors are skipped symmetrical to
+    the oracle's validity filter. Per-partition output is 1 row of
+    dim²+dim+1 doubles — bounded by cluster width, not data (the
+    `layout.global_prefix_sum` bucket-totals class)."""
+    import numpy as np
+    import pandas as pd
+
+    def _mom(batches):
+        n = 0
+        s = np.zeros(dim)
+        m = np.zeros((dim, dim))
+        for pdf in batches:
+            vals = [v for v in pdf[vec_col]
+                    if v is not None and len(v) == dim]
+            if not vals:
+                continue
+            X = np.array(vals, dtype=np.float64)
+            if not np.isfinite(X).all():
+                X = X[np.isfinite(X).all(axis=1)]
+            n += X.shape[0]
+            s += X.sum(axis=0)
+            m += X.T @ X
+        yield pd.DataFrame({"n": [n], "s": [s.tolist()],
+                            "m": [m.flatten().tolist()]})
+
+    return emb.select(vec_col).mapInPandas(
+        _mom, "n long, s array<double>, m array<double>")
+
+
+def merge_moments(*moment_dfs: DataFrame,
+                  dim: int = 64) -> tuple[int, list[float], list[float]]:
+    """Sum the per-partition moment rows of any number of batches into
+    ONE (n, s, m) state — the merge is plain addition (associative +
+    commutative), which is what makes the moments maintainable across
+    micro-batches/corpus versions. Driver traffic: one dim²-wide row per
+    PARTITION (bounded by cluster width — the 256-bucket-totals class),
+    never corpus rows."""
+    import numpy as np
+
+    n = 0
+    s = np.zeros(dim)
+    m = np.zeros(dim * dim)
+    for df in moment_dfs:
+        for row in df.collect():  # one row per partition: bounded state
+            n += row["n"]
+            if row["n"]:
+                s += np.array(row["s"])
+                m += np.array(row["m"])
+    return int(n), s.tolist(), m.tolist()
+
+
+def pc1_from_moments(n: int, s: list[float], m: list[float],
+                     iters: int = 3,
+                     seed: str = "pcacov") -> tuple[list[float],
+                                                    list[float]]:
+    """(mu, v) from merged moment state: covariance
+    C = ΣxxT/n − mu muT (dim×dim — model-sized), then `iters` power
+    iterations of the MATRIX on the driver (a dim² matvec — micro-work
+    once the state exists; no data pass at all). Same md5 init family
+    and pinned-iteration discipline as the data-pass trainer."""
+    dim = len(s)
+    if n == 0:
+        v = hyperplanes(dim, 1, seed)[0]
+        nrm = math.sqrt(sum(c * c for c in v))
+        return [0.0] * dim, [c / nrm for c in v]
+    mu = [s[i] / n for i in range(dim)]
+    C = [[m[i * dim + j] / n - mu[i] * mu[j] for j in range(dim)]
+         for i in range(dim)]
+    v = hyperplanes(dim, 1, seed)[0]
+    nrm = math.sqrt(sum(c * c for c in v))
+    v = [c / nrm for c in v]
+    for _ in range(iters):
+        w = [sum(C[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        nrm = math.sqrt(sum(c * c for c in w))
+        if nrm == 0.0:
+            break
+        v = [c / nrm for c in w]
+    return mu, v

@@ -1916,11 +1916,11 @@ from . import queries_ext  # noqa: E402,F401
 # smoke). 28 slots now seat queries that have never had a driver row —
 # Round-7 window (picked by tools/plan_rotation.py — all 138 pre-r7
 # entries have a driver-green row, so the window is now pure rotation by
-# evidence age): the flagship keeps its slot, the round's 8 net-new
+# evidence age): the flagship keeps its slot, the round's 9 net-new
 # registrations (quality-ranked cluster quotas, BPE-exact packing,
-# DoReMi mixture weights, the PCA family, substring leakage matrix, kNN
-# label propagation) seat first driver rows, the 2 queries whose CODE
-# changed this round
+# DoReMi mixture weights, the PCA family incl. the moment-state form,
+# substring leakage matrix, kNN label propagation) seat first driver
+# rows, the 2 queries whose CODE changed this round
 # (curation_pipeline_documents — hot-bucket cap re-enabled;
 # stateful_sessions_events — distributed feed bootstrap) re-bank rows
 # proving the fixes under the driver's hash, and the remaining 40 slots
@@ -1934,6 +1934,7 @@ _DRIVER_PRIORITY = [
     "doremi_mixture_documents", "pca_scores_embeddings",
     "pca2_scores_embeddings", "pca_balanced_shards_embeddings",
     "substr_leakage_documents", "knn_label_propagation_embeddings",
+    "pca_incremental_moments_embeddings",
     # --- code changed this round (re-prove under the driver hash) ---
     "curation_pipeline_documents", "stateful_sessions_events",
     # --- longest-unchecked greens: r3-vintage driver rows ---
@@ -1955,11 +1956,11 @@ _DRIVER_PRIORITY = [
     "sliding_events", "session_events_bucketed",
     "string_pipeline_documents", "q2_cheapest_part_per_brand",
     "q17_small_quantity_revenue", "q22_idle_rich_customers",
-    "cube_orders", "percentile_prices", "json_props_stats_events",
-    # (hybrid_neardup / neardup_components / zscore_outliers /
-    #  merge_changeset / window_rank_variants / repetition_stats yield
-    #  their slots to the 6 net-new entries above; all r4-green, they
-    #  rotate back in r8)
+    "cube_orders", "percentile_prices",
+    # (json_props_stats / hybrid_neardup / neardup_components /
+    #  zscore_outliers / merge_changeset / window_rank_variants /
+    #  repetition_stats yield their slots to the 7 net-new entries
+    #  above; all r4-green, they rotate back in r8)
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]

@@ -4885,6 +4885,83 @@ def knn_label_propagation_embeddings(spark: SparkSession,
         emb.filter(F.col("vec_id") % 7 != 0), k=5, dim=64)
 
 
+def _pca_moments_oracle(iters: int = 3, dim: int = 64,
+                        seed: str = "pcacov") -> str:
+    """SQL twin of the MOMENT-STATE path (`pca.second_moments` →
+    `merge_moments` → `pc1_from_moments` → `pca_project`): raw second
+    moments from one pass (the self-join long form — what the Arrow
+    kernel's X.T@X computes per partition), covariance by the same
+    ΣxxT/n − mu·muT route the driver takes, then the power iteration run
+    ON THE MATRIX (64-row matvec per stage). Because moment addition is
+    associative, the oracle's single-pass sums equal the Spark side's
+    per-batch-then-merged sums — the merge≡full equivalence IS what the
+    hash check proves."""
+    stages = []
+    prev = "v0c"
+    for i in range(1, iters + 1):
+        stages.append(f"""mvc{i} AS (
+      SELECT cv.i AS d, SUM(cv.m * {prev}.w) AS w
+      FROM cv JOIN {prev} ON {prev}.d = cv.j GROUP BY 1
+    ),
+    vc{i} AS (SELECT d, w / sqrt((SELECT SUM(w*w) FROM mvc{i})) AS w
+              FROM mvc{i})""")
+        prev = f"vc{i}"
+    chain = ",\n    ".join(stages)
+    return f"""
+    WITH {_pca_init_sql(seed, 0, "v0c", dim)},
+    x AS (SELECT vec_id,
+                 list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+          FROM embeddings
+          WHERE embedding IS NOT NULL AND len(embedding) = {dim}),
+    xd AS MATERIALIZED (
+      SELECT vec_id, CAST(d AS INT) AS d, v[CAST(d AS INT)+1] AS e
+      FROM x, unnest(range(0, {dim})) t(d)),
+    nn AS (SELECT COUNT(*) AS n FROM x),
+    mu AS (SELECT d, SUM(e) / (SELECT n FROM nn) AS m FROM xd GROUP BY d),
+    rm AS MATERIALIZED (
+      SELECT a.d AS i, b.d AS j, SUM(a.e * b.e) AS ss
+      FROM xd a JOIN xd b USING (vec_id) GROUP BY 1, 2),
+    cv AS MATERIALIZED (
+      SELECT i, j, ss / (SELECT n FROM nn) - mi.m * mj.m AS m
+      FROM rm JOIN mu mi ON mi.d = i JOIN mu mj ON mj.d = j),
+    {chain},
+    cd AS (SELECT xd.vec_id, xd.d, xd.e - mu.m AS e
+           FROM xd JOIN mu USING (d))
+    SELECT c.vec_id, ROUND(SUM(c.e * {prev}.w), 6) AS pc1_cov_score
+    FROM cd c JOIN {prev} ON {prev}.d = c.d GROUP BY 1
+    """
+
+
+@query("pca_incremental_moments_embeddings", _pca_moments_oracle())
+def pca_incremental_moments_embeddings(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """STREAMING-SHAPED PCA — the model derived from MERGEABLE MOMENT
+    STATE instead of data passes (`pca.second_moments` /
+    `merge_moments` / `pc1_from_moments`): each corpus half accumulates
+    (n, Σx, ΣxxT) per Arrow partition (numpy X.T@X — the declared
+    kernel), the halves MERGE by plain addition (associative, exactly
+    like the engine's sketches — this is what an incremental maintainer
+    persists per corpus version), and PC1 comes from 3 power iterations
+    of the 64×64 covariance ON THE DRIVER — micro-work once the state
+    exists, no further data pass. The query deliberately splits the
+    corpus 2-ways and merges, and the oracle computes the single-pass
+    moments flat — so the hash check proves merge ≡ full, the property
+    that makes the state maintainable. Scores are each vector's
+    coordinate on the covariance PC1 (`pc1_cov_score` — the
+    moment-route twin of `pca_scores_embeddings`' data-pass
+    estimate)."""
+    from .operators import pca as P
+
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    valid = emb.filter(F.col("embedding").isNotNull()
+                       & (F.size("embedding") == 64))
+    n, s, m = P.merge_moments(
+        P.second_moments(valid.filter(F.col("vec_id") % 2 == 0)),
+        P.second_moments(valid.filter(F.col("vec_id") % 2 != 0)))
+    mu, v = P.pc1_from_moments(n, s, m, iters=3)
+    return P.pca_project(valid, mu, v, score_col="pc1_cov_score")
+
+
 @query("pca2_scores_embeddings", _pca2_oracle())
 def pca2_scores_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TOP-2 principal components by DEFLATED power iteration
