@@ -44,6 +44,7 @@ PICKS = {
     "pca_scores_embeddings": "Distributed PCA: projection is pure column arithmetic inside codegen (no explode, no Python, no joins) — the trainer's per-iteration aggs have the same shape, with only the 64-double iterate leaving the executors.",
     "substr_leakage_documents": "Substring leakage matrix: distinct (slice, window-hash) membership is corpus-STATE-sized; the equi-join fans out by slices-per-hash (<= L^2); the L-row slice-pair frame is the declared bounded nested loop.",
     "knn_label_propagation_embeddings": "kNN label propagation: the labeled SEED broadcasts (the declared bounded nested loop, transpose of cosine_topk); scoring is a row-local JVM fold over the streaming corpus; only the top-k window and vote rollup shuffle on the corpus id.",
+    "pca_incremental_moments_embeddings": "Moment-state PCA: the Arrow kernel emits one bounded state row per partition (numpy X.T@X); the model derives from merged state on the driver; the projection is pure codegen column arithmetic over one pruned scan.",
 }
 
 HEADER = """# PLANS — physical-plan audit of representative queries
