@@ -121,6 +121,26 @@ def _over_best(t: float, known: float) -> bool:
     return t > 1.3 * known and t - known > 0.3
 
 
+def _clear_stopped_session_state() -> None:
+    """Drop PySpark's cached session/context singletons if they point at a
+    STOPPED JVM — after spark.stop(), some PySpark versions leave them in
+    place and getOrCreate() hands back the dead session. Only stale state
+    is cleared; a live context is left untouched."""
+    try:
+        from pyspark import SparkContext
+        from pyspark.sql import SparkSession
+
+        sc = SparkContext._active_spark_context
+        if sc is not None and getattr(sc, "_jsc", None) is None:
+            SparkContext._active_spark_context = None
+        sess = getattr(SparkSession, "_instantiatedSession", None)
+        if sess is not None and getattr(sess._sc, "_jsc", None) is None:
+            SparkSession._instantiatedSession = None
+            SparkSession._activeSession = None
+    except Exception:
+        pass  # defensive only — never let the guard sink the fallback
+
+
 def _cpu_jiffies() -> tuple[int, int]:
     """(total, steal) jiffies from /proc/stat — steal is time a co-tenant
     took from this VM's vCPUs; loadavg cannot see it."""
@@ -325,7 +345,13 @@ def main() -> None:
                     res = None
         if res is None:
             # A dead child must not blank half the bench — re-measure its
-            # half in THIS process (one JVM, same protocol).
+            # half in THIS process (one JVM, same protocol). If BOTH
+            # children die, the second fallback's get_session() must not
+            # be handed the first fallback's stopped session: clear any
+            # stale singletons first (stop() clears them on this PySpark
+            # build, but not on all — the guard makes the path
+            # version-proof).
+            _clear_stopped_session_state()
             res = measure(names, sf_dir, best_known)
         results.append(res)
         # Later halves retry against any new mins the earlier half set.

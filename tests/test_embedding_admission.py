@@ -115,3 +115,22 @@ def test_pq_bootstrap_crash_redo(spark, tmp_path):
         spark.createDataFrame(_vecs(range(40)) + rows, SCHEMA), books)
     assert got.exceptAll(batch_codes).unionAll(
         batch_codes.exceptAll(got)).count() == 0
+
+
+def test_pq_query_luts_raises_on_oversized_query_side(spark):
+    """`_pq_query_luts` materializes the probe set on the driver; that is
+    bounded by contract (probe sets are model-sized). A corpus-sized query
+    frame must raise, not silently become a driver bottleneck — the same
+    limit(n+1)+raise idiom as `plans/reinject.py`."""
+    import pytest
+
+    items = spark.createDataFrame(_vecs(range(40)), SCHEMA)
+    books = SIM.train_pq_codebooks(items, m=4, k_codes=8)
+    big = spark.createDataFrame(_vecs(range(25)), SCHEMA)
+    with pytest.raises(ValueError, match="max_queries"):
+        SIM._pq_query_luts(spark, big, books, "vec_id", "embedding",
+                           max_queries=10)
+    # within the cap: works exactly as before
+    qrows, q_lut = SIM._pq_query_luts(spark, big, books, "vec_id",
+                                      "embedding", max_queries=25)
+    assert len(qrows) == 25 and q_lut.count() == 25

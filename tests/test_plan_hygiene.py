@@ -337,8 +337,11 @@ def test_no_unbounded_driver_collect_in_package_source():
         # k-means / PQ codebook state, bounded by n_cells / k_codes
         ("operators/similarity.py", ".limit(n_cells).select"),
         ("operators/similarity.py", ".limit(k_codes).select"),
-        ("operators/similarity.py", ".collect()\n"),  # centroid refresh rows
-        ("operators/similarity.py", "~F.exists("),  # query vectors (k-NN probes)
+        # centroid / codebook refresh rows: one row per cell / (sub, code)
+        ("operators/similarity.py", 'F.col("pm.m").alias("cv")'),
+        ("operators/similarity.py", 'F.col("pm.mv").alias("cv")'),
+        # query vectors (k-NN probes): limit-capped with an explicit raise
+        ("operators/similarity.py", ".limit(max_queries + 1).collect()"),
         # dedup-before-fetch candidate cap: one max() row
         ("sources/http.py", 'F.max(F.size("candidates"))'),
         # CLI endpoints materialize small reports by design

@@ -50,18 +50,23 @@ def power_iteration_pc1(emb: DataFrame, dim: int = 64, iters: int = 3,
     Driver traffic: one dim-wide row per iteration plus one for the mean
     — bounded model state, never rows."""
     x = _dims(F.col(vec_col), dim)
-    mu_row = emb.agg(*[F.avg(x[i]).alias(f"m{i}")
+    mu_row = emb.agg(F.count(F.lit(1)).alias("_n"),
+                     *[F.avg(x[i]).alias(f"m{i}")
                        for i in range(dim)]).first()
 
     v = hyperplanes(dim, 1, seed)[0]
     nrm = math.sqrt(sum(c * c for c in v))
     v = [c / nrm for c in v]
 
-    if mu_row is None or mu_row["m0"] is None:
+    if mu_row is None or mu_row["_n"] == 0:
         # empty corpus (the date-filter-leaves-zero-rows case): no model
-        # to fit — zero mean + the init direction keep projection total
+        # to fit — zero mean + the init direction keep projection total.
+        # Emptiness is a ROW COUNT, not m0-is-NULL — a corpus whose
+        # dimension 0 happens to be all NULL still gets fitted on the
+        # remaining dimensions (NULL means coalesce to 0.0).
         return [0.0] * dim, v
-    mu = [float(mu_row[f"m{i}"]) for i in range(dim)]
+    mu = [float(mu_row[f"m{i}"]) if mu_row[f"m{i}"] is not None else 0.0
+          for i in range(dim)]
 
     for _ in range(iters):
         c = [x[i] - F.lit(mu[i]) for i in range(dim)]
@@ -69,9 +74,10 @@ def power_iteration_pc1(emb: DataFrame, dim: int = 64, iters: int = 3,
                 c[0] * F.lit(v[0]))
         w_row = emb.agg(*[F.sum(c[i] * t).alias(f"w{i}")
                           for i in range(dim)]).first()
-        if w_row is None or w_row["w0"] is None:
+        if w_row is None:
             break
-        w = [float(w_row[f"w{i}"]) for i in range(dim)]
+        w = [float(w_row[f"w{i}"]) if w_row[f"w{i}"] is not None else 0.0
+             for i in range(dim)]
         nrm = math.sqrt(sum(c_ * c_ for c_ in w))
         if nrm == 0.0:  # degenerate corpus (all rows identical)
             break
@@ -108,16 +114,19 @@ def power_iteration_components(emb: DataFrame, n_components: int = 2,
     component j is md5 hyperplane j of the seed family. Driver state:
     (n_components+1) dim-wide rows total per iteration sweep."""
     x = _dims(F.col(vec_col), dim)
-    mu_row = emb.agg(*[F.avg(x[i]).alias(f"m{i}")
+    mu_row = emb.agg(F.count(F.lit(1)).alias("_n"),
+                     *[F.avg(x[i]).alias(f"m{i}")
                        for i in range(dim)]).first()
     inits = hyperplanes(dim, n_components, seed)
     comps: list[list[float]] = []
-    if mu_row is None or mu_row["m0"] is None:
+    if mu_row is None or mu_row["_n"] == 0:
+        # row-count emptiness (not m0-is-NULL) — see power_iteration_pc1
         for v in inits:
             nrm = math.sqrt(sum(c * c for c in v))
             comps.append([c / nrm for c in v])
         return [0.0] * dim, comps
-    mu = [float(mu_row[f"m{i}"]) for i in range(dim)]
+    mu = [float(mu_row[f"m{i}"]) if mu_row[f"m{i}"] is not None else 0.0
+          for i in range(dim)]
 
     # The residual lives as NAMED columns and each deflation is
     # localCheckpoint-ed (the BPE-trainer lineage discipline): building
@@ -137,9 +146,10 @@ def power_iteration_components(emb: DataFrame, n_components: int = 2,
                     c[0] * F.lit(v[0]))
             w_row = work.agg(*[F.sum(c[i] * t).alias(f"w{i}")
                                for i in range(dim)]).first()
-            if w_row is None or w_row["w0"] is None:
+            if w_row is None:
                 break
-            w = [float(w_row[f"w{i}"]) for i in range(dim)]
+            w = [float(w_row[f"w{i}"]) if w_row[f"w{i}"] is not None
+                 else 0.0 for i in range(dim)]
             nrm = math.sqrt(sum(c_ * c_ for c_ in w))
             if nrm == 0.0:
                 break

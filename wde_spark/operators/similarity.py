@@ -781,15 +781,26 @@ def pq_encode(items: DataFrame, books: list[list[list[float]]],
     )
 
 
+#: Hard ceiling on how many ANN probe vectors may be materialized on the
+#: driver for ADC LUT construction. Probe sets are model-sized by contract
+#: (a handful to a few thousand queries); anything larger indicates the
+#: caller joined a corpus-sized frame on the query side, which would turn
+#: this bounded collect into a driver OOM. Mirrors `plans/reinject.py`'s
+#: limit(n+1)+raise idiom.
+PQ_MAX_QUERIES = 100_000
+
+
 def _pq_query_luts(spark, queries: DataFrame, books, id_col: str,
-                   vec_col: str):
+                   vec_col: str, max_queries: int = PQ_MAX_QUERIES):
     """Collect the (bounded) query set and build each query's M×K ADC
     lookup table of sub-space inner products driver-side. Returns
     (collected query rows incl. raw vectors for exact re-rank, LUT
     DataFrame). Schemas are derived from the caller's id column type (ids
     need not be longs), and query rows whose vector length does not match
     the codebook's m·ds dimensionality are null-routed like mis-sized
-    item vectors, not crashed on in the driver-side reshape."""
+    item vectors, not crashed on in the driver-side reshape. The collect
+    is limit-capped at ``max_queries``: exceeding it raises instead of
+    silently becoming a driver-side bottleneck."""
     from pyspark.sql import types as T
 
     C = np.asarray(books, dtype=np.float64)          # (M, K, ds)
@@ -801,7 +812,13 @@ def _pq_query_luts(spark, queries: DataFrame, books, id_col: str,
         _as_double(F.col(vec_col)).alias("rv"),
     ).filter(F.col("qv").isNotNull()
              & (F.size("qv") == m_ * ds)
-             & ~F.exists("qv", lambda x: x.isNull() | F.isnan(x))).collect()
+             & ~F.exists("qv", lambda x: x.isNull() | F.isnan(x))
+             ).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"ANN query side exceeds max_queries={max_queries}: probe sets "
+            "are model-sized by contract; a corpus-sized query frame must "
+            "be batched by the caller, not collected to the driver")
     lut_rows = []
     for r in qrows:
         Q = np.asarray(r.qv, dtype=np.float64).reshape(m_, ds)

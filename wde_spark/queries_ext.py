@@ -4912,7 +4912,10 @@ def _pca_moments_oracle(iters: int = 3, dim: int = 64,
     x AS (SELECT vec_id,
                  list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
           FROM embeddings
-          WHERE embedding IS NOT NULL AND len(embedding) = {dim}),
+          WHERE embedding IS NOT NULL AND len(embedding) = {dim}
+            AND len(list_filter(embedding,
+                    e -> e IS NULL
+                         OR NOT isfinite(CAST(e AS DOUBLE)))) = 0),
     xd AS MATERIALIZED (
       SELECT vec_id, CAST(d AS INT) AS d, v[CAST(d AS INT)+1] AS e
       FROM x, unnest(range(0, {dim})) t(d)),
@@ -4953,8 +4956,15 @@ def pca_incremental_moments_embeddings(spark: SparkSession,
     from .operators import pca as P
 
     emb = load_table(spark, sf_dir, "embeddings", spread=True)
-    valid = emb.filter(F.col("embedding").isNotNull()
-                       & (F.size("embedding") == 64))
+    # finiteness is part of the validity contract and MIRRORED in the
+    # oracle's x CTE — second_moments also skips non-finite rows inside
+    # the Arrow kernel, so without this filter here the projection input
+    # and the oracle would keep rows the moment state dropped
+    valid = emb.filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == 64)
+        & ~F.exists("embedding",
+                    lambda e: e.isNull() | F.isnan(e)
+                    | (F.abs(e) == F.lit(float("inf")))))
     n, s, m = P.merge_moments(
         P.second_moments(valid.filter(F.col("vec_id") % 2 == 0)),
         P.second_moments(valid.filter(F.col("vec_id") % 2 != 0)))
