@@ -94,6 +94,7 @@ HEADLINE = [
     "scd2_order_status_history",
     "merge_changeset_orders",
     "mixture_sample_documents",
+    "q20_potential_promotion",
     "q21_single_late_supplier",
     "window_rank_variants_orders",
     "embedding_vector_stats",

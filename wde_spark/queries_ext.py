@@ -1596,6 +1596,91 @@ def scd2_order_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q20_potential_promotion",
+    """
+    SELECT s_name, n_name, s_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+      AND s_suppkey IN (
+        SELECT ps.l_suppkey
+        FROM (SELECT l_partkey, l_suppkey, SUM(l_quantity) AS avail
+              FROM lineitem WHERE l_shipdate >= DATE '1999-01-01'
+              GROUP BY 1, 2) ps
+        WHERE ps.l_partkey IN (SELECT p_partkey FROM part
+                               WHERE p_name LIKE 'small%')
+          AND ps.avail > (
+            SELECT 0.5 * SUM(l.l_quantity)
+            FROM lineitem l
+            WHERE l.l_partkey = ps.l_partkey
+              AND l.l_suppkey = ps.l_suppkey
+              AND l.l_shipdate >= DATE '1996-01-01'
+              AND l.l_shipdate <  DATE '1997-01-01'))
+    ORDER BY s_name
+    """,
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q20 re-targeted (this schema has no partsupp: "availability"
+    of a (part, supplier) pair is its total quantity shipped from
+    1999 on — late-period stock on hand; the correlated demand window is
+    calendar 1996; geography widens from one nation to one region so the
+    threshold's survivors aren't masked by a 4-supplier nation) —
+    suppliers of a 'small%' part whose availability exceeds half that
+    pair's 1996 demand. The oracle keeps q20's signature double-nested
+    IN with the correlated 0.5·SUM scalar subquery; the Spark form
+    DECORRELATES it into a single conditional aggregate: one lineitem
+    scan (part semi-join pushed below the shuffle, both date windows as
+    `SUM(CASE)` over the same (partkey, suppkey) groupBy), the threshold
+    as a plain column filter — NULL demand excludes the pair exactly
+    like the correlated NULL comparison — then a distinct-supplier
+    left-semi join and broadcast nation/region dims. Two shuffles total
+    (pair aggregate, supplier distinct) at any scale; the correlated
+    subquery never re-scans lineitem. Reference parity: the engine's
+    candidate-threshold prefilters (itemtoid.py's ratio gates) are this
+    same decorrelated-aggregate shape."""
+    part_small = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+    pairs = (
+        li.filter(
+            (F.col("l_shipdate") >= "1999-01-01")
+            | ((F.col("l_shipdate") >= "1996-01-01")
+               & (F.col("l_shipdate") < "1997-01-01")))
+        .join(F.broadcast(part_small),
+              F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.when(F.col("l_shipdate") >= "1999-01-01",
+                         F.col("l_quantity"))).alias("avail"),
+            F.sum(F.when(F.col("l_shipdate") < "1997-01-01",
+                         F.col("l_quantity"))).alias("demand"),
+        )
+        .filter(F.col("avail") > 0.5 * F.col("demand"))
+    )
+    nat = (
+        load_table(spark, sf_dir, "nation")
+        .join(F.broadcast(load_table(spark, sf_dir, "region")
+                          .filter(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .join(pairs.select("l_suppkey").distinct(),
+              F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(nat),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+@query(
     "q21_single_late_supplier",
     """
     SELECT s.s_name, COUNT(*) AS numwait
