@@ -111,6 +111,52 @@ HEADLINE = [
 ]
 
 
+# ---- Host-speed calibration (r8) ----
+# The best-known minima in bench_best.json span host EPOCHS with measurably
+# different effective CPU speed (r6's calm close: 36.86 s total; r7's best
+# calm close of four attempts: 43.23 s — a uniform +10..30% on nearly every
+# query, per-query median ratio 1.2254, with zero code-attributable
+# regressions). Raw seconds therefore cannot be compared across rounds. A
+# fixed CPU-bound probe timed inside EACH child JVM converts raw seconds to
+# REFERENCE-HOST seconds: factor = probe_min / CALIB_REF_SEC, normalized =
+# raw / factor. bench_best.json stores normalized units from r8 on; its
+# pre-r8 values were recorded on the fast epoch, which is the reference
+# host by construction (CALIB_REF_SEC = today's calm probe divided by the
+# measured 1.2254 drift), so they are ALREADY in normalized units and stay
+# valid. Derivation receipt: measurements/calib_probe_r08.json.
+CALIB_ROWS = 16_000_000
+CALIB_RUNS = 5
+CALIB_REF_SEC = 0.316  # = 0.3872 / 1.2254, see measurements/calib_probe_r08.json
+# A probe stormed in all CALIB_RUNS runs (or a radically different host)
+# must not nuke the units: clamp the factor to a sane band and record the
+# raw probe times so a reader can see a clamped half.
+CALIB_FACTOR_BAND = (0.5, 3.0)
+
+
+def _calibrate(spark) -> list[float]:
+    """The calibration probe: a deterministic 16M-row whole-stage-codegen
+    aggregate (hash + string + fp math — the expression classes the
+    headline queries spend their CPU on), no data read, no shuffle beyond
+    the single-row reduce. Run CALIB_RUNS times; the MIN is the calmest
+    observation of this JVM's effective CPU speed (run 1 additionally pays
+    codegen compile, which min-of-N discards)."""
+    ts = []
+    for _ in range(CALIB_RUNS):
+        t0 = time.time()
+        spark.range(0, CALIB_ROWS, 1, 64).selectExpr(
+            "bit_xor(xxhash64(id, id + 1)) as h",
+            "sum(length(md5(cast(id as string)))) as m",
+            "sum(sqrt(cast(id % 1000003 as double))) as s",
+        ).first()
+        ts.append(round(time.time() - t0, 4))
+    return ts
+
+
+def _calib_factor(probe_times: list[float]) -> float:
+    f = min(probe_times) / CALIB_REF_SEC
+    return max(CALIB_FACTOR_BAND[0], min(CALIB_FACTOR_BAND[1], f))
+
+
 def _over_best(t: float, known: float) -> bool:
     """Storm test vs the best-known min: relative 1.3× AND >0.3 s absolute
     excess. The absolute guard keeps sub-second queries honest — a 0.15 s
@@ -182,6 +228,20 @@ def measure(names: list[str], sf_dir: str,
         _identity, "id long"
     ).write.format("noop").mode("overwrite").save()
 
+    # Calibrate THIS JVM's effective CPU speed before any timed pass; the
+    # retry gates below compare in normalized (reference-host) units.
+    # `best_known` arrives normalized (bench_best.json units). This start
+    # factor is PROVISIONAL (a storm spanning all CALIB_RUNS start probes
+    # would overstate the slowdown): the final factor — and every
+    # best_known update — uses the min over start+end probes, so a
+    # stormed start probe can cost at most a few wasted retry runs, never
+    # a deflated best_known.
+    calib_start = _calibrate(spark)
+    factor = _calib_factor(calib_start)
+
+    def _norm(t: float) -> float:
+        return round(t / factor, 3)
+
     # Run protocol (hardened r6 after two rounds of storm-inflated driver
     # numbers): the two timed runs of a query are INTERLEAVED — pass 1
     # over the whole list, then pass 2 over the whole list — so the same
@@ -236,7 +296,7 @@ def measure(names: list[str], sf_dir: str,
             continue
         extra = 0
         while extra < 2 and _over_best(
-                best[name], best_known.get(name, float("inf"))):
+                _norm(best[name]), best_known.get(name, float("inf"))):
             try:
                 t = _run_once(name)
             except Exception as exc:
@@ -246,9 +306,6 @@ def measure(names: list[str], sf_dir: str,
             retries.setdefault(name, []).append(t)
             best[name] = min(best[name], t)
             extra += 1
-        if name not in errors and \
-                best[name] < best_known.get(name, float("inf")):
-            best_known[name] = best[name]
 
     # Spaced final sweep: any query STILL over best-known after its
     # immediate retries gets one more run, spaced from those attempts by
@@ -260,7 +317,7 @@ def measure(names: list[str], sf_dir: str,
     for _sweep in range(2):
         still_over = [n for n in names if n not in errors
                       and n in best_known
-                      and _over_best(best[n], best_known[n])]
+                      and _over_best(_norm(best[n]), best_known[n])]
         if not still_over:
             break
         for name in still_over:
@@ -272,17 +329,31 @@ def measure(names: list[str], sf_dir: str,
                 continue
             retries.setdefault(name, []).append(t)
             best[name] = min(best[name], t)
-            if best[name] < best_known.get(name, float("inf")):
-                best_known[name] = best[name]
+
+    # End-of-half probe, then the FINAL factor from the calmest probe
+    # observation of the whole half (start or end — query mins likewise
+    # capture the half's calmest moments). Only now does best_known
+    # update: a stormed start probe cannot deflate the recorded minima.
+    calib_end = _calibrate(spark)
+    factor = _calib_factor(calib_start + calib_end)
+    for name in names:
+        if name not in errors and \
+                _norm(best[name]) < best_known.get(name, float("inf")):
+            best_known[name] = _norm(best[name])
 
     spark.stop()
     return {
         "best": best,
+        "best_norm": {n: (_norm(t) if n not in errors else t)
+                      for n, t in best.items()},
         "runs": runs,
         "retries": retries,
         "loads": loads,
         "errors": errors,
         "best_known": best_known,
+        "calib_start": calib_start,
+        "calib_end": calib_end,
+        "factor": round(factor, 4),
         "loadavg_start": round(load0, 2),
         "loadavg_end": round(os.getloadavg()[0], 2),
     }
@@ -359,12 +430,14 @@ def main() -> None:
         best_known.update(res["best_known"])
 
     best: dict[str, float] = {}
+    best_norm: dict[str, float] = {}
     runs: list[dict[str, float]] = [{}, {}]
     loads: dict[str, list[float]] = {}
     retries: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for res in results:
         best.update(res["best"])
+        best_norm.update(res["best_norm"])
         runs[0].update(res["runs"][0])
         runs[1].update(res["runs"][1])
         loads.update(res["loads"])
@@ -372,8 +445,15 @@ def main() -> None:
         errors.update(res["errors"])
     # keep the printed map in the canonical HEADLINE order
     best = {n: best[n] for n in HEADLINE if n in best}
+    best_norm = {n: best_norm[n] for n in HEADLINE if n in best_norm}
 
     best_known_all[str(sf)] = best_known
+    # Units marker (r8): per-query values are normalized REFERENCE-HOST
+    # seconds (raw / calibration factor), not raw wall seconds.
+    best_known_all["_units"] = "sec_ref_host"
+    best_known_all["_calib"] = {
+        "ref_sec": CALIB_REF_SEC, "rows": CALIB_ROWS, "runs": CALIB_RUNS,
+        "receipt": "measurements/calib_probe_r08.json"}
     with open(best_path, "w") as fh:
         json.dump(best_known_all, fh, indent=1, sort_keys=True)
 
@@ -385,21 +465,31 @@ def main() -> None:
     # compact so the driver's capture can't truncate mid-object.
     # queries still above 1.3x their best-known min after all retries:
     # the residual storm damage a reader should discount from the total
-    over_best = {n: [best[n], best_known[n]] for n in best
-                 if n in best_known and _over_best(best[n], best_known[n])}
+    over_best = {n: [best_norm[n], best_known[n]] for n in best_norm
+                 if n in best_known
+                 and _over_best(best_norm[n], best_known[n])}
     detail = {
         "queries_run1": runs[0],
         "queries_run2": runs[1],
         "run1_total": round(sum(runs[0].values()), 3),
         "run2_total": round(sum(runs[1].values()), 3),
         "retries": retries,
+        # per-half calibration: raw probe times (start + end of each
+        # child JVM) and the factor that converted that half's raw
+        # seconds to reference-host seconds
+        "calib": {
+            "ref_sec": CALIB_REF_SEC,
+            "halves": [{"start": r["calib_start"], "end": r["calib_end"],
+                        "factor": r["factor"]} for r in results],
+        },
+        "queries_normalized": best_norm,
         # 1-min loadavg sampled right after each run of each query (pass
         # order) — attributes residual outliers to host weather per-query
         "queries_loadavg": loads,
         "errors": errors,
         "over_best": over_best,
         "best_known_total": round(sum(
-            best_known.get(n, best[n]) for n in best), 3),
+            best_known.get(n, best_norm[n]) for n in best_norm), 3),
         "sf": sf,
         # per-child JVM windows (two-JVM split): loadavg at each child's
         # start/end so a reader can see which half a storm landed on
@@ -424,10 +514,16 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(best),
         "n_errors": len(errors),
-        # residual storm damage: queries still >1.3x their best-known min
-        # after retries (their committed best-known mins are in
-        # bench_best.json; best_known_total in bench_detail.json is the
-        # storm-free equivalent of `value`)
+        # calibration (r8): per-query raw seconds divided by each child
+        # JVM's probe factor — host-epoch-comparable units; the
+        # raw-vs-normalized gap IS the quantified host drift
+        "normalized_total": round(sum(best_norm.values()), 3),
+        "calib_factors": [r["factor"] for r in results],
+        "calib_ref_sec": CALIB_REF_SEC,
+        # residual storm damage: queries whose NORMALIZED min is still
+        # >1.3x their best-known min after retries (best-known mins are
+        # normalized units in bench_best.json; best_known_total in
+        # bench_detail.json is the storm-free equivalent of `value`)
         "n_over_best": len(over_best),
         # shared-host transparency: intermittent co-tenant storms (1-min
         # load >10 while locally idle) inflate totals 35-70% — compare

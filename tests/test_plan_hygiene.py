@@ -249,6 +249,9 @@ def test_no_cartesian_or_undeclared_python_anywhere(spark):
                     # DoReMi EG step: ONE-ROW vocab (ratio scoring) +
                     # ONE-ROW token-mass and normalizer totals
                     "doremi_mixture_documents",
+                    # pinned 3-step EG schedule: same ONE-ROW frames,
+                    # one normalizer broadcast per unrolled step
+                    "doremi_schedule_documents",
                     # NB grid crossJoins the L-ROW priors table (L =
                     # label count, single digits) — O(n·L), scale-safe
                     "nb_classify_documents",

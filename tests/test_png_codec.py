@@ -1,0 +1,113 @@
+"""PNG codec (`operators/png_codec.py`): round-trip property tests over
+every color type and every scanline filter, malformed-input null-routing,
+and the Spark-side integration — `extract_features` histograms DECODED
+pixels for real PNGs while non-PNG payloads keep the byte-histogram path
+(the oracle contract for `multimodal_features`).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from wde_spark.operators import multimodal as MM
+from wde_spark.operators.png_codec import (
+    PNG_MAGIC, decode_png, encode_png, is_png)
+
+
+def _rand(shape, seed):
+    return np.random.RandomState(seed).randint(
+        0, 256, size=shape, dtype=np.uint8)
+
+
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_roundtrip_every_colortype_and_filter(channels, filter_type):
+    px = _rand((13, 7, channels), seed=channels * 10 + filter_type)
+    blob = encode_png(px, filter_type=filter_type)
+    assert is_png(blob)
+    w, h, ch, out = decode_png(blob)
+    assert (w, h, ch) == (7, 13, channels)
+    assert np.array_equal(out, px)
+
+
+def test_roundtrip_property_random_sizes():
+    rs = np.random.RandomState(42)
+    for trial in range(25):
+        h = int(rs.randint(1, 40))
+        w = int(rs.randint(1, 40))
+        ch = int(rs.choice([1, 2, 3, 4]))
+        ft = int(rs.randint(0, 5))
+        px = rs.randint(0, 256, size=(h, w, ch), dtype=np.uint8)
+        _, _, _, out = decode_png(encode_png(px, filter_type=ft))
+        assert np.array_equal(out, px), (h, w, ch, ft)
+
+
+def test_palette_expansion():
+    # hand-built color-type-3 PNG: 2x2 image, 3-entry palette
+    palette = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # R, G, B
+    idx = bytes([0, 0, 1, 0, 2, 0])  # filter 0 + [0,1] / filter 0 + [2,0]
+
+    def chunk(ctype, data):
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data \
+            + struct.pack(">I", crc)
+
+    blob = (PNG_MAGIC
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+            + chunk(b"PLTE", palette)
+            + chunk(b"IDAT", zlib.compress(idx))
+            + chunk(b"IEND", b""))
+    w, h, ch, px = decode_png(blob)
+    assert (w, h, ch) == (2, 2, 3)
+    assert px.tolist() == [[[255, 0, 0], [0, 255, 0]],
+                           [[0, 0, 255], [255, 0, 0]]]
+
+
+def test_malformed_inputs_null_route():
+    px = _rand((4, 4, 3), seed=1)
+    good = encode_png(px)
+    assert decode_png(b"not a png at all") is None
+    assert decode_png(good[:20]) is None           # truncated mid-IHDR
+    assert decode_png(good[:-12]) is not None      # missing IEND is fine
+    corrupt = good[:40] + b"\x00\x00" + good[42:]  # damage the IDAT stream
+    assert decode_png(corrupt) is None or True     # must not raise
+    # 16-bit depth: declared unsupported -> None, not garbage
+    blob16 = bytearray(good)
+    ihdr_off = 8 + 8  # magic + len/type
+    blob16[ihdr_off + 8] = 16
+    assert decode_png(bytes(blob16)) is None
+
+
+def test_extract_features_histograms_decoded_pixels(spark):
+    """End-to-end through the SAME Arrow kernel the oracled query uses: a
+    real PNG payload must be histogrammed over its decoded pixels; a text
+    payload must keep the raw-byte histogram (oracle-compatible path)."""
+    px = np.zeros((8, 8, 3), dtype=np.uint8)  # all-zero pixels -> bucket 0
+    png = encode_png(px, filter_type=4)
+    text = b"hello world, plain bytes"
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(png)), (2, "image", bytearray(text)),
+         (3, "audio", bytearray(png))],
+        "media_id long, kind string, payload binary")
+    rows = {r.media_id: r for r in MM.extract_features(media).collect()}
+
+    # PNG image: decoded 8x8x3 zeros -> histogram mass entirely in bucket 0
+    assert rows[1].features[0] == 1.0
+    assert sum(rows[1].features) == pytest.approx(1.0)
+    # n_bytes stays the TRANSPORT size, not the decoded size
+    assert rows[1].n_bytes == len(png)
+
+    # non-PNG payload: byte histogram over the raw bytes
+    b = np.frombuffer(text, dtype=np.uint8)
+    expect = np.bincount(b >> 5, minlength=8)[:8] / len(text)
+    assert rows[2].features == pytest.approx(expect.tolist())
+
+    # PNG bytes under a non-image kind: raw-byte path (decode is gated on
+    # the declared modality, not content sniffing alone)
+    bp = np.frombuffer(png, dtype=np.uint8)
+    expect_raw = np.bincount(bp >> 5, minlength=8)[:8] / len(png)
+    assert rows[3].features == pytest.approx(expect_raw.tolist())

@@ -164,6 +164,74 @@ def dsir_sample(ratios: DataFrame, k: int = 100, temperature: float = 1.0,
     )
 
 
+def _doremi_domain_stats(ratios: DataFrame, docs: DataFrame,
+                         id_col: str = "doc_id",
+                         domain_col: str = "source"):
+    """(per, tot): per-domain doc/bigram counts + mean clipped per-bigram
+    excess (rounded 6 dp so both engines exp the same double), and the
+    one-row bigram grand total. One corpus join + one per-domain agg —
+    everything downstream of `per` is single-digit-row model state."""
+    scored = ratios.filter(F.col("n_bigrams") > 0).join(
+        docs.select(id_col, domain_col), id_col)
+    per = scored.groupBy(domain_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_bigrams").alias("nb_dom"),
+        F.round(F.avg(F.greatest(
+            F.col("log_ratio") / F.col("n_bigrams"), F.lit(0.0))), 6)
+        .alias("avg_excess"),
+    )
+    tot = per.agg(F.sum("nb_dom").alias("nb_tot"))
+    return per, tot
+
+
+def doremi_schedule(ratios: DataFrame, docs: DataFrame, eta: float = 1.0,
+                    steps: int = 3, id_col: str = "doc_id",
+                    domain_col: str = "source") -> DataFrame:
+    """DoReMi's FULL exponentiated-gradient schedule (Xie et al. NeurIPS
+    2023, Algorithm 1), pinned to `steps` unrolled updates — the same
+    pinned-iteration discipline as the k-means / PCA / BPE trainers. The
+    single-step form (`doremi_weights`) is the schedule's first iterate;
+    the paper's output is the AVERAGE of the iterates, which is NOT
+    collapsible into one step because each step renormalizes:
+    λ_0 = baseline token share, λ_t ∝ λ_{t-1} · exp(η · excess_dom),
+    each λ_t rounded to 6 dp BEFORE feeding the next step (the rounding
+    pin that keeps the Spark and oracle float trajectories identical),
+    final weight = mean(λ_1..λ_T). Returns one row per domain with the
+    whole trajectory (w1..wT) plus the averaged mixture weight.
+
+    Scale shape: identical to the one-step form — one corpus join + one
+    per-domain agg, then `steps` one-row normalizer broadcasts over a
+    domain-count-sized frame (single digits); the unroll costs no extra
+    corpus passes."""
+    per, tot = _doremi_domain_stats(ratios, docs, id_col, domain_col)
+    cur = (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("share",
+                    F.col("nb_dom").cast("double") / F.col("nb_tot"))
+        .withColumn("w0", F.round("share", 6))
+    )
+    for t in range(1, steps + 1):
+        u = cur.withColumn(
+            "_u", F.col(f"w{t - 1}") * F.exp(F.lit(eta)
+                                             * F.col("avg_excess")))
+        z = u.agg(F.sum("_u").alias("_z"))
+        cur = (
+            u.crossJoin(F.broadcast(z))
+            .withColumn(f"w{t}", F.round(F.col("_u") / F.col("_z"), 6))
+            .drop("_u", "_z")
+        )
+    step_cols = [F.col(f"w{t}") for t in range(1, steps + 1)]
+    avg = sum(step_cols[1:], step_cols[0]) / float(steps)
+    return cur.select(
+        domain_col,
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "avg_excess",
+        F.col("w0").alias("baseline_share"),
+        *[F.col(f"w{t}") for t in range(1, steps + 1)],
+        F.round(avg, 6).alias("weight"),
+    )
+
+
 def doremi_weights(ratios: DataFrame, docs: DataFrame, eta: float = 1.0,
                    id_col: str = "doc_id",
                    domain_col: str = "source") -> DataFrame:
@@ -185,16 +253,7 @@ def doremi_weights(ratios: DataFrame, docs: DataFrame, eta: float = 1.0,
     everything after the first agg is bounded model state. The excess is
     rounded to 6 dp BEFORE the exp so the weights are engine-replayable
     (both engines exp the same double)."""
-    scored = ratios.filter(F.col("n_bigrams") > 0).join(
-        docs.select(id_col, domain_col), id_col)
-    per = scored.groupBy(domain_col).agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_bigrams").alias("nb_dom"),
-        F.round(F.avg(F.greatest(
-            F.col("log_ratio") / F.col("n_bigrams"), F.lit(0.0))), 6)
-        .alias("avg_excess"),
-    )
-    tot = per.agg(F.sum("nb_dom").alias("nb_tot"))
+    per, tot = _doremi_domain_stats(ratios, docs, id_col, domain_col)
     u = (
         per.crossJoin(F.broadcast(tot))
         .withColumn("share",

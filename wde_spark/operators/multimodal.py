@@ -12,11 +12,16 @@ Design for 100 TB:
 - frame sampling EXPLODES rows — the kernel emits frames incrementally per
   batch so a long video never materializes all frames in memory at once.
 
-The actual codec decode is environment-dependent (no image/audio libraries
-ship in this container) and is STUBBED: `decode_stub` derives deterministic
-pseudo-pixels from the payload bytes. The Spark-side contract — schemas,
-binary transport, batch shapes, partitioning — is real and tested; swap
-`_decode_frame` for a real codec (PIL/ffmpeg) to productionize.
+Codec status: the IMAGE modality has a REAL decoder — a dependency-free
+PNG implementation (`operators/png_codec.py`, stdlib zlib + numpy; 8-bit,
+gray/RGB/RGBA/palette, all five scanline filters) used by
+`extract_features` to histogram decoded pixels; unsupported/non-PNG
+payloads fall back to the raw-byte path. Audio/video decode remains
+environment-dependent (no libav here) and STUBBED: `_decode_frame` slices
+raw bytes as deterministic pseudo-frames. The Spark-side contract —
+schemas, binary transport, batch shapes, partitioning — is real and tested
+for every modality; swap `_decode_frame` for ffmpeg to productionize the
+rest.
 """
 
 from __future__ import annotations
@@ -111,22 +116,44 @@ def frame_sample(media: DataFrame, every: int = 4,
         kernel, schema=FRAME_SCHEMA)
 
 
-def extract_features(media: DataFrame, n_buckets: int = 8) -> DataFrame:
+def extract_features(media: DataFrame, n_buckets: int = 8,
+                     decode_images: bool = True) -> DataFrame:
     """Per-payload feature vector: normalized byte histogram over
     `n_buckets` buckets (stand-in for an embedding model), plus size and
-    stub frame count. Vectorized inside the batch via numpy."""
+    stub frame count. Vectorized inside the batch via numpy.
+
+    Real codec (r8): when `decode_images` and the payload is a PNG this
+    decoder supports (`operators/png_codec.py` — pure-Python/numpy, 8-bit,
+    all five scanline filters), the histogram is taken over the DECODED
+    PIXEL bytes, not the compressed transport bytes — the actual
+    image-statistics signal a curation filter wants. Non-PNG payloads (and
+    PNGs outside the decoder's declared support) take the raw-byte path
+    unchanged, so the byte-histogram oracle over the text corpora is
+    untouched. n_bytes stays the TRANSPORT size either way (the dedup /
+    layout planners key on bytes stored, not bytes decoded)."""
     import numpy as np
+
+    from .png_codec import decode_png, is_png
+
+    shift = 8 - n_buckets.bit_length() + 1
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, kind, payload in zip(
                     pdf["media_id"], pdf["kind"], pdf["payload"]):
-                b = np.frombuffer(bytes(payload), dtype=np.uint8)
-                n = int(b.size)
-                hist = np.bincount(b >> (8 - n_buckets.bit_length() + 1),
+                payload = bytes(payload)
+                n = len(payload)
+                b = None
+                if decode_images and kind == "image" and is_png(payload):
+                    decoded = decode_png(payload)
+                    if decoded is not None:
+                        b = decoded[3].reshape(-1)
+                if b is None:
+                    b = np.frombuffer(payload, dtype=np.uint8)
+                hist = np.bincount(b >> shift,
                                    minlength=n_buckets)[:n_buckets]
-                feat = (hist / max(n, 1)).astype(float).tolist()
+                feat = (hist / max(int(b.size), 1)).astype(float).tolist()
                 n_frames = (n + FRAME_BYTES - 1) // FRAME_BYTES
                 rows.append((mid, kind, n, n_frames, feat))
             yield pd.DataFrame(

@@ -1,0 +1,192 @@
+"""Pure-Python/numpy PNG codec for the multimodal image path.
+
+No image library ships in this environment, so the engine carries its own
+minimal, dependency-free PNG implementation (stdlib `zlib` + `struct` +
+numpy): enough of the spec for the training-data cases — 8-bit depth,
+grayscale / gray+alpha / RGB / RGBA / palette color types, non-interlaced,
+all five scanline filters (None/Sub/Up/Average/Paeth). This replaces the
+`_decode_frame` byte-slice stub for the IMAGE modality inside the existing
+Arrow kernels (`multimodal.extract_features` histograms DECODED PIXELS when
+the payload is a real PNG, raw bytes otherwise — non-image payloads are
+untouched, so the DuckDB byte-histogram oracle is unchanged on the text
+corpora).
+
+Not present in the reference (text-only pipeline) — this is the
+training-data-pipeline extension surface (SURVEY.md §2 multimodal row).
+
+Scale shape: decode is row-local inside `mapInPandas` Arrow batches — zero
+shuffle, no driver traffic; a malformed/unsupported payload null-routes
+(returns None) instead of failing the stage, the same discipline as
+mis-sized embedding vectors in `operators/similarity.py`.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+# color type -> samples per pixel (before palette expansion)
+_SAMPLES = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def is_png(payload: bytes) -> bool:
+    return payload[:8] == PNG_MAGIC
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse the per-scanline filters. Returns (height, stride) uint8.
+    Up/None/Average(left-less) vectorize; Sub/Paeth carry an intra-row
+    byte recurrence the spec forces to be sequential."""
+    out = np.zeros((height, stride), dtype=np.uint8)
+    pos = 0
+    prev = np.zeros(stride, dtype=np.intp)
+    for y in range(height):
+        ftype = raw[pos]
+        pos += 1
+        line = np.frombuffer(raw, dtype=np.uint8,
+                             count=stride, offset=pos).astype(np.intp)
+        pos += stride
+        if ftype == 0:
+            cur = line
+        elif ftype == 1:  # Sub
+            cur = line.copy()
+            for i in range(bpp, stride):
+                cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype == 3:  # Average
+            cur = line.copy()
+            for i in range(stride):
+                left = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = line.copy()
+            for i in range(stride):
+                left = int(cur[i - bpp]) if i >= bpp else 0
+                up = int(prev[i])
+                ul = int(prev[i - bpp]) if i >= bpp else 0
+                cur[i] = (cur[i] + _paeth(left, up, ul)) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out
+
+
+def decode_png(payload: bytes):
+    """Decode a PNG byte string to (width, height, channels, pixels) where
+    pixels is a (height, width, channels) uint8 array (palette images are
+    expanded to RGB). Returns None for anything that is not a PNG this
+    decoder supports (wrong magic, bit depth != 8, interlaced, truncated,
+    bad zlib stream) — callers null-route rather than crash."""
+    try:
+        if not is_png(payload):
+            return None
+        pos = 8
+        width = height = None
+        color_type = bit_depth = interlace = None
+        palette = None
+        idat = bytearray()
+        n = len(payload)
+        while pos + 8 <= n:
+            (length,) = struct.unpack(">I", payload[pos:pos + 4])
+            ctype = payload[pos + 4:pos + 8]
+            data = payload[pos + 8:pos + 8 + length]
+            if len(data) < length:
+                return None  # truncated
+            pos += 12 + length  # skip CRC; integrity comes from zlib below
+            if ctype == b"IHDR":
+                (width, height, bit_depth, color_type, _comp, _filt,
+                 interlace) = struct.unpack(">IIBBBBB", data)
+            elif ctype == b"PLTE":
+                palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+            elif ctype == b"IDAT":
+                idat.extend(data)
+            elif ctype == b"IEND":
+                break
+        if width is None or not idat:
+            return None
+        if bit_depth != 8 or interlace != 0 or color_type not in _SAMPLES:
+            return None  # outside this decoder's declared support
+        samples = _SAMPLES[color_type]
+        stride = width * samples
+        raw = zlib.decompress(bytes(idat))
+        if len(raw) != height * (stride + 1):
+            return None
+        px = _unfilter(raw, height, stride, samples)
+        px = px.reshape(height, width, samples)
+        if color_type == 3:
+            if palette is None:
+                return None
+            px = palette[px[:, :, 0]]
+            samples = 3
+        return width, height, samples, px
+    except (zlib.error, ValueError, struct.error, IndexError):
+        return None
+
+
+def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+    """Encode a (h, w) or (h, w, channels) uint8 array as a PNG, applying
+    `filter_type` (0-4) to every scanline — the non-zero filters exist so
+    tests can exercise every decoder unfilter path. channels: 1=gray,
+    2=gray+alpha, 3=RGB, 4=RGBA."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    stride = w * ch
+    flat = px.reshape(h, stride).astype(np.intp)
+    lines = bytearray()
+    prev = np.zeros(stride, dtype=np.intp)
+    for y in range(h):
+        cur = flat[y]
+        if filter_type == 0:
+            filt = cur
+        elif filter_type == 1:
+            left = np.zeros(stride, dtype=np.intp)
+            left[ch:] = cur[:-ch]
+            filt = (cur - left) & 0xFF
+        elif filter_type == 2:
+            filt = (cur - prev) & 0xFF
+        elif filter_type == 3:
+            left = np.zeros(stride, dtype=np.intp)
+            left[ch:] = cur[:-ch]
+            filt = (cur - ((left + prev) >> 1)) & 0xFF
+        elif filter_type == 4:
+            left = np.zeros(stride, dtype=np.intp)
+            left[ch:] = cur[:-ch]
+            ul = np.zeros(stride, dtype=np.intp)
+            ul[ch:] = prev[:-ch]
+            pred = np.array([_paeth(int(left[i]), int(prev[i]), int(ul[i]))
+                             for i in range(stride)], dtype=np.intp)
+            filt = (cur - pred) & 0xFF
+        else:
+            raise ValueError(f"filter_type {filter_type} not in 0..4")
+        lines.append(filter_type)
+        lines.extend(filt.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data \
+            + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(lines)))
+            + chunk(b"IEND", b""))

@@ -2879,6 +2879,81 @@ def doremi_mixture_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doremi_schedule_documents",
+    f"""
+    WITH
+    {_lm_counts_cte("(SELECT doc_id, text FROM documents WHERE source = 'src0')", "mt")},
+    {_lm_counts_cte("documents", "mr")},
+    voc_u AS (SELECT COUNT(DISTINCT w) AS v FROM
+              (SELECT w FROM words_mt UNION ALL SELECT w FROM words_mr)),
+    {_lm_model_cte("mt", voc="voc_u")},
+    {_lm_model_cte("mr", voc="voc_u")},
+    sbg_m AS MATERIALIZED ({_lm_bigrams_sql("documents")}),
+    scored_m AS (
+      SELECT b.doc_id,
+             COALESCE(st.lp_seen, ft.lp_floor,
+                      -ln((SELECT v FROM voc_u) + 1))
+             - COALESCE(sr.lp_seen, fr.lp_floor,
+                        -ln((SELECT v FROM voc_u) + 1)) AS d
+      FROM sbg_m b
+      LEFT JOIN seen_mt st ON st.w1 = b.w1 AND st.w2 = b.w2
+      LEFT JOIN flr_mt ft ON ft.w1 = b.w1
+      LEFT JOIN seen_mr sr ON sr.w1 = b.w1 AND sr.w2 = b.w2
+      LEFT JOIN flr_mr fr ON fr.w1 = b.w1
+    ),
+    lr_m AS (SELECT doc_id, COUNT(*) AS nb, ROUND(SUM(d), 6) AS log_ratio
+             FROM scored_m GROUP BY doc_id),
+    per AS (
+      SELECT d.source, COUNT(*) AS n_docs,
+             CAST(SUM(nb) AS BIGINT) AS nb_dom,
+             ROUND(AVG(GREATEST(log_ratio / nb, 0)), 6) AS avg_excess
+      FROM lr_m JOIN documents d ON d.doc_id = lr_m.doc_id
+      GROUP BY d.source
+    ),
+    tot AS (SELECT CAST(SUM(nb_dom) AS BIGINT) AS nb_tot FROM per),
+    base AS (SELECT source, n_docs, avg_excess,
+                    ROUND(CAST(nb_dom AS DOUBLE) / nb_tot, 6) AS w0
+             FROM per, tot),
+    u1 AS (SELECT *, w0 * exp(avg_excess) AS u FROM base),
+    s1 AS (SELECT source, n_docs, avg_excess, w0,
+                  ROUND(u / (SELECT SUM(u) FROM u1), 6) AS w1 FROM u1),
+    u2 AS (SELECT *, w1 * exp(avg_excess) AS u FROM s1),
+    s2 AS (SELECT source, n_docs, avg_excess, w0, w1,
+                  ROUND(u / (SELECT SUM(u) FROM u2), 6) AS w2 FROM u2),
+    u3 AS (SELECT *, w2 * exp(avg_excess) AS u FROM s2),
+    s3 AS (SELECT source, n_docs, avg_excess, w0, w1, w2,
+                  ROUND(u / (SELECT SUM(u) FROM u3), 6) AS w3 FROM u3)
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs, avg_excess,
+           w0 AS baseline_share, w1, w2, w3,
+           ROUND((w1 + w2 + w3) / 3.0, 6) AS weight
+    FROM s3
+    """,
+)
+def doremi_schedule_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi's FULL 3-step exponentiated-gradient SCHEDULE
+    (`dsir.doremi_schedule`, Xie et al. NeurIPS 2023 Algorithm 1): the
+    single-step `doremi_mixture_documents` is iterate λ₁ of this
+    trajectory; the paper's actual output is the AVERAGE of the iterates,
+    non-collapsible because every step renormalizes. λ₀ = baseline token
+    share; λ_t ∝ λ_{t-1}·exp(η·excess); each iterate rounded to 6 dp
+    before the next step — the rounding pin that keeps both engines'
+    float trajectories identical (the k-means/PCA pinned-iteration
+    discipline). Emits the whole trajectory (w1..w3) plus the averaged
+    mixture weight, all hash-checked; the oracle unrolls the three
+    normalizations as chained CTEs over the same frozen DSIR LM pair."""
+    from .operators import dsir as DS
+    from .operators import lm_score as LM
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    target = docs.filter(F.col("source") == "src0")
+    vocab = DS.shared_vocab(target, docs)
+    target_lm = LM.train_bigram_lm(target, vocab=vocab)
+    raw_lm = LM.train_bigram_lm(docs, vocab=vocab)
+    ratios = DS.dsir_logratio(docs, target_lm, raw_lm, vocab=vocab)
+    return DS.doremi_schedule(ratios, docs, eta=1.0, steps=3)
+
+
+@query(
     "nb_classify_documents",
     """
     WITH tr AS (SELECT lang AS label, text FROM documents
