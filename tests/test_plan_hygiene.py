@@ -237,6 +237,9 @@ def test_no_cartesian_or_undeclared_python_anywhere(spark):
                     "lm_quality_documents",
                     # scorecard embeds the same LM scoring shape
                     "source_scorecard_documents",
+                    # cluster scorecard: same LM/NB ONE-ROW and L-ROW
+                    # broadcast frames, rolled up by k-means cell
+                    "cluster_scorecard_embeddings",
                     # the composed pipeline embeds the same LM-scoring
                     # ONE-ROW vocabulary crossJoin as its fluency gate
                     "curation_pipeline_documents",
@@ -281,6 +284,7 @@ def test_no_cartesian_or_undeclared_python_anywhere(spark):
                  # the k-means cell-assignment kernel (the same
                  # Arrow-vectorized argmin the IVF paths declare)
                  "kmeans_clusters_embeddings", "cluster_cap_embeddings",
+                 "cluster_scorecard_embeddings",
                  "cluster_prototypes_embeddings",
                  "cluster_drift_embeddings",
                  # quota draw embeds the same k-means argmin kernel

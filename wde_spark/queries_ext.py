@@ -4477,6 +4477,76 @@ def quality_quota_sample_documents(spark: SparkSession,
 
 
 @query(
+    "cluster_scorecard_embeddings",
+    f"""
+    WITH asg AS ({_kmeans_clusters_oracle()}),
+    {_lm_score_cte_block(
+        "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0)",
+        "documents", "cs")},
+    {_nb_pred_cte_block(
+        "(SELECT lang AS label, text, doc_id FROM documents WHERE doc_id % 2 = 0)",
+        "documents", "cn")},
+    base AS (
+      SELECT a.cluster,
+             len(string_split_regex(trim(lower(d.text)), '\\s+')) AS n_tok,
+             ROUND(agg_cs.al, 6) AS lm,
+             pr.margin AS nb_margin
+      FROM documents d
+      JOIN asg a ON a.vec_id = d.doc_id
+      LEFT JOIN agg_cs ON agg_cs.doc_id = d.doc_id
+      LEFT JOIN pred_cn pr ON pr.doc_id = d.doc_id
+    )
+    SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(n_tok), 4) AS avg_tokens,
+           ROUND(AVG(lm), 6) AS avg_lm_logp,
+           ROUND(AVG(nb_margin), 6) AS avg_nb_margin
+    FROM base GROUP BY cluster
+    """,
+)
+def cluster_scorecard_embeddings(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """PER-CLUSTER quality scorecard — the embedding-space analogue of
+    `source_scorecard_documents`: where that query rolls quality up by
+    PROVENANCE (source), this one rolls it up by CONTENT REGION (the
+    deterministic k-means cell of `_kmeans_assigned`), the table a
+    curator reads to find low-quality modes of embedding space (a cell
+    with depressed LM fluency and NB margin is a candidate for a lower
+    `quality_quota_sample_documents` quota or outright exclusion —
+    DataComp-style cluster triage). Composes three driver-green
+    families into one plan: the k-means assignment (centroids = bounded
+    driver state, Arrow argmin kernel), the broadcast-LM fluency scorer,
+    and the NB classifier margin, joined per doc and rolled up in ONE
+    grouped aggregation keyed by cluster (16 cells — the rollup output
+    is model-sized). The oracle nests the unrolled k-means CTE with the
+    LM and NB blocks and replays the rollup, so every cell's statistics
+    are hash-checked."""
+    from .functions.strings import tokens as _tokens
+    from .operators import classifier as C
+    from .operators import lm_score as LM
+
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    assigned, _ = _kmeans_assigned(spark, emb)
+    lm = LM.train_bigram_lm(docs.filter(F.col("doc_id") % 2 == 0))
+    scores = LM.lm_quality(docs, lm).select("doc_id", "avg_logp")
+    model, priors = C.train_naive_bayes(
+        docs.filter(F.col("doc_id") % 2 == 0))
+    nb = C.nb_classify(docs, model, priors).select("doc_id", "margin")
+    base = (
+        docs.select("doc_id", F.size(_tokens(F.col("text"))).alias("n_tok"))
+        .join(assigned, F.col("doc_id") == F.col("vec_id"))
+        .join(scores, "doc_id", "left")
+        .join(nb, "doc_id", "left")
+    )
+    return base.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+        F.round(F.avg("avg_logp"), 6).alias("avg_lm_logp"),
+        F.round(F.avg("margin"), 6).alias("avg_nb_margin"),
+    )
+
+
+@query(
     "contamination_by_source_documents",
     f"""
     WITH tok AS (
