@@ -1917,50 +1917,41 @@ from . import queries_ext  # noqa: E402,F401
 # Round-7 window (picked by tools/plan_rotation.py — all 138 pre-r7
 # entries have a driver-green row, so the window is now pure rotation by
 # evidence age): the flagship keeps its slot, the round's 9 net-new
-# registrations (quality-ranked cluster quotas, BPE-exact packing,
-# DoReMi mixture weights, the PCA family incl. the moment-state form,
-# substring leakage matrix, kNN label propagation) seat first driver
-# rows, the 2 queries whose CODE changed this round
-# (curation_pipeline_documents — hot-bucket cap re-enabled;
-# stateful_sessions_events — distributed feed bootstrap) re-bank rows
-# proving the fixes under the driver's hash, and the remaining 40 slots
-# re-check the longest-unchecked greens (r3 vintage first, then r4) per
-# the rotation tool's proposal.
+# registrations (TPC-H q20, the DoReMi 3-step EG schedule, the
+# per-cluster quality scorecard) seat first driver rows, then the
+# remaining r4-vintage greens rotate back in, topped up with the oldest
+# r5-vintage rows — exactly `tools/plan_rotation.py`'s r8 proposal, so
+# no registry entry's newest driver row predates r5 after this window
+# lands.
 _DRIVER_PRIORITY = [
     # --- flagship (keeps a driver row every round) ---
     "semantic_dedup_embeddings",
     # --- net-new this round (first driver rows) ---
-    "quality_quota_sample_documents", "packed_bpe_sequences_documents",
-    "doremi_mixture_documents", "pca_scores_embeddings",
-    "pca2_scores_embeddings", "pca_balanced_shards_embeddings",
-    "substr_leakage_documents", "knn_label_propagation_embeddings",
-    "pca_incremental_moments_embeddings",
-    # --- code changed this round (re-prove under the driver hash) ---
-    "curation_pipeline_documents", "stateful_sessions_events",
-    # --- longest-unchecked greens: r3-vintage driver rows ---
-    "window_frames_running", "fingerprint_documents",
-    "snm_neardup_documents", "quality_score_documents",
-    "simhash_documents", "embedding_neardup_exact",
-    "multimodal_frames", "tumbling_events", "session_events",
-    "q12_priority_by_status", "q13_customer_distribution",
-    "q16_supplier_part_counts", "grouping_sets_orders",
-    "set_ops_all_forms", "multimodal_audio_chunks",
-    "stratified_sample_documents", "tfidf_top_terms_documents",
-    "pack_token_budget_documents", "fuzzy_name_pairs",
-    "q21_single_late_supplier",
-    # --- r4-vintage driver rows ---
-    "anti_join_idle_customers", "topk_orders_salted",
-    "lww_latest_order_agg", "ngram_jaccard_pairs",
-    "neardup_lsh_verified", "lsh_ann_embeddings", "lsh_ann_recall_gate",
-    "ivf_ann_embeddings", "ivf_ann_recall_gate", "multimodal_features",
-    "sliding_events", "session_events_bucketed",
-    "string_pipeline_documents", "q2_cheapest_part_per_brand",
-    "q17_small_quantity_revenue", "q22_idle_rich_customers",
-    "cube_orders", "percentile_prices",
-    # (json_props_stats / hybrid_neardup / neardup_components /
-    #  zscore_outliers / merge_changeset / window_rank_variants /
-    #  repetition_stats yield their slots to the 7 net-new entries
-    #  above; all r4-green, they rotate back in r8)
+    "q20_potential_promotion",
+    "doremi_schedule_documents", "cluster_scorecard_embeddings",
+    # --- longest-unchecked greens: the remaining r4-vintage rows ---
+    "json_props_stats_events", "hybrid_neardup_pairs",
+    "neardup_components_documents", "zscore_outliers_documents",
+    "merge_changeset_orders", "window_rank_variants_orders",
+    "repetition_stats_documents", "pii_redact_documents",
+    "decontaminate_documents", "chunk_documents_windows",
+    "winnowing_fingerprints_documents",
+    # --- r5-vintage rows (oldest first per the rotation tool) ---
+    "agg_order_stats",
+    "rollup_lineitem", "pivot_order_status", "semi_join_active_customers",
+    "outer_join_nation_coverage", "lww_latest_order", "set_ops_segments",
+    "topk_orders_per_customer", "carry_forward_purchase",
+    "word_count_top100", "lang_id_documents", "token_stats_documents",
+    "exact_dedup_documents", "pq_ann_embeddings", "pq_ann_recall_gate",
+    "multimodal_resize", "dedup_tokens_ordered", "q4_order_priority",
+    "q14_promo_revenue", "q19_disjunctive_revenue", "q7_nation_volume",
+    "q8_market_share", "q9_product_profit", "histogram_order_prices",
+    "window_range_frame_orders", "range_join_error_clicks",
+    "funnel_signup_view_purchase", "skew_salted_event_types",
+    "mixture_sample_documents", "cohort_retention_events",
+    "ntile_customer_spend", "gapfill_daily_orders",
+    "scd2_order_status_history", "embedding_vector_stats",
+    "unpivot_part_metrics",
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]
