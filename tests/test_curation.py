@@ -143,3 +143,46 @@ def test_chunk_documents_properties_fuzz(spark):
                     f"wholly-redundant chunk at {(n, m, o)}"
             prev_tokens = ck
         assert set(covered) == set(toks), (n, m, o)
+
+
+def test_decontaminate_bloom_matches_exact(spark):
+    """Bloom prefilter + exact verify must be BIT-IDENTICAL to exact
+    decontamination (no false negatives by construction; false positives
+    removed by the verify join)."""
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 7 + j) % 40}" for j in range(12)))
+         for i in range(60)],
+        "doc_id long, text string",
+    )
+    bench = docs.filter(F.col("doc_id") % 9 == 0)
+    exact = {r.doc_id: r for r in CU.decontaminate(docs, bench).collect()}
+    bloom = {r.doc_id: r
+             for r in CU.decontaminate_bloom(docs, bench).collect()}
+    assert set(exact) == set(bloom)
+    for i in exact:
+        assert bloom[i].n_shared_shingles == exact[i].n_shared_shingles, i
+        assert bloom[i].contaminated == exact[i].contaminated, i
+        # candidates can only over-approximate the exact hits
+        assert bloom[i].n_bloom_candidates >= exact[i].n_shared_shingles
+        assert bloom[i].n_bloom_fp == \
+            bloom[i].n_bloom_candidates - bloom[i].n_shared_shingles
+
+
+def test_decontaminate_bloom_tiny_filter_fps_still_exact(spark):
+    """An adversarially small filter (64 bits, saturated) must produce
+    false-positive CANDIDATES — proving the prefilter is probabilistic,
+    not a disguised exact join — while the verified verdict stays exact."""
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"u{(i * 13 + j) % 90}" for j in range(12)))
+         for i in range(80)],
+        "doc_id long, text string",
+    )
+    bench = docs.filter(F.col("doc_id") % 11 == 0)
+    exact = {r.doc_id: r for r in CU.decontaminate(docs, bench).collect()}
+    bloom = {r.doc_id: r
+             for r in CU.decontaminate_bloom(docs, bench,
+                                             m_bits=64).collect()}
+    assert sum(r.n_bloom_fp for r in bloom.values()) > 0
+    for i in exact:
+        assert bloom[i].n_shared_shingles == exact[i].n_shared_shingles
+        assert bloom[i].contaminated == exact[i].contaminated

@@ -137,6 +137,81 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
     )
 
 
+def decontaminate_bloom(docs: DataFrame, benchmark: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        shingle_k: int = 3, m_bits: int = 1 << 20,
+                        n_seeds: int = 4) -> DataFrame:
+    """Bloom-prefiltered decontamination — the 100 TB form of
+    `decontaminate`: instead of broadcasting the benchmark's full distinct
+    SHINGLE STRINGS (megabytes of text), broadcast its Bloom BIT SET —
+    each benchmark shingle sets `n_seeds` md5-derived positions in an
+    `m_bits` filter, and a corpus shingle is a CANDIDATE iff all of its
+    positions are present. Candidates (the only rows that ever touch the
+    benchmark strings) are then EXACT-verified, so the output is
+    bit-identical to exact decontamination — Bloom filters admit false
+    positives but never false negatives — plus the filter telemetry:
+    per-document candidate count and verified-false-positive count.
+
+    All hashing is the engine's md5 parity kernel (`shingle_hash32`'s
+    first-8-hex-chars idiom with a per-seed salt), so a SQL oracle can
+    replay the filter bit-for-bit INCLUDING its false positives. Shape:
+    the bit set is ≤ min(n_seeds·|bench|, m_bits) ints (broadcast), the
+    corpus side explodes each distinct shingle into n_seeds (bit, i)
+    rows, one broadcast join + a per-shingle counting HAVING recovers
+    the all-bits-present test, and the exact verify join runs only over
+    the surviving candidates."""
+    doc_sh = distinct_shingle_table(docs, text_col, id_col, shingle_k)
+    bench_sh = (
+        distinct_shingle_table(benchmark, text_col, id_col, shingle_k)
+        .select("sh").distinct()
+    )
+
+    def bit(i: int) -> Column:
+        h = F.md5(F.concat(F.lit(f"bf{i}|"), F.col("sh")))
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") \
+            % F.lit(m_bits)
+
+    bench_bits = bench_sh.select(
+        F.explode(F.array(*[bit(i) for i in range(n_seeds)])).alias("bit")
+    ).distinct()
+    sh_bits = doc_sh.select(
+        id_col, "sh",
+        F.posexplode(F.array(*[bit(i) for i in range(n_seeds)]))
+        .alias("i", "bit"),
+    )
+    cand = (
+        sh_bits.join(F.broadcast(bench_bits), "bit")
+        .groupBy(id_col, "sh")
+        .agg(F.countDistinct("i").alias("_nb"))
+        .filter(F.col("_nb") == n_seeds)
+        .select(id_col, "sh")
+    )
+    bloom_hits = cand.groupBy(id_col).agg(
+        F.count("*").alias("n_bloom_candidates"))
+    exact_hits = (
+        cand.join(F.broadcast(bench_sh), "sh")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared_shingles"))
+    )
+    return (
+        docs.select(id_col)
+        .join(bloom_hits, id_col, "left")
+        .join(exact_hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bloom_candidates", F.lit(0))
+            .alias("n_bloom_candidates"),
+            F.coalesce("n_shared_shingles", F.lit(0))
+            .alias("n_shared_shingles"),
+            (F.coalesce("n_bloom_candidates", F.lit(0))
+             - F.coalesce("n_shared_shingles", F.lit(0)))
+            .alias("n_bloom_fp"),
+            (F.coalesce("n_shared_shingles", F.lit(0)) > 0)
+            .alias("contaminated"),
+        )
+    )
+
+
 def chunk_documents(docs: DataFrame, max_tokens: int = 64, overlap: int = 8,
                     text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Context-window chunking: split each document's token stream into

@@ -2038,6 +2038,65 @@ def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bloom_decontaminate_documents",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct({_shingle_sql(3, 'toks')})) AS sh
+      FROM tok
+    ),
+    bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 17 = 0),
+    seeds AS (SELECT CAST(i AS INT) AS i FROM unnest(range(0, 4)) t(i)),
+    bbits AS (
+      SELECT DISTINCT
+             CAST('0x' || substr(md5('bf' || i || '|' || sh), 1, 8)
+                  AS BIGINT) % 1048576 AS bit
+      FROM bench, seeds),
+    sbits AS (
+      SELECT doc_id, sh, i,
+             CAST('0x' || substr(md5('bf' || i || '|' || sh), 1, 8)
+                  AS BIGINT) % 1048576 AS bit
+      FROM sh, seeds),
+    cand AS (
+      SELECT doc_id, sh FROM sbits JOIN bbits USING (bit)
+      GROUP BY doc_id, sh HAVING COUNT(DISTINCT i) = 4),
+    bl AS (SELECT doc_id, COUNT(*) AS n_bloom FROM cand GROUP BY doc_id),
+    ex AS (SELECT c.doc_id, COUNT(*) AS n_ex
+           FROM cand c JOIN bench b ON b.sh = c.sh GROUP BY c.doc_id)
+    SELECT d.doc_id,
+           COALESCE(bl.n_bloom, 0) AS n_bloom_candidates,
+           COALESCE(ex.n_ex, 0) AS n_shared_shingles,
+           COALESCE(bl.n_bloom, 0) - COALESCE(ex.n_ex, 0) AS n_bloom_fp,
+           COALESCE(ex.n_ex, 0) > 0 AS contaminated
+    FROM documents d
+    LEFT JOIN bl ON bl.doc_id = d.doc_id
+    LEFT JOIN ex ON ex.doc_id = d.doc_id
+    """,
+)
+def bloom_decontaminate_documents(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Bloom-PREFILTERED decontamination (`curation.decontaminate_bloom`)
+    — the 100 TB form of `decontaminate_documents`: the benchmark ships
+    as a 2^20-bit Bloom set (4 md5-salted positions per shingle, ≤128 KB
+    broadcast) instead of its full shingle strings; corpus shingles
+    passing all 4 bits are exact-verified, so the contamination verdict
+    is bit-identical to the exact query while the benchmark-string join
+    touches only candidates. The md5 bit derivation is the engine's
+    parity kernel, so the oracle replays the FILTER ITSELF — the
+    hash-checked n_bloom_fp column counts the false positives the exact
+    verify removed, making the probabilistic layer's behavior (not just
+    its final answer) part of the correctness contract."""
+    from .operators import curation as CU
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return CU.decontaminate_bloom(docs,
+                                  docs.filter(F.col("doc_id") % 17 == 0))
+
+
+@query(
     "chunk_documents_windows",
     """
     WITH t AS (
@@ -4473,6 +4532,60 @@ def quality_quota_sample_documents(spark: SparkSession,
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _CLUSTER_CAP)
         .select("doc_id", "cluster", "avg_logp")
+    )
+
+
+@query(
+    "ccnet_perplexity_buckets_documents",
+    f"""
+    WITH
+    {_lm_score_cte_block(
+        "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0)",
+        "documents", "cp")},
+    r AS (
+      SELECT d.doc_id, d.source, ROUND(agg_cp.al, 6) AS avg_logp,
+             NTILE(3) OVER (PARTITION BY d.source
+                            ORDER BY ROUND(agg_cp.al, 6) DESC, d.doc_id)
+             AS b
+      FROM documents d JOIN agg_cp ON agg_cp.doc_id = d.doc_id
+    )
+    SELECT doc_id, source, avg_logp,
+           CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+    FROM r
+    """,
+)
+def ccnet_perplexity_buckets_documents(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail PERPLEXITY SHARDS (Wenzek et al. 2020):
+    within each source, documents rank by bigram-LM fluency (the CCNet
+    quality proxy, LM frozen on the doc_id-even half) and split into
+    fluency terciles — 'head' is the third the pipeline keeps outright,
+    'middle' is the re-filter band, 'tail' is the discard candidate.
+    Bucketing is PER SOURCE (CCNet buckets per language): a uniformly
+    noisy source still contributes its best third rather than being
+    wiped out by a global cutoff. One window over the score join
+    (partitions are source-sized); ordering is on the ROUNDED score with
+    a doc_id tie-break so the assignment is reproducible bit-for-bit,
+    and NTILE's standard remainder rule is pinned by the oracle replay.
+    Docs too short to score route out via the inner join, matching
+    `quality_quota_sample_documents`' discipline."""
+    from .operators import lm_score as LM
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    lm = LM.train_bigram_lm(docs.filter(F.col("doc_id") % 2 == 0))
+    scores = LM.lm_quality(docs, lm) \
+        .filter(F.col("avg_logp").isNotNull()) \
+        .select("doc_id", "avg_logp")
+    w = Window.partitionBy("source") \
+        .orderBy(F.desc("avg_logp"), F.asc("doc_id"))
+    b = F.ntile(3).over(w)
+    return (
+        docs.select("doc_id", "source").join(scores, "doc_id")
+        .withColumn("bucket",
+                    F.when(b == 1, "head")
+                    .when(b == 2, "middle").otherwise("tail"))
+        .select("doc_id", "source", "avg_logp", "bucket")
     )
 
 
