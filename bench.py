@@ -257,6 +257,7 @@ def measure(names: list[str], sf_dir: str,
     best: dict[str, float] = {}
     errors: dict[str, str] = {}
     best_known = dict(best_known)
+    calib_mid: list[float] = []
 
     def _run_once(name: str) -> float:
         t0 = time.time()
@@ -267,7 +268,16 @@ def measure(names: list[str], sf_dir: str,
         loads.setdefault(name, []).append(round(os.getloadavg()[0], 2))
         return t
 
-    for r in runs:
+    for pass_no, r in enumerate(runs):
+        if pass_no == 1:
+            # Mid-half probe: query mins are mins over runs spread across
+            # the WHOLE half, so the probe must sample the half just as
+            # broadly — a storm spanning only the start+end probes while
+            # a query catches a calm window in between would overstate
+            # the factor and DEFLATE that query's recorded minimum (the
+            # r8 first-run failure mode: half-2 probes all stormed,
+            # 12 best-known entries cut up to 23% too low).
+            calib_mid.extend(_calibrate(spark))
         for name in names:
             if name in errors:
                 continue
@@ -331,11 +341,12 @@ def measure(names: list[str], sf_dir: str,
             best[name] = min(best[name], t)
 
     # End-of-half probe, then the FINAL factor from the calmest probe
-    # observation of the whole half (start or end — query mins likewise
-    # capture the half's calmest moments). Only now does best_known
-    # update: a stormed start probe cannot deflate the recorded minima.
+    # observation of the whole half (start, mid, or end — query mins
+    # likewise capture the half's calmest moments). Only now does
+    # best_known update: a stormed start probe cannot deflate the
+    # recorded minima.
     calib_end = _calibrate(spark)
-    factor = _calib_factor(calib_start + calib_end)
+    factor = _calib_factor(calib_start + calib_mid + calib_end)
     for name in names:
         if name not in errors and \
                 _norm(best[name]) < best_known.get(name, float("inf")):
@@ -352,6 +363,7 @@ def measure(names: list[str], sf_dir: str,
         "errors": errors,
         "best_known": best_known,
         "calib_start": calib_start,
+        "calib_mid": calib_mid,
         "calib_end": calib_end,
         "factor": round(factor, 4),
         "loadavg_start": round(load0, 2),
@@ -479,7 +491,8 @@ def main() -> None:
         # seconds to reference-host seconds
         "calib": {
             "ref_sec": CALIB_REF_SEC,
-            "halves": [{"start": r["calib_start"], "end": r["calib_end"],
+            "halves": [{"start": r["calib_start"], "mid": r["calib_mid"],
+                        "end": r["calib_end"],
                         "factor": r["factor"]} for r in results],
         },
         "queries_normalized": best_norm,
