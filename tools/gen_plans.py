@@ -45,6 +45,11 @@ PICKS = {
     "substr_leakage_documents": "Substring leakage matrix: distinct (slice, window-hash) membership is corpus-STATE-sized; the equi-join fans out by slices-per-hash (<= L^2); the L-row slice-pair frame is the declared bounded nested loop.",
     "knn_label_propagation_embeddings": "kNN label propagation: the labeled SEED broadcasts (the declared bounded nested loop, transpose of cosine_topk); scoring is a row-local JVM fold over the streaming corpus; only the top-k window and vote rollup shuffle on the corpus id.",
     "pca_incremental_moments_embeddings": "Moment-state PCA: the Arrow kernel emits one bounded state row per partition (numpy X.T@X); the model derives from merged state on the driver; the projection is pure codegen column arithmetic over one pruned scan.",
+    "q20_potential_promotion": "TPC-H q20 decorrelated: ONE lineitem scan (part semi-join broadcast below the pair aggregate, both date windows as conditional sums); the correlated 0.5-SUM threshold is a plain column filter; the qualifying-supplier set broadcasts for the semi-join.",
+    "bloom_decontaminate_documents": "Bloom decontamination: the benchmark's BIT SET broadcasts (<=128 KB), the all-bits-present test is a broadcast equi-join + counting HAVING, and the benchmark-STRING join touches only surviving candidates.",
+    "cluster_scorecard_embeddings": "Cluster scorecard: Arrow argmin assignment + broadcast LM/NB model joins compose per doc; ONE grouped aggregation keyed by the 16 k-means cells — output is model-sized.",
+    "ccnet_perplexity_buckets_documents": "CCNet perplexity shards: broadcast-LM score join feeds ONE NTILE window partitioned by source — partitions are source-sized, never corpus-sized.",
+    "doremi_schedule_documents": "DoReMi 3-step EG schedule: same one corpus join + per-domain agg as the single step; each unrolled iterate adds only a ONE-ROW normalizer broadcast over the domain-sized frame.",
 }
 
 HEADER = """# PLANS — physical-plan audit of representative queries
