@@ -170,7 +170,12 @@ def _doremi_domain_stats(ratios: DataFrame, docs: DataFrame,
     """(per, tot): per-domain doc/bigram counts + mean clipped per-bigram
     excess (rounded 6 dp so both engines exp the same double), and the
     one-row bigram grand total. One corpus join + one per-domain agg —
-    everything downstream of `per` is single-digit-row model state."""
+    everything downstream of `per` is single-digit-row model state.
+    `per` is localCheckpoint-ed (domain-count rows — trivially small):
+    the EG normalizer aggregations and the final projection each
+    reference it, and Catalyst does not share common subplans across
+    joins, so without the checkpoint every normalizer would re-run the
+    corpus-sized ratio join (1 + steps corpus passes instead of one)."""
     scored = ratios.filter(F.col("n_bigrams") > 0).join(
         docs.select(id_col, domain_col), id_col)
     per = scored.groupBy(domain_col).agg(
@@ -179,7 +184,7 @@ def _doremi_domain_stats(ratios: DataFrame, docs: DataFrame,
         F.round(F.avg(F.greatest(
             F.col("log_ratio") / F.col("n_bigrams"), F.lit(0.0))), 6)
         .alias("avg_excess"),
-    )
+    ).localCheckpoint()
     tot = per.agg(F.sum("nb_dom").alias("nb_tot"))
     return per, tot
 
