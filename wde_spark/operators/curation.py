@@ -161,9 +161,14 @@ def decontaminate_bloom(docs: DataFrame, benchmark: DataFrame,
     the all-bits-present test, and the exact verify join runs only over
     the surviving candidates."""
     doc_sh = distinct_shingle_table(docs, text_col, id_col, shingle_k)
+    # bench_sh feeds BOTH the bit-set build and the exact verify, and
+    # cand feeds BOTH rollups; Catalyst does not share common subplans
+    # across joins, so each is localCheckpoint-ed (benchmark-sized /
+    # candidate-sized — small by contract) to keep the corpus-side
+    # shingle explode single-pass.
     bench_sh = (
         distinct_shingle_table(benchmark, text_col, id_col, shingle_k)
-        .select("sh").distinct()
+        .select("sh").distinct().localCheckpoint()
     )
 
     def bit(i: int) -> Column:
@@ -185,6 +190,7 @@ def decontaminate_bloom(docs: DataFrame, benchmark: DataFrame,
         .agg(F.countDistinct("i").alias("_nb"))
         .filter(F.col("_nb") == n_seeds)
         .select(id_col, "sh")
+        .localCheckpoint()
     )
     bloom_hits = cand.groupBy(id_col).agg(
         F.count("*").alias("n_bloom_candidates"))
