@@ -240,6 +240,9 @@ def test_no_cartesian_or_undeclared_python_anywhere(spark):
                     # cluster scorecard: same LM/NB ONE-ROW and L-ROW
                     # broadcast frames, rolled up by k-means cell
                     "cluster_scorecard_embeddings",
+                    # perplexity terciles embed the same LM ONE-ROW
+                    # vocabulary crossJoin as their scorer
+                    "ccnet_perplexity_buckets_documents",
                     # the composed pipeline embeds the same LM-scoring
                     # ONE-ROW vocabulary crossJoin as its fluency gate
                     "curation_pipeline_documents",
