@@ -301,6 +301,11 @@ def measure(names: list[str], sf_dir: str,
     # Storm retries: any query whose min-of-2 is still >1.3× the best it
     # has EVER run at this sf gets up to 2 extra runs (a storm that
     # outlasted both interleaved passes), min-of-N semantics unchanged.
+    # Refresh the factor first: the start probe may have been
+    # storm-inflated (r8 trial: provisional 1.449 vs final 1.304), which
+    # DEFLATES provisional normalized times and silently under-fires the
+    # retry gates — the mid-half probe is available by now.
+    factor = _calib_factor(calib_start + calib_mid)
     for name in names:
         if name in errors:
             continue
@@ -344,6 +349,9 @@ def measure(names: list[str], sf_dir: str,
             if min(gate) <= 1.15 * calm_ref:
                 break
             time.sleep(30)
+        # gate probes may have found a calmer host: tighten the factor so
+        # this sweep's over-best decisions use the best evidence
+        factor = _calib_factor(calib_start + calib_mid)
         for name in still_over:
             try:
                 t = _run_once(name)
