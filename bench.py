@@ -366,19 +366,30 @@ def measure(names: list[str], sf_dir: str,
     # observation of the whole half (start, mid, or end — query mins
     # likewise capture the half's calmest moments). Only now does
     # best_known update: a stormed start probe cannot deflate the
-    # recorded minima.
+    # recorded minima. If the LOW clamp engaged (a host >2x faster than
+    # the reference), normalized times are known-too-low — report them,
+    # but never let them ratchet the committed minima down.
     calib_end = _calibrate(spark)
-    factor = _calib_factor(calib_start + calib_mid + calib_end)
-    for name in names:
-        if name not in errors and \
-                _norm(best[name]) < best_known.get(name, float("inf")):
-            best_known[name] = _norm(best[name])
+    all_probes = calib_start + calib_mid + calib_end
+    factor = _calib_factor(all_probes)
+    low_clamped = (min(all_probes) / CALIB_REF_SEC) < CALIB_FACTOR_BAND[0]
+    if not low_clamped:
+        for name in names:
+            if name not in errors and \
+                    _norm(best[name]) < best_known.get(name, float("inf")):
+                best_known[name] = _norm(best[name])
 
     spark.stop()
     return {
         "best": best,
-        "best_norm": {n: (_norm(t) if n not in errors else t)
-                      for n, t in best.items()},
+        # errored queries carry the RAW sentinel in `best`/`errors` only:
+        # keeping them out of best_norm keeps normalized_total and the
+        # over-best accounting in honest reference-host units (a crash is
+        # already surfaced via n_errors, not double-billed as storm
+        # damage)
+        "best_norm": {n: _norm(t) for n, t in best.items()
+                      if n not in errors},
+        "low_clamped": low_clamped,
         "runs": runs,
         "retries": retries,
         "loads": loads,
@@ -514,8 +525,9 @@ def main() -> None:
         "calib": {
             "ref_sec": CALIB_REF_SEC,
             "halves": [{"start": r["calib_start"], "mid": r["calib_mid"],
-                        "end": r["calib_end"],
-                        "factor": r["factor"]} for r in results],
+                        "end": r["calib_end"], "factor": r["factor"],
+                        "low_clamped": r["low_clamped"]}
+                       for r in results],
         },
         "queries_normalized": best_norm,
         # 1-min loadavg sampled right after each run of each query (pass

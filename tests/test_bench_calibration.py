@@ -40,20 +40,27 @@ def test_calib_reference_is_committed_derivation():
 
 
 def test_clear_stopped_session_state_noop_without_spark():
-    # must never raise, with or without pyspark singletons populated
-    bench._clear_stopped_session_state()
+    # must never raise, with or without pyspark singletons populated;
+    # the process-global singletons are SAVED AND RESTORED so this test
+    # cannot clobber a live session-scoped Spark fixture elsewhere in
+    # the suite
     from pyspark.sql import SparkSession
 
-    # simulate a stale stopped session object (sc._jsc is None)
-    class _FakeSC:
-        _jsc = None
-
-    class _FakeSess:
-        _sc = _FakeSC()
-
-    SparkSession._instantiatedSession = _FakeSess()
+    saved_inst = getattr(SparkSession, "_instantiatedSession", None)
+    saved_active = getattr(SparkSession, "_activeSession", None)
     try:
+        bench._clear_stopped_session_state()
+
+        # simulate a stale stopped session object (sc._jsc is None)
+        class _FakeSC:
+            _jsc = None
+
+        class _FakeSess:
+            _sc = _FakeSC()
+
+        SparkSession._instantiatedSession = _FakeSess()
         bench._clear_stopped_session_state()
         assert SparkSession._instantiatedSession is None
     finally:
-        SparkSession._instantiatedSession = None
+        SparkSession._instantiatedSession = saved_inst
+        SparkSession._activeSession = saved_active

@@ -74,12 +74,47 @@ def test_malformed_inputs_null_route():
     assert decode_png(good[:20]) is None           # truncated mid-IHDR
     assert decode_png(good[:-12]) is not None      # missing IEND is fine
     corrupt = good[:40] + b"\x00\x00" + good[42:]  # damage the IDAT stream
-    assert decode_png(corrupt) is None or True     # must not raise
+    # must not raise; either null-route or (if the damage landed in a
+    # skipped CRC) decode to a well-formed 4x4x3 frame — never garbage
+    got = decode_png(corrupt)
+    assert got is None or (got[0], got[1], got[3].shape) == (4, 4, (4, 4, 3))
     # 16-bit depth: declared unsupported -> None, not garbage
     blob16 = bytearray(good)
     ihdr_off = 8 + 8  # magic + len/type
     blob16[ihdr_off + 8] = 16
     assert decode_png(bytes(blob16)) is None
+
+
+def test_decompression_bomb_null_routes():
+    """A small IDAT inflating far beyond what IHDR promises must
+    null-route (bounded inflate), never raise — the Arrow-kernel
+    contract. Both directions: a stream LONGER than the promised size,
+    and an IHDR promising absurd dimensions."""
+    import numpy as np
+
+    # 4x4 gray image whose IDAT actually inflates to 1 MB of zeros
+    bomb_raw = zlib.compress(bytes(1024 * 1024))
+
+    def chunk(ctype, data):
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data \
+            + struct.pack(">I", crc)
+
+    blob = (PNG_MAGIC
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", bomb_raw)
+            + chunk(b"IEND", b""))
+    assert decode_png(blob) is None
+    # absurd promised dimensions refuse before allocating
+    big = (PNG_MAGIC
+           + chunk(b"IHDR",
+                   struct.pack(">IIBBBBB", 2 ** 30, 2 ** 30, 8, 6, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(b"\x00"))
+           + chunk(b"IEND", b""))
+    assert decode_png(big) is None
+    # sanity: a legitimate image still round-trips through the same path
+    px = np.zeros((4, 4), dtype=np.uint8)
+    assert decode_png(encode_png(px)) is not None
 
 
 def test_extract_features_histograms_decoded_pixels(spark):

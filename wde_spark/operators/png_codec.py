@@ -49,8 +49,11 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 def _unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
     """Reverse the per-scanline filters. Returns (height, stride) uint8.
-    Up/None/Average(left-less) vectorize; Sub/Paeth carry an intra-row
-    byte recurrence the spec forces to be sequential."""
+    None/Up are whole-row vectorized; Sub is a per-channel-lane prefix
+    sum mod 256 (addition mod 256 is associative, so np.cumsum over each
+    lane is exact); Average and Paeth carry a true left-AND-up recurrence
+    that is inherently sequential (libpng decodes them scalar too) — they
+    run per-lane so the Python loop is over width, not bytes."""
     out = np.zeros((height, stride), dtype=np.uint8)
     pos = 0
     prev = np.zeros(stride, dtype=np.intp)
@@ -62,24 +65,31 @@ def _unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
         pos += stride
         if ftype == 0:
             cur = line
-        elif ftype == 1:  # Sub
+        elif ftype == 1:  # Sub: per-lane cumulative sum mod 256
             cur = line.copy()
-            for i in range(bpp, stride):
-                cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
+            for lane in range(bpp):
+                np.cumsum(cur[lane::bpp], out=cur[lane::bpp])
+            cur &= 0xFF
         elif ftype == 2:  # Up
             cur = (line + prev) & 0xFF
-        elif ftype == 3:  # Average
+        elif ftype == 3:  # Average: sequential in x within each lane
             cur = line.copy()
-            for i in range(stride):
-                left = cur[i - bpp] if i >= bpp else 0
-                cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
+            for lane in range(bpp):
+                c = cur[lane::bpp]
+                p = prev[lane::bpp]
+                left = 0
+                for x in range(c.size):
+                    left = c[x] = (c[x] + ((left + p[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth: sequential in x within each lane
             cur = line.copy()
-            for i in range(stride):
-                left = int(cur[i - bpp]) if i >= bpp else 0
-                up = int(prev[i])
-                ul = int(prev[i - bpp]) if i >= bpp else 0
-                cur[i] = (cur[i] + _paeth(left, up, ul)) & 0xFF
+            for lane in range(bpp):
+                c = cur[lane::bpp]
+                p = prev[lane::bpp]
+                left = ul = 0
+                for x in range(c.size):
+                    up = int(p[x])
+                    left = c[x] = (c[x] + _paeth(left, up, ul)) & 0xFF
+                    ul = up
         else:
             raise ValueError(f"unknown PNG filter type {ftype}")
         out[y] = cur.astype(np.uint8)
@@ -124,8 +134,15 @@ def decode_png(payload: bytes):
             return None  # outside this decoder's declared support
         samples = _SAMPLES[color_type]
         stride = width * samples
-        raw = zlib.decompress(bytes(idat))
-        if len(raw) != height * (stride + 1):
+        expected = height * (stride + 1)
+        if expected <= 0 or expected > 256 * 1024 * 1024:
+            return None  # absurd IHDR dims: refuse before allocating
+        # Bounded inflate: a decompression-bomb IDAT (zlib ~1000:1) must
+        # null-route, not MemoryError the Arrow kernel — cap the output
+        # at the exact size IHDR promises (+1 to detect overlong streams)
+        dec = zlib.decompressobj()
+        raw = dec.decompress(bytes(idat), expected + 1)
+        if len(raw) != expected or dec.unconsumed_tail:
             return None
         px = _unfilter(raw, height, stride, samples)
         px = px.reshape(height, width, samples)
@@ -168,12 +185,17 @@ def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
             left[ch:] = cur[:-ch]
             filt = (cur - ((left + prev) >> 1)) & 0xFF
         elif filter_type == 4:
+            # Paeth on the ENCODE side reads only raw neighbors (no
+            # reconstruction recurrence), so it vectorizes whole-row
             left = np.zeros(stride, dtype=np.intp)
             left[ch:] = cur[:-ch]
             ul = np.zeros(stride, dtype=np.intp)
             ul[ch:] = prev[:-ch]
-            pred = np.array([_paeth(int(left[i]), int(prev[i]), int(ul[i]))
-                             for i in range(stride)], dtype=np.intp)
+            p = left + prev - ul
+            pa, pb, pc = (np.abs(p - left), np.abs(p - prev),
+                          np.abs(p - ul))
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, ul))
             filt = (cur - pred) & 0xFF
         else:
             raise ValueError(f"filter_type {filter_type} not in 0..4")

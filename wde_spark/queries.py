@@ -1918,17 +1918,22 @@ from . import queries_ext  # noqa: E402,F401
 # entries have a driver-green row, so the window is now pure rotation by
 # evidence age): the flagship keeps its slot, the round's 9 net-new
 # registrations (TPC-H q20, the DoReMi 3-step EG schedule, the
-# per-cluster quality scorecard) seat first driver rows, then the
-# remaining r4-vintage greens rotate back in, topped up with the oldest
-# r5-vintage rows — exactly `tools/plan_rotation.py`'s r8 proposal, so
-# no registry entry's newest driver row predates r5 after this window
-# lands.
+# per-cluster quality scorecard, Bloom decontamination, CCNet
+# perplexity terciles) seat first driver rows, multimodal_features
+# re-proves under the driver hash because its Arrow kernel changed this
+# round (the PNG-decode image path), then the remaining r4-vintage
+# greens rotate back in, topped up with the oldest r5-vintage rows per
+# `tools/plan_rotation.py`'s proposal (its last three r5 slots yield to
+# the late registrations and rotate in r9).
 _DRIVER_PRIORITY = [
     # --- flagship (keeps a driver row every round) ---
     "semantic_dedup_embeddings",
     # --- net-new this round (first driver rows) ---
     "q20_potential_promotion",
     "doremi_schedule_documents", "cluster_scorecard_embeddings",
+    "bloom_decontaminate_documents", "ccnet_perplexity_buckets_documents",
+    # --- code changed this round (re-prove under the driver hash) ---
+    "multimodal_features",
     # --- longest-unchecked greens: the remaining r4-vintage rows ---
     "json_props_stats_events", "hybrid_neardup_pairs",
     "neardup_components_documents", "zscore_outliers_documents",
@@ -1950,8 +1955,6 @@ _DRIVER_PRIORITY = [
     "funnel_signup_view_purchase", "skew_salted_event_types",
     "mixture_sample_documents", "cohort_retention_events",
     "ntile_customer_spend", "gapfill_daily_orders",
-    "scd2_order_status_history", "embedding_vector_stats",
-    "unpivot_part_metrics",
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]
