@@ -330,6 +330,15 @@ def measure(names: list[str], sf_dir: str,
     # Two sweeps max so a genuinely-regressed query converges instead of
     # looping.
     for _sweep in range(2):
+        # Probe FIRST, then choose the sweep set: a query can be
+        # over-best only under the tightened factor (observed: a calm
+        # gate probe mid-half dropped the factor from 1.36 to 1.09 and
+        # made a 1.397 s raw min flag at 1.283 normalized), so choosing
+        # still_over before probing silently skips it. The probes also
+        # feed the final factor as extra mid-half coverage.
+        gate = _calibrate(spark, runs=2)
+        calib_mid.extend(gate)
+        factor = _calib_factor(calib_start + calib_mid)
         still_over = [n for n in names if n not in errors
                       and n in best_known
                       and _over_best(_norm(best[n]), best_known[n])]
@@ -337,20 +346,17 @@ def measure(names: list[str], sf_dir: str,
             break
         # Storm gate: a sweep fired into the storm that flagged these
         # queries just re-measures the storm (r8 trials: co-tenant bursts
-        # spanning whole halves defeated retries). Probe until the host
-        # looks calm — within 15% of this half's calmest probe — waiting
-        # up to 4x30 s; gate probes are real mid-half observations and
-        # feed the final factor.
+        # spanning whole halves defeated retries). Wait — up to 3x30 s —
+        # until a probe lands within 15% of this half's calmest
+        # observation before burning the sweep.
         calm_ref = min(calib_start + calib_mid)
-        for _wait in range(4):
-            gate = _calibrate(spark, runs=2)
-            calib_mid.extend(gate)
-            calm_ref = min(calm_ref, min(gate))
+        for _wait in range(3):
             if min(gate) <= 1.15 * calm_ref:
                 break
             time.sleep(30)
-        # gate probes may have found a calmer host: tighten the factor so
-        # this sweep's over-best decisions use the best evidence
+            gate = _calibrate(spark, runs=2)
+            calib_mid.extend(gate)
+            calm_ref = min(calm_ref, min(gate))
         factor = _calib_factor(calib_start + calib_mid)
         for name in still_over:
             try:
