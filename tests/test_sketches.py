@@ -99,3 +99,29 @@ def test_theta_overlap_algebra(spark):
                        (row["n_union"], len(a | b)),
                        (row["n_intersection"], len(a & b))]:
         assert abs(got - exact) <= max(3, 0.06 * exact), (got, exact)
+
+
+def test_cms_counters_merge_and_one_sided_error(spark):
+    """Count-min: (1) counter tables merge by addition — counters(A ∪ B)
+    equals the groupBy-sum merge of counters(A) and counters(B); (2) the
+    estimate NEVER undercounts any value (one-sided error)."""
+    from pyspark.sql import functions as F
+
+    from wde_spark.operators import sketches as SK
+
+    a = spark.createDataFrame(
+        [(f"v{i % 23}",) for i in range(600)], "w string")
+    b = spark.createDataFrame(
+        [(f"v{(i * 7) % 31}",) for i in range(400)], "w string")
+    full = SK.cms_counters(a.unionAll(b), "w")
+    merged = (
+        SK.cms_counters(a, "w").unionAll(SK.cms_counters(b, "w"))
+        .groupBy("seed", "bucket").agg(F.sum("c").alias("c"))
+    )
+    assert full.exceptAll(merged).unionAll(merged.exceptAll(full)) \
+        .count() == 0
+
+    exact = a.unionAll(b).groupBy("w").agg(F.count("*").alias("n"))
+    est = SK.cms_estimate(exact, full, "w")
+    bad = est.filter(F.col("n_cms") < F.col("n")).count()
+    assert bad == 0 and est.count() == 31

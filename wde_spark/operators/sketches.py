@@ -111,3 +111,56 @@ def audience_overlap(sketches: DataFrame, group_col: str,
         F.theta_sketch_estimate(
             F.theta_intersection("sa", "sb")).alias("n_intersection"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — the frequency-estimation member of the mergeable-sketch
+# family. Unlike the HLL/KLL/theta columns above (engine-opaque binary),
+# this sketch is RELATIONAL state: a (seed, bucket, count) table whose merge
+# is plain addition, so a SQL oracle can replay it bit-for-bit, including
+# its overestimates (CMS never underestimates — the hash check certifies
+# the invariant, not just the numbers).
+# ---------------------------------------------------------------------------
+
+def _cms_bucket(value: Column, seed: int, width: int) -> Column:
+    """md5-salted bucket index — the engine's parity hash kernel (first 8
+    hex chars → BIGINT), replayable in DuckDB via the '0x' cast idiom."""
+    h = F.md5(F.concat(F.lit(f"cms{seed}|"), value))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % width
+
+
+def cms_counters(values: DataFrame, value_col: str, depth: int = 4,
+                 width: int = 16) -> DataFrame:
+    """(seed, bucket, c): the count-min counter table of a value stream —
+    depth×width rows TOTAL whatever the stream size (each partition's
+    partial aggregate is already ≤ depth·width rows, so the shuffle moves
+    sketch-sized state, never the stream). Merging two streams' counter
+    tables is groupBy(seed, bucket).sum(c) — the mergeable-sketch
+    property in relational form."""
+    v = F.col(value_col)
+    return (
+        values.select(F.posexplode(F.array(
+            *[_cms_bucket(v, i, width) for i in range(depth)]
+        )).alias("seed", "bucket"))
+        .groupBy("seed", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def cms_estimate(candidates: DataFrame, counters: DataFrame,
+                 value_col: str, depth: int = 4,
+                 width: int = 16) -> DataFrame:
+    """candidates + `n_cms`: each candidate value's count-min estimate —
+    the MINIMUM of its depth counter cells. The counter table is
+    sketch-sized (depth×width rows) and broadcasts; candidates never
+    shuffle."""
+    v = F.col(value_col)
+    exploded = candidates.select(
+        "*", F.posexplode(F.array(
+            *[_cms_bucket(v, i, width) for i in range(depth)]
+        )).alias("seed", "bucket"))
+    return (
+        exploded.join(F.broadcast(counters), ["seed", "bucket"])
+        .groupBy(*candidates.columns)
+        .agg(F.min("c").cast("long").alias("n_cms"))
+    )

@@ -2266,6 +2266,79 @@ def train_val_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cms_heavy_hitters_documents",
+    """
+    WITH tok AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+      FROM documents
+    ),
+    t AS (SELECT w FROM tok WHERE w <> ''),
+    seeds AS (SELECT CAST(i AS INT) AS i FROM unnest(range(0, 4)) s(i)),
+    ctr AS (
+      SELECT i AS seed,
+             CAST('0x' || substr(md5('cms' || i || '|' || w), 1, 8)
+                  AS BIGINT) % 16 AS bucket,
+             COUNT(*) AS c
+      FROM t, seeds GROUP BY 1, 2
+    ),
+    exact AS (SELECT w, COUNT(*) AS n FROM t GROUP BY w),
+    top AS (SELECT w, n FROM exact ORDER BY n DESC, w LIMIT 50),
+    est AS (
+      SELECT tp.w, tp.n, MIN(c.c) AS e
+      FROM top tp CROSS JOIN seeds s
+      JOIN ctr c
+        ON c.seed = s.i
+       AND c.bucket = CAST('0x' || substr(md5('cms' || s.i || '|' || tp.w),
+                                          1, 8) AS BIGINT) % 16
+      GROUP BY tp.w, tp.n
+    )
+    SELECT w AS word, CAST(n AS BIGINT) AS n_exact,
+           CAST(e AS BIGINT) AS n_cms,
+           CAST(e - n AS BIGINT) AS overestimate
+    FROM est
+    """,
+)
+def cms_heavy_hitters_documents(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """COUNT-MIN SKETCH heavy hitters (`sketches.cms_counters` /
+    `cms_estimate`, Cormode & Muthukrishnan 2005): the word stream folds
+    into a 4×16 relational counter table — depth·width rows TOTAL
+    whatever the corpus size, mergeable by addition (the same
+    pre-aggregate/merge-later contract as the HLL/KLL columns, but in
+    plain relational state a SQL engine can replay) — and each top-50
+    word's estimate is the MIN of its 4 salted counter cells. The width
+    is deliberately SMALLER than the vocabulary so collisions are real:
+    the hash-checked `overestimate` column exhibits the sketch's
+    one-sided error (never negative — CMS cannot undercount), which is
+    the estimator's correctness property, certified per word rather
+    than asserted. Scale shape: one explode feeding a sketch-sized
+    aggregate (map-side partials are already ≤ 64 rows), one exact word
+    aggregate for the comparison, and a broadcast join of the 64-row
+    counter table — candidates never shuffle."""
+    from .functions.strings import tokens as _tokens
+    from .operators import sketches as SK
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    tok = docs.select(F.explode(_tokens(F.col("text"))).alias("w")) \
+        .filter(F.col("w") != "")
+    counters = SK.cms_counters(tok, "w", depth=4, width=16)
+    top = (
+        tok.groupBy("w").agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("w")).limit(50)
+    )
+    return (
+        SK.cms_estimate(top, counters, "w", depth=4, width=16)
+        .select(
+            F.col("w").alias("word"),
+            F.col("n").cast("long").alias("n_exact"),
+            "n_cms",
+            (F.col("n_cms") - F.col("n")).cast("long")
+            .alias("overestimate"),
+        )
+    )
+
+
+@query(
     "freq_items_gate",
     """
     WITH f AS (
