@@ -530,9 +530,16 @@ def main() -> None:
         # seconds to reference-host seconds
         "calib": {
             "ref_sec": CALIB_REF_SEC,
+            # probe_spread = max/min over the half's probes; stormy_probe
+            # flags a half whose probes disagree >3x — min-of-probes still
+            # discards the storm, but the receipt should say one happened
             "halves": [{"start": r["calib_start"], "mid": r["calib_mid"],
                         "end": r["calib_end"], "factor": r["factor"],
-                        "low_clamped": r["low_clamped"]}
+                        "low_clamped": r["low_clamped"],
+                        "probe_spread": (lambda ps: round(max(ps) / min(ps), 3))(
+                            r["calib_start"] + r["calib_mid"] + r["calib_end"]),
+                        "stormy_probe": (lambda ps: max(ps) / min(ps) > 3.0)(
+                            r["calib_start"] + r["calib_mid"] + r["calib_end"])}
                        for r in results],
         },
         "queries_normalized": best_norm,

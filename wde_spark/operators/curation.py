@@ -36,6 +36,18 @@ from ..functions.strings import tokens
 from .dedup import distinct_shingle_table, shingles
 
 
+def bloom_bit(sh: Column, seed: int, m_bits: int) -> Column:
+    """Bloom bit position of a shingle under one salted hash — the
+    engine's md5 parity kernel (first 8 hex chars → BIGINT), replayable
+    in DuckDB via the '0x' cast idiom. Shared by the one-shot
+    `decontaminate_bloom` and the streaming maintained set
+    (`streaming/bloom_admission.py`) so both derive the IDENTICAL
+    filter."""
+    h = F.md5(F.concat(F.lit(f"bf{seed}|"), sh))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") \
+        % F.lit(m_bits)
+
+
 def _dup_fraction(arr: Column) -> Column:
     """(len - distinct len) / len of an array — NULL for empty arrays (the
     same contract as DuckDB's x/0)."""
@@ -172,9 +184,7 @@ def decontaminate_bloom(docs: DataFrame, benchmark: DataFrame,
     )
 
     def bit(i: int) -> Column:
-        h = F.md5(F.concat(F.lit(f"bf{i}|"), F.col("sh")))
-        return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") \
-            % F.lit(m_bits)
+        return bloom_bit(F.col("sh"), i, m_bits)
 
     bench_bits = bench_sh.select(
         F.explode(F.array(*[bit(i) for i in range(n_seeds)])).alias("bit")

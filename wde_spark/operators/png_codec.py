@@ -124,6 +124,11 @@ def decode_png(payload: bytes):
                  interlace) = struct.unpack(">IIBBBBB", data)
             elif ctype == b"PLTE":
                 palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+            elif ctype == b"tRNS":
+                # Transparency on palette/gray/RGB images: decoding would
+                # silently drop the alpha information, so null-route and
+                # let the caller keep the raw-byte path instead.
+                return None
             elif ctype == b"IDAT":
                 idat.extend(data)
             elif ctype == b"IEND":
@@ -142,7 +147,7 @@ def decode_png(payload: bytes):
         # at the exact size IHDR promises (+1 to detect overlong streams)
         dec = zlib.decompressobj()
         raw = dec.decompress(bytes(idat), expected + 1)
-        if len(raw) != expected or dec.unconsumed_tail:
+        if len(raw) != expected or dec.unconsumed_tail or not dec.eof:
             return None
         px = _unfilter(raw, height, stride, samples)
         px = px.reshape(height, width, samples)

@@ -153,14 +153,25 @@ def cms_estimate(candidates: DataFrame, counters: DataFrame,
     """candidates + `n_cms`: each candidate value's count-min estimate —
     the MINIMUM of its depth counter cells. The counter table is
     sketch-sized (depth×width rows) and broadcasts; candidates never
-    shuffle."""
+    shuffle.
+
+    Candidates must be DISTINCT on their projected columns (the groupBy
+    that re-folds the depth cells collapses duplicate candidate rows).
+    Empty counter cells count as 0 — a value absent from the counted
+    stream estimates 0 unless every one of its cells collides (the
+    one-sided CMS guarantee), and candidate rows are never dropped."""
     v = F.col(value_col)
     exploded = candidates.select(
         "*", F.posexplode(F.array(
             *[_cms_bucket(v, i, width) for i in range(depth)]
-        )).alias("seed", "bucket"))
+        )).alias("_cms_seed", "_cms_bucket"))
+    ctr = counters.select(
+        F.col("seed").alias("_cms_seed"),
+        F.col("bucket").alias("_cms_bucket"),
+        F.col("c").alias("_cms_c"))
     return (
-        exploded.join(F.broadcast(counters), ["seed", "bucket"])
+        exploded.join(F.broadcast(ctr), ["_cms_seed", "_cms_bucket"], "left")
         .groupBy(*candidates.columns)
-        .agg(F.min("c").cast("long").alias("n_cms"))
+        .agg(F.min(F.coalesce(F.col("_cms_c"), F.lit(0)))
+             .cast("long").alias("n_cms"))
     )

@@ -2096,6 +2096,116 @@ def bloom_decontaminate_documents(spark: SparkSession,
                                   docs.filter(F.col("doc_id") % 17 == 0))
 
 
+def _streaming_bloom_bits_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per parquet snapshot) the MAINTAINED decontamination
+    Bloom bit set: the doc_id%17==0 benchmark slice arrives as two
+    file-source micro-batches (split by doc_id%34) through
+    `streaming/bloom_admission.streaming_bloom_maintain`, each merging
+    its bits into the stored set as COW versions. Cached under a
+    process-unique staging dir + atomic rename (the
+    `_streaming_lm_corpus_dir` discipline — concurrent bench/correctness
+    runs must not clobber each other's in-progress stream)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    src_parquet = os.path.join(sf_dir, "documents.parquet")
+    try:
+        mtime = str(int(os.path.getmtime(src_parquet)))
+    except OSError:
+        mtime = "0"
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{mtime}".encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"wde_bloom_adm_{tag}")
+    bits_dir = os.path.join(base, "bits")
+    done = os.path.join(base, "_COMPLETE")
+    if os.path.exists(done):
+        return bits_dir
+    from .streaming.bloom_admission import streaming_bloom_maintain
+
+    if os.path.exists(base):
+        shutil.rmtree(base, ignore_errors=True)
+    stage = f"{base}.build.{os.getpid()}"
+    shutil.rmtree(stage, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    feed = os.path.join(stage, "feed")
+    for i, pred in ((1, F.col("doc_id") % 34 == 0),
+                    (2, F.col("doc_id") % 34 == 17)):
+        bench.filter(pred).coalesce(1).write.mode("overwrite") \
+            .parquet(os.path.join(feed, f"b{i}.parquet"))
+    stream = (
+        spark.readStream.schema(bench.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(feed, "*.parquet"))
+    )
+    streaming_bloom_maintain(
+        stream, os.path.join(stage, "bits"), os.path.join(stage, "ckpt"))
+    with open(os.path.join(stage, "_COMPLETE"), "w") as fh:
+        fh.write("ok")
+    try:
+        os.rename(stage, base)
+    except OSError:
+        if not os.path.exists(done):
+            raise
+        shutil.rmtree(stage, ignore_errors=True)
+    return bits_dir
+
+
+@query(
+    "streaming_bloom_admission_documents",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct({_shingle_sql(3, 'toks')})) AS sh
+      FROM tok
+    ),
+    bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 17 = 0),
+    seeds AS (SELECT CAST(i AS INT) AS i FROM unnest(range(0, 4)) t(i)),
+    bbits AS (
+      SELECT DISTINCT
+             CAST('0x' || substr(md5('bf' || i || '|' || sh), 1, 8)
+                  AS BIGINT) % 1048576 AS bit
+      FROM bench, seeds),
+    sbits AS (
+      SELECT doc_id, sh, i,
+             CAST('0x' || substr(md5('bf' || i || '|' || sh), 1, 8)
+                  AS BIGINT) % 1048576 AS bit
+      FROM sh, seeds),
+    cand AS (
+      SELECT doc_id, sh FROM sbits JOIN bbits USING (bit)
+      GROUP BY doc_id, sh HAVING COUNT(DISTINCT i) = 4),
+    bl AS (SELECT doc_id, COUNT(*) AS n_bloom FROM cand GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(bl.n_bloom, 0) AS n_bloom_candidates,
+           COALESCE(bl.n_bloom, 0) = 0 AS admitted
+    FROM documents d LEFT JOIN bl ON bl.doc_id = d.doc_id
+    """,
+)
+def streaming_bloom_admission_documents(spark: SparkSession,
+                                        sf_dir: str) -> DataFrame:
+    """STREAMING-MAINTAINED Bloom decontamination admission
+    (`streaming/bloom_admission.py`): the benchmark slice arrives as two
+    micro-batches, each merging its shingles' bit positions into a stored
+    bit-set table (UNION DISTINCT = the relational bitwise OR — the same
+    mergeable-sketch algebra as the HLL family, and idempotent under
+    replay); the corpus is then gated against the MAINTAINED set. Because
+    the OR algebra is exact, the maintained set equals the one-shot
+    filter over the whole benchmark, so the DuckDB oracle replays the
+    one-shot bits bit-for-bit — the driver hash proves
+    maintained ≡ one-shot, including every Bloom false positive (an
+    over-rejected clean doc shows up as admitted=false with
+    n_shared=0 in the exact query — safe direction)."""
+    from .streaming.bloom_admission import bloom_admission, read_bloom_bits
+
+    bits_dir = _streaming_bloom_bits_dir(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return bloom_admission(docs, read_bloom_bits(spark, bits_dir))
+
+
 @query(
     "chunk_documents_windows",
     """
