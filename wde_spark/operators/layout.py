@@ -208,3 +208,71 @@ def shard_manifest_increment(n_so_far: int, batch: DataFrame,
             "seq_in_shard",
             ((F.col("global_rank") - 1) % docs_per_shard).cast("long"))
     )
+
+
+def ffd_pack(docs: DataFrame, seq_len: int, weight_col: str = "n_tok",
+             id_col: str = "doc_id", salt: str = "ffd",
+             n_buckets: int = 8) -> DataFrame:
+    """First-fit-decreasing BIN PACKING of whole documents into fixed
+    `seq_len` bins — the quality upgrade over `pack_stream`'s
+    concat-and-chunk: documents are never split across sequences (no
+    attention-mask bleed between unrelated texts), at the cost of tail
+    waste that FFD provably bounds at 11/9·OPT + 6/9 bins (Dósa 2007).
+
+    Deterministic partition-local formulation so the fold stays
+    oracle-able: each doc lands in a salted-md5 hash bucket (the engine's
+    parity kernel), and FFD runs INDEPENDENTLY inside each bucket over its
+    docs sorted by (weight desc, id asc) — a sequential fold per bucket,
+    embarrassingly parallel across buckets, with a bit-identical DuckDB
+    recursive-CTE replay. Output: one row per doc — (id, bucket, weight,
+    bin_id) with bin_id 1-based within its bucket. Zero-weight docs carry
+    no mass and are dropped (nothing to pack). A doc longer than seq_len
+    opens its own (overfull) bin — first-fit never places anything after
+    it there, matching classic FFD's handling of oversized items.
+
+    At 100 TB: the fold is a grouped Arrow kernel (`applyInPandas`), one
+    shuffle on the bucket key; raise `n_buckets` so each bucket's doc list
+    fits one executor (the in-bucket scan is O(docs·bins) — bound bucket
+    size, not corpus size). Bin NUMBERING is bucket-local by design:
+    global bin ids would serialize the fold; a (bucket, bin_id) pair is
+    already a stable sequence key for the exporter."""
+    import pandas as pd
+
+    assert seq_len > 0 and n_buckets > 0
+    hx = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + "|"),
+                           F.col(id_col).cast("string"))), 1, 8),
+        16, 10).cast("bigint") % n_buckets
+    keyed = (
+        docs.select(F.col(id_col),
+                    F.col(weight_col).cast("long").alias("_w"))
+        .filter(F.col("_w") > 0)
+        .withColumn("bucket", hx)
+    )
+
+    out_schema = (f"{id_col} long, bucket long, "
+                  f"{weight_col} long, bin_id long")
+
+    def _fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["_w", id_col], ascending=[False, True], kind="mergesort")
+        fills: list[int] = []
+        bins: list[int] = []
+        for w in pdf["_w"].tolist():
+            pos = next((i for i, f in enumerate(fills)
+                        if f + w <= seq_len), None)
+            if pos is None:
+                fills.append(w)
+                bins.append(len(fills))
+            else:
+                fills[pos] += w
+                bins.append(pos + 1)
+        return pd.DataFrame({
+            id_col: pdf[id_col].to_numpy(),
+            "bucket": pdf["bucket"].to_numpy(),
+            weight_col: pdf["_w"].to_numpy(),
+            "bin_id": bins,
+        })
+
+    return keyed.groupBy("bucket").applyInPandas(_fold, out_schema)

@@ -5568,6 +5568,75 @@ def packed_sequences_documents(spark: SparkSession,
     return L.pack_stream(t, seq_len=_PACK_SEQ_LEN)
 
 
+@query(
+    "ffd_packed_documents",
+    f"""
+    WITH RECURSIVE
+    t AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tok,
+             CAST('0x' || substr(md5('ffd|' || CAST(doc_id AS VARCHAR)),
+                                 1, 8) AS BIGINT) % 8 AS bucket
+      FROM documents
+    ),
+    d AS (
+      SELECT bucket, doc_id, n_tok,
+             ROW_NUMBER() OVER (PARTITION BY bucket
+                                ORDER BY n_tok DESC, doc_id) AS rn
+      FROM t WHERE n_tok > 0
+    ),
+    ffd AS (
+      SELECT bucket, 0::BIGINT AS rn,
+             CAST([] AS BIGINT[]) AS fills, CAST([] AS BIGINT[]) AS bins
+      FROM (SELECT DISTINCT bucket FROM d)
+      UNION ALL
+      SELECT f.bucket, f.rn + 1,
+             CASE WHEN NULLIF(list_position(list_transform(f.fills,
+                    y -> y + x.n_tok <= {_PACK_SEQ_LEN}), true), 0) IS NULL
+                  THEN list_append(f.fills, x.n_tok)
+                  ELSE f.fills[1:NULLIF(list_position(list_transform(f.fills,
+                         y -> y + x.n_tok <= {_PACK_SEQ_LEN}), true), 0)-1]
+                       || [f.fills[NULLIF(list_position(list_transform(f.fills,
+                            y -> y + x.n_tok <= {_PACK_SEQ_LEN}), true), 0)]
+                           + x.n_tok]
+                       || f.fills[NULLIF(list_position(list_transform(f.fills,
+                            y -> y + x.n_tok <= {_PACK_SEQ_LEN}), true), 0)+1:]
+             END,
+             list_append(f.bins, COALESCE(NULLIF(list_position(
+               list_transform(f.fills,
+                 y -> y + x.n_tok <= {_PACK_SEQ_LEN}), true), 0),
+               len(f.fills) + 1))
+      FROM ffd f JOIN d x ON x.bucket = f.bucket AND x.rn = f.rn + 1
+    ),
+    final AS (
+      SELECT f.bucket AS fbucket, f.bins AS fbins FROM ffd f
+      JOIN (SELECT bucket, MAX(rn) AS mx FROM ffd GROUP BY bucket) m
+        ON m.bucket = f.bucket AND m.mx = f.rn
+    )
+    SELECT d.doc_id, d.bucket, d.n_tok,
+           CAST(fbins[CAST(d.rn AS INT)] AS BIGINT) AS bin_id
+    FROM d JOIN final fi ON fi.fbucket = d.bucket
+    """,
+)
+def ffd_packed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing sequence packing (`layout.ffd_pack`): whole
+    documents bin-packed into 128-token bins — no doc ever splits across
+    sequences, the quality upgrade over `packed_sequences_documents`'s
+    concat-and-chunk. Deterministic partition-local FFD: salted-md5
+    buckets, per-bucket (n_tok desc, doc_id) fold in a grouped Arrow
+    kernel. The oracle replays the fold EXACTLY with a DuckDB recursive
+    CTE carrying the bin-fill list as recursion state (list_position over
+    a list_transform is first-fit; list slicing is the in-place update),
+    so every doc→bin assignment is hash-checked — the strongest form of
+    'deterministic so it stays oracle-able'."""
+    from .functions.strings import tokens as _tokens
+    from .operators import layout as L
+
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    t = d.select("doc_id", F.size(_tokens(F.col("text"))).alias("n_tok"))
+    return L.ffd_pack(t, seq_len=_PACK_SEQ_LEN, n_buckets=8)
+
+
 def _packed_bpe_oracle(k: int, seq_len: int) -> str:
     """End-to-end SQL twin of the TOKENIZING EXPORTER: BPE training
     (`_bpe_train_ctes`, k unrolled stages) → merge REPLAY over the
