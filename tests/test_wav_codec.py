@@ -1,0 +1,120 @@
+"""WAV/PCM codec (`operators/wav_codec.py`) property tests: round-trips
+across bit depths / channel counts / sizes, malformed-input null-routing,
+chunk-order and padding tolerance, and the Spark-side decoded-sample
+fingerprint pipeline on synthesized fixtures.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from wde_spark.operators.wav_codec import decode_wav, encode_wav, is_wav
+
+
+@pytest.mark.parametrize("bits", [8, 16])
+@pytest.mark.parametrize("channels", [1, 2, 4])
+@pytest.mark.parametrize("n", [1, 7, 256, 4801])
+def test_round_trip(bits, channels, n):
+    rng = np.random.default_rng(n * 31 + channels * 7 + bits)
+    if bits == 8:
+        samples = rng.integers(0, 256, size=(n, channels), dtype=np.uint8)
+    else:
+        samples = rng.integers(-32768, 32768, size=(n, channels)) \
+            .astype(np.int16)
+    payload = encode_wav(samples, 22050, bits=bits)
+    decoded = decode_wav(payload)
+    assert decoded is not None
+    rate, ch, b, got = decoded
+    assert (rate, ch, b) == (22050, channels, bits)
+    assert got.shape == (n, channels)
+    assert np.array_equal(got, samples)
+
+
+def test_mono_1d_input_round_trips():
+    s = np.arange(-100, 100, dtype=np.int16)
+    decoded = decode_wav(encode_wav(s, 8000))
+    assert decoded is not None
+    assert np.array_equal(decoded[3].reshape(-1), s)
+
+
+def test_odd_data_chunk_is_padded_and_parses():
+    # 8-bit mono with odd frame count → odd data size → pad byte
+    s = np.array([1, 2, 3], dtype=np.uint8)
+    payload = encode_wav(s, 8000, bits=8)
+    assert len(payload) % 2 == 0
+    decoded = decode_wav(payload)
+    assert decoded is not None and decoded[3].shape == (3, 1)
+
+
+def test_unknown_chunks_are_skipped():
+    s = np.array([5, -5, 7], dtype=np.int16)
+    payload = bytearray(encode_wav(s, 8000))
+    # splice a LIST chunk between WAVE and fmt
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    payload = bytes(payload[:12]) + extra + bytes(payload[12:])
+    decoded = decode_wav(payload)
+    assert decoded is not None
+    assert np.array_equal(decoded[3].reshape(-1), s)
+
+
+@pytest.mark.parametrize("mutate", [
+    lambda p: b"",                                   # empty
+    lambda p: p[:10],                                # truncated header
+    lambda p: b"RIFX" + p[4:],                       # wrong magic
+    lambda p: p[:8] + b"AVI " + p[12:],              # not WAVE
+    lambda p: p[:len(p) - 3],                        # truncated data chunk
+    lambda p: p.replace(struct.pack("<H", 1),
+                        struct.pack("<H", 3), 1),    # non-PCM format tag
+])
+def test_malformed_null_routes(mutate):
+    p = encode_wav(np.array([1, 2, 3, 4], dtype=np.int16), 8000)
+    assert decode_wav(mutate(p)) is None
+
+
+def test_unsupported_bit_depth_null_routes():
+    p = bytearray(encode_wav(np.array([1, 2], dtype=np.int16), 8000))
+    # fmt chunk: bits field is the last 2 of the 16-byte body at offset 12+8
+    off = 12 + 8 + 14
+    p[off:off + 2] = struct.pack("<H", 24)
+    assert decode_wav(bytes(p)) is None
+
+
+def test_is_wav_vs_png_and_text():
+    assert not is_wav(b"\x89PNG\r\n\x1a\n")
+    assert not is_wav(b"hello world, definitely not audio")
+    assert is_wav(encode_wav(np.zeros(4, dtype=np.int16), 8000))
+
+
+def test_attach_audio_samples_predictable_from_text(spark):
+    """The deterministic fixture contract the SQL oracle relies on:
+    decoded samples == (text byte − 128)·256, empty text → 64 zeros."""
+    from wde_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame(
+        [(1, "abc"), (2, ""), (3, "héllo")], "doc_id long, text string")
+    stats = {r["media_id"]: r for r in MM.audio_sample_stats(
+        MM.attach_audio(docs)).collect()}
+    assert set(stats) == {1, 2, 3}
+    for mid, text in ((1, "abc"), (3, "héllo")):
+        b = text.encode("utf-8")
+        expect = sum((v - 128) * 256 for v in b)
+        assert stats[mid]["n_frames"] == len(b)
+        assert stats[mid]["s_sum"] == expect
+        assert stats[mid]["sample_rate"] == 16000
+        assert stats[mid]["n_channels"] == 1
+    assert stats[2]["n_frames"] == 64 and stats[2]["s_sum"] == 0
+
+
+def test_audio_sample_stats_drops_undecodable(spark):
+    from wde_spark.operators import multimodal as MM
+
+    media = spark.createDataFrame(
+        [(1, bytearray(b"not a wav")),
+         (2, bytearray(encode_wav(np.array([100], dtype=np.int16), 8000)))],
+        "media_id long, payload binary")
+    got = MM.audio_sample_stats(media).collect()
+    assert [r["media_id"] for r in got] == [2]
+    assert got[0]["s_sum"] == 100

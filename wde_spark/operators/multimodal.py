@@ -12,16 +12,19 @@ Design for 100 TB:
 - frame sampling EXPLODES rows — the kernel emits frames incrementally per
   batch so a long video never materializes all frames in memory at once.
 
-Codec status: the IMAGE modality has a REAL decoder — a dependency-free
-PNG implementation (`operators/png_codec.py`, stdlib zlib + numpy; 8-bit,
+Codec status: the IMAGE modality has a REAL codec — a dependency-free PNG
+implementation (`operators/png_codec.py`, stdlib zlib + numpy; 8-bit,
 gray/RGB/RGBA/palette, all five scanline filters) used by
-`extract_features` to histogram decoded pixels; unsupported/non-PNG
-payloads fall back to the raw-byte path. Audio/video decode remains
-environment-dependent (no libav here) and STUBBED: `_decode_frame` slices
-raw bytes as deterministic pseudo-frames. The Spark-side contract —
-schemas, binary transport, batch shapes, partitioning — is real and tested
-for every modality; swap `_decode_frame` for ffmpeg to productionize the
-rest.
+`extract_features` to histogram decoded pixels and by `resize_images` to
+decode → nearest-neighbor downsample → RE-ENCODE thumbnails; the AUDIO
+modality has a REAL codec too (`operators/wav_codec.py` — RIFF/WAVE
+container, PCM 8/16-bit, any channel count) used by `audio_sample_stats`
+to fingerprint decoded samples. Unsupported payloads fall back to the
+raw-byte path on both. VIDEO decode remains environment-dependent (no
+libav here) and STUBBED: `_decode_frame` slices raw bytes as deterministic
+pseudo-frames; the Spark-side contract — schemas, binary transport, batch
+shapes, partitioning — is real and tested; swap `_decode_frame` for ffmpeg
+to productionize it.
 """
 
 from __future__ import annotations
@@ -273,3 +276,199 @@ def frame_run_spans(frames: DataFrame, k: int = 3,
     )
     marked = runs.join(dup, "runsig").select("media_id", "p")
     return _merge_islands(marked, k, "media_id")
+
+
+THUMB_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("src_w", T.IntegerType()),
+    T.StructField("src_h", T.IntegerType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("thumb", T.BinaryType()),
+])
+
+THUMB_STATS_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("src_w", T.IntegerType()),
+    T.StructField("src_h", T.IntegerType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("px_sum", T.LongType()),
+    T.StructField("px_fp", T.StringType()),
+])
+
+
+def attach_images(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Deterministic REAL-PNG media table for tests/bench: each doc's text
+    bytes tile a (h, w) grayscale image (pixel i = byte i mod L; all-zero
+    when the text is empty), dims derived from the byte length
+    (w = L%24+8, h = L%16+8), encoded by `png_codec.encode_png`. Unlike
+    `attach_media`'s opaque stand-in bytes, these payloads are decodable
+    images whose every pixel a SQL oracle can predict from the text —
+    the fixture that makes the encode path hash-checkable end-to-end."""
+    import numpy as np
+
+    from .png_codec import encode_png
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                data = (text or "").encode("utf-8")
+                n = len(data)
+                w, h = n % 24 + 8, n % 16 + 8
+                if n:
+                    b = np.frombuffer(data, dtype=np.uint8)
+                    px = b[(np.arange(w * h) % n)].reshape(h, w)
+                else:
+                    px = np.zeros((h, w), dtype=np.uint8)
+                rows.append((mid, encode_png(px)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return docs.select(id_col, text_col).mapInPandas(
+        kernel, schema="media_id long, payload binary")
+
+
+def resize_images(media: DataFrame, max_w: int = 8,
+                  max_h: int = 8) -> DataFrame:
+    """REAL thumbnailing — decode → nearest-neighbor downsample → PNG
+    re-encode, all inside one Arrow batch kernel (`png_codec`, no
+    image libraries): target dims use `resize_meta`'s aspect-preserving
+    arithmetic (floor(dim·min(max_w/w, max_h/h, 1))), the resample takes
+    source pixel (y·src_h//th, x·src_w//tw) — integer arithmetic a SQL
+    oracle replays exactly. Payloads this codec cannot decode null-route
+    (thumb NULL, dims -1) rather than crash — the `decode_png` contract.
+    Row-local, zero shuffle; at 100 TB this is the classic
+    embarrassingly-parallel media transform."""
+    import numpy as np
+
+    from .png_codec import decode_png, encode_png
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                decoded = decode_png(bytes(payload))
+                if decoded is None:
+                    rows.append((mid, -1, -1, -1, -1, None))
+                    continue
+                w, h, _ch, px = decoded
+                scale = min(max_w / w, max_h / h, 1.0)
+                # floor can hit 0 on extreme aspect ratios — a thumbnail
+                # is never smaller than 1px (the oracle mirrors this)
+                tw = max(1, int(w * scale))
+                th = max(1, int(h * scale))
+                ys = (np.arange(th) * h) // th
+                xs = (np.arange(tw) * w) // tw
+                thumb = px[ys][:, xs]
+                rows.append((mid, w, h, tw, th, encode_png(thumb)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in THUMB_SCHEMA.fields])
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, schema=THUMB_SCHEMA)
+
+
+def thumbnail_stats(thumbs: DataFrame) -> DataFrame:
+    """VERIFY pass for the encode path: decode the re-encoded thumbnail
+    BYTES back to pixels and fingerprint them (sum + md5 of the row-major
+    dash-joined decimal values). Composed after `resize_images`, the
+    decode(encode(resample(decode(x)))) chain means a wrong encoder, a
+    wrong decoder, or a wrong resample all break the fingerprint a SQL
+    oracle predicts from the source text alone."""
+    import hashlib
+
+    from .png_codec import decode_png
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, sw, sh, tw, th, thumb in zip(
+                    pdf["media_id"], pdf["src_w"], pdf["src_h"],
+                    pdf["width"], pdf["height"], pdf["thumb"]):
+                if thumb is None:
+                    continue
+                decoded = decode_png(bytes(thumb))
+                assert decoded is not None, "own encoder must round-trip"
+                w, h, _ch, px = decoded
+                flat = px.reshape(-1)
+                fp = hashlib.md5(
+                    "-".join(str(int(v)) for v in flat).encode()).hexdigest()
+                rows.append((mid, int(sw), int(sh), w, h,
+                             int(flat.sum()), fp))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in THUMB_STATS_SCHEMA.fields])
+
+    return thumbs.mapInPandas(kernel, schema=THUMB_STATS_SCHEMA)
+
+
+AUDIO_STATS_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_channels", T.IntegerType()),
+    T.StructField("bits", T.IntegerType()),
+    T.StructField("n_frames", T.LongType()),
+    T.StructField("s_sum", T.LongType()),
+    T.StructField("s_fp", T.StringType()),
+])
+
+
+def attach_audio(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Deterministic REAL-WAV media table: each doc's text bytes become a
+    mono 16 kHz PCM16 recording (sample i = (byte i − 128)·256; 64 zero
+    samples when the text is empty), containerized by
+    `wav_codec.encode_wav`. Decodable audio whose every sample a SQL
+    oracle predicts from the text — the audio twin of `attach_images`."""
+    import numpy as np
+
+    from .wav_codec import encode_wav
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                data = (text or "").encode("utf-8")
+                if data:
+                    b = np.frombuffer(data, dtype=np.uint8)
+                    samples = (b.astype(np.int16) - 128) * 256
+                else:
+                    samples = np.zeros(64, dtype=np.int16)
+                rows.append((mid, encode_wav(samples, 16000)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return docs.select(id_col, text_col).mapInPandas(
+        kernel, schema="media_id long, payload binary")
+
+
+def audio_sample_stats(media: DataFrame) -> DataFrame:
+    """REAL audio decode (`wav_codec.decode_wav`): parse the RIFF/WAVE
+    container, read the PCM samples, and fingerprint them (sum + md5 of
+    the channel-major dash-joined decimal values). Payloads outside the
+    codec's declared support null-route (row dropped) instead of
+    crashing. Row-local Arrow kernel — the classic embarrassingly-
+    parallel media transform; at 100 TB the decode cost scales with
+    bytes, never with row joins."""
+    import hashlib
+
+    from .wav_codec import decode_wav
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                decoded = decode_wav(bytes(payload))
+                if decoded is None:
+                    continue
+                rate, ch, bits, samples = decoded
+                flat = samples.reshape(-1)
+                fp = hashlib.md5(
+                    "-".join(str(int(v)) for v in flat).encode()).hexdigest()
+                rows.append((mid, rate, ch, bits, samples.shape[0],
+                             int(flat.sum(dtype="int64")), fp))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_STATS_SCHEMA.fields])
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, schema=AUDIO_STATS_SCHEMA)

@@ -1675,6 +1675,97 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_thumbnails",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS L,
+             CAST(octet_length(encode(text)) % 24 + 8 AS INT) AS w,
+             CAST(octet_length(encode(text)) % 16 + 8 AS INT) AS h
+      FROM documents),
+    td AS (
+      SELECT media_id, hx, L, w, h,
+             CAST(greatest(1, floor(w * least(8.0 / w, 8.0 / h, 1.0)))
+                  AS INT) AS tw,
+             CAST(greatest(1, floor(h * least(8.0 / w, 8.0 / h, 1.0)))
+                  AS INT) AS th
+      FROM m),
+    px AS (
+      SELECT media_id, hx, L, w, h, tw, th, CAST(i AS BIGINT) AS i,
+             ((i // tw) * h) // th AS sy,
+             ((i % tw) * w) // tw AS sx
+      FROM td, unnest(range(0, CAST(tw AS BIGINT) * th)) AS u(i)),
+    val AS (
+      SELECT media_id, w, h, tw, th, i,
+             CASE WHEN L = 0 THEN 0 ELSE
+               (strpos('0123456789ABCDEF', substr(hx,
+                  CAST(2 * ((sy * w + sx) % L) + 1 AS INT), 1)) - 1) * 16
+               + (strpos('0123456789ABCDEF', substr(hx,
+                  CAST(2 * ((sy * w + sx) % L) + 2 AS INT), 1)) - 1)
+             END AS v
+      FROM px)
+    SELECT media_id, w AS src_w, h AS src_h, tw AS width, th AS height,
+           CAST(SUM(v) AS BIGINT) AS px_sum,
+           md5(string_agg(CAST(v AS VARCHAR), '-' ORDER BY i)) AS px_fp
+    FROM val GROUP BY media_id, w, h, tw, th
+    """,
+)
+def multimodal_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG ENCODE path, hash-checked end-to-end: deterministic
+    grayscale PNGs built from each doc's text bytes
+    (`multimodal.attach_images`), thumbnailed by
+    decode → nearest-neighbor downsample → RE-ENCODE
+    (`multimodal.resize_images`, `png_codec.encode_png`), then the
+    re-encoded BYTES are decoded back and fingerprinted
+    (`multimodal.thumbnail_stats`). The oracle predicts every thumbnail
+    pixel from the text alone (byte tiling + integer NN arithmetic), so a
+    wrong encoder, decoder, or resample breaks the md5 fingerprint — the
+    encode path is correctness surface, not plumbing."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    thumbs = MM.resize_images(MM.attach_images(docs), 8, 8)
+    return MM.thumbnail_stats(thumbs)
+
+
+@query(
+    "multimodal_audio_decoded",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS L
+      FROM documents),
+    s AS (
+      SELECT media_id, L, CAST(i AS BIGINT) AS i,
+             CASE WHEN L = 0 THEN 0 ELSE
+               ((strpos('0123456789ABCDEF',
+                   substr(hx, CAST(2 * i + 1 AS INT), 1)) - 1) * 16
+                + (strpos('0123456789ABCDEF',
+                   substr(hx, CAST(2 * i + 2 AS INT), 1)) - 1)
+                - 128) * 256
+             END AS v
+      FROM m, unnest(range(0, CASE WHEN L = 0 THEN 64 ELSE L END)) AS u(i))
+    SELECT media_id, 16000 AS sample_rate, 1 AS n_channels, 16 AS bits,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(v) AS BIGINT) AS s_sum,
+           md5(string_agg(CAST(v AS VARCHAR), '-' ORDER BY i)) AS s_fp
+    FROM s GROUP BY media_id
+    """,
+)
+def multimodal_audio_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL AUDIO DECODE, hash-checked end-to-end: deterministic mono
+    PCM16 WAVs synthesized from each doc's text bytes
+    (`multimodal.attach_audio`, `wav_codec.encode_wav`), then DECODED
+    back through the RIFF/WAVE parser (`wav_codec.decode_wav`) and
+    fingerprinted sample-by-sample (`multimodal.audio_sample_stats`).
+    The oracle predicts every PCM sample from the text alone
+    ((byte − 128)·256), so a wrong container writer, chunk parser, or
+    sample conversion breaks the md5 fingerprint — audio decode is
+    correctness surface now, not a stub (video remains the declared
+    byte-path stub)."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return MM.audio_sample_stats(MM.attach_audio(docs))
+
+
+@query(
     "multimodal_features",
     """
     WITH m AS (SELECT doc_id AS media_id,
