@@ -2019,33 +2019,38 @@ from . import queries_ext  # noqa: E402,F401
 _DRIVER_PRIORITY = [
     # --- flagship (keeps a driver row every round) ---
     "semantic_dedup_embeddings",
+    # --- never driver-checked (the 152/153 gap the r8 verdict names) ---
+    "cms_heavy_hitters_documents",
     # --- net-new this round (first driver rows) ---
-    "q20_potential_promotion",
-    "doremi_schedule_documents", "cluster_scorecard_embeddings",
-    "bloom_decontaminate_documents", "ccnet_perplexity_buckets_documents",
-    # --- code changed this round (re-prove under the driver hash) ---
-    "multimodal_features",
-    # --- longest-unchecked greens: the remaining r4-vintage rows ---
-    "json_props_stats_events", "hybrid_neardup_pairs",
-    "neardup_components_documents", "zscore_outliers_documents",
-    "merge_changeset_orders", "window_rank_variants_orders",
-    "repetition_stats_documents", "pii_redact_documents",
-    "decontaminate_documents", "chunk_documents_windows",
-    "winnowing_fingerprints_documents",
-    # --- r5-vintage rows (oldest first per the rotation tool) ---
-    "agg_order_stats",
-    "rollup_lineitem", "pivot_order_status", "semi_join_active_customers",
-    "outer_join_nation_coverage", "lww_latest_order", "set_ops_segments",
-    "topk_orders_per_customer", "carry_forward_purchase",
-    "word_count_top100", "lang_id_documents", "token_stats_documents",
-    "exact_dedup_documents", "pq_ann_embeddings", "pq_ann_recall_gate",
-    "multimodal_resize", "dedup_tokens_ordered", "q4_order_priority",
-    "q14_promo_revenue", "q19_disjunctive_revenue", "q7_nation_volume",
-    "q8_market_share", "q9_product_profit", "histogram_order_prices",
-    "window_range_frame_orders", "range_join_error_clicks",
-    "funnel_signup_view_purchase", "skew_salted_event_types",
-    "mixture_sample_documents", "cohort_retention_events",
-    "ntile_customer_spend", "gapfill_daily_orders",
+    "streaming_bloom_admission_documents", "ffd_packed_documents",
+    "multimodal_thumbnails", "multimodal_audio_decoded",
+    "ccnet_source_scorecard_documents",
+    # --- code changed this round (re-prove under the driver hash):
+    # png_codec gained tRNS/eof guards (features decodes PNGs),
+    # decontaminate_bloom now routes through the shared bloom_bit kernel
+    "multimodal_features", "bloom_decontaminate_documents",
+    # --- r5-vintage rows (oldest first per tools/plan_rotation.py) ---
+    "scd2_order_status_history", "embedding_vector_stats",
+    "unpivot_part_metrics", "hll_distinct_gate",
+    "train_val_split_documents", "freq_items_gate",
+    "ivfpq_ann_recall_gate",
+    # --- r6-vintage rows (rotation tool order) ---
+    "q1_pricing_summary", "q3_shipping_priority",
+    "q5_local_supplier_volume", "resolve_ladder_parts",
+    "doc_source_stats", "group_collect_langs",
+    "minhash_signatures_documents", "cosine_topk_embeddings",
+    "streaming_pq_adc_ann", "q6_forecast_revenue", "q10_returned_items",
+    "q11_supplier_share", "q15_top_supplier", "q18_large_volume_orders",
+    "asof_join_purchase_view", "bloom_semi_join_lineitem",
+    "dedup_weights_documents", "quantile_sketch_gate",
+    "data_quality_orders", "dedup_increment_documents",
+    "dedup_recall_audit_documents", "corpus_drift_documents",
+    "lm_quality_documents", "dsir_sample_documents",
+    "nb_classify_documents", "source_overlap_documents",
+    "duplicate_spans_documents", "substr_increment_documents",
+    "strip_duplicate_spans_documents", "source_scorecard_documents",
+    "embedding_recall_audit_embeddings", "dedup_corpus_semantic_documents",
+    "lm_gated_admission_documents", "dsir_gated_admission_documents",
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]

@@ -4773,6 +4773,74 @@ def ccnet_perplexity_buckets_documents(spark: SparkSession,
 
 
 @query(
+    "ccnet_source_scorecard_documents",
+    f"""
+    WITH
+    {_lm_score_cte_block(
+        "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0)",
+        "documents", "cr")},
+    r AS (
+      SELECT d.doc_id, d.source,
+             len(string_split_regex(trim(lower(d.text)), '\\s+')) AS n_tok,
+             ROUND(agg_cr.al, 6) AS avg_logp,
+             NTILE(3) OVER (PARTITION BY d.source
+                            ORDER BY ROUND(agg_cr.al, 6) DESC, d.doc_id)
+             AS b
+      FROM documents d JOIN agg_cr ON agg_cr.doc_id = d.doc_id
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_scored,
+           CAST(SUM(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_head,
+           CAST(SUM(CASE WHEN b = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_middle,
+           CAST(SUM(CASE WHEN b = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_tail,
+           ROUND(AVG(CASE WHEN b = 1 THEN avg_logp END), 6)
+             AS head_avg_logp,
+           ROUND(AVG(CASE WHEN b = 2 THEN avg_logp END), 6)
+             AS middle_avg_logp,
+           ROUND(AVG(CASE WHEN b = 3 THEN avg_logp END), 6)
+             AS tail_avg_logp,
+           ROUND(AVG(CASE WHEN b = 1 THEN n_tok END), 4) AS head_avg_tokens,
+           ROUND(AVG(CASE WHEN b = 3 THEN n_tok END), 4) AS tail_avg_tokens
+    FROM r GROUP BY source
+    """,
+)
+def ccnet_source_scorecard_documents(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """CCNet tercile populations ROLLED UP onto the per-source scorecard
+    (the SURVEY §7.3 composition): each source's head/middle/tail counts
+    plus per-bucket mean fluency and mean length — the one-page answer to
+    'which sources are worth re-filtering and which discard wholesale'.
+    Reuses `ccnet_perplexity_buckets_documents`' engine path (frozen
+    even-half LM, per-source NTILE) and its oracle CTE block verbatim;
+    the rollup itself is one hash aggregate over source — model-sized
+    output (sources × 10 cells) whatever the corpus size."""
+    from .functions.strings import tokens as _tokens
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    buckets = ccnet_perplexity_buckets_documents(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.size(_tokens(F.col("text"))).alias("n_tok"))
+    j = buckets.join(toks, "doc_id")
+    is_b = lambda name: F.col("bucket") == name  # noqa: E731
+    return j.groupBy("source").agg(
+        F.count("*").alias("n_scored"),
+        F.sum(F.when(is_b("head"), 1).otherwise(0)).alias("n_head"),
+        F.sum(F.when(is_b("middle"), 1).otherwise(0)).alias("n_middle"),
+        F.sum(F.when(is_b("tail"), 1).otherwise(0)).alias("n_tail"),
+        F.round(F.avg(F.when(is_b("head"), F.col("avg_logp"))), 6)
+        .alias("head_avg_logp"),
+        F.round(F.avg(F.when(is_b("middle"), F.col("avg_logp"))), 6)
+        .alias("middle_avg_logp"),
+        F.round(F.avg(F.when(is_b("tail"), F.col("avg_logp"))), 6)
+        .alias("tail_avg_logp"),
+        F.round(F.avg(F.when(is_b("head"), F.col("n_tok"))), 4)
+        .alias("head_avg_tokens"),
+        F.round(F.avg(F.when(is_b("tail"), F.col("n_tok"))), 4)
+        .alias("tail_avg_tokens"),
+    )
+
+
+@query(
     "cluster_scorecard_embeddings",
     f"""
     WITH asg AS ({_kmeans_clusters_oracle()}),
