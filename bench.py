@@ -108,6 +108,10 @@ HEADLINE = [
     "winnowing_fingerprints_documents",
     "session_events_bucketed",
     "data_quality_orders",
+    # r9 additions: FFD bin packing (grouped Arrow fold) and the PNG
+    # decode->resample->re-encode thumbnail path (codec-bound kernel)
+    "ffd_packed_documents",
+    "multimodal_thumbnails",
 ]
 
 

@@ -50,6 +50,10 @@ PICKS = {
     "cluster_scorecard_embeddings": "Cluster scorecard: Arrow argmin assignment + broadcast LM/NB model joins compose per doc; ONE grouped aggregation keyed by the 16 k-means cells — output is model-sized.",
     "ccnet_perplexity_buckets_documents": "CCNet perplexity shards: broadcast-LM score join feeds ONE NTILE window partitioned by source — partitions are source-sized, never corpus-sized.",
     "doremi_schedule_documents": "DoReMi 3-step EG schedule: same one corpus join + per-domain agg as the single step; each unrolled iterate adds only a ONE-ROW normalizer broadcast over the domain-sized frame.",
+    "streaming_bloom_admission_documents": "Maintained-set Bloom admission: the stored bit table (<= 2^20 rows) broadcasts; the corpus-side shingle explode joins it and folds to per-shingle counting HAVING — only (id, shingle) keys shuffle, never payloads; the maintained set itself is read from the COW version the stream last wrote.",
+    "ffd_packed_documents": "FFD packing: zero-weight filter below ONE exchange on the salted-hash bucket key feeding the grouped Arrow fold (the declared per-bucket sequential stage); no global sort, no corpus-sized window.",
+    "multimodal_thumbnails": "PNG thumbnail path: a pure Arrow-kernel chain (build -> decode/resample/re-encode -> verify-decode) over one scan — ZERO exchanges; codec work scales with bytes, never with joins.",
+    "ccnet_source_scorecard_documents": "CCNet rollup: the buckets plan (broadcast-LM join + per-source NTILE) feeds ONE grouped aggregation keyed by source — output is sources x 10 cells whatever the corpus size.",
 }
 
 HEADER = """# PLANS — physical-plan audit of representative queries
