@@ -86,3 +86,51 @@ def test_attach_images_pixels_predictable_from_text(spark):
     dec0 = decode_png(got[2])
     assert dec0 is not None and (dec0[0], dec0[1]) == (8, 8)
     assert int(dec0[3].sum()) == 0
+
+
+def test_pixel_dedup_catches_reencoded_duplicates(spark):
+    """The reason pixel-level dedup exists: the same pixels written under
+    different scanline filters (vary_filters) have DIFFERENT payload
+    bytes — byte dedup misses them — but identical pixel fingerprints."""
+    from wde_spark.operators import multimodal as MM
+
+    # ids 0 and 1 share text → same pixels, filters 0 vs 1 → diff bytes
+    docs = spark.createDataFrame(
+        [(0, "same text twice"), (1, "same text twice"), (2, "another")],
+        "doc_id long, text string")
+    fps = {r["media_id"]: r for r in MM.image_pixel_fingerprints(
+        MM.attach_images(docs, vary_filters=True)).collect()}
+    assert fps[0]["px_fp"] == fps[1]["px_fp"]
+    assert fps[0]["byte_fp"] != fps[1]["byte_fp"]
+    assert fps[2]["px_fp"] != fps[0]["px_fp"]
+
+
+def test_pixel_dedup_undecodable_drops(spark):
+    from wde_spark.operators import multimodal as MM
+
+    media = spark.createDataFrame(
+        [(1, bytearray(b"junk, not a png"))],
+        "media_id long, payload binary")
+    assert MM.image_pixel_fingerprints(media).count() == 0
+
+
+def test_audio_energy_windows_reference(spark):
+    """Window energies equal a plain numpy reference over the decoded
+    samples, including the short tail window."""
+    import numpy as np
+
+    from wde_spark.operators import multimodal as MM
+    from wde_spark.operators.wav_codec import encode_wav
+
+    rng = np.random.default_rng(11)
+    s = rng.integers(-32768, 32768, size=700).astype(np.int16)
+    media = spark.createDataFrame(
+        [(9, bytearray(encode_wav(s, 16000)))],
+        "media_id long, payload binary")
+    got = {r["win_idx"]: (r["n_frames"], r["abs_sum"])
+           for r in MM.audio_energy_windows(media, window=256).collect()}
+    a = np.abs(s.astype(np.int64))
+    expect = {wi: (len(a[wi * 256:(wi + 1) * 256]),
+                   int(a[wi * 256:(wi + 1) * 256].sum()))
+              for wi in range(3)}
+    assert got == expect

@@ -299,14 +299,21 @@ THUMB_STATS_SCHEMA = T.StructType([
 
 
 def attach_images(docs: DataFrame, id_col: str = "doc_id",
-                  text_col: str = "text") -> DataFrame:
+                  text_col: str = "text",
+                  vary_filters: bool = False) -> DataFrame:
     """Deterministic REAL-PNG media table for tests/bench: each doc's text
     bytes tile a (h, w) grayscale image (pixel i = byte i mod L; all-zero
     when the text is empty), dims derived from the byte length
     (w = L%24+8, h = L%16+8), encoded by `png_codec.encode_png`. Unlike
     `attach_media`'s opaque stand-in bytes, these payloads are decodable
     images whose every pixel a SQL oracle can predict from the text —
-    the fixture that makes the encode path hash-checkable end-to-end."""
+    the fixture that makes the encode path hash-checkable end-to-end.
+
+    `vary_filters=True` picks the PNG scanline filter per row
+    (doc_id % 5): the PIXELS — and so every pixel-level oracle — are
+    unchanged, but byte-identical texts now yield byte-DIFFERENT payloads
+    across filter choices, the re-encoded-duplicate situation
+    pixel-fingerprint dedup exists to catch."""
     import numpy as np
 
     from .png_codec import encode_png
@@ -323,11 +330,84 @@ def attach_images(docs: DataFrame, id_col: str = "doc_id",
                     px = b[(np.arange(w * h) % n)].reshape(h, w)
                 else:
                     px = np.zeros((h, w), dtype=np.uint8)
-                rows.append((mid, encode_png(px)))
+                ft = int(mid) % 5 if vary_filters else 0
+                rows.append((mid, encode_png(px, filter_type=ft)))
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
     return docs.select(id_col, text_col).mapInPandas(
         kernel, schema="media_id long, payload binary")
+
+
+def image_pixel_fingerprints(media: DataFrame) -> DataFrame:
+    """DECODED-pixel fingerprint per image — the dedup key byte-level
+    fingerprinting cannot provide: two encodings of the same pixels
+    (different scanline filters, different compressors, stripped
+    metadata) share a pixel fingerprint while their transport bytes
+    differ. Emits (media_id, width, height, px_fp, byte_fp); payloads
+    the codec cannot decode are dropped (they fall back to byte-level
+    dedup upstream). Row-local Arrow kernel; the downstream dedup is one
+    hash aggregate on px_fp — tier-1 dedup shape at any scale."""
+    import hashlib
+
+    from .png_codec import decode_png
+
+    schema = ("media_id long, width int, height int, "
+              "px_fp string, byte_fp string")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload)
+                decoded = decode_png(payload)
+                if decoded is None:
+                    continue
+                w, h, _ch, px = decoded
+                flat = px.reshape(-1)
+                px_fp = hashlib.md5(
+                    "-".join(str(int(v)) for v in flat).encode()).hexdigest()
+                rows.append((mid, w, h, px_fp,
+                             hashlib.md5(payload).hexdigest()))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "width", "height", "px_fp", "byte_fp"])
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, schema=schema)
+
+
+def audio_energy_windows(media: DataFrame, window: int = 256) -> DataFrame:
+    """Energy profile over DECODED samples (`wav_codec.decode_wav`) —
+    the first real-DSP consumer of the audio codec: non-overlapping
+    `window`-frame segments, per segment the frame count and the summed
+    absolute amplitude across channels (the VAD/silence-trim primitive).
+    Undecodable payloads drop. Row-local; emits ceil(n/window) rows per
+    recording incrementally per Arrow batch."""
+    import numpy as np
+
+    from .wav_codec import decode_wav
+
+    assert window > 0
+    schema = ("media_id long, win_idx int, n_frames int, abs_sum long")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                decoded = decode_wav(bytes(payload))
+                if decoded is None:
+                    continue
+                _rate, _ch, _bits, samples = decoded
+                a = np.abs(samples.astype(np.int64)).sum(axis=1)
+                n = a.shape[0]
+                for wi in range(0, (n + window - 1) // window):
+                    seg = a[wi * window: (wi + 1) * window]
+                    rows.append((mid, wi, int(seg.shape[0]),
+                                 int(seg.sum())))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "win_idx", "n_frames", "abs_sum"])
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, schema=schema)
 
 
 def resize_images(media: DataFrame, max_w: int = 8,

@@ -1766,6 +1766,97 @@ def multimodal_audio_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "image_pixel_dedup_documents",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS L,
+             CAST(octet_length(encode(text)) % 24 + 8 AS INT) AS w,
+             CAST(octet_length(encode(text)) % 16 + 8 AS INT) AS h
+      FROM documents),
+    px AS (
+      SELECT media_id, w, h, CAST(i AS BIGINT) AS i,
+             CASE WHEN L = 0 THEN 0 ELSE
+               (strpos('0123456789ABCDEF',
+                  substr(hx, CAST(2 * (i % L) + 1 AS INT), 1)) - 1) * 16
+               + (strpos('0123456789ABCDEF',
+                  substr(hx, CAST(2 * (i % L) + 2 AS INT), 1)) - 1)
+             END AS v
+      FROM m, unnest(range(0, CAST(w AS BIGINT) * h)) AS u(i)),
+    fp AS (
+      SELECT media_id, ANY_VALUE(w) AS width, ANY_VALUE(h) AS height,
+             md5(string_agg(CAST(v AS VARCHAR), '-' ORDER BY i)) AS px_fp
+      FROM px GROUP BY media_id),
+    g AS (SELECT px_fp, CAST(COUNT(*) AS BIGINT) AS group_size,
+                 MIN(media_id) AS canon
+          FROM fp GROUP BY px_fp)
+    SELECT f.media_id, f.width, f.height, f.px_fp, g.group_size,
+           f.media_id = g.canon AS is_canonical
+    FROM fp f JOIN g USING (px_fp)
+    """,
+)
+def image_pixel_dedup_documents(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """PIXEL-LEVEL image dedup (`multimodal.image_pixel_fingerprints`):
+    dedup on the DECODED pixels, not the transport bytes — the tier the
+    byte hash cannot provide, since re-encoded copies of the same image
+    (here: the same pixels written under different PNG scanline filters,
+    doc_id % 5 — all five filter paths exercised in the production
+    decode) share a pixel fingerprint while their payload bytes differ
+    (pinned in tests). One Arrow decode pass, then exact-dedup shape:
+    one hash aggregate on the fingerprint. The oracle predicts every
+    fingerprint from the text bytes alone."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    fps = MM.image_pixel_fingerprints(
+        MM.attach_images(docs, vary_filters=True))
+    g = fps.groupBy("px_fp").agg(
+        F.count("*").alias("group_size"),
+        F.min("media_id").alias("_canon"))
+    return (
+        fps.join(F.broadcast(g), "px_fp")
+        .select("media_id", "width", "height", "px_fp", "group_size",
+                (F.col("media_id") == F.col("_canon"))
+                .alias("is_canonical"))
+    )
+
+
+@query(
+    "audio_energy_windows_documents",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS L
+      FROM documents),
+    s AS (
+      SELECT media_id, CAST(i AS BIGINT) AS i,
+             CASE WHEN L = 0 THEN 0 ELSE
+               ((strpos('0123456789ABCDEF',
+                   substr(hx, CAST(2 * i + 1 AS INT), 1)) - 1) * 16
+                + (strpos('0123456789ABCDEF',
+                   substr(hx, CAST(2 * i + 2 AS INT), 1)) - 1)
+                - 128) * 256
+             END AS v
+      FROM m, unnest(range(0, CASE WHEN L = 0 THEN 64 ELSE L END)) AS u(i))
+    SELECT media_id, CAST(i // 256 AS INT) AS win_idx,
+           CAST(COUNT(*) AS INT) AS n_frames,
+           CAST(SUM(ABS(v)) AS BIGINT) AS abs_sum
+    FROM s GROUP BY media_id, i // 256
+    """,
+)
+def audio_energy_windows_documents(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Energy profile over DECODED audio (`multimodal.audio_energy_windows`
+    on `attach_audio`'s deterministic PCM16 fixtures): non-overlapping
+    256-frame segments, per segment the summed absolute amplitude — the
+    VAD/silence-trim primitive, and the first real-DSP consumer of the
+    WAV codec. The oracle predicts every segment energy from the text
+    bytes ((byte−128)·256 through ABS/SUM), so the decode → window →
+    reduce chain is hash-checked end-to-end."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return MM.audio_energy_windows(MM.attach_audio(docs), window=256)
+
+
+@query(
     "multimodal_features",
     """
     WITH m AS (SELECT doc_id AS media_id,
