@@ -2115,7 +2115,8 @@ _DRIVER_PRIORITY = [
     # --- net-new this round (first driver rows) ---
     "streaming_bloom_admission_documents", "ffd_packed_documents",
     "multimodal_thumbnails", "multimodal_audio_decoded",
-    "ccnet_source_scorecard_documents",
+    "ccnet_source_scorecard_documents", "image_pixel_dedup_documents",
+    "audio_energy_windows_documents",
     # --- code changed this round (re-prove under the driver hash):
     # png_codec gained tRNS/eof guards (features decodes PNGs),
     # decontaminate_bloom now routes through the shared bloom_bit kernel
@@ -2141,7 +2142,6 @@ _DRIVER_PRIORITY = [
     "duplicate_spans_documents", "substr_increment_documents",
     "strip_duplicate_spans_documents", "source_scorecard_documents",
     "embedding_recall_audit_embeddings", "dedup_corpus_semantic_documents",
-    "lm_gated_admission_documents", "dsir_gated_admission_documents",
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]
