@@ -2038,6 +2038,74 @@ def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "contamination_source_rollup_documents",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct({_shingle_sql(3, 'toks')})) AS sh
+      FROM tok
+    ),
+    bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 17 = 0),
+    hits AS (
+      SELECT s.doc_id, COUNT(*) AS n_shared
+      FROM sh s JOIN bench b ON s.sh = b.sh
+      GROUP BY s.doc_id
+    ),
+    base AS (
+      SELECT d.source, COALESCE(h.n_shared, 0) AS n_shared,
+             CASE WHEN d.doc_id % 17 = 0 THEN 1 ELSE 0 END AS is_bench
+      FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(is_bench) AS BIGINT) AS n_bench_docs,
+           CAST(SUM(CASE WHEN n_shared > 0 AND is_bench = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+           ROUND(AVG(CASE WHEN is_bench = 0
+                          THEN CASE WHEN n_shared > 0 THEN 1.0 ELSE 0.0 END
+                     END), 6) AS contamination_rate,
+           ROUND(AVG(CASE WHEN is_bench = 0 AND n_shared > 0
+                          THEN CAST(n_shared AS DOUBLE) END), 4)
+             AS avg_shared_when_hit
+    FROM base GROUP BY source
+    """,
+)
+def contamination_source_rollup_documents(spark: SparkSession,
+                                          sf_dir: str) -> DataFrame:
+    """Per-source CONTAMINATION-RATE rollup (the r8 §7.3 candidate):
+    which feeds leak benchmark text, at what rate, and how hard — the
+    triage table a decontamination run ends with. Benchmark stand-in
+    docs (doc_id%17==0) are counted but excluded from the rate (a
+    benchmark doc trivially 'shares' its own shingles). Reuses
+    `curation.decontaminate`'s engine path; the rollup is one hash
+    aggregate keyed by source — model-sized output."""
+    from .operators import curation as CU
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    dec = CU.decontaminate(docs, docs.filter(F.col("doc_id") % 17 == 0))
+    base = (
+        docs.select("doc_id", "source")
+        .join(dec.select("doc_id", "n_shared_shingles"), "doc_id")
+        .withColumn("is_bench",
+                    F.when(F.col("doc_id") % 17 == 0, 1).otherwise(0))
+    )
+    corpus = F.col("is_bench") == 0
+    hit = F.col("n_shared_shingles") > 0
+    return base.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("is_bench").alias("n_bench_docs"),
+        F.sum(F.when(corpus & hit, 1).otherwise(0)).alias("n_contaminated"),
+        F.round(F.avg(F.when(corpus, F.when(hit, 1.0).otherwise(0.0))), 6)
+        .alias("contamination_rate"),
+        F.round(F.avg(F.when(corpus & hit,
+                             F.col("n_shared_shingles").cast("double"))), 4)
+        .alias("avg_shared_when_hit"),
+    )
+
+
+@query(
     "bloom_decontaminate_documents",
     f"""
     WITH tok AS (
