@@ -269,7 +269,10 @@ def test_no_cartesian_or_undeclared_python_anywhere(spark):
                     # kNN label propagation: the transpose of the
                     # cosine_topk scan — broadcast SEED against the
                     # streaming corpus, row-local scoring
-                    "knn_label_propagation_embeddings"}
+                    "knn_label_propagation_embeddings",
+                    # CCNet rollup embeds the same LM ONE-ROW vocabulary
+                    # crossJoin as the tercile query it composes
+                    "ccnet_source_scorecard_documents"}
     # declared Arrow/Python boundaries
     python_ok = {"multimodal_frames", "multimodal_features",
                  "multimodal_resize", "multimodal_audio_chunks",
@@ -297,7 +300,17 @@ def test_no_cartesian_or_undeclared_python_anywhere(spark):
                  "packed_bpe_sequences_documents",
                  # moment accumulation is the declared Arrow kernel
                  # (numpy X.T@X per partition, one state row out)
-                 "pca_incremental_moments_embeddings"}
+                 "pca_incremental_moments_embeddings",
+                 # media codec kernels (r9): PNG build/decode/resample/
+                 # re-encode chain, WAV synth/decode, pixel-fingerprint
+                 # dedup, decoded-sample energy windows — all row-local
+                 # mapInPandas, zero shuffle
+                 "multimodal_thumbnails", "multimodal_audio_decoded",
+                 "image_pixel_dedup_documents",
+                 "audio_energy_windows_documents",
+                 # FFD packing: the declared per-bucket grouped Arrow
+                 # fold behind ONE exchange on the bucket key
+                 "ffd_packed_documents"}
     bad = {}
     for name, fn in QUERIES.items():
         try:
@@ -308,7 +321,8 @@ def test_no_cartesian_or_undeclared_python_anywhere(spark):
         has_cart = ("CartesianProduct" in plan
                     or "BroadcastNestedLoopJoin" in plan)
         has_py = ("BatchEvalPython" in plan or "ArrowEvalPython" in plan
-                  or "MapInPandas" in plan)
+                  or "MapInPandas" in plan
+                  or "FlatMapGroupsInPandas" in plan)
         if has_cart and name not in cartesian_ok:
             bad[name] = "cartesian/nested-loop join"
         if has_py and name not in python_ok:
