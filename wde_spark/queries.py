@@ -2116,7 +2116,7 @@ _DRIVER_PRIORITY = [
     "streaming_bloom_admission_documents", "ffd_packed_documents",
     "multimodal_thumbnails", "multimodal_audio_decoded",
     "ccnet_source_scorecard_documents", "image_pixel_dedup_documents",
-    "audio_energy_windows_documents",
+    "audio_energy_windows_documents", "contamination_source_rollup_documents",
     # --- code changed this round (re-prove under the driver hash):
     # png_codec gained tRNS/eof guards (features decodes PNGs),
     # decontaminate_bloom now routes through the shared bloom_bit kernel
@@ -2141,7 +2141,9 @@ _DRIVER_PRIORITY = [
     "nb_classify_documents", "source_overlap_documents",
     "duplicate_spans_documents", "substr_increment_documents",
     "strip_duplicate_spans_documents", "source_scorecard_documents",
-    "embedding_recall_audit_embeddings", "dedup_corpus_semantic_documents",
+    "embedding_recall_audit_embeddings",
+    # dedup_corpus_semantic_documents (r6 vintage) yields its seat to the
+    # contamination rollup's first driver row; it leads the r10 rotation.
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]

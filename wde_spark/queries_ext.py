@@ -6101,3 +6101,160 @@ def curation_pipeline_documents(spark: SparkSession,
              F.sum(F.size(_tokens(F.col("text")))).cast("long")
              .alias("n_tokens"))
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming maintained FFD manifests — streaming/pack_admission.py
+# ---------------------------------------------------------------------------
+
+def _streaming_ffd_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per parquet snapshot) the sealed-bin FFD manifest of the
+    documents table streamed in as three arrival batches (doc_id % 3),
+    and return its manifest directory. Same process-unique staging +
+    atomic-rename cache as the other streaming builders; feed-file
+    mtimes are pinned strictly increasing so the file source's
+    oldest-first ordering makes batch_no == doc_id % 3 deterministic."""
+    import hashlib
+    import shutil
+    import tempfile
+    import time
+
+    from .functions.strings import tokens as _tokens
+
+    src_parquet = os.path.join(sf_dir, "documents.parquet")
+    try:
+        mtime = str(int(os.path.getmtime(src_parquet)))
+    except OSError:
+        mtime = "0"
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{mtime}".encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"wde_ffd_adm_{tag}")
+    man_dir = os.path.join(base, "pack", "manifest")
+    done = os.path.join(base, "_COMPLETE")
+    if os.path.exists(done):
+        return man_dir
+    from .streaming.pack_admission import streaming_ffd_manifest
+
+    if os.path.exists(base):
+        shutil.rmtree(base, ignore_errors=True)
+    stage = f"{base}.build.{os.getpid()}"
+    shutil.rmtree(stage, ignore_errors=True)
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.size(_tokens(F.col("text")))
+                 .cast("long").alias("n_tok"))
+    feed = os.path.join(stage, "feed")
+    now = time.time()
+    for i in range(3):
+        fdir = os.path.join(feed, f"b{i}.parquet")
+        t.filter(F.col("doc_id") % 3 == i).coalesce(1) \
+            .write.mode("overwrite").parquet(fdir)
+        # pin strictly-increasing mtimes on the data files so the file
+        # stream's oldest-first order equals arrival order
+        for name in os.listdir(fdir):
+            os.utime(os.path.join(fdir, name),
+                     (now - 300 + i * 60, now - 300 + i * 60))
+    stream = (
+        spark.readStream.schema(t.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(feed, "*.parquet"))
+    )
+    streaming_ffd_manifest(
+        stream, os.path.join(stage, "pack"), os.path.join(stage, "ckpt"),
+        seq_len=_PACK_SEQ_LEN, n_buckets=8)
+    with open(os.path.join(stage, "_COMPLETE"), "w") as fh:
+        fh.write("ok")
+    try:
+        os.rename(stage, base)
+    except OSError:
+        if not os.path.exists(done):
+            raise
+        shutil.rmtree(stage, ignore_errors=True)
+    return man_dir
+
+
+@query(
+    "streaming_ffd_manifest_documents",
+    f"""
+    WITH RECURSIVE
+    t AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tok,
+             CAST('0x' || substr(md5('ffd|' || CAST(doc_id AS VARCHAR)),
+                                 1, 8) AS BIGINT) % 8 AS bucket,
+             doc_id % 3 AS batch_no
+      FROM documents
+    ),
+    d AS (
+      SELECT bucket, batch_no, doc_id, n_tok,
+             ROW_NUMBER() OVER (PARTITION BY bucket, batch_no
+                                ORDER BY n_tok DESC, doc_id) AS rn
+      FROM t WHERE n_tok > 0
+    ),
+    ffd AS (
+      SELECT bucket, batch_no, 0::BIGINT AS rn,
+             CAST([] AS BIGINT[]) AS fills, CAST([] AS BIGINT[]) AS bins
+      FROM (SELECT DISTINCT bucket, batch_no FROM d)
+      UNION ALL
+      SELECT f.bucket, f.batch_no, f.rn + 1,
+             CASE WHEN NULLIF(list_position(list_transform(f.fills,
+                    y -> y + x.n_tok <= {_PACK_SEQ_LEN}), true), 0) IS NULL
+                  THEN list_append(f.fills, x.n_tok)
+                  ELSE f.fills[1:NULLIF(list_position(list_transform(f.fills,
+                         y -> y + x.n_tok <= {_PACK_SEQ_LEN}), true), 0)-1]
+                       || [f.fills[NULLIF(list_position(list_transform(f.fills,
+                            y -> y + x.n_tok <= {_PACK_SEQ_LEN}), true), 0)]
+                           + x.n_tok]
+                       || f.fills[NULLIF(list_position(list_transform(f.fills,
+                            y -> y + x.n_tok <= {_PACK_SEQ_LEN}), true), 0)+1:]
+             END,
+             list_append(f.bins, COALESCE(NULLIF(list_position(
+               list_transform(f.fills,
+                 y -> y + x.n_tok <= {_PACK_SEQ_LEN}), true), 0),
+               len(f.fills) + 1))
+      FROM ffd f JOIN d x ON x.bucket = f.bucket
+                         AND x.batch_no = f.batch_no AND x.rn = f.rn + 1
+    ),
+    final AS (
+      SELECT f.bucket AS fb, f.batch_no AS fn, f.bins AS fbins FROM ffd f
+      JOIN (SELECT bucket, batch_no, MAX(rn) AS mx FROM ffd
+            GROUP BY 1, 2) m
+        ON m.bucket = f.bucket AND m.batch_no = f.batch_no AND m.mx = f.rn
+    ),
+    loc AS (
+      SELECT d.doc_id, d.bucket, d.batch_no, d.n_tok,
+             CAST(fbins[CAST(d.rn AS INT)] AS BIGINT) AS bin_local
+      FROM d JOIN final fi ON fi.fb = d.bucket AND fi.fn = d.batch_no
+    ),
+    batchbins AS (
+      SELECT bucket, batch_no, MAX(bin_local) AS nb FROM loc GROUP BY 1, 2
+    ),
+    offs AS (
+      SELECT bucket, batch_no,
+             COALESCE(SUM(nb) OVER (PARTITION BY bucket ORDER BY batch_no
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS off
+      FROM batchbins
+    )
+    SELECT l.doc_id, l.bucket, l.n_tok,
+           CAST(l.bin_local + o.off AS BIGINT) AS bin_id,
+           CAST(l.batch_no AS BIGINT) AS batch_no
+    FROM loc l JOIN offs o ON o.bucket = l.bucket
+                          AND o.batch_no = l.batch_no
+    """,
+)
+def streaming_ffd_manifest_documents(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """STREAMING-MAINTAINED FFD packing manifest
+    (`streaming/pack_admission.py`): the documents table arrives as three
+    micro-batches; each runs bucket-local first-fit-decreasing over its
+    OWN docs and SEALS its bins — bin ids continue past the per-bucket
+    `bins_so_far` ledger (COW metadata versions), and bins already
+    committed are never rewritten, the same append-only discipline as
+    `streaming_export_manifest`'s shards. The oracle replays the fold
+    EXACTLY: the recursive-CTE FFD per (bucket, batch), then a window
+    sum of earlier batches' bin counts as the offset — so every
+    doc→(bucket, bin, batch) assignment of the maintained ledger is
+    hash-checked, sealing semantics included (a late small doc must NOT
+    back-fill an earlier batch's bin)."""
+    man_dir = _streaming_ffd_dir(spark, sf_dir)
+    return spark.read.parquet(os.path.join(man_dir, "b*"))
