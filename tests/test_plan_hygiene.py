@@ -308,6 +308,9 @@ def test_no_cartesian_or_undeclared_python_anywhere(spark):
                  "multimodal_thumbnails", "multimodal_audio_decoded",
                  "image_pixel_dedup_documents",
                  "audio_energy_windows_documents",
+                 # palette+tRNS tier (r9): indexed-color encode → tRNS-aware
+                 # decode → RGBA fingerprint, row-local mapInPandas
+                 "image_palette_rgba_documents",
                  # FFD packing: the declared per-bucket grouped Arrow
                  # fold behind ONE exchange on the bucket key
                  "ffd_packed_documents"}

@@ -146,3 +146,98 @@ def test_extract_features_histograms_decoded_pixels(spark):
     bp = np.frombuffer(png, dtype=np.uint8)
     expect_raw = np.bincount(bp >> 5, minlength=8)[:8] / len(png)
     assert rows[3].features == pytest.approx(expect_raw.tolist())
+
+
+def _chunk(ctype, data):
+    crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+    return struct.pack(">I", len(data)) + ctype + data \
+        + struct.pack(">I", crc)
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_palette_encode_roundtrip(filter_type):
+    from wde_spark.operators.png_codec import encode_png_palette
+
+    rng = np.random.RandomState(41 + filter_type)
+    px = (rng.randint(0, 6, (11, 13, 1)) * 40).repeat(3, axis=2) \
+        .astype(np.uint8)
+    px[:, :, 1] //= 2  # distinct per-channel values
+    blob = encode_png_palette(px, filter_type=filter_type)
+    w, h, ch, out = decode_png(blob)
+    assert (w, h, ch) == (13, 11, 3)
+    assert (out == px).all()
+    # indexed tier really is smaller than the truecolor tier here
+    assert len(blob) < len(encode_png(px, filter_type=filter_type))
+
+
+def test_palette_trns_roundtrip_expands_alpha():
+    from wde_spark.operators.png_codec import encode_png_palette
+
+    rng = np.random.RandomState(7)
+    px = (rng.randint(0, 5, (9, 8, 1)) * 50).repeat(3, axis=2) \
+        .astype(np.uint8)
+    alpha = np.where(px[:, :, 0] == 0, 0, 255).astype(np.uint8)
+    blob = encode_png_palette(px, alpha=alpha, filter_type=3)
+    w, h, ch, out = decode_png(blob)
+    assert ch == 4
+    assert (out[:, :, :3] == px).all()
+    assert (out[:, :, 3] == alpha).all()
+
+
+def test_gray_and_rgb_trns_expand_alpha():
+    g = (np.arange(42, dtype=np.uint8).reshape(6, 7) % 4) * 30
+    body = encode_png(g)
+    blob = body[:33] + _chunk(b"tRNS", struct.pack(">H", 30)) + body[33:]
+    w, h, ch, out = decode_png(blob)
+    assert ch == 2
+    assert (out[:, :, 0] == g).all()
+    assert ((out[:, :, 1] == 0) == (g == 30)).all()
+
+    rgb = np.dstack([g, g // 2, g * 2]).astype(np.uint8)
+    body = encode_png(rgb)
+    key = struct.pack(">HHH", 30, 15, 60)
+    blob = body[:33] + _chunk(b"tRNS", key) + body[33:]
+    w, h, ch, out = decode_png(blob)
+    hit = (rgb[:, :, 0] == 30) & (rgb[:, :, 1] == 15) & (rgb[:, :, 2] == 60)
+    assert ch == 4 and ((out[:, :, 3] == 0) == hit).all()
+
+
+def test_trns_malformed_null_routes():
+    from wde_spark.operators.png_codec import encode_png_palette
+
+    # tRNS alongside an alpha channel is invalid per spec
+    rgba = _rand((5, 5, 4), seed=3)
+    body = encode_png(rgba)
+    assert decode_png(
+        body[:33] + _chunk(b"tRNS", b"\x00\x01") + body[33:]) is None
+    # wrong-length gray/RGB tRNS
+    g = _rand((4, 4), seed=4)
+    body = encode_png(g)
+    assert decode_png(
+        body[:33] + _chunk(b"tRNS", b"\x00\x01\x02") + body[33:]) is None
+    # palette tRNS longer than the palette
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    blob = encode_png_palette(px)  # 1-entry palette
+    # splice an oversized tRNS right before IDAT: rebuild chunk layout
+    magic_ihdr = blob[:33]
+    plte_len = struct.unpack(">I", blob[33:37])[0]
+    plte_end = 33 + 12 + plte_len
+    bad = magic_ihdr + blob[33:plte_end] \
+        + _chunk(b"tRNS", b"\x00\x01") + blob[plte_end:]
+    assert decode_png(bad) is None
+
+
+def test_palette_encoder_contract_errors():
+    from wde_spark.operators.png_codec import encode_png_palette
+
+    i = np.arange(300)
+    big = np.stack([i % 256, i // 256, np.zeros_like(i)], axis=1) \
+        .astype(np.uint8).reshape(15, 20, 3)
+    with pytest.raises(ValueError, match="256"):
+        encode_png_palette(big)
+    with pytest.raises(ValueError, match="alpha"):
+        encode_png_palette(
+            np.zeros((2, 2, 3), np.uint8),
+            alpha=np.array([[0, 255], [255, 255]], np.uint8))
+    with pytest.raises(ValueError, match="RGB"):
+        encode_png_palette(np.zeros((2, 2), np.uint8))

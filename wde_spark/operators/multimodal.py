@@ -552,3 +552,88 @@ def audio_sample_stats(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "payload").mapInPandas(
         kernel, schema=AUDIO_STATS_SCHEMA)
+
+
+RGBA_STATS_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("px_sum", T.LongType()),
+    T.StructField("n_transparent", T.LongType()),
+    T.StructField("px_fp", T.StringType()),
+])
+
+
+def attach_palette_images(docs: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Deterministic INDEXED-COLOR (palette + tRNS) PNG media table: each
+    doc's text bytes pick one of 16 colors per pixel (j = byte % 16 →
+    color ((19j)%256, (37j)%256, (53j)%256) — 16 distinct RGB triples),
+    color 0 is fully transparent (alpha 0 via tRNS), every other color
+    opaque; dims and tiling follow `attach_images` (w = L%24+8,
+    h = L%16+8, pixel i = byte i mod L). The scanline filter varies by
+    doc_id % 5, exercising all five filter paths on the INDEX plane.
+    Every decoded RGBA value is a pure function of the text, so the SQL
+    oracle predicts the whole image — the palette tier's encode AND the
+    tRNS alpha expansion become hash-checked surface."""
+    import numpy as np
+
+    from .png_codec import encode_png_palette
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                data = (text or "").encode("utf-8")
+                n = len(data)
+                w, h = n % 24 + 8, n % 16 + 8
+                if n:
+                    b = np.frombuffer(data, dtype=np.uint8)
+                    j = (b[(np.arange(w * h) % n)] % 16).reshape(h, w)
+                else:
+                    j = np.zeros((h, w), dtype=np.uint8)
+                jj = j.astype(np.uint16)
+                px = np.dstack([(jj * 19) % 256, (jj * 37) % 256,
+                                (jj * 53) % 256]).astype(np.uint8)
+                alpha = np.where(j == 0, 0, 255).astype(np.uint8)
+                ft = int(mid) % 5
+                rows.append((mid, encode_png_palette(px, alpha=alpha,
+                                                     filter_type=ft)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return docs.select(id_col, text_col).mapInPandas(
+        kernel, schema="media_id long, payload binary")
+
+
+def image_rgba_stats(media: DataFrame) -> DataFrame:
+    """Decoded-image statistics INCLUDING the alpha plane: per payload the
+    decoded dims/channels, the sum over every channel value (alpha
+    included), the fully-transparent pixel count, and the md5 fingerprint
+    of the row-major channel-interleaved decimal values — the verify pass
+    that makes tRNS expansion (`png_codec.decode_png`) correctness
+    surface. Undecodable payloads drop (the raw-byte path upstream).
+    Row-local Arrow kernel, zero shuffle."""
+    import hashlib
+
+    from .png_codec import decode_png
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                decoded = decode_png(bytes(payload))
+                if decoded is None:
+                    continue
+                w, h, ch, px = decoded
+                flat = px.reshape(-1)
+                n_tr = int((px[:, :, -1] == 0).sum()) if ch in (2, 4) else 0
+                fp = hashlib.md5(
+                    "-".join(str(int(v)) for v in flat).encode()).hexdigest()
+                rows.append((mid, w, h, ch, int(flat.sum(dtype="int64")),
+                             n_tr, fp))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RGBA_STATS_SCHEMA.fields])
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, schema=RGBA_STATS_SCHEMA)

@@ -110,6 +110,7 @@ def decode_png(payload: bytes):
         width = height = None
         color_type = bit_depth = interlace = None
         palette = None
+        trns = None
         idat = bytearray()
         n = len(payload)
         while pos + 8 <= n:
@@ -125,10 +126,12 @@ def decode_png(payload: bytes):
             elif ctype == b"PLTE":
                 palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
             elif ctype == b"tRNS":
-                # Transparency on palette/gray/RGB images: decoding would
-                # silently drop the alpha information, so null-route and
-                # let the caller keep the raw-byte path instead.
-                return None
+                # Transparency on palette/gray/RGB images is REAL decode
+                # surface (r9): expand it to an alpha channel below rather
+                # than dropping it. The spec forbids tRNS on color types
+                # that already carry alpha (4, 6) — that stays a
+                # null-route (handled after IHDR is known).
+                trns = bytes(data)
             elif ctype == b"IDAT":
                 idat.extend(data)
             elif ctype == b"IEND":
@@ -149,13 +152,44 @@ def decode_png(payload: bytes):
         raw = dec.decompress(bytes(idat), expected + 1)
         if len(raw) != expected or dec.unconsumed_tail or not dec.eof:
             return None
+        if trns is not None and color_type in (4, 6):
+            return None  # tRNS is invalid alongside an alpha channel
         px = _unfilter(raw, height, stride, samples)
         px = px.reshape(height, width, samples)
         if color_type == 3:
             if palette is None:
                 return None
-            px = palette[px[:, :, 0]]
-            samples = 3
+            idx = px[:, :, 0]
+            if idx.max(initial=0) >= palette.shape[0]:
+                return None  # index past the palette
+            rgb = palette[idx]
+            if trns is None:
+                return width, height, 3, rgb
+            # per-palette-entry alpha; entries past len(trns) are opaque
+            if len(trns) > palette.shape[0]:
+                return None
+            lut = np.full(palette.shape[0], 255, dtype=np.uint8)
+            lut[:len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+            a = lut[idx][:, :, None]
+            return width, height, 4, np.concatenate([rgb, a], axis=2)
+        if trns is not None and color_type == 0:
+            # 2-byte sample value; pixels equal to it are fully transparent
+            if len(trns) != 2:
+                return None
+            g = struct.unpack(">H", trns)[0] & 0xFF
+            a = np.where(px[:, :, 0] == g, 0, 255).astype(np.uint8)
+            return width, height, 2, np.concatenate(
+                [px, a[:, :, None]], axis=2)
+        if trns is not None and color_type == 2:
+            # three 2-byte sample values; exact-RGB matches go transparent
+            if len(trns) != 6:
+                return None
+            r, g, b = (v & 0xFF for v in struct.unpack(">HHH", trns))
+            hit = ((px[:, :, 0] == r) & (px[:, :, 1] == g)
+                   & (px[:, :, 2] == b))
+            a = np.where(hit, 0, 255).astype(np.uint8)
+            return width, height, 4, np.concatenate(
+                [px, a[:, :, None]], axis=2)
         return width, height, samples, px
     except (zlib.error, ValueError, struct.error, IndexError):
         return None
@@ -217,3 +251,64 @@ def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
     return (PNG_MAGIC + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(bytes(lines)))
             + chunk(b"IEND", b""))
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+    return struct.pack(">I", len(data)) + ctype + data \
+        + struct.pack(">I", crc)
+
+
+def encode_png_palette(pixels: np.ndarray, alpha: np.ndarray | None = None,
+                       filter_type: int = 0) -> bytes:
+    """Encode a (h, w, 3) uint8 RGB array as an INDEXED-COLOR PNG
+    (color type 3): PLTE carries the image's distinct colors in
+    lexicographic (r, g, b) order — deterministic, so a SQL oracle can
+    re-derive every index — and an optional tRNS chunk carries
+    per-palette-entry alpha. The palette tier is the size win for
+    low-cardinality images (thumbnails, charts, UI screenshots): 1 byte
+    per pixel instead of 3, before the zlib pass.
+
+    `alpha`, if given, is a per-pixel (h, w) uint8 plane that must be
+    CONSTANT per color (tRNS stores alpha per palette ENTRY — a color
+    with two different alphas has no indexed representation; ValueError).
+    More than 256 distinct colors also raises — callers pick the
+    truecolor tier (`encode_png`) instead. The scanline filter applies to
+    the index plane (bpp=1), exercising the same five filter paths."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("encode_png_palette expects (h, w, 3) RGB")
+    h, w, _ = px.shape
+    flat = px.reshape(-1, 3)
+    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if palette.shape[0] > 256:
+        raise ValueError(
+            f"{palette.shape[0]} distinct colors > 256: use encode_png")
+    idx = inverse.reshape(h, w).astype(np.uint8)
+
+    trns_data = b""
+    if alpha is not None:
+        a = np.asarray(alpha, dtype=np.uint8).reshape(-1)
+        if a.size != flat.shape[0]:
+            raise ValueError("alpha plane must match pixel count")
+        entry_alpha = np.full(palette.shape[0], 255, dtype=np.uint8)
+        for e in range(palette.shape[0]):
+            vals = np.unique(a[inverse == e])
+            if vals.size > 1:
+                raise ValueError(
+                    f"color {palette[e].tolist()} has {vals.size} alphas: "
+                    "tRNS stores one alpha per palette entry")
+            entry_alpha[e] = vals[0]
+        trns_data = entry_alpha.tobytes()
+
+    # the index plane filters exactly like a grayscale image (bpp=1), so
+    # reuse encode_png's filter pass and keep only its IDAT+IEND tail
+    # (magic 8 + IHDR chunk 25 bytes), under a color-type-3 IHDR
+    body = encode_png(idx, filter_type=filter_type)
+    idat_iend = body[8 + 25:]
+    ihdr_data = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    out = PNG_MAGIC + _chunk(b"IHDR", ihdr_data) \
+        + _chunk(b"PLTE", palette.tobytes())
+    if trns_data:
+        out += _chunk(b"tRNS", trns_data)
+    return out + idat_iend

@@ -6258,3 +6258,57 @@ def streaming_ffd_manifest_documents(spark: SparkSession,
     back-fill an earlier batch's bin)."""
     man_dir = _streaming_ffd_dir(spark, sf_dir)
     return spark.read.parquet(os.path.join(man_dir, "b*"))
+
+
+@query(
+    "image_palette_rgba_documents",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS L,
+             CAST(octet_length(encode(text)) % 24 + 8 AS INT) AS w,
+             CAST(octet_length(encode(text)) % 16 + 8 AS INT) AS h
+      FROM documents),
+    px AS (
+      SELECT media_id, w, h, CAST(p AS BIGINT) AS p,
+             CASE WHEN L = 0 THEN 0 ELSE
+               ((strpos('0123456789ABCDEF', substr(hx,
+                   CAST(2 * (p % L) + 1 AS INT), 1)) - 1) * 16
+                + (strpos('0123456789ABCDEF', substr(hx,
+                   CAST(2 * (p % L) + 2 AS INT), 1)) - 1)) % 16
+             END AS j
+      FROM m, unnest(range(0, CAST(w AS BIGINT) * h)) AS u(p)),
+    v AS (
+      SELECT media_id, w, h, p, CAST(c AS BIGINT) AS c,
+             CASE CAST(c AS INT)
+                  WHEN 0 THEN (j * 19) % 256
+                  WHEN 1 THEN (j * 37) % 256
+                  WHEN 2 THEN (j * 53) % 256
+                  ELSE CASE WHEN j = 0 THEN 0 ELSE 255 END END AS v
+      FROM px, unnest(range(0, 4)) AS t(c))
+    SELECT media_id, w AS width, h AS height, CAST(4 AS INT) AS channels,
+           CAST(SUM(v) AS BIGINT) AS px_sum,
+           CAST(SUM(CASE WHEN c = 3 AND v = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_transparent,
+           md5(string_agg(CAST(v AS VARCHAR), '-' ORDER BY p * 4 + c))
+             AS px_fp
+    FROM v GROUP BY media_id, w, h
+    """,
+)
+def image_palette_rgba_documents(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """PALETTE + tRNS PNG tier, hash-checked end-to-end: deterministic
+    indexed-color PNGs with a transparency chunk built from each doc's
+    text (`multimodal.attach_palette_images` —
+    `png_codec.encode_png_palette`: lexicographic PLTE, per-entry tRNS
+    alpha, scanline filter varying by doc_id % 5 on the index plane),
+    then decoded back through the tRNS-aware decoder (alpha EXPANDS to a
+    4th channel instead of null-routing — the r8 ADVICE follow-through)
+    and fingerprinted per RGBA value (`multimodal.image_rgba_stats`).
+    The oracle predicts every channel of every pixel from the text
+    alone, so a wrong palette build, index filter, tRNS write, or alpha
+    expansion breaks the md5."""
+    from .operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return MM.image_rgba_stats(MM.attach_palette_images(docs))
