@@ -311,6 +311,9 @@ def test_no_cartesian_or_undeclared_python_anywhere(spark):
                  # palette+tRNS tier (r9): indexed-color encode → tRNS-aware
                  # decode → RGBA fingerprint, row-local mapInPandas
                  "image_palette_rgba_documents",
+                 # mixed-format audio (stereo/8-bit) through the decoded
+                 # energy windows — same row-local codec kernels
+                 "audio_energy_mixed_documents",
                  # FFD packing: the declared per-bucket grouped Arrow
                  # fold behind ONE exchange on the bucket key
                  "ffd_packed_documents"}

@@ -118,3 +118,46 @@ def test_audio_sample_stats_drops_undecodable(spark):
     got = MM.audio_sample_stats(media).collect()
     assert [r["media_id"] for r in got] == [2]
     assert got[0]["s_sum"] == 100
+
+
+def test_energy_windows_center_8bit_and_sum_stereo(spark):
+    """The energy-window VAD primitive: 8-bit PCM is 128-centered, so
+    digital silence must score ZERO energy (raw abs would score 128/frame);
+    stereo windows sum |L| + |R| per frame."""
+    from wde_spark.operators import multimodal as MM
+
+    silence8 = encode_wav(np.full(300, 128, np.uint8), 8000, bits=8)
+    loud8 = encode_wav(np.full(10, 138, np.uint8), 8000, bits=8)
+    stereo = encode_wav(
+        np.array([[1000, -2000]] * 5, dtype=np.int16), 16000)
+    media = spark.createDataFrame(
+        [(1, bytearray(silence8)), (2, bytearray(loud8)),
+         (3, bytearray(stereo))],
+        "media_id long, payload binary")
+    rows = {(r["media_id"], r["win_idx"]): (r["n_frames"], r["abs_sum"])
+            for r in MM.audio_energy_windows(media, window=256).collect()}
+    assert rows[(1, 0)] == (256, 0) and rows[(1, 1)] == (44, 0)
+    assert rows[(2, 0)] == (10, 100)          # |138 - 128| * 10
+    assert rows[(3, 0)] == (5, 15000)         # (1000 + 2000) * 5
+
+
+def test_attach_audio_mixed_formats_decode_as_declared(spark):
+    from wde_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame(
+        [(0, "ab"), (1, "ab"), (2, "ab"), (3, "")],
+        "doc_id long, text string")
+    media = {r["media_id"]: bytes(r["payload"])
+             for r in MM.attach_audio_mixed(docs).collect()}
+    r0 = decode_wav(media[0])
+    assert (r0[0], r0[1], r0[2]) == (16000, 1, 16)
+    assert r0[3][:, 0].tolist() == [(97 - 128) * 256, (98 - 128) * 256]
+    r1 = decode_wav(media[1])
+    assert (r1[0], r1[1], r1[2]) == (16000, 2, 16)
+    assert r1[3][0].tolist() == [(97 - 128) * 256,
+                                 ((97 + 64) % 256 - 128) * 256]
+    r2 = decode_wav(media[2])
+    assert (r2[0], r2[1], r2[2]) == (8000, 1, 8)
+    assert r2[3][:, 0].tolist() == [97, 98]
+    r3 = decode_wav(media[3])  # empty text -> 64 silent 16-bit frames
+    assert r3[3].shape == (64, 1) and int(np.abs(r3[3]).sum()) == 0

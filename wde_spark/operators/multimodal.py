@@ -396,8 +396,13 @@ def audio_energy_windows(media: DataFrame, window: int = 256) -> DataFrame:
                 decoded = decode_wav(bytes(payload))
                 if decoded is None:
                     continue
-                _rate, _ch, _bits, samples = decoded
-                a = np.abs(samples.astype(np.int64)).sum(axis=1)
+                _rate, _ch, bits, samples = decoded
+                s = samples.astype(np.int64)
+                if bits == 8:
+                    s -= 128  # 8-bit PCM is unsigned, 128-centered:
+                    # amplitude is the excursion from 128, so raw abs
+                    # would score silence as full-scale energy
+                a = np.abs(s).sum(axis=1)
                 n = a.shape[0]
                 for wi in range(0, (n + window - 1) // window):
                     seg = a[wi * window: (wi + 1) * window]
@@ -637,3 +642,54 @@ def image_rgba_stats(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "payload").mapInPandas(
         kernel, schema=RGBA_STATS_SCHEMA)
+
+
+def attach_audio_mixed(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Deterministic MIXED-FORMAT WAV media table — the fixture that makes
+    the codec's full declared surface (stereo, 8-bit) production
+    correctness surface instead of unit-test-only. Format by doc_id % 3:
+
+      0: mono 16-bit  — sample i = (byte i − 128)·256 (as `attach_audio`);
+      1: stereo 16-bit — L as mono, R = ((byte i + 64) % 256 − 128)·256
+         (a deterministic phase-shifted companion channel);
+      2: mono 8-bit   — sample i = byte i (unsigned, 128-centered PCM).
+
+    Empty text yields 64 silent frames in the row's format (0 for 16-bit,
+    128 for 8-bit). Every decoded sample is a pure function of the text,
+    so SQL oracles predict energy profiles across all three formats."""
+    import numpy as np
+
+    from .wav_codec import encode_wav
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                data = (text or "").encode("utf-8")
+                fmt = int(mid) % 3
+                if data:
+                    b = np.frombuffer(data, dtype=np.uint8)
+                else:
+                    b = None
+                if fmt == 0:
+                    s = ((b.astype(np.int16) - 128) * 256
+                         if b is not None else np.zeros(64, np.int16))
+                    rows.append((mid, encode_wav(s, 16000)))
+                elif fmt == 1:
+                    if b is not None:
+                        left = (b.astype(np.int16) - 128) * 256
+                        right = (((b.astype(np.int32) + 64) % 256 - 128)
+                                 * 256).astype(np.int16)
+                        s = np.stack([left, right], axis=1)
+                    else:
+                        s = np.zeros((64, 2), np.int16)
+                    rows.append((mid, encode_wav(s, 16000)))
+                else:
+                    s = (b if b is not None
+                         else np.full(64, 128, np.uint8))
+                    rows.append((mid, encode_wav(s, 8000, bits=8)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return docs.select(id_col, text_col).mapInPandas(
+        kernel, schema="media_id long, payload binary")

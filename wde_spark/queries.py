@@ -2140,13 +2140,15 @@ _DRIVER_PRIORITY = [
     "lm_quality_documents", "dsir_sample_documents",
     "nb_classify_documents", "source_overlap_documents",
     "duplicate_spans_documents", "substr_increment_documents",
-    "strip_duplicate_spans_documents",
     # --- net-new late in the round (first driver rows): the maintained
-    # FFD manifest and the palette+tRNS image tier ---
+    # FFD manifest, the palette+tRNS image tier, and the mixed-format
+    # (stereo / 8-bit) audio energy windows ---
     "streaming_ffd_manifest_documents", "image_palette_rgba_documents",
-    # dedup_corpus_semantic_documents, source_scorecard_documents, and
-    # embedding_recall_audit_embeddings (r6 vintage) yield their seats to
-    # the late net-new entries; they lead the r10 rotation.
+    "audio_energy_mixed_documents",
+    # dedup_corpus_semantic_documents, source_scorecard_documents,
+    # embedding_recall_audit_embeddings, and strip_duplicate_spans_documents
+    # (r6 vintage) yield their seats to the late net-new entries; they
+    # lead the r10 rotation.
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]

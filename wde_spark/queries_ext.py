@@ -6312,3 +6312,52 @@ def image_palette_rgba_documents(spark: SparkSession,
 
     docs = load_table(spark, sf_dir, "documents", spread=True)
     return MM.image_rgba_stats(MM.attach_palette_images(docs))
+
+
+@query(
+    "audio_energy_mixed_documents",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, CAST(doc_id % 3 AS INT) AS fmt,
+             hex(encode(text)) AS hx, octet_length(encode(text)) AS L
+      FROM documents),
+    s AS (
+      SELECT media_id, fmt, L, CAST(i AS BIGINT) AS i,
+             CASE WHEN L = 0 THEN 128 ELSE
+               (strpos('0123456789ABCDEF',
+                   substr(hx, CAST(2 * i + 1 AS INT), 1)) - 1) * 16
+               + (strpos('0123456789ABCDEF',
+                   substr(hx, CAST(2 * i + 2 AS INT), 1)) - 1)
+             END AS b
+      FROM m, unnest(range(0, CASE WHEN L = 0 THEN 64 ELSE L END)) AS u(i)),
+    e AS (
+      SELECT media_id, i,
+             CASE fmt
+                  WHEN 0 THEN abs((b - 128) * 256)
+                  WHEN 1 THEN abs((b - 128) * 256)
+                             + abs(((b + 64) % 256 - 128) * 256)
+                  ELSE abs(b - 128) END AS v
+      FROM s)
+    SELECT media_id, CAST(i // 256 AS INT) AS win_idx,
+           CAST(COUNT(*) AS INT) AS n_frames,
+           CAST(SUM(v) AS BIGINT) AS abs_sum
+    FROM e GROUP BY media_id, i // 256
+    """,
+)
+def audio_energy_mixed_documents(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The audio codec's FULL declared surface as production correctness
+    surface: mixed-format recordings (mono 16-bit / stereo 16-bit /
+    mono 8-bit by doc_id % 3, `multimodal.attach_audio_mixed`) decoded
+    through `wav_codec.decode_wav` into the energy-window VAD primitive
+    (`multimodal.audio_energy_windows` — which now CENTERS 8-bit PCM at
+    128 before the abs, so silence scores zero energy in every format).
+    The oracle predicts each window's summed amplitude across formats and
+    channels from the text bytes alone — stereo channel summation, the
+    8-bit centering fix, and the container geometry are all under the
+    driver hash. Empty texts are 64 silent frames (energy 0) in every
+    format."""
+    from .operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return MM.audio_energy_windows(MM.attach_audio_mixed(docs), window=256)
