@@ -112,6 +112,13 @@ HEADLINE = [
     # decode->resample->re-encode thumbnail path (codec-bound kernel)
     "ffd_packed_documents",
     "multimodal_thumbnails",
+    # r9 late additions: the palette+tRNS encode/decode chain, the
+    # mixed-format (stereo/8-bit) audio energy windows, and real video
+    # decode (uncompressed AVI tier) — row-local codec kernels, the
+    # media-throughput side of the bench
+    "image_palette_rgba_documents",
+    "audio_energy_mixed_documents",
+    "video_frames_decoded_documents",
 ]
 
 

@@ -1,0 +1,119 @@
+"""AVI/DIB video codec (`operators/avi_codec.py`): round-trip property
+tests over both tiers (8-bit grayscale palette, 24-bit BGR), stride
+padding, malformed-input null-routing, and the Spark-side integration —
+`video_frame_stats` fingerprints decoded frames per the
+`video_frames_decoded_documents` oracle contract.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from wde_spark.operators.avi_codec import decode_avi, encode_avi, is_avi
+
+
+def _rand(shape, seed):
+    return np.random.RandomState(seed).randint(
+        0, 256, size=shape, dtype=np.uint8)
+
+
+@pytest.mark.parametrize("w", [4, 5, 6, 7])  # every stride-padding case
+def test_gray_roundtrip_expands_palette(w):
+    g = _rand((3, 5, w), seed=w)
+    fps, gw, gh, fr = decode_avi(encode_avi(g, fps=12))
+    assert (fps, gw, gh) == (12.0, w, 5)
+    assert fr.shape == (3, 5, w, 3)
+    for c in range(3):  # grayscale palette: RGB = (v, v, v)
+        assert (fr[:, :, :, c] == g).all()
+
+
+@pytest.mark.parametrize("w", [4, 5, 6, 7])
+def test_rgb_roundtrip(w):
+    c = _rand((2, 4, w, 3), seed=w + 10)
+    fps, gw, gh, fr = decode_avi(encode_avi(c, fps=25))
+    assert (fps, gw, gh) == (25.0, w, 4)
+    assert (fr == c).all()
+
+
+def test_is_avi_and_malformed_null_route():
+    good = encode_avi(_rand((1, 3, 3), seed=1))
+    assert is_avi(good) and not is_avi(b"RIFFxxxxWAVE")
+    assert decode_avi(b"not a container") is None
+    assert decode_avi(good[:40]) is None  # truncated: headers incomplete
+
+
+def test_unsupported_depth_and_compression_null_route():
+    good = encode_avi(_rand((2, 4, 5, 3), seed=2))
+    idx = good.find(b"strf")
+    bad = bytearray(good)
+    bad[idx + 8 + 14:idx + 8 + 16] = struct.pack("<H", 16)  # biBitCount
+    assert decode_avi(bytes(bad)) is None
+    bad2 = bytearray(good)
+    bad2[idx + 8 + 16:idx + 8 + 20] = struct.pack("<I", 1)  # biCompression
+    assert decode_avi(bytes(bad2)) is None
+
+
+def test_frame_geometry_disagreement_null_routes():
+    """A frame chunk whose size disagrees with header geometry must
+    refuse, never guess."""
+    good = encode_avi(_rand((1, 4, 4), seed=3))
+    idx = good.find(b"00db")
+    (size,) = struct.unpack("<I", good[idx + 4:idx + 8])
+    bad = bytearray(good)
+    bad[idx + 4:idx + 8] = struct.pack("<I", size - 4)
+    assert decode_avi(bytes(bad)) is None
+
+
+def test_top_down_rows_supported():
+    """Negative biHeight means top-down rows (no flip)."""
+    g = _rand((1, 3, 4), seed=4)
+    blob = encode_avi(g)
+    idx = blob.find(b"strf")
+    flipped = bytearray(blob)
+    flipped[idx + 8 + 8:idx + 8 + 12] = struct.pack("<i", -3)
+    fps, w, h, fr = decode_avi(bytes(flipped))
+    assert (w, h) == (4, 3)
+    # same bytes now interpreted top-down = the bottom-up image flipped
+    assert (fr[0, :, :, 0] == g[0][::-1]).all()
+
+
+def test_attach_video_frames_predictable_from_text(spark):
+    from wde_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame(
+        [(0, "abc"), (1, "abc"), (2, "")], "doc_id long, text string")
+    media = {r["media_id"]: bytes(r["payload"])
+             for r in MM.attach_video(docs).collect()}
+    # doc 0: gray tier; L=3 -> nf=2, w=7, h=7
+    fps, w, h, fr = decode_avi(media[0])
+    assert (fps, w, h, fr.shape[0]) == (10.0, 7, 7, 2)
+    b = b"abc"
+    for f in (0, 1):
+        want = np.frombuffer(b, np.uint8)[
+            (np.arange(49) + 7 * f) % 3].reshape(7, 7)
+        assert (fr[f, :, :, 0] == want).all()
+    # doc 1: RGB tier, channel offsets
+    _, _, _, fr1 = decode_avi(media[1])
+    v = np.frombuffer(b, np.uint8)[(np.arange(49)) % 3].reshape(7, 7)
+    assert (fr1[0, :, :, 0] == v).all()
+    assert (fr1[0, :, :, 1] == (v.astype(int) + 85) % 256).all()
+    assert (fr1[0, :, :, 2] == (v.astype(int) + 170) % 256).all()
+    # doc 2: empty text -> 2 zero frames of 4x4
+    _, w2, h2, fr2 = decode_avi(media[2])
+    assert (w2, h2, fr2.shape[0]) == (4, 4, 2)
+    assert int(fr2.sum()) == 0
+
+
+def test_video_frame_stats_drops_undecodable(spark):
+    from wde_spark.operators import multimodal as MM
+
+    good = encode_avi(_rand((2, 3, 3), seed=5))
+    media = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"garbage"))],
+        "media_id long, payload binary")
+    rows = MM.video_frame_stats(media).collect()
+    assert sorted(r["frame_idx"] for r in rows) == [0, 1]
+    assert {r["media_id"] for r in rows} == {1}

@@ -314,6 +314,9 @@ def test_no_cartesian_or_undeclared_python_anywhere(spark):
                  # mixed-format audio (stereo/8-bit) through the decoded
                  # energy windows — same row-local codec kernels
                  "audio_energy_mixed_documents",
+                 # real video decode (uncompressed AVI tier): container
+                 # synth + frame-stats kernels, row-local mapInPandas
+                 "video_frames_decoded_documents",
                  # FFD packing: the declared per-bucket grouped Arrow
                  # fold behind ONE exchange on the bucket key
                  "ffd_packed_documents"}

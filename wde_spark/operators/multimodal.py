@@ -19,12 +19,14 @@ gray/RGB/RGBA/palette, all five scanline filters) used by
 decode → nearest-neighbor downsample → RE-ENCODE thumbnails; the AUDIO
 modality has a REAL codec too (`operators/wav_codec.py` — RIFF/WAVE
 container, PCM 8/16-bit, any channel count) used by `audio_sample_stats`
-to fingerprint decoded samples. Unsupported payloads fall back to the
-raw-byte path on both. VIDEO decode remains environment-dependent (no
-libav here) and STUBBED: `_decode_frame` slices raw bytes as deterministic
-pseudo-frames; the Spark-side contract — schemas, binary transport, batch
-shapes, partitioning — is real and tested; swap `_decode_frame` for ffmpeg
-to productionize it.
+to fingerprint decoded samples. The VIDEO modality has a REAL codec for
+its uncompressed tier (`operators/avi_codec.py` — RIFF/AVI container,
+8-bit palettized / 24-bit BGR DIB frames) used by `video_frame_stats` to
+fingerprint decoded frames. Unsupported payloads fall back to the
+raw-byte path on all three. COMPRESSED video remains
+environment-dependent (no libav here): `_decode_frame` slices raw bytes
+as deterministic pseudo-frames for non-AVI payloads; swap it for ffmpeg
+to productionize that tier.
 """
 
 from __future__ import annotations
@@ -693,3 +695,95 @@ def attach_audio_mixed(docs: DataFrame, id_col: str = "doc_id",
 
     return docs.select(id_col, text_col).mapInPandas(
         kernel, schema="media_id long, payload binary")
+
+
+VIDEO_STATS_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("fps", T.DoubleType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("px_sum", T.LongType()),
+    T.StructField("px_fp", T.StringType()),
+])
+
+
+def attach_video(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Deterministic REAL-AVI media table — the video twin of
+    `attach_images`/`attach_audio`: each doc's text bytes become
+    L%3+2 uncompressed DIB frames of (h = L%8+4, w = L%12+4), frame f's
+    pixel p = byte (p + 7f) mod L (0 when the text is empty). Tier by
+    doc_id % 2: 8-bit grayscale-palette frames (decoded RGB = (v,v,v)
+    through the palette) or 24-bit BGR frames with channels
+    (v, (v+85)%256, (v+170)%256). Every decoded RGB value of every frame
+    is a pure function of the text, so SQL oracles predict the whole
+    clip — container geometry, palette expansion, BGR ordering,
+    bottom-up row flip, and stride padding all become hash-checked."""
+    import numpy as np
+
+    from .avi_codec import encode_avi
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                data = (text or "").encode("utf-8")
+                n = len(data)
+                nf, w, h = n % 3 + 2, n % 12 + 4, n % 8 + 4
+                p = np.arange(w * h)
+                vs = []
+                for f in range(nf):
+                    if n:
+                        b = np.frombuffer(data, dtype=np.uint8)
+                        vs.append(b[(p + 7 * f) % n].reshape(h, w))
+                    else:
+                        vs.append(np.zeros((h, w), dtype=np.uint8))
+                v = np.stack(vs)
+                if int(mid) % 2 == 0:
+                    payload = encode_avi(v, fps=10)
+                else:
+                    vv = v.astype(np.uint16)
+                    rgb = np.stack([vv % 256, (vv + 85) % 256,
+                                    (vv + 170) % 256],
+                                   axis=3).astype(np.uint8)
+                    payload = encode_avi(rgb, fps=10)
+                rows.append((mid, payload))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return docs.select(id_col, text_col).mapInPandas(
+        kernel, schema="media_id long, payload binary")
+
+
+def video_frame_stats(media: DataFrame) -> DataFrame:
+    """REAL video decode (`avi_codec.decode_avi`): parse the RIFF/AVI
+    container, expand every uncompressed DIB frame to canonical RGB, and
+    fingerprint each frame (sum + md5 of the row-major channel-interleaved
+    decimal values). Payloads outside the codec's declared support
+    null-route (rows dropped) instead of crashing. Row-local Arrow
+    kernel emitting one row per frame incrementally — a long clip never
+    materializes outside its own batch."""
+    import hashlib
+
+    from .avi_codec import decode_avi
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                decoded = decode_avi(bytes(payload))
+                if decoded is None:
+                    continue
+                fps, w, h, frames = decoded
+                for fi in range(frames.shape[0]):
+                    flat = frames[fi].reshape(-1)
+                    fp = hashlib.md5(
+                        "-".join(str(int(x)) for x in flat).encode()
+                    ).hexdigest()
+                    rows.append((mid, fi, float(fps), w, h,
+                                 int(flat.sum(dtype="int64")), fp))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in VIDEO_STATS_SCHEMA.fields])
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, schema=VIDEO_STATS_SCHEMA)

@@ -6361,3 +6361,59 @@ def audio_energy_mixed_documents(spark: SparkSession,
 
     docs = load_table(spark, sf_dir, "documents", spread=True)
     return MM.audio_energy_windows(MM.attach_audio_mixed(docs), window=256)
+
+
+@query(
+    "video_frames_decoded_documents",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, CAST(doc_id % 2 AS INT) AS tier,
+             hex(encode(text)) AS hx, octet_length(encode(text)) AS L,
+             CAST(octet_length(encode(text)) % 3 + 2 AS INT) AS nf,
+             CAST(octet_length(encode(text)) % 12 + 4 AS INT) AS w,
+             CAST(octet_length(encode(text)) % 8 + 4 AS INT) AS h
+      FROM documents),
+    fr AS (
+      SELECT media_id, tier, hx, L, w, h, CAST(f AS INT) AS f
+      FROM m, unnest(range(0, nf)) AS u(f)),
+    px AS (
+      SELECT media_id, tier, w, h, f, CAST(p AS BIGINT) AS p,
+             CASE WHEN L = 0 THEN 0 ELSE
+               (strpos('0123456789ABCDEF', substr(hx,
+                   CAST(2 * ((p + 7 * f) % L) + 1 AS INT), 1)) - 1) * 16
+               + (strpos('0123456789ABCDEF', substr(hx,
+                   CAST(2 * ((p + 7 * f) % L) + 2 AS INT), 1)) - 1)
+             END AS v
+      FROM fr, unnest(range(0, CAST(w AS BIGINT) * h)) AS u(p)),
+    ch AS (
+      SELECT media_id, w, h, f, p, CAST(c AS BIGINT) AS c,
+             CASE WHEN tier = 0 THEN v
+                  WHEN c = 0 THEN v
+                  WHEN c = 1 THEN (v + 85) % 256
+                  ELSE (v + 170) % 256 END AS cv
+      FROM px, unnest(range(0, 3)) AS t(c))
+    SELECT media_id, f AS frame_idx, CAST(10.0 AS DOUBLE) AS fps,
+           w AS width, h AS height,
+           CAST(SUM(cv) AS BIGINT) AS px_sum,
+           md5(string_agg(CAST(cv AS VARCHAR), '-' ORDER BY p * 3 + c))
+             AS px_fp
+    FROM ch GROUP BY media_id, f, w, h
+    """,
+)
+def video_frames_decoded_documents(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """REAL VIDEO DECODE — the last modality leaves the stub tier: each
+    doc's text becomes an uncompressed RIFF/AVI clip
+    (`multimodal.attach_video` — 8-bit grayscale-palette or 24-bit BGR
+    DIB frames by doc_id % 2, `avi_codec.encode_avi`), decoded back
+    through the container parser (`avi_codec.decode_avi`: hdrl/strl/movi
+    walk, palette expansion, BGR→RGB, bottom-up flip, stride strip) and
+    fingerprinted per frame (`multimodal.video_frame_stats`). The oracle
+    predicts every RGB value of every frame from the text alone, so a
+    wrong header writer, chunk walker, palette, row order, or stride
+    breaks the md5. Compressed codecs remain the declared null-route
+    (no libav in this environment)."""
+    from .operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return MM.video_frame_stats(MM.attach_video(docs))
