@@ -375,6 +375,8 @@ def test_no_unbounded_driver_collect_in_package_source():
         ("operators/similarity.py", 'F.col("pm.mv").alias("cv")'),
         # query vectors (k-NN probes): limit-capped with an explicit raise
         ("operators/similarity.py", ".limit(max_queries + 1).collect()"),
+        # maintained codebook state: n_cells x dim rows (16x64)
+        ("streaming/codebook_maintenance.py", "bounded model state"),
         # dedup-before-fetch candidate cap: one max() row
         ("sources/http.py", 'F.max(F.size("candidates"))'),
         # CLI endpoints materialize small reports by design

@@ -1,0 +1,147 @@
+"""Streaming maintained k-means codebook
+(`streaming/codebook_maintenance.py`).
+
+Pinned contracts:
+- COMPOSITION: the maintained state after the stream equals hand-driving
+  bootstrap + per-batch `_batch_cell_sums` folds sequentially.
+- FROZEN ASSIGNMENTS: member counts only ever grow, and the total count
+  equals init + all batch vectors (nothing re-assigns or drops).
+- REPLAY: re-applying batch 0 against state v0 rewrites the same rows.
+- FALLBACK: a cell no vector has joined reports its bootstrap coordinate.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+
+
+def _run_stream(spark, emb, tmp_path, tag: str):
+    from wde_spark.streaming.codebook_maintenance import (
+        bootstrap_codebook_v0, streaming_codebook_maintain)
+
+    target = str(tmp_path / f"cbk_{tag}")
+    bootstrap_codebook_v0(emb.filter(F.col("vec_id") % 5 != 0), target)
+    feed = str(tmp_path / f"feed_{tag}")
+    now = time.time()
+    for i, pred in ((0, F.col("vec_id") % 10 == 0),
+                    (1, F.col("vec_id") % 10 == 5)):
+        fdir = os.path.join(feed, f"b{i}.parquet")
+        emb.filter(pred).coalesce(1).write.mode("overwrite").parquet(fdir)
+        for name in os.listdir(fdir):
+            os.utime(os.path.join(fdir, name),
+                     (now - 600 + i * 60, now - 600 + i * 60))
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(feed, "*.parquet"))
+    )
+    streaming_codebook_maintain(stream, target,
+                                str(tmp_path / f"ckpt_{tag}"))
+    return target
+
+
+def _state_rows(spark, target, version):
+    df = spark.read.parquet(
+        os.path.join(target, "state", f"v{version}"))
+    return sorted(
+        (r["cell"], r["d"], r["n"], round(r["s"], 9), round(r["boot"], 9))
+        for r in df.collect())
+
+
+def test_composition_equals_manual_folds(spark, tmp_path):
+    from wde_spark.streaming.codebook_maintenance import (
+        _batch_cell_sums, _state_centroids)
+
+    emb = _emb(spark)
+    target = _run_stream(spark, emb, tmp_path, "comp")
+    # hand-drive: state0 + fold(batch0) + fold(batch1)
+    got1 = _state_rows(spark, target, 1)
+    got2 = _state_rows(spark, target, 2)
+
+    st0 = spark.read.parquet(os.path.join(target, "state", "v0"))
+    cents0 = _state_centroids(spark, target, 0)
+    s1 = _batch_cell_sums(emb.filter(F.col("vec_id") % 10 == 0), cents0)
+    want1 = sorted(
+        (r["cell"], r["d"], r["n"] + (r["n_add"] or 0),
+         round(r["s"] + (r["s_add"] or 0.0), 9), round(r["boot"], 9))
+        for r in st0.join(s1, ["cell", "d"], "left").collect())
+    assert got1 == want1
+
+    cents1 = _state_centroids(spark, target, 1)
+    st1 = spark.read.parquet(os.path.join(target, "state", "v1"))
+    s2 = _batch_cell_sums(emb.filter(F.col("vec_id") % 10 == 5), cents1)
+    want2 = sorted(
+        (r["cell"], r["d"], r["n"] + (r["n_add"] or 0),
+         round(r["s"] + (r["s_add"] or 0.0), 9), round(r["boot"], 9))
+        for r in st1.join(s2, ["cell", "d"], "left").collect())
+    assert got2 == want2
+
+
+def test_counts_conserve_and_grow(spark, tmp_path):
+    emb = _emb(spark)
+    target = _run_stream(spark, emb, tmp_path, "cons")
+    n_init = emb.filter(F.col("vec_id") % 5 != 0).count()
+    n_b0 = emb.filter(F.col("vec_id") % 10 == 0).count()
+    n_b1 = emb.filter(F.col("vec_id") % 10 == 5).count()
+    totals = []
+    for v, want in ((0, n_init), (1, n_init + n_b0),
+                    (2, n_init + n_b0 + n_b1)):
+        st = spark.read.parquet(os.path.join(target, "state", f"v{v}"))
+        tot = st.filter(F.col("d") == 0).agg(F.sum("n")).first()[0]
+        totals.append((v, tot))
+        assert tot == want, (v, tot, want)
+    # monotone per cell
+    st0 = {(r["cell"]): r["n"] for r in spark.read.parquet(
+        os.path.join(target, "state", "v0"))
+        .filter(F.col("d") == 0).collect()}
+    st2 = {(r["cell"]): r["n"] for r in spark.read.parquet(
+        os.path.join(target, "state", "v2"))
+        .filter(F.col("d") == 0).collect()}
+    assert all(st2[c] >= st0[c] for c in st0)
+
+
+def test_replay_idempotent(spark, tmp_path):
+    from wde_spark.streaming.codebook_maintenance import (
+        _batch_cell_sums, _state_centroids)
+
+    emb = _emb(spark)
+    target = _run_stream(spark, emb, tmp_path, "replay")
+    got1 = _state_rows(spark, target, 1)
+    # re-derive v1 from v0 exactly as a foreachBatch replay would
+    st0 = spark.read.parquet(os.path.join(target, "state", "v0"))
+    cents0 = _state_centroids(spark, target, 0)
+    s1 = _batch_cell_sums(emb.filter(F.col("vec_id") % 10 == 0), cents0)
+    redo = sorted(
+        (r["cell"], r["d"], r["n"] + (r["n_add"] or 0),
+         round(r["s"] + (r["s_add"] or 0.0), 9), round(r["boot"], 9))
+        for r in st0.join(s1, ["cell", "d"], "left").collect())
+    assert redo == got1
+
+
+def test_empty_cell_reports_bootstrap(spark, tmp_path):
+    """A cell whose member count is zero must surface its bootstrap
+    coordinate from read_codebook (the COALESCE fallback)."""
+    from wde_spark.streaming.codebook_maintenance import read_codebook
+
+    emb = _emb(spark)
+    target = _run_stream(spark, emb, tmp_path, "fb")
+    cb = read_codebook(spark, target)
+    st = spark.read.parquet(os.path.join(target, "state", "v2"))
+    empty = [r["cell"] for r in st.filter(
+        (F.col("d") == 0) & (F.col("n") == 0)).collect()]
+    if not empty:  # dataset-dependent; the invariant still holds vacuously
+        return
+    boots = {(r["cell"], r["d"]): r["boot"] for r in st.filter(
+        F.col("cell").isin(empty)).collect()}
+    for r in cb.filter(F.col("cell").isin(empty)).collect():
+        assert r["m"] == boots[(r["cell"], r["d"])]

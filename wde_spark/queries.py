@@ -2139,16 +2139,18 @@ _DRIVER_PRIORITY = [
     "dedup_recall_audit_documents", "corpus_drift_documents",
     "lm_quality_documents", "dsir_sample_documents",
     "nb_classify_documents", "source_overlap_documents",
-    "duplicate_spans_documents",
     # --- net-new late in the round (first driver rows): the maintained
     # FFD manifest, the palette+tRNS image tier, the mixed-format
-    # (stereo / 8-bit) audio energy windows, and REAL video decode ---
+    # (stereo / 8-bit) audio energy windows, REAL video decode, and the
+    # maintained mini-batch k-means codebook ---
     "streaming_ffd_manifest_documents", "image_palette_rgba_documents",
     "audio_energy_mixed_documents", "video_frames_decoded_documents",
+    "streaming_kmeans_codebook_embeddings",
     # dedup_corpus_semantic_documents, source_scorecard_documents,
     # embedding_recall_audit_embeddings, strip_duplicate_spans_documents,
-    # and substr_increment_documents (r6 vintage) yield their seats to
-    # the late net-new entries; they lead the r10 rotation.
+    # substr_increment_documents, and duplicate_spans_documents (r6
+    # vintage) yield their seats to the late net-new entries; they lead
+    # the r10 rotation.
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]

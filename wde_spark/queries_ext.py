@@ -6417,3 +6417,170 @@ def video_frames_decoded_documents(spark: SparkSession,
 
     docs = load_table(spark, sf_dir, "documents", spread=True)
     return MM.video_frame_stats(MM.attach_video(docs))
+
+
+# ---------------------------------------------------------------------------
+# streaming maintained k-means codebook — streaming/codebook_maintenance.py
+# ---------------------------------------------------------------------------
+
+def _streaming_codebook_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per parquet snapshot) the maintained mini-batch k-means
+    codebook: the vec_id%5!=0 slice bootstraps (Lloyd x2 + state v0), the
+    %5==0 slice arrives as two file-source micro-batches (%10==0 then
+    %10==5, mtime-pinned arrival order). Same staging + atomic-rename
+    cache as the other streaming builders."""
+    import hashlib
+    import shutil
+    import tempfile
+    import time
+
+    src_parquet = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        mtime = str(int(os.path.getmtime(src_parquet)))
+    except OSError:
+        mtime = "0"
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{mtime}".encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"wde_cbk_adm_{tag}")
+    cbk_dir = os.path.join(base, "cbk")
+    done = os.path.join(base, "_COMPLETE")
+    if os.path.exists(done):
+        return cbk_dir
+    from .streaming.codebook_maintenance import (bootstrap_codebook_v0,
+                                                 streaming_codebook_maintain)
+
+    if os.path.exists(base):
+        shutil.rmtree(base, ignore_errors=True)
+    stage = f"{base}.build.{os.getpid()}"
+    shutil.rmtree(stage, ignore_errors=True)
+    emb = load_table(spark, sf_dir, "embeddings") \
+        .select("vec_id", "embedding")
+    bootstrap_codebook_v0(emb.filter(F.col("vec_id") % 5 != 0),
+                          os.path.join(stage, "cbk"))
+    feed = os.path.join(stage, "feed")
+    now = time.time()
+    for i, pred in ((0, F.col("vec_id") % 10 == 0),
+                    (1, F.col("vec_id") % 10 == 5)):
+        fdir = os.path.join(feed, f"b{i}.parquet")
+        emb.filter(pred).coalesce(1).write.mode("overwrite").parquet(fdir)
+        for name in os.listdir(fdir):
+            os.utime(os.path.join(fdir, name),
+                     (now - 300 + i * 60, now - 300 + i * 60))
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(feed, "*.parquet"))
+    )
+    streaming_codebook_maintain(
+        stream, os.path.join(stage, "cbk"), os.path.join(stage, "ckpt"))
+    with open(os.path.join(stage, "_COMPLETE"), "w") as fh:
+        fh.write("ok")
+    try:
+        os.rename(stage, base)
+    except OSError:
+        if not os.path.exists(done):
+            raise
+        shutil.rmtree(stage, ignore_errors=True)
+    return cbk_dir
+
+
+def _streaming_codebook_oracle() -> str:
+    from .queries import _IVF_ASSIGN, _IVF_UPDATE
+
+    init_f = "WHERE n.vec_id % 5 <> 0"
+    return """
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    nv AS (SELECT vec_id,
+                  list_transform(v, x -> x / sqrt(list_aggregate(
+                      list_transform(v, y -> y*y), 'sum'))) AS nv
+           FROM v),
+    seed AS (
+      SELECT rn - 1 AS cell, nv AS cv FROM (
+        SELECT nv, ROW_NUMBER() OVER (
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM nv WHERE vec_id % 5 <> 0) WHERE rn <= 16
+    ),
+    a1 AS (""" + _IVF_ASSIGN.format(cents="seed", qfilter=init_f,
+                                    rncond="= 1") + """),
+    """ + _IVF_UPDATE.format(it=1, prev="seed") + """,
+    a2 AS (""" + _IVF_ASSIGN.format(cents="c1f", qfilter=init_f,
+                                    rncond="= 1") + """),
+    """ + _IVF_UPDATE.format(it=2, prev="c1f") + """,
+    a3 AS (""" + _IVF_ASSIGN.format(cents="c2f", qfilter=init_f,
+                                    rncond="= 1") + """),
+    st0 AS (
+      SELECT a.cell, CAST(t.d AS INT) AS d, COUNT(*) AS n,
+             SUM(n.nv[CAST(t.d AS INT)+1]) AS s
+      FROM a3 a JOIN nv n USING (vec_id), unnest(range(0, 64)) AS t(d)
+      GROUP BY 1, 2),
+    cb0 AS (
+      SELECT b.cell, b.d, COALESCE(s0.n, 0) AS n, COALESCE(s0.s, 0.0) AS s,
+             b.bootv,
+             CASE WHEN COALESCE(s0.n, 0) > 0 THEN s0.s / s0.n
+                  ELSE b.bootv END AS m
+      FROM (SELECT c.cell, CAST(t.d AS INT) AS d,
+                   c.cv[CAST(t.d AS INT)+1] AS bootv
+            FROM c2f c, unnest(range(0, 64)) AS t(d)) b
+      LEFT JOIN st0 s0 USING (cell, d)),
+    cb0l AS (SELECT cell, list(m ORDER BY d) AS cv FROM cb0 GROUP BY cell),
+    b1 AS (""" + _IVF_ASSIGN.format(cents="cb0l",
+                                    qfilter="WHERE n.vec_id % 10 = 0",
+                                    rncond="= 1") + """),
+    s1 AS (
+      SELECT a.cell, CAST(t.d AS INT) AS d, COUNT(*) AS n,
+             SUM(n.nv[CAST(t.d AS INT)+1]) AS s
+      FROM b1 a JOIN nv n USING (vec_id), unnest(range(0, 64)) AS t(d)
+      GROUP BY 1, 2),
+    cb1 AS (
+      SELECT c0.cell, c0.d, c0.n + COALESCE(s1.n, 0) AS n,
+             c0.s + COALESCE(s1.s, 0.0) AS s, c0.bootv,
+             CASE WHEN c0.n + COALESCE(s1.n, 0) > 0
+                  THEN (c0.s + COALESCE(s1.s, 0.0))
+                       / (c0.n + COALESCE(s1.n, 0))
+                  ELSE c0.bootv END AS m
+      FROM cb0 c0 LEFT JOIN s1 USING (cell, d)),
+    cb1l AS (SELECT cell, list(m ORDER BY d) AS cv FROM cb1 GROUP BY cell),
+    b2 AS (""" + _IVF_ASSIGN.format(cents="cb1l",
+                                    qfilter="WHERE n.vec_id % 10 = 5",
+                                    rncond="= 1") + """),
+    s2 AS (
+      SELECT a.cell, CAST(t.d AS INT) AS d, COUNT(*) AS n,
+             SUM(n.nv[CAST(t.d AS INT)+1]) AS s
+      FROM b2 a JOIN nv n USING (vec_id), unnest(range(0, 64)) AS t(d)
+      GROUP BY 1, 2),
+    cb2 AS (
+      SELECT c1.cell, c1.d, c1.n + COALESCE(s2.n, 0) AS n,
+             c1.s + COALESCE(s2.s, 0.0) AS s,
+             CASE WHEN c1.n + COALESCE(s2.n, 0) > 0
+                  THEN (c1.s + COALESCE(s2.s, 0.0))
+                       / (c1.n + COALESCE(s2.n, 0))
+                  ELSE c1.bootv END AS m
+      FROM cb1 c1 LEFT JOIN s2 USING (cell, d))
+    SELECT CAST(cell AS INT) AS cell, d, CAST(n AS BIGINT) AS n,
+           ROUND(m, 6) AS m
+    FROM cb2
+    """
+
+
+@query("streaming_kmeans_codebook_embeddings", _streaming_codebook_oracle())
+def streaming_kmeans_codebook_embeddings(spark: SparkSession,
+                                         sf_dir: str) -> DataFrame:
+    """STREAMING-MAINTAINED k-means codebook
+    (`streaming/codebook_maintenance.py` — mini-batch k-means over COW
+    versions, the admission-family treatment for the clustering/ANN
+    model itself): the vec_id%5!=0 slice bootstraps the codebook (the
+    IVF family's md5-seeded 2-round Lloyd) and freezes its members into
+    per-(cell, dim) (count, sum) state; two embedding micro-batches then
+    assign under the centroids CURRENT AT ARRIVAL and fold pure (n, s)
+    additions into the state. Assignments are frozen at arrival —
+    re-clustering the world stays the batch operator's job. The oracle
+    replays the whole history out of the IVF SQL blocks (seed → Lloyd×2
+    → per-batch assign-under-current → cumulative running mean), so
+    every centroid coordinate AND member count of the maintained model
+    is hash-checked."""
+    from .streaming.codebook_maintenance import read_codebook
+
+    cbk_dir = _streaming_codebook_dir(spark, sf_dir)
+    return read_codebook(spark, cbk_dir).select(
+        "cell", "d", "n", F.round("m", 6).alias("m"))
