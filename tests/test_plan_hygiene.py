@@ -317,6 +317,9 @@ def test_no_cartesian_or_undeclared_python_anywhere(spark):
                  # real video decode (uncompressed AVI tier): container
                  # synth + frame-stats kernels, row-local mapInPandas
                  "video_frames_decoded_documents",
+                 # transparent thumbnails through the indexed tier —
+                 # same decode/resample/re-encode kernel chain
+                 "palette_thumbnails_documents",
                  # FFD packing: the declared per-bucket grouped Arrow
                  # fold behind ONE exchange on the bucket key
                  "ffd_packed_documents"}

@@ -241,3 +241,44 @@ def test_palette_encoder_contract_errors():
             alpha=np.array([[0, 255], [255, 255]], np.uint8))
     with pytest.raises(ValueError, match="RGB"):
         encode_png_palette(np.zeros((2, 2), np.uint8))
+
+
+def test_encode_png_auto_tier_selection():
+    from wde_spark.operators.png_codec import (encode_png_auto,
+                                               encode_png_palette)
+
+    rng = np.random.RandomState(11)
+    # low-cardinality RGB -> indexed tier (byte-identical to the palette
+    # encoder), and smaller than truecolor
+    px = (rng.randint(0, 4, (9, 9, 1)) * 60).repeat(3, axis=2) \
+        .astype(np.uint8)
+    auto = encode_png_auto(px)
+    assert auto == encode_png_palette(px)
+    assert b"PLTE" in auto and len(auto) < len(encode_png(px))
+    w, h, ch, out = decode_png(auto)
+    assert ch == 3 and (out == px).all()
+    # RGBA with one alpha per color -> indexed + tRNS, alpha survives
+    alpha = np.where(px[:, :, 0] == 0, 0, 255).astype(np.uint8)
+    rgba = np.dstack([px, alpha])
+    auto = encode_png_auto(rgba)
+    assert b"tRNS" in auto
+    w, h, ch, out = decode_png(auto)
+    assert ch == 4 and (out[:, :, 3] == alpha).all()
+    # RGBA where one color carries two alphas -> truecolor fallback
+    bad_alpha = alpha.copy()
+    bad_alpha[0, 0] = 255 - int(bad_alpha[0, 0])
+    # ensure the flipped pixel shares its color with another pixel
+    px2 = px.copy()
+    px2[0, 0] = px2[0, 1]
+    auto = encode_png_auto(np.dstack([px2, bad_alpha]))
+    assert b"PLTE" not in auto
+    w, h, ch, out = decode_png(auto)
+    assert ch == 4 and (out[:, :, 3] == bad_alpha).all()
+    # high-cardinality RGB -> truecolor fallback
+    i = np.arange(300)
+    big = np.stack([i % 256, i // 256, np.zeros_like(i)], axis=1) \
+        .astype(np.uint8).reshape(15, 20, 3)
+    assert b"PLTE" not in encode_png_auto(big)
+    # grayscale stays on the truecolor path untouched
+    g = _rand((5, 5), seed=12)
+    assert encode_png_auto(g) == encode_png(g)

@@ -430,7 +430,7 @@ def resize_images(media: DataFrame, max_w: int = 8,
     embarrassingly-parallel media transform."""
     import numpy as np
 
-    from .png_codec import decode_png, encode_png
+    from .png_codec import decode_png, encode_png_auto
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -449,7 +449,11 @@ def resize_images(media: DataFrame, max_w: int = 8,
                 ys = (np.arange(th) * h) // th
                 xs = (np.arange(tw) * w) // tw
                 thumb = px[ys][:, xs]
-                rows.append((mid, w, h, tw, th, encode_png(thumb)))
+                # tier-selecting re-encode: indexed color when exactly
+                # representable (the transport win), truecolor otherwise —
+                # decoded pixels are identical either way, so every
+                # fingerprint oracle is tier-agnostic
+                rows.append((mid, w, h, tw, th, encode_png_auto(thumb)))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in THUMB_SCHEMA.fields])
 

@@ -312,3 +312,28 @@ def encode_png_palette(pixels: np.ndarray, alpha: np.ndarray | None = None,
     if trns_data:
         out += _chunk(b"tRNS", trns_data)
     return out + idat_iend
+
+
+def encode_png_auto(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+    """Tier-selecting encode: route through the indexed-color tier when
+    the image is EXACTLY representable there — RGB(A) with <= 256
+    distinct colors and, for RGBA, a single alpha per color (the tRNS
+    constraint) — else the truecolor tier. Pixel-lossless either way
+    (decode(encode_png_auto(px)) == px up to the gray->gray identity),
+    so callers that fingerprint decoded pixels are tier-agnostic; the
+    indexed tier is the transport-size win for low-cardinality images
+    (thumbnails after NN resampling, charts, UI captures)."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 3 and px.shape[2] in (3, 4):
+        rgb = px[:, :, :3]
+        colors, inverse = np.unique(rgb.reshape(-1, 3), axis=0,
+                                    return_inverse=True)
+        if colors.shape[0] <= 256:
+            if px.shape[2] == 3:
+                return encode_png_palette(rgb, filter_type=filter_type)
+            a = px[:, :, 3].reshape(-1)
+            pairs = np.unique(np.stack([inverse, a], axis=1), axis=0)
+            if pairs.shape[0] == colors.shape[0]:  # one alpha per color
+                return encode_png_palette(rgb, alpha=px[:, :, 3],
+                                          filter_type=filter_type)
+    return encode_png(px, filter_type=filter_type)

@@ -6584,3 +6584,67 @@ def streaming_kmeans_codebook_embeddings(spark: SparkSession,
     cbk_dir = _streaming_codebook_dir(spark, sf_dir)
     return read_codebook(spark, cbk_dir).select(
         "cell", "d", "n", F.round("m", 6).alias("m"))
+
+
+@query(
+    "palette_thumbnails_documents",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS L,
+             CAST(octet_length(encode(text)) % 24 + 8 AS INT) AS w,
+             CAST(octet_length(encode(text)) % 16 + 8 AS INT) AS h
+      FROM documents),
+    td AS (
+      SELECT media_id, hx, L, w, h,
+             CAST(greatest(1, floor(w * least(8.0 / w, 8.0 / h, 1.0)))
+                  AS INT) AS tw,
+             CAST(greatest(1, floor(h * least(8.0 / w, 8.0 / h, 1.0)))
+                  AS INT) AS th
+      FROM m),
+    px AS (
+      SELECT media_id, hx, L, w, h, tw, th, CAST(i AS BIGINT) AS i,
+             ((i // tw) * h) // th AS sy,
+             ((i % tw) * w) // tw AS sx
+      FROM td, unnest(range(0, CAST(tw AS BIGINT) * th)) AS u(i)),
+    jv AS (
+      SELECT media_id, w, h, tw, th, i,
+             CASE WHEN L = 0 THEN 0 ELSE
+               ((strpos('0123456789ABCDEF', substr(hx,
+                   CAST(2 * ((sy * w + sx) % L) + 1 AS INT), 1)) - 1) * 16
+                + (strpos('0123456789ABCDEF', substr(hx,
+                   CAST(2 * ((sy * w + sx) % L) + 2 AS INT), 1)) - 1)) % 16
+             END AS j
+      FROM px),
+    val AS (
+      SELECT media_id, w, h, tw, th, i, CAST(c AS BIGINT) AS c,
+             CASE CAST(c AS INT)
+                  WHEN 0 THEN (j * 19) % 256
+                  WHEN 1 THEN (j * 37) % 256
+                  WHEN 2 THEN (j * 53) % 256
+                  ELSE CASE WHEN j = 0 THEN 0 ELSE 255 END END AS v
+      FROM jv, unnest(range(0, 4)) AS t(c))
+    SELECT media_id, w AS src_w, h AS src_h, tw AS width, th AS height,
+           CAST(SUM(v) AS BIGINT) AS px_sum,
+           md5(string_agg(CAST(v AS VARCHAR), '-' ORDER BY i * 4 + c))
+             AS px_fp
+    FROM val GROUP BY media_id, w, h, tw, th
+    """,
+)
+def palette_thumbnails_documents(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """TRANSPARENT thumbnailing through the indexed tier end-to-end: the
+    palette+tRNS fixtures decode to RGBA (`decode_png`'s alpha
+    expansion), NN-resample in 4 channels, and re-encode through the
+    tier-selecting `encode_png_auto` — which lands back on the
+    palette+tRNS tier here (16 colors, one alpha per color), so the
+    verify pass (`thumbnail_stats`: decode the re-encoded BYTES, then
+    fingerprint) exercises palette decode → RGBA resample → palette
+    re-encode → palette decode. The oracle predicts every RGBA value of
+    every thumbnail pixel from the text alone; alpha survives the whole
+    chain or the md5 breaks."""
+    from .operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    thumbs = MM.resize_images(MM.attach_palette_images(docs), 8, 8)
+    return MM.thumbnail_stats(thumbs)
