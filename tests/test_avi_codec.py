@@ -117,3 +117,97 @@ def test_video_frame_stats_drops_undecodable(spark):
     rows = MM.video_frame_stats(media).collect()
     assert sorted(r["frame_idx"] for r in rows) == [0, 1]
     assert {r["media_id"] for r in rows} == {1}
+
+
+# --- BI_RLE8 compressed tier -------------------------------------------
+
+
+def _rle():
+    from wde_spark.operators.avi_codec import (_decode_rle8,
+                                               encode_avi_rle8)
+    return _decode_rle8, encode_avi_rle8
+
+
+@pytest.mark.parametrize("kind", ["literal", "mixed", "runs"])
+def test_rle8_roundtrip_families(kind):
+    """Round-trip across run-free, mixed, and pure-run frames — both
+    packet families of the RLE grammar produce the original pixels."""
+    _, encode_avi_rle8 = _rle()
+    rng = np.random.RandomState(hash(kind) % 2**31)
+    if kind == "literal":
+        g = rng.randint(0, 256, (2, 6, 9), dtype=np.uint8)
+    elif kind == "mixed":
+        g = (rng.randint(0, 3, (2, 6, 9)) * 90).astype(np.uint8)
+    else:
+        g = np.repeat(rng.randint(0, 256, (2, 6, 1), dtype=np.uint8),
+                      9, axis=2)
+    fps, w, h, fr = decode_avi(encode_avi_rle8(g, fps=10))
+    assert (fps, w, h) == (10.0, 9, 6)
+    for c in range(3):
+        assert (fr[:, :, :, c] == g).all()
+
+
+def test_rle8_long_runs_and_wide_literals_chunk_correctly():
+    """Runs > 255 split into multiple packets; literal spans > 255 keep
+    every absolute chunk in [3, 255] (the remainder-borrow rule)."""
+    _, encode_avi_rle8 = _rle()
+    row = np.concatenate([
+        np.full(600, 7, np.uint8),                      # run of 600
+        (np.arange(517) % 251).astype(np.uint8),        # long literal
+    ])
+    g = row.reshape(1, 1, -1)
+    _, w, h, fr = decode_avi(encode_avi_rle8(g))
+    assert (w, h) == (1117, 1)
+    assert (fr[0, 0, :, 0] == row).all()
+
+
+def test_rle8_decoder_handles_delta_and_zero_fill():
+    """Hand-built stream: delta escapes skip pixels (zero-filled), EOL
+    resets x — the spec's undefined pixels decode deterministically."""
+    _decode_rle8, _ = _rle()
+    # 4x3 bottom-up: run 2 of 5, delta (+1,+1) -> (3,1), run 1 of 9, EOB
+    blob = bytes([2, 5, 0, 2, 1, 1, 1, 9, 0, 1])
+    out = _decode_rle8(blob, 4, 3)
+    assert out is not None
+    assert out[0].tolist() == [5, 5, 0, 0]      # bottom row
+    assert out[1].tolist() == [0, 0, 0, 9]      # delta landed at (3,1)
+    assert out[2].tolist() == [0, 0, 0, 0]      # EOB zero-fills the rest
+
+
+def test_rle8_decoder_rejects_out_of_bounds_and_truncation():
+    _decode_rle8, _ = _rle()
+    assert _decode_rle8(bytes([5, 1, 0, 1]), 4, 1) is None   # run > w
+    assert _decode_rle8(bytes([2, 1]), 4, 1) is None         # no EOB
+    assert _decode_rle8(bytes([0, 3, 1, 2]), 4, 1) is None   # literal cut
+    assert _decode_rle8(bytes([0, 0, 0, 0, 0, 1]), 4, 1) is None  # y > h
+
+
+def test_rle8_rejects_topdown_and_non8bit():
+    """RLE8 + negative height (top-down) or bits != 8 is spec-invalid:
+    decode must null-route, not guess."""
+    _, encode_avi_rle8 = _rle()
+    blob = encode_avi_rle8(_rand((1, 3, 4), seed=9))
+    idx = blob.find(b"strf")
+    flipped = bytearray(blob)
+    flipped[idx + 8 + 8:idx + 8 + 12] = struct.pack("<i", -3)
+    assert decode_avi(bytes(flipped)) is None
+
+
+def test_attach_video_rle_frames_predictable_from_text(spark):
+    from wde_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame(
+        [(0, "abcd"), (1, "")], "doc_id long, text string")
+    media = {r["media_id"]: bytes(r["payload"])
+             for r in MM.attach_video_rle(docs).collect()}
+    # doc 0: L=4 -> nf=3, w=8, h=8; v = b[(p//3 + 5f) % 4]
+    fps, w, h, fr = decode_avi(media[0])
+    assert (fps, w, h, fr.shape[0]) == (10.0, 8, 8, 3)
+    b = np.frombuffer(b"abcd", np.uint8)
+    for f in range(3):
+        want = b[(np.arange(64) // 3 + 5 * f) % 4].reshape(8, 8)
+        assert (fr[f, :, :, 0] == want).all()
+    # doc 1: empty text -> 2 zero frames of 4x4
+    _, w1, h1, fr1 = decode_avi(media[1])
+    assert (w1, h1, fr1.shape[0]) == (4, 4, 2)
+    assert int(fr1.sum()) == 0

@@ -1,0 +1,136 @@
+"""GIF codec (`operators/gif_codec.py`): LZW round-trip property tests
+(dictionary growth, width bumps, the 4096-entry clear-code reset, the
+KwKwK case, the flush-boundary width bump), interlace permutation,
+GIF89a transparency, malformed-input null-routing, and the Spark-side
+integration through the container-sniffing `image_rgba_stats`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from wde_spark.operators.gif_codec import (_lzw_decode, _lzw_encode,
+                                           decode_gif, encode_gif, is_gif)
+
+
+def _quantized(h, w, ncol, seed):
+    rng = np.random.RandomState(seed)
+    pal = rng.randint(0, 256, (ncol, 3)).astype(np.uint8)
+    pal = np.unique(pal, axis=0)  # duplicate rows would alias slots
+    idx = rng.randint(0, pal.shape[0], (h, w))
+    rgba = np.empty((h, w, 4), np.uint8)
+    rgba[:, :, :3] = pal[idx]
+    rgba[:, :, 3] = 255
+    return rgba, idx
+
+
+@pytest.mark.parametrize("interlace", [False, True])
+@pytest.mark.parametrize("h,w,ncol", [(1, 1, 1), (5, 13, 1), (7, 9, 4),
+                                      (33, 17, 16), (64, 40, 250)])
+def test_gif_roundtrip(h, w, ncol, interlace):
+    rgba, _ = _quantized(h, w, ncol, seed=h * w + ncol)
+    out = decode_gif(encode_gif(rgba, interlace=interlace))
+    assert out is not None
+    gw, gh, px = out
+    assert (gw, gh) == (w, h)
+    assert np.array_equal(px, rgba)
+
+
+def test_gif_transparency_expands_to_alpha():
+    rgba, idx = _quantized(10, 12, 5, seed=3)
+    rgba[idx == 0, 3] = 0
+    out = decode_gif(encode_gif(rgba))
+    assert out is not None and np.array_equal(out[2], rgba)
+    # no GCE -> everything opaque
+    opaque = rgba.copy()
+    opaque[:, :, 3] = 255
+    assert np.array_equal(decode_gif(encode_gif(opaque))[2], opaque)
+
+
+def test_lzw_flush_boundary_width_bump():
+    """65 identical pixels at mcs=2: the final flushed code lands the
+    dictionary exactly on a width boundary, so EOI must be written one
+    bit wider — the giflib lockstep rule this encoder reproduces."""
+    idx = np.zeros(65, dtype=np.uint8)
+    out = _lzw_decode(_lzw_encode(idx, 2), 2, 65)
+    assert out is not None and (out == 0).all()
+
+
+def test_lzw_4096_reset_and_kwkwk():
+    """A long low-entropy stream drives the dictionary to the 12-bit cap
+    (clear-code reset mid-stream) and hits the KwKwK next-code case."""
+    rng = np.random.RandomState(0)
+    idx = np.repeat(rng.randint(0, 4, 30000), rng.randint(1, 6, 30000)
+                    )[:60000].astype(np.uint8)
+    out = _lzw_decode(_lzw_encode(idx, 2), 2, idx.shape[0])
+    assert out is not None and np.array_equal(out, idx)
+
+
+def test_lzw_decode_rejects_derailed_streams():
+    idx = np.arange(16, dtype=np.uint8) % 4
+    good = _lzw_encode(idx, 2)
+    assert _lzw_decode(good, 2, 16) is not None
+    assert _lzw_decode(good, 2, 17) is None          # pixel underrun
+    assert _lzw_decode(good, 2, 15) is None          # pixel overrun
+    assert _lzw_decode(good[:2], 2, 16) is None      # truncated
+    assert _lzw_decode(b"", 2, 1) is None
+    assert _lzw_decode(good, 1, 16) is None          # mcs out of range
+
+
+def test_decode_gif_null_routes_outside_surface():
+    rgba, _ = _quantized(6, 6, 3, seed=1)
+    good = encode_gif(rgba)
+    assert is_gif(good)
+    assert decode_gif(b"GIF89a" + b"\x00" * 10) is None   # truncated
+    assert decode_gif(b"\x89PNG\r\n\x1a\n") is None       # wrong magic
+    # animated: append a second image descriptor -> declared null-route
+    animated = good[:-1] + good[good.index(b"\x2c", 13):]
+    assert decode_gif(animated) is None
+
+
+def test_encode_gif_contract_violations():
+    bad = np.zeros((2, 2, 4), np.uint8)
+    bad[:, :, 3] = 100  # alpha must be 0 or 255
+    with pytest.raises(ValueError):
+        encode_gif(bad)
+    two_tr = np.zeros((1, 2, 4), np.uint8)
+    two_tr[0, 1, 0] = 9  # two distinct alpha-0 colors
+    with pytest.raises(ValueError):
+        encode_gif(two_tr)
+
+
+def test_attach_gifs_pixels_predictable_from_text(spark):
+    from wde_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame(
+        [(0, "abc"), (1, "abc"), (2, "")], "doc_id long, text string")
+    media = {r["media_id"]: bytes(r["payload"])
+             for r in MM.attach_gifs(docs).collect()}
+    b = np.frombuffer(b"abc", np.uint8)
+    for mid in (0, 1):  # sequential and interlaced rows decode the same
+        w, h, px = decode_gif(media[mid])
+        assert (w, h) == (3 % 20 + 6, 3 % 14 + 6)
+        j = (b[np.arange(w * h) % 3] % 16).reshape(h, w).astype(int)
+        assert np.array_equal(px[:, :, 0], (j * 19) % 256)
+        assert np.array_equal(px[:, :, 3], np.where(j == 0, 0, 255))
+    w2, h2, px2 = decode_gif(media[2])  # empty text: all-transparent 0s
+    assert (w2, h2) == (6, 6) and int(px2.sum()) == 0
+
+
+def test_image_rgba_stats_dispatches_by_magic(spark):
+    """One stats pass covers PNG and GIF payloads side by side; garbage
+    drops."""
+    from wde_spark.operators import multimodal as MM
+    from wde_spark.operators.png_codec import encode_png
+
+    rgba, _ = _quantized(4, 5, 3, seed=7)
+    gif = encode_gif(rgba)
+    png = encode_png(rgba[:, :, :3])
+    media = spark.createDataFrame(
+        [(1, bytearray(gif)), (2, bytearray(png)), (3, bytearray(b"x"))],
+        "media_id long, payload binary")
+    rows = {r["media_id"]: r for r in MM.image_rgba_stats(media).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["channels"] == 4
+    assert rows[1]["px_sum"] == int(rgba.astype("int64").sum())

@@ -311,12 +311,21 @@ def test_no_cartesian_or_undeclared_python_anywhere(spark):
                  # palette+tRNS tier (r9): indexed-color encode → tRNS-aware
                  # decode → RGBA fingerprint, row-local mapInPandas
                  "image_palette_rgba_documents",
+                 # GIF container (LZW encode/decode + interlace) through
+                 # the same row-local RGBA stats kernel
+                 "gif_rgba_documents",
                  # mixed-format audio (stereo/8-bit) through the decoded
                  # energy windows — same row-local codec kernels
                  "audio_energy_mixed_documents",
+                 # G.711 companded tiers (mu-law/A-law expansion) through
+                 # the same row-local codec kernels
+                 "audio_energy_g711_documents",
                  # real video decode (uncompressed AVI tier): container
                  # synth + frame-stats kernels, row-local mapInPandas
                  "video_frames_decoded_documents",
+                 # compressed video (BI_RLE8 tier): same row-local
+                 # synth/decode kernel chain, zero shuffle
+                 "video_rle_frames_documents",
                  # transparent thumbnails through the indexed tier —
                  # same decode/resample/re-encode kernel chain
                  "palette_thumbnails_documents",

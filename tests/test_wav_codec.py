@@ -161,3 +161,78 @@ def test_attach_audio_mixed_formats_decode_as_declared(spark):
     assert r2[3][:, 0].tolist() == [97, 98]
     r3 = decode_wav(media[3])  # empty text -> 64 silent 16-bit frames
     assert r3[3].shape == (64, 1) and int(np.abs(r3[3]).sum()) == 0
+
+
+# --- G.711 companded tiers (mu-law / A-law) ------------------------------
+
+
+def test_g711_tables_match_published_anchors():
+    """The expansion tables hit the published CCITT anchor values and
+    obey the sign-bit symmetry of both laws."""
+    from wde_spark.operators.wav_codec import _g711_tables
+
+    ulaw, alaw = _g711_tables()
+    # published mu-law extremes: code 0x00 = -32124, 0x80 = +32124,
+    # both zero codes (0x7F, 0xFF) = 0
+    assert int(ulaw[0x00]) == -32124 and int(ulaw[0x80]) == 32124
+    assert int(ulaw[0xFF]) == 0 and int(ulaw[0x7F]) == 0
+    # published A-law extremes: 0x2A = -32256, 0xAA = +32256; the
+    # quietest codes are +/-8 (A-law has no zero)
+    assert int(alaw[0x2A]) == -32256 and int(alaw[0xAA]) == 32256
+    assert int(alaw[0x55]) == -8 and int(alaw[0xD5]) == 8
+    b = np.arange(256)
+    assert (ulaw[b] == -ulaw[b ^ 0x80]).all()   # sign bit negates
+    assert (alaw[b] == -alaw[b ^ 0x80]).all()
+    assert int(np.abs(alaw).min()) == 8
+
+
+@pytest.mark.parametrize("law,tag", [("mu", 7), ("a", 6)])
+def test_g711_container_roundtrip(law, tag):
+    """Companded codes wrap into a tag-6/7 container and expand to the
+    table values as linear int16 with bits=16."""
+    from wde_spark.operators.wav_codec import (_g711_tables,
+                                               encode_wav_g711)
+
+    ulaw, alaw = _g711_tables()
+    codes = np.arange(256, dtype=np.uint8)
+    rate, ch, bits, s = decode_wav(encode_wav_g711(codes, 8000, law))
+    assert (rate, ch, bits) == (8000, 1, 16)
+    assert s.dtype == np.int16
+    want = ulaw if law == "mu" else alaw
+    assert (s[:, 0] == want[codes]).all()
+
+
+def test_g711_stereo_and_spec_violations():
+    from wde_spark.operators.wav_codec import (_g711_tables,
+                                               encode_wav_g711)
+
+    _, alaw = _g711_tables()
+    codes = np.stack([np.arange(100, dtype=np.uint8),
+                      np.arange(100, 200, dtype=np.uint8)], axis=1)
+    rate, ch, bits, s = decode_wav(encode_wav_g711(codes, 16000, "a"))
+    assert ch == 2 and (s == alaw[codes]).all()
+    # G.711 with a 16-bit container claim is spec-invalid: null-route
+    bad = bytearray(encode_wav_g711(codes[:, 0], 8000, "mu"))
+    i = bad.find(b"fmt ")
+    bad[i + 8 + 14:i + 8 + 16] = struct.pack("<H", 16)
+    assert decode_wav(bytes(bad)) is None
+
+
+def test_attach_audio_g711_energy_matches_tables(spark):
+    """The builder's payloads decode to table values of the text bytes;
+    empty docs decode to the quietest code of their law."""
+    from wde_spark.operators import multimodal as MM
+    from wde_spark.operators.wav_codec import _g711_tables
+
+    ulaw, alaw = _g711_tables()
+    docs = spark.createDataFrame(
+        [(0, "hi"), (1, "hi"), (2, ""), (3, "")],
+        "doc_id long, text string")
+    rows = {(r["media_id"], r["win_idx"]): r for r in
+            MM.audio_energy_windows(
+                MM.attach_audio_g711(docs), window=256).collect()}
+    b = np.frombuffer(b"hi", np.uint8)
+    assert rows[(0, 0)]["abs_sum"] == int(np.abs(ulaw[b]).sum())
+    assert rows[(1, 0)]["abs_sum"] == int(np.abs(alaw[b]).sum())
+    assert rows[(2, 0)]["abs_sum"] == 0          # mu-law silence
+    assert rows[(3, 0)]["abs_sum"] == 8 * 64     # A-law quietest = +/-8

@@ -2,15 +2,19 @@
 `wav_codec.py` (same RIFF container family) and `png_codec.py`.
 
 Moves the VIDEO modality from the declared byte-slice stub to REAL
-decode for the uncompressed tier: RIFF/AVI container parsing with
-uncompressed DIB ('00db') frame payloads — 8-bit palettized and 24-bit
-BGR, bottom-up or top-down rows, 4-byte-aligned strides. Everything
-outside that declared surface — compressed fourccs, other bit depths,
-truncated containers, geometry that disagrees between headers and frame
-bytes — returns None so callers null-route to the raw-byte path exactly
-like unsupported PNGs/WAVs do. Compressed codecs (H.264 etc.) remain
-environment-dependent (no libav here); the uncompressed tier is the one
-a dependency-free engine can make hash-checkable.
+decode for two tiers: RIFF/AVI container parsing with uncompressed DIB
+('00db') frame payloads — 8-bit palettized and 24-bit BGR, bottom-up or
+top-down rows, 4-byte-aligned strides — and COMPRESSED 8-bit BI_RLE8
+('00dc') frames: Microsoft run-length encoding with encoded runs,
+absolute (literal) packets, end-of-line / end-of-bitmap / delta
+escapes. Everything outside that declared surface — other compression
+tags, other bit depths, truncated containers, geometry that disagrees
+between headers and frame bytes, RLE streams that write out of bounds —
+returns None so callers null-route to the raw-byte path exactly like
+unsupported PNGs/WAVs do. Inter-frame predictive codecs (H.264 etc.)
+remain environment-dependent (no libav here); the uncompressed and
+RLE8 tiers are the ones a dependency-free engine can make
+hash-checkable.
 
 Pure stdlib `struct` + numpy; layout from the public RIFF/AVI and
 BITMAPINFOHEADER specifications (the canonical hdrl/strl/movi chunk
@@ -59,19 +63,66 @@ def _stride(width: int, bits: int) -> int:
     return ((width * (bits // 8) + 3) // 4) * 4
 
 
+def _decode_rle8(blob: bytes, width: int, height: int):
+    """Decode one Microsoft BI_RLE8 frame to an (h, w) uint8 index
+    plane (bottom-up storage order, caller flips). Packet grammar per
+    the public BITMAPINFOHEADER spec: (count>0, value) = encoded run;
+    (0, 0) = end of line; (0, 1) = end of bitmap; (0, 2, dx, dy) =
+    delta skip; (0, n>=3, n literal bytes, pad-to-even) = absolute
+    mode. Pixels skipped by EOL / EOB / delta are zero-filled (the spec
+    leaves them undefined; zero is the deterministic choice). Returns
+    None when a packet would write or seek out of bounds, or when the
+    stream ends without an end-of-bitmap escape."""
+    out = np.zeros((height, width), dtype=np.uint8)
+    pos, x, y = 0, 0, 0
+    n = len(blob)
+    while True:
+        if pos + 2 > n:
+            return None  # stream exhausted without an EOB escape
+        c, v = blob[pos], blob[pos + 1]
+        pos += 2
+        if c > 0:  # encoded run
+            if y >= height or x + c > width:
+                return None
+            out[y, x:x + c] = v
+            x += c
+        elif v == 0:  # end of line
+            if y >= height:
+                return None
+            x, y = 0, y + 1
+        elif v == 1:  # end of bitmap
+            return out
+        elif v == 2:  # delta skip
+            if pos + 2 > n:
+                return None
+            x, y = x + blob[pos], y + blob[pos + 1]
+            pos += 2
+            if x > width or y > height:
+                return None
+        else:  # absolute mode: v literal bytes, padded to even length
+            if y >= height or x + v > width or pos + v > n:
+                return None
+            out[y, x:x + v] = np.frombuffer(blob, np.uint8, v, pos)
+            x += v
+            pos += v + (v & 1)
+
+
 def decode_avi(payload: bytes):
     """Decode an AVI byte string to (fps, width, height, frames) where
     frames is an (n_frames, height, width, 3) uint8 RGB array. Returns
     None for anything outside the declared support (not RIFF/AVI, no
-    'vids' stream, compression tag != 0 (BI_RGB), bits not in {8, 24},
-    8-bit without a palette, frame chunks whose size disagrees with the
-    header geometry)."""
+    'vids' stream, compression tag not in {0 BI_RGB, 1 BI_RLE8}, bits
+    not in {8, 24}, RLE8 with bits != 8 or a top-down height (invalid
+    per spec), 8-bit without a palette, uncompressed frame chunks whose
+    size disagrees with the header geometry, RLE streams that write out
+    of bounds)."""
     try:
         if not is_avi(payload):
             return None
         n = len(payload)
         width = height = None
         bits = None
+        compression = None
         palette = None
         scale = rate = None
         usec_per_frame = None
@@ -79,7 +130,7 @@ def decode_avi(payload: bytes):
         top_down = False
 
         def walk(pos: int, end: int) -> None:
-            nonlocal width, height, bits, palette, scale, rate
+            nonlocal width, height, bits, compression, palette, scale, rate
             nonlocal usec_per_frame, top_down
             for cid, body, size in _iter_chunks(payload, pos, end):
                 if cid == b"LIST":
@@ -95,12 +146,12 @@ def decode_avi(payload: bytes):
                 elif cid == b"strf" and size >= 40 and width is None:
                     (_bisz, bw, bh, _planes, bc, comp) = struct.unpack(
                         "<IiiHHI", payload[body:body + 20])
-                    width, bits = bw, bc
+                    width, bits, compression = bw, bc, comp
                     if bh < 0:
                         top_down, height = True, -bh
                     else:
                         height = bh
-                    if comp != 0:  # BI_RGB only: compressed tiers null-route
+                    if comp not in (0, 1):  # BI_RGB / BI_RLE8 only
                         width = None
                         return
                     if bc == 8 and size >= 40 + 4:
@@ -118,11 +169,19 @@ def decode_avi(payload: bytes):
             return None
         if bits == 8 and palette is None:
             return None
+        if compression == 1 and (bits != 8 or top_down):
+            return None  # RLE8 is 8-bit bottom-up by definition
         stride = _stride(width, bits)
         if stride * height > _MAX_FRAME_BYTES:
             return None
         frames = []
         for blob in frame_blobs:
+            if compression == 1:
+                idx = _decode_rle8(blob, width, height)
+                if idx is None or idx.max(initial=0) >= palette.shape[0]:
+                    return None
+                frames.append(palette[idx][::-1])  # RLE rows are bottom-up
+                continue
             if len(blob) != stride * height:
                 return None  # geometry disagreement: refuse, don't guess
             rows = np.frombuffer(blob, dtype=np.uint8).reshape(
@@ -201,5 +260,99 @@ def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
     hdrl = lst(b"hdrl", chunk(b"avih", avih)
                + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
     movi = lst(b"movi", b"".join(chunk(b"00db", b) for b in blobs))
+    body = b"AVI " + hdrl + movi
+    return RIFF_MAGIC + struct.pack("<I", len(body)) + body
+
+
+def _encode_rle8_row(row: bytes) -> bytes:
+    """RLE8-encode one pixel row deterministically: runs of >= 2 equal
+    bytes become encoded-run packets (chunked at 255), literal spans of
+    >= 3 become absolute packets (chunk sizes kept in [3, 255] — a
+    would-be remainder of 1-2 borrows from the previous chunk), and 1-2
+    stray literals become count-1 runs. Exercises both packet families
+    on realistic data while staying a pure function of the row."""
+    out = bytearray()
+    w = len(row)
+    i = 0
+    while i < w:
+        r = 1
+        while i + r < w and row[i + r] == row[i]:
+            r += 1
+        if r >= 2:
+            left = r
+            while left > 0:
+                take = min(left, 255)
+                out += bytes((take, row[i]))
+                i += take
+                left -= take
+            continue
+        # literal span: extend until the next run of >= 2 or end of row
+        j = i + 1
+        while j < w:
+            if j + 1 < w and row[j + 1] == row[j]:
+                break
+            j += 1
+        span = j - i
+        if span < 3:
+            for _ in range(span):
+                out += bytes((1, row[i]))
+                i += 1
+            continue
+        left = span
+        while left > 0:
+            take = min(left, 255)
+            if left - take in (1, 2):
+                take -= 2  # keep the final absolute chunk >= 3
+            out += bytes((0, take)) + row[i:i + take]
+            if take & 1:
+                out += b"\x00"  # absolute packets pad to even length
+            i += take
+            left -= take
+    return bytes(out)
+
+
+def encode_avi_rle8(frames: np.ndarray, fps: int = 10) -> bytes:
+    """Encode an (n, h, w) uint8 array as a BI_RLE8-compressed
+    grayscale-palette AVI ('00dc' chunks, bottom-up rows, end-of-line
+    escapes between rows, end-of-bitmap terminator). The compressed
+    twin of `encode_avi`'s 8-bit tier: decode_avi returns identical RGB
+    for both, so the RLE path is hash-checkable against the same
+    pixel-predicting oracle."""
+    arr = np.asarray(frames, dtype=np.uint8)
+    if arr.ndim != 3:
+        raise ValueError("encode_avi_rle8 expects (n,h,w) gray frames")
+    nf, h, w = arr.shape
+    assert nf > 0 and h > 0 and w > 0 and fps > 0
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body \
+            + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    blobs = []
+    for f in range(nf):
+        enc = bytearray()
+        for y in range(h):  # bottom-up storage order
+            enc += _encode_rle8_row(arr[f, h - 1 - y].tobytes())
+            enc += b"\x00\x00" if y < h - 1 else b"\x00\x01"
+        blobs.append(bytes(enc))
+    buf_size = max(len(b) for b in blobs)
+
+    avih = struct.pack(
+        "<IIIIIIIIII", 1_000_000 // fps, buf_size * fps, 0, 0x10,
+        nf, 0, 1, buf_size, w, h) + b"\x00" * 16
+    strh = (b"vids" + b"MRLE" + struct.pack(
+        "<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, nf, buf_size,
+        0xFFFFFFFF, 0) + struct.pack("<4h", 0, 0, w, h))
+    bmih = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 1,
+                       buf_size, 0, 0, 256, 0)
+    g = np.arange(256, dtype=np.uint8)
+    strf = bmih + np.stack(
+        [g, g, g, np.zeros_like(g)], axis=1).tobytes()
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", b) for b in blobs))
     body = b"AVI " + hdrl + movi
     return RIFF_MAGIC + struct.pack("<I", len(body)) + body

@@ -617,23 +617,71 @@ def attach_palette_images(docs: DataFrame, id_col: str = "doc_id",
         kernel, schema="media_id long, payload binary")
 
 
+def attach_gifs(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Deterministic GIF media table — the LZW container twin of
+    `attach_palette_images` with its own geometry (w = L%20+6,
+    h = L%14+6) and the SAME 16-color/transparent-0 pixel semantics
+    (j = byte (p mod L) % 16 → RGB ((19j)%256, (37j)%256, (53j)%256),
+    alpha 0 iff j = 0). Rows are interlaced for odd doc_ids, so the
+    4-pass interlace permutation is production surface, and the REAL
+    LZW compressor (`gif_codec.encode_gif`) means the decoder's
+    dictionary-growth path runs on every row. Every decoded RGBA value
+    is a pure function of the text the SQL oracle predicts."""
+    import numpy as np
+
+    from .gif_codec import encode_gif
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                data = (text or "").encode("utf-8")
+                n = len(data)
+                w, h = n % 20 + 6, n % 14 + 6
+                if n:
+                    b = np.frombuffer(data, dtype=np.uint8)
+                    j = (b[(np.arange(w * h) % n)] % 16).reshape(h, w)
+                else:
+                    j = np.zeros((h, w), dtype=np.uint8)
+                jj = j.astype(np.uint16)
+                rgba = np.dstack([
+                    (jj * 19) % 256, (jj * 37) % 256, (jj * 53) % 256,
+                    np.where(j == 0, 0, 255)]).astype(np.uint8)
+                rows.append((mid, encode_gif(
+                    rgba, interlace=bool(int(mid) % 2))))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return docs.select(id_col, text_col).mapInPandas(
+        kernel, schema="media_id long, payload binary")
+
+
 def image_rgba_stats(media: DataFrame) -> DataFrame:
     """Decoded-image statistics INCLUDING the alpha plane: per payload the
     decoded dims/channels, the sum over every channel value (alpha
     included), the fully-transparent pixel count, and the md5 fingerprint
     of the row-major channel-interleaved decimal values — the verify pass
-    that makes tRNS expansion (`png_codec.decode_png`) correctness
-    surface. Undecodable payloads drop (the raw-byte path upstream).
+    that makes tRNS expansion (`png_codec.decode_png`) and GIF
+    transparency (`gif_codec.decode_gif`) correctness surface. The
+    container is sniffed by magic, so one stats pass covers both image
+    formats. Undecodable payloads drop (the raw-byte path upstream).
     Row-local Arrow kernel, zero shuffle."""
     import hashlib
 
+    from .gif_codec import decode_gif, is_gif
     from .png_codec import decode_png
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                decoded = decode_png(bytes(payload))
+                raw = bytes(payload)
+                if is_gif(raw):
+                    g = decode_gif(raw)
+                    decoded = None if g is None else (
+                        g[0], g[1], 4, g[2])
+                else:
+                    decoded = decode_png(raw)
                 if decoded is None:
                     continue
                 w, h, ch, px = decoded
@@ -701,6 +749,38 @@ def attach_audio_mixed(docs: DataFrame, id_col: str = "doc_id",
         kernel, schema="media_id long, payload binary")
 
 
+def attach_audio_g711(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Deterministic G.711 COMPANDED media table — telephony-codec
+    recordings by doc_id % 2 (0: mu-law format tag 7, 1: A-law tag 6,
+    `wav_codec.encode_wav_g711`): the text bytes ARE the companded code
+    stream, so every expanded linear sample is the published CCITT
+    table value of a text byte and SQL oracles replay the expansion
+    formulas exactly. Empty text yields 64 frames of the code that
+    expands to the quietest level (0xFF -> 0 for mu-law, 0xD5 -> +8
+    for A-law, which has no zero code)."""
+    import numpy as np
+
+    from .wav_codec import encode_wav_g711
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                data = (text or "").encode("utf-8")
+                law = "mu" if int(mid) % 2 == 0 else "a"
+                if data:
+                    codes = np.frombuffer(data, dtype=np.uint8)
+                else:
+                    codes = np.full(
+                        64, 0xFF if law == "mu" else 0xD5, np.uint8)
+                rows.append((mid, encode_wav_g711(codes, 8000, law)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return docs.select(id_col, text_col).mapInPandas(
+        kernel, schema="media_id long, payload binary")
+
+
 VIDEO_STATS_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
     T.StructField("frame_idx", T.IntegerType()),
@@ -753,6 +833,43 @@ def attach_video(docs: DataFrame, id_col: str = "doc_id",
                                    axis=3).astype(np.uint8)
                     payload = encode_avi(rgb, fps=10)
                 rows.append((mid, payload))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return docs.select(id_col, text_col).mapInPandas(
+        kernel, schema="media_id long, payload binary")
+
+
+def attach_video_rle(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Deterministic COMPRESSED-video media table — the BI_RLE8 twin of
+    `attach_video`: each doc's text bytes become L%3+2 RLE8-compressed
+    grayscale-palette frames of (h = L%7+4, w = L%11+4), frame f's
+    pixel p = byte ((p//3 + 5f) mod L) (0 when the text is empty).
+    The //3 repeats each source byte across three pixels, so realistic
+    runs hit the encoded-run packets while row-edge remainders hit the
+    absolute/literal packets — both halves of the RLE grammar are
+    exercised by production data, and every decoded RGB value is still
+    a pure function of the text the SQL oracle predicts."""
+    import numpy as np
+
+    from .avi_codec import encode_avi_rle8
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                data = (text or "").encode("utf-8")
+                n = len(data)
+                nf, w, h = n % 3 + 2, n % 11 + 4, n % 7 + 4
+                p = np.arange(w * h)
+                vs = []
+                for f in range(nf):
+                    if n:
+                        b = np.frombuffer(data, dtype=np.uint8)
+                        vs.append(b[(p // 3 + 5 * f) % n].reshape(h, w))
+                    else:
+                        vs.append(np.zeros((h, w), dtype=np.uint8))
+                rows.append((mid, encode_avi_rle8(np.stack(vs), fps=10)))
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
     return docs.select(id_col, text_col).mapInPandas(

@@ -2,8 +2,10 @@
 
 Gives the audio modality REAL decode (the r8 verdict's next-slice ask):
 RIFF/WAVE container parsing with uncompressed PCM payloads, 8-bit unsigned
-and 16-bit signed little-endian, mono or multi-channel. Everything outside
-that declared surface — compressed codecs (format tag != 1), 24/32-bit,
+and 16-bit signed little-endian, mono or multi-channel — plus the G.711
+COMPANDED tiers (format tag 6 = A-law, 7 = mu-law), expanded to linear
+int16 through the published CCITT segment/mantissa formulas. Everything
+outside that declared surface — other compressed codecs, 24/32-bit,
 truncated containers, wrong magic — returns None so callers null-route to
 the raw-byte path exactly like unsupported PNGs do.
 
@@ -31,13 +33,41 @@ def is_wav(payload: bytes) -> bool:
             and payload[8:12] == b"WAVE")
 
 
+def _g711_tables():
+    """256-entry mu-law / A-law expansion tables from the published
+    CCITT G.711 formulas (sign/segment/mantissa; mu-law bias 132,
+    A-law even-bit inversion 0x55 with sign bit 0x80 = positive).
+    Built once, cached on the function object."""
+    cached = getattr(_g711_tables, "_cached", None)
+    if cached is not None:
+        return cached
+    b = np.arange(256)
+    # mu-law: u = ~b; t = ((mant<<3)+132)<<seg − 132; bit 7 set = negative
+    u = 255 - b
+    t = (((u & 0x0F) << 3) + 132) * (1 << ((u >> 4) & 0x07)) - 132
+    ulaw = np.where(u & 0x80, -t, t).astype(np.int16)
+    # A-law: a = b ^ 0x55; seg 0: t = (mant<<4)+8, else ((mant<<4)+0x108)
+    # << (seg−1); bit 7 set = POSITIVE (opposite of mu-law)
+    a = b ^ 0x55
+    seg = (a >> 4) & 0x07
+    mant = a & 0x0F
+    t = np.where(seg == 0, (mant << 4) + 8,
+                 ((mant << 4) + 0x108) << np.maximum(seg - 1, 0))
+    alaw = np.where(a & 0x80, t, -t).astype(np.int16)
+    _g711_tables._cached = (ulaw, alaw)
+    return ulaw, alaw
+
+
 def decode_wav(payload: bytes):
     """Decode a WAV byte string to (sample_rate, n_channels, bits,
     samples) where samples is an (n_frames, n_channels) numpy array —
     uint8 for 8-bit PCM (unsigned, 128-centered per the format), int16
-    for 16-bit. Returns None for anything outside the declared support
-    (not RIFF/WAVE, non-PCM format tag, bits not in {8, 16}, zero or
-    inconsistent geometry, truncated data chunk)."""
+    for 16-bit. G.711 companded tiers (format tag 6 = A-law, 7 = mu-law,
+    8-bit containers) return the EXPANDED linear domain: int16 samples
+    with bits = 16, so downstream DSP treats all tiers uniformly.
+    Returns None for anything outside the declared support (not
+    RIFF/WAVE, other format tags, bits not in {8, 16}, companded with
+    bits != 8, zero or inconsistent geometry, truncated data chunk)."""
     try:
         if not is_wav(payload):
             return None
@@ -60,8 +90,12 @@ def decode_wav(payload: bytes):
         if fmt is None or data is None:
             return None
         audio_format, channels, sample_rate, _brate, block_align, bits = fmt
-        if audio_format != 1 or bits not in (8, 16) or channels < 1:
+        if audio_format not in (1, 6, 7) or channels < 1:
             return None
+        if audio_format == 1 and bits not in (8, 16):
+            return None
+        if audio_format in (6, 7) and bits != 8:
+            return None  # G.711 is an 8-bit-per-sample code by definition
         if sample_rate <= 0 or len(data) > _MAX_DATA_BYTES:
             return None
         if block_align != channels * (bits // 8):
@@ -70,6 +104,12 @@ def decode_wav(payload: bytes):
         data = data[: n_frames * block_align]
         if n_frames == 0:
             return None
+        if audio_format in (6, 7):
+            ulaw, alaw = _g711_tables()
+            codes = np.frombuffer(data, dtype=np.uint8).reshape(
+                n_frames, channels)
+            samples = (ulaw if audio_format == 7 else alaw)[codes]
+            return sample_rate, channels, 16, samples
         dtype = np.uint8 if bits == 8 else np.dtype("<i2")
         samples = np.frombuffer(data, dtype=dtype).reshape(
             n_frames, channels)
@@ -94,6 +134,28 @@ def encode_wav(samples: np.ndarray, sample_rate: int,
     block_align = channels * (bits // 8)
     fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
                       sample_rate * block_align, block_align, bits)
+    chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"data" + struct.pack("<I", len(body)) + body
+              + (b"\x00" if len(body) & 1 else b""))
+    return (WAV_MAGIC + struct.pack("<I", 4 + len(chunks)) + b"WAVE"
+            + chunks)
+
+
+def encode_wav_g711(codes: np.ndarray, sample_rate: int,
+                    law: str = "mu") -> bytes:
+    """Wrap raw G.711 companded CODE bytes — (n,) or (n, channels)
+    uint8 — in a RIFF/WAVE container with format tag 7 (mu-law) or 6
+    (A-law). The payload builder for the companded tiers; decode_wav
+    expands the codes back to linear int16 through the CCITT tables."""
+    assert law in ("mu", "a")
+    arr = np.asarray(codes, dtype=np.uint8)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    _n_frames, channels = arr.shape
+    body = arr.tobytes()
+    tag = 7 if law == "mu" else 6
+    fmt = struct.pack("<HHIIHH", tag, channels, sample_rate,
+                      sample_rate * channels, channels, 8)
     chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
               + b"data" + struct.pack("<I", len(body)) + body
               + (b"\x00" if len(body) & 1 else b""))

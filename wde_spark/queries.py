@@ -2137,20 +2137,24 @@ _DRIVER_PRIORITY = [
     "dedup_weights_documents", "quantile_sketch_gate",
     "data_quality_orders", "dedup_increment_documents",
     "dedup_recall_audit_documents", "corpus_drift_documents",
-    "lm_quality_documents", "dsir_sample_documents",
-    "nb_classify_documents", "source_overlap_documents",
     # --- net-new late in the round (first driver rows): the maintained
     # FFD manifest, the palette+tRNS image tier, the mixed-format
     # (stereo / 8-bit) audio energy windows, REAL video decode, and the
     # maintained mini-batch k-means codebook ---
     "streaming_ffd_manifest_documents", "image_palette_rgba_documents",
     "audio_energy_mixed_documents", "video_frames_decoded_documents",
-    "streaming_kmeans_codebook_embeddings",
+    "streaming_kmeans_codebook_embeddings", "palette_thumbnails_documents",
+    # --- net-new in the continuation session (first driver rows): the
+    # BI_RLE8 compressed-video tier and the G.711 companded-audio tiers
+    "video_rle_frames_documents", "audio_energy_g711_documents",
+    "gif_rgba_documents",
     # dedup_corpus_semantic_documents, source_scorecard_documents,
     # embedding_recall_audit_embeddings, strip_duplicate_spans_documents,
-    # substr_increment_documents, and duplicate_spans_documents (r6
-    # vintage) yield their seats to the late net-new entries; they lead
-    # the r10 rotation.
+    # substr_increment_documents, duplicate_spans_documents,
+    # source_overlap_documents, dsir_sample_documents,
+    # nb_classify_documents, and lm_quality_documents (r6 vintage)
+    # yield their seats to the late net-new entries; they lead the r10
+    # rotation.
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]

@@ -6261,6 +6261,60 @@ def streaming_ffd_manifest_documents(spark: SparkSession,
 
 
 @query(
+    "gif_rgba_documents",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS L,
+             CAST(octet_length(encode(text)) % 20 + 6 AS INT) AS w,
+             CAST(octet_length(encode(text)) % 14 + 6 AS INT) AS h
+      FROM documents),
+    px AS (
+      SELECT media_id, w, h, CAST(p AS BIGINT) AS p,
+             CASE WHEN L = 0 THEN 0 ELSE
+               ((strpos('0123456789ABCDEF', substr(hx,
+                   CAST(2 * (p % L) + 1 AS INT), 1)) - 1) * 16
+                + (strpos('0123456789ABCDEF', substr(hx,
+                   CAST(2 * (p % L) + 2 AS INT), 1)) - 1)) % 16
+             END AS j
+      FROM m, unnest(range(0, CAST(w AS BIGINT) * h)) AS u(p)),
+    v AS (
+      SELECT media_id, w, h, p, CAST(c AS BIGINT) AS c,
+             CASE CAST(c AS INT)
+                  WHEN 0 THEN (j * 19) % 256
+                  WHEN 1 THEN (j * 37) % 256
+                  WHEN 2 THEN (j * 53) % 256
+                  ELSE CASE WHEN j = 0 THEN 0 ELSE 255 END END AS v
+      FROM px, unnest(range(0, 4)) AS t(c))
+    SELECT media_id, w AS width, h AS height, CAST(4 AS INT) AS channels,
+           CAST(SUM(v) AS BIGINT) AS px_sum,
+           CAST(SUM(CASE WHEN c = 3 AND v = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_transparent,
+           md5(string_agg(CAST(v AS VARCHAR), '-' ORDER BY p * 4 + c))
+             AS px_fp
+    FROM v GROUP BY media_id, w, h
+    """,
+)
+def gif_rgba_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF decode as correctness surface — the engine's second image
+    container and first dictionary-coded decompressor: deterministic
+    16-color GIFs with GIF89a transparency built from each doc's text
+    (`multimodal.attach_gifs` — REAL LZW compression via
+    `gif_codec.encode_gif`, 4-pass interlace on odd doc_ids), decoded
+    back through the spec-derived LZW decoder + interlace permutation +
+    transparency expansion (`gif_codec.decode_gif`) and fingerprinted
+    per RGBA value. The oracle predicts every channel of every pixel
+    from the text alone, so a wrong LZW width bump, dictionary entry,
+    interlace pass, palette slot, or transparent index breaks the md5.
+    Animated GIFs and partial-rect frames remain the declared
+    null-route."""
+    from .operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return MM.image_rgba_stats(MM.attach_gifs(docs))
+
+
+@query(
     "image_palette_rgba_documents",
     """
     WITH m AS (
@@ -6364,6 +6418,67 @@ def audio_energy_mixed_documents(spark: SparkSession,
 
 
 @query(
+    "audio_energy_g711_documents",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, CAST(doc_id % 2 AS INT) AS law,
+             hex(encode(text)) AS hx, octet_length(encode(text)) AS L
+      FROM documents),
+    s AS (
+      SELECT media_id, law, CAST(i AS BIGINT) AS i,
+             CASE WHEN L = 0 THEN
+               CASE law WHEN 0 THEN 255 ELSE 213 END
+             ELSE
+               (strpos('0123456789ABCDEF',
+                   substr(hx, CAST(2 * i + 1 AS INT), 1)) - 1) * 16
+               + (strpos('0123456789ABCDEF',
+                   substr(hx, CAST(2 * i + 2 AS INT), 1)) - 1)
+             END AS b
+      FROM m, unnest(range(0, CASE WHEN L = 0 THEN 64 ELSE L END)) AS u(i)),
+    d AS (
+      SELECT media_id, i,
+             CASE WHEN law = 0 THEN
+               -- mu-law expand: u = ~b; t = ((mant*8)+132)*2^seg - 132;
+               -- bit 7 of u set = negative
+               (CASE WHEN (255 - b) >= 128 THEN -1 ELSE 1 END)
+               * (((255 - b) % 16 * 8 + 132)
+                  * CAST(POWER(2, ((255 - b) // 16) % 8) AS BIGINT) - 132)
+             ELSE
+               -- A-law expand: a = b XOR 0x55; seg 0: mant*16+8, else
+               -- (mant*16+264)*2^(seg-1); bit 7 of a set = POSITIVE
+               (CASE WHEN xor(b, 85) >= 128 THEN 1 ELSE -1 END)
+               * (CASE WHEN (xor(b, 85) // 16) % 8 = 0
+                       THEN xor(b, 85) % 16 * 16 + 8
+                       ELSE (xor(b, 85) % 16 * 16 + 264)
+                            * CAST(POWER(2, (xor(b, 85) // 16) % 8 - 1)
+                                   AS BIGINT) END)
+             END AS v
+      FROM s)
+    SELECT media_id, CAST(i // 256 AS INT) AS win_idx,
+           CAST(COUNT(*) AS INT) AS n_frames,
+           CAST(SUM(abs(v)) AS BIGINT) AS abs_sum
+    FROM d GROUP BY media_id, i // 256
+    """,
+)
+def audio_energy_g711_documents(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """G.711 COMPANDED audio decode as correctness surface — telephony
+    mu-law / A-law recordings (format tags 7 / 6 by doc_id % 2,
+    `multimodal.attach_audio_g711`) expanded to linear int16 through
+    the published CCITT segment/mantissa tables
+    (`wav_codec.decode_wav`) and run through the energy-window VAD
+    primitive. The oracle replays BOTH expansion formulas in SQL —
+    mu-law's complement/bias-132 ladder and A-law's even-bit-inversion
+    ladder with its opposite sign convention — so a wrong table entry,
+    sign bit, or segment shift anywhere in the 512-code space breaks
+    the window sums under the driver hash."""
+    from .operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return MM.audio_energy_windows(MM.attach_audio_g711(docs), window=256)
+
+
+@query(
     "video_frames_decoded_documents",
     """
     WITH m AS (
@@ -6417,6 +6532,58 @@ def video_frames_decoded_documents(spark: SparkSession,
 
     docs = load_table(spark, sf_dir, "documents", spread=True)
     return MM.video_frame_stats(MM.attach_video(docs))
+
+
+@query(
+    "video_rle_frames_documents",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             hex(encode(text)) AS hx, octet_length(encode(text)) AS L,
+             CAST(octet_length(encode(text)) % 3 + 2 AS INT) AS nf,
+             CAST(octet_length(encode(text)) % 11 + 4 AS INT) AS w,
+             CAST(octet_length(encode(text)) % 7 + 4 AS INT) AS h
+      FROM documents),
+    fr AS (
+      SELECT media_id, hx, L, w, h, CAST(f AS INT) AS f
+      FROM m, unnest(range(0, nf)) AS u(f)),
+    px AS (
+      SELECT media_id, w, h, f, CAST(p AS BIGINT) AS p,
+             CASE WHEN L = 0 THEN 0 ELSE
+               (strpos('0123456789ABCDEF', substr(hx,
+                   CAST(2 * ((p // 3 + 5 * f) % L) + 1 AS INT), 1)) - 1) * 16
+               + (strpos('0123456789ABCDEF', substr(hx,
+                   CAST(2 * ((p // 3 + 5 * f) % L) + 2 AS INT), 1)) - 1)
+             END AS v
+      FROM fr, unnest(range(0, CAST(w AS BIGINT) * h)) AS u(p)),
+    ch AS (
+      SELECT media_id, w, h, f, p, CAST(c AS BIGINT) AS c, v AS cv
+      FROM px, unnest(range(0, 3)) AS t(c))
+    SELECT media_id, f AS frame_idx, CAST(10.0 AS DOUBLE) AS fps,
+           w AS width, h AS height,
+           CAST(SUM(cv) AS BIGINT) AS px_sum,
+           md5(string_agg(CAST(cv AS VARCHAR), '-' ORDER BY p * 3 + c))
+             AS px_fp
+    FROM ch GROUP BY media_id, f, w, h
+    """,
+)
+def video_rle_frames_documents(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """REAL COMPRESSED video decode — BI_RLE8 leaves the null-route
+    tier: each doc's text becomes an RLE8-compressed grayscale-palette
+    RIFF/AVI clip (`multimodal.attach_video_rle` →
+    `avi_codec.encode_avi_rle8`: encoded-run packets, absolute/literal
+    packets, end-of-line and end-of-bitmap escapes), decoded back
+    through the container parser (`avi_codec.decode_avi` →
+    `_decode_rle8`) and fingerprinted per frame. The oracle predicts
+    every RGB value of every frame from the text alone, so a wrong run
+    length, literal pad, row escape, palette expansion, or bottom-up
+    flip breaks the md5. Inter-frame predictive codecs (H.264 etc.)
+    remain the declared null-route (no libav in this environment)."""
+    from .operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return MM.video_frame_stats(MM.attach_video_rle(docs))
 
 
 # ---------------------------------------------------------------------------
