@@ -320,6 +320,9 @@ def test_no_cartesian_or_undeclared_python_anywhere(spark):
                  # G.711 companded tiers (mu-law/A-law expansion) through
                  # the same row-local codec kernels
                  "audio_energy_g711_documents",
+                 # IMA ADPCM predictive tier: block synth + nibble state
+                 # machine, row-local mapInPandas
+                 "audio_adpcm_decoded_documents",
                  # real video decode (uncompressed AVI tier): container
                  # synth + frame-stats kernels, row-local mapInPandas
                  "video_frames_decoded_documents",

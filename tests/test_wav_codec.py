@@ -236,3 +236,87 @@ def test_attach_audio_g711_energy_matches_tables(spark):
     assert rows[(1, 0)]["abs_sum"] == int(np.abs(alaw[b]).sum())
     assert rows[(2, 0)]["abs_sum"] == 0          # mu-law silence
     assert rows[(3, 0)]["abs_sum"] == 8 * 64     # A-law quietest = +/-8
+
+
+# --- IMA ADPCM predictive tier -------------------------------------------
+
+
+def _ref_adpcm(pred, index, data):
+    """Independent re-derivation of the published IMA ADPCM expansion
+    (the test's own copy — the codec's table and loop are not reused)."""
+    from wde_spark.operators.wav_codec import ADPCM_INDEX_ADJ, ADPCM_STEPS
+
+    out = [pred]
+    for byte in data:
+        for n in (byte & 15, byte >> 4):
+            step = ADPCM_STEPS[index]
+            diff = ((step >> 3) + (step >> 2 if n & 1 else 0)
+                    + (step >> 1 if n & 2 else 0) + (step if n & 4 else 0))
+            pred = min(32767, max(-32768, pred + (-diff if n & 8 else diff)))
+            index = min(88, max(0, index + ADPCM_INDEX_ADJ[n & 7]))
+            out.append(pred)
+    return out
+
+
+def test_adpcm_multi_block_roundtrip():
+    from wde_spark.operators.wav_codec import encode_wav_adpcm
+
+    rng = np.random.RandomState(3)
+    for trial in range(30):
+        blocks, want = [], []
+        dlen = int(rng.randint(1, 64))
+        for _ in range(int(rng.randint(1, 4))):
+            pred = int(rng.randint(-32768, 32768))
+            idx = int(rng.randint(0, 89))
+            dat = bytes(rng.randint(0, 256, dlen).astype(np.uint8))
+            blocks.append((pred, idx, dat))
+            want += _ref_adpcm(pred, idx, dat)
+        rate, ch, bits, s = decode_wav(encode_wav_adpcm(blocks, 8000))
+        assert (rate, ch, bits) == (8000, 1, 16)
+        assert s[:, 0].tolist() == want, trial
+
+
+def test_adpcm_clamps_at_extremes():
+    """Saturating runs pin the predictor at the int16 rails and the
+    index at 88/0 without wrapping."""
+    from wde_spark.operators.wav_codec import encode_wav_adpcm
+
+    up = decode_wav(encode_wav_adpcm([(32000, 88, b"\x77" * 16)]))[3]
+    assert up.max() == 32767
+    down = decode_wav(encode_wav_adpcm([(-32000, 88, b"\xff" * 16)]))[3]
+    assert down.min() == -32768
+    calm = decode_wav(encode_wav_adpcm([(0, 0, b"\x00" * 16)]))[3]
+    assert (np.abs(calm[:, 0].astype(int)) <= 7).all()  # index stays 0
+
+
+def test_adpcm_null_routes():
+    from wde_spark.operators.wav_codec import encode_wav_adpcm
+
+    good = encode_wav_adpcm([(0, 0, b"\x00" * 8)])
+    i = good.find(b"data")
+    bad_idx = bytearray(good); bad_idx[i + 4 + 2] = 89
+    assert decode_wav(bytes(bad_idx)) is None
+    bad_res = bytearray(good); bad_res[i + 4 + 3] = 1
+    assert decode_wav(bytes(bad_res)) is None
+    # samples_per_block disagreeing with block_align
+    j = good.find(b"fmt ")
+    bad_spb = bytearray(good)
+    bad_spb[j + 8 + 18:j + 8 + 20] = struct.pack("<H", 99)
+    assert decode_wav(bytes(bad_spb)) is None
+
+
+def test_attach_audio_adpcm_samples_predictable(spark):
+    from wde_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame(
+        [(0, "abc"), (1, "")], "doc_id long, text string")
+    rows = {r["media_id"]: r for r in
+            MM.audio_sample_stats(MM.attach_audio_adpcm(docs)).collect()}
+    data = b"abc"
+    b = np.frombuffer(data, np.uint8)
+    dat = bytes(b[np.arange(64) % 3])
+    want = _ref_adpcm((data[0] - 128) * 256, data[1] % 89, dat)
+    assert rows[0]["n_frames"] == 129
+    assert rows[0]["s_sum"] == sum(want)
+    silent = _ref_adpcm(0, 0, b"\x00" * 64)
+    assert rows[1]["s_sum"] == sum(silent)

@@ -617,6 +617,41 @@ def attach_palette_images(docs: DataFrame, id_col: str = "doc_id",
         kernel, schema="media_id long, payload binary")
 
 
+def attach_audio_adpcm(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Deterministic IMA ADPCM media table — the PREDICTIVE-codec tier:
+    one 68-byte mono block per doc (predictor = (byte0 − 128)·256,
+    step index = byte1 mod 89, both 0 when the text is too short; the
+    64 data bytes are text bytes k mod L, 0x00 when empty), giving
+    exactly 129 samples whose values chain through the published
+    step-table state machine. Every decoded sample is a pure function
+    of the text that a recursive-CTE SQL oracle replays nibble by
+    nibble."""
+    import numpy as np
+
+    from .wav_codec import encode_wav_adpcm
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                data = (text or "").encode("utf-8")
+                n = len(data)
+                pred = (data[0] - 128) * 256 if n >= 1 else 0
+                index = data[1] % 89 if n >= 2 else 0
+                if n:
+                    b = np.frombuffer(data, dtype=np.uint8)
+                    dat = bytes(b[np.arange(64) % n])
+                else:
+                    dat = b"\x00" * 64
+                rows.append((mid, encode_wav_adpcm(
+                    [(pred, index, dat)], 8000)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return docs.select(id_col, text_col).mapInPandas(
+        kernel, schema="media_id long, payload binary")
+
+
 def attach_gifs(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Deterministic GIF media table — the LZW container twin of

@@ -6260,6 +6260,94 @@ def streaming_ffd_manifest_documents(spark: SparkSession,
     return spark.read.parquet(os.path.join(man_dir, "b*"))
 
 
+# the ADPCM oracle embeds the SAME published step table the decoder
+# uses (wav_codec.ADPCM_STEPS) — generated from one constant so the
+# two sides cannot drift
+from .operators.wav_codec import ADPCM_STEPS as _ADPCM_STEPS
+
+_ADPCM_STEPS_SQL = ", ".join(
+    f"({i}, {s})" for i, s in enumerate(_ADPCM_STEPS))
+
+
+@query(
+    "audio_adpcm_decoded_documents",
+    f"""
+    WITH RECURSIVE
+    m AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS L
+      FROM documents),
+    hdr AS (
+      SELECT media_id,
+             CASE WHEN L >= 1 THEN
+               ((strpos('0123456789ABCDEF', substr(hx, 1, 1)) - 1) * 16
+                + (strpos('0123456789ABCDEF', substr(hx, 2, 1)) - 1)
+                - 128) * 256
+             ELSE 0 END AS pred0,
+             CASE WHEN L >= 2 THEN
+               ((strpos('0123456789ABCDEF', substr(hx, 3, 1)) - 1) * 16
+                + (strpos('0123456789ABCDEF', substr(hx, 4, 1)) - 1)) % 89
+             ELSE 0 END AS idx0
+      FROM m),
+    dat AS (
+      SELECT media_id, CAST(k AS INT) AS k,
+             CASE WHEN L = 0 THEN 0 ELSE
+               (strpos('0123456789ABCDEF', substr(hx,
+                   CAST(2 * (k % L) + 1 AS INT), 1)) - 1) * 16
+               + (strpos('0123456789ABCDEF', substr(hx,
+                   CAST(2 * (k % L) + 2 AS INT), 1)) - 1)
+             END AS b
+      FROM m, unnest(range(0, 64)) AS u(k)),
+    nib AS (
+      SELECT media_id, CAST(k * 2 + half AS INT) AS i,
+             CASE WHEN half = 0 THEN b % 16 ELSE b // 16 END AS n
+      FROM dat, unnest(range(0, 2)) AS t(half)),
+    steps(si, sv) AS (VALUES {_ADPCM_STEPS_SQL}),
+    st AS (
+      SELECT media_id, 0 AS i, pred0 AS pred, idx0 AS idx FROM hdr
+      UNION ALL
+      SELECT st.media_id, st.i + 1,
+             CAST(GREATEST(-32768, LEAST(32767, st.pred
+               + (CASE WHEN n.n >= 8 THEN -1 ELSE 1 END)
+               * (s.sv // 8
+                  + CASE WHEN n.n % 2 = 1 THEN s.sv // 4 ELSE 0 END
+                  + CASE WHEN (n.n // 2) % 2 = 1 THEN s.sv // 2
+                         ELSE 0 END
+                  + CASE WHEN (n.n // 4) % 2 = 1 THEN s.sv
+                         ELSE 0 END))) AS INT),
+             CAST(GREATEST(0, LEAST(88, st.idx
+               + CASE n.n % 8 WHEN 4 THEN 2 WHEN 5 THEN 4 WHEN 6 THEN 6
+                              WHEN 7 THEN 8 ELSE -1 END)) AS INT)
+      FROM st
+      JOIN nib n ON n.media_id = st.media_id AND n.i = st.i
+      JOIN steps s ON s.si = st.idx
+      WHERE st.i < 128)
+    SELECT media_id, CAST(8000 AS INT) AS sample_rate,
+           CAST(1 AS INT) AS n_channels, CAST(16 AS INT) AS bits,
+           CAST(129 AS BIGINT) AS n_frames,
+           CAST(SUM(pred) AS BIGINT) AS s_sum,
+           md5(string_agg(CAST(pred AS VARCHAR), '-' ORDER BY i)) AS s_fp
+    FROM st GROUP BY media_id
+    """,
+)
+def audio_adpcm_decoded_documents(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """PREDICTIVE audio decode — IMA ADPCM joins the correctness
+    surface: one 68-byte mono block per doc
+    (`multimodal.attach_audio_adpcm`), decoded through the published
+    step-table state machine (`wav_codec._decode_adpcm_block`: 4-bit
+    differential nibbles, predictor clamp, index-adjust walk) and
+    fingerprinted sample by sample. The oracle is a RECURSIVE CTE that
+    replays all 128 nibble transitions per doc against the same
+    89-entry step table (embedded from the one shared constant), so a
+    wrong shift, clamp, index adjustment, or nibble order anywhere in
+    the chain diverges every subsequent sample and breaks the md5."""
+    from .operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return MM.audio_sample_stats(MM.attach_audio_adpcm(docs))
+
+
 @query(
     "gif_rgba_documents",
     """
