@@ -119,6 +119,12 @@ HEADLINE = [
     "image_palette_rgba_documents",
     "audio_energy_mixed_documents",
     "video_frames_decoded_documents",
+    # continuation-session additions: compressed video (BI_RLE8), the
+    # GIF LZW container, and the IMA ADPCM predictive audio tier —
+    # decompression-bound row-local kernels
+    "video_rle_frames_documents",
+    "gif_rgba_documents",
+    "audio_adpcm_decoded_documents",
 ]
 
 
