@@ -314,6 +314,9 @@ def test_no_cartesian_or_undeclared_python_anywhere(spark):
                  # GIF container (LZW encode/decode + interlace) through
                  # the same row-local RGBA stats kernel
                  "gif_rgba_documents",
+                 # animated GIF compositing: multi-frame synth + canvas
+                 # snapshot fingerprints, row-local mapInPandas
+                 "gif_animation_frames_documents",
                  # mixed-format audio (stereo/8-bit) through the decoded
                  # energy windows — same row-local codec kernels
                  "audio_energy_mixed_documents",

@@ -3,15 +3,24 @@
 (PNG rides zlib; GIF's LZW is implemented here from the published
 GIF89a specification).
 
-Declared support: GIF87a/GIF89a, a single full-canvas image descriptor
-(left/top 0, dims equal to the logical screen), global or local color
-table, interlaced or sequential rows, optional GIF89a graphic-control
-transparency (the transparent index expands to an alpha-0 RGBA pixel
-that KEEPS its palette RGB, mirroring the PNG tRNS tier). Everything
-outside that surface — animated GIFs (a second image descriptor),
-partial-rect frames, missing color tables, LZW streams that derail
-(bad codes, wrong pixel counts) — returns None so callers null-route
-to the raw-byte path.
+Declared support, single-image API (`decode_gif`): GIF87a/GIF89a, one
+full-canvas image descriptor (left/top 0, dims equal to the logical
+screen), global or local color table, interlaced or sequential rows,
+optional GIF89a graphic-control transparency (the transparent index
+expands to an alpha-0 RGBA pixel that KEEPS its palette RGB, mirroring
+the PNG tRNS tier).
+
+Animated API (`decode_gif_frames`): multiple image descriptors with
+partial rects, per-frame graphic-control extensions, and full
+compositing — the canvas starts transparent, each frame's
+non-transparent patch pixels overwrite it, and the snapshot after each
+draw is that frame's output; disposal methods 0/1 (leave), 2 (restore
+rect to transparent background), and 3 (restore previous canvas) are
+applied between frames.
+
+Everything outside those surfaces — missing color tables, LZW streams
+that derail (bad codes, wrong pixel counts), rects exceeding the
+canvas — returns None so callers null-route to the raw-byte path.
 
 Pure stdlib + numpy. Not derived from the reference repo (text-only;
 no media surface — extension parity documented in COVERAGE.md).
@@ -163,12 +172,12 @@ def _deinterlace_rows(h: int) -> np.ndarray:
     return inv
 
 
-def decode_gif(payload: bytes):
-    """Decode a GIF byte string to (width, height, rgba) where rgba is
-    an (h, w, 4) uint8 array — the transparent index (GIF89a graphic
-    control) decodes to alpha 0 keeping its palette RGB; everything else
-    is alpha 255. Returns None outside the declared support (see module
-    docstring)."""
+def _parse_gif(payload: bytes):
+    """Shared container walk: returns (w, h, frames) where each frame is
+    (left, top, iw, ih, plane, palette, transparent, disposal) with the
+    plane already deinterlaced, or None on anything malformed. The
+    graphic-control extension applies to the following image descriptor
+    only (per spec) and resets after it."""
     try:
         if not is_gif(payload) or len(payload) < 13:
             return None
@@ -186,7 +195,8 @@ def decode_gif(payload: bytes):
             pos += size * 3
 
         transparent = None
-        image = None
+        disposal = 0
+        frames = []
         while pos < len(payload):
             b = payload[pos]
             pos += 1
@@ -209,13 +219,12 @@ def decode_gif(payload: bytes):
                     pos += sz
                 if label == 0xF9 and blocks and len(blocks[0]) >= 4:
                     gpacked = blocks[0][0]
-                    if gpacked & 0x01:
-                        transparent = blocks[0][3]
+                    disposal = (gpacked >> 2) & 0x07
+                    transparent = (blocks[0][3] if gpacked & 0x01
+                                   else None)
                 continue
             if b != 0x2C:
                 return None  # unknown top-level block
-            if image is not None:
-                return None  # animated (second descriptor): null-route
             if pos + 9 > len(payload):
                 return None
             left = int.from_bytes(payload[pos:pos + 2], "little")
@@ -224,8 +233,8 @@ def decode_gif(payload: bytes):
             ih = int.from_bytes(payload[pos + 6:pos + 8], "little")
             ipacked = payload[pos + 8]
             pos += 9
-            if (left, top, iw, ih) != (0, 0, w, h):
-                return None  # partial-rect frames: outside the surface
+            if iw <= 0 or ih <= 0 or left + iw > w or top + ih > h:
+                return None  # rect must stay on the canvas
             palette = gct
             if ipacked & 0x80:
                 size = 2 << (ipacked & 0x07)
@@ -248,24 +257,147 @@ def decode_gif(payload: bytes):
                     break
                 data += payload[pos:pos + sz]
                 pos += sz
-            idx = _lzw_decode(bytes(data), mcs, w * h)
+            idx = _lzw_decode(bytes(data), mcs, iw * ih)
             if idx is None or idx.max(initial=0) >= palette.shape[0]:
                 return None
-            plane = idx.reshape(h, w)
+            plane = idx.reshape(ih, iw)
             if ipacked & 0x40:
-                plane = plane[_deinterlace_rows(h)]
-            rgba = np.empty((h, w, 4), dtype=np.uint8)
-            rgba[:, :, :3] = palette[plane]
-            rgba[:, :, 3] = 255
-            image = (plane, rgba)
-        if image is None:
+                plane = plane[_deinterlace_rows(ih)]
+            frames.append((left, top, iw, ih, plane, palette,
+                           transparent, disposal))
+            transparent, disposal = None, 0  # GCE scope is one image
+        if not frames:
             return None
-        plane, rgba = image
-        if transparent is not None:
-            rgba[:, :, 3] = np.where(plane == transparent, 0, 255)
-        return w, h, rgba
+        return w, h, frames
     except (ValueError, IndexError):
         return None
+
+
+def decode_gif(payload: bytes):
+    """Decode a single-image GIF to (width, height, rgba) where rgba is
+    an (h, w, 4) uint8 array — the transparent index (GIF89a graphic
+    control) decodes to alpha 0 keeping its palette RGB; everything else
+    is alpha 255. Returns None outside the declared single-image support
+    (a second image descriptor or a partial-rect frame null-routes;
+    `decode_gif_frames` is the animated API)."""
+    parsed = _parse_gif(payload)
+    if parsed is None:
+        return None
+    w, h, frames = parsed
+    if len(frames) != 1:
+        return None
+    left, top, iw, ih, plane, palette, transparent, _disp = frames[0]
+    if (left, top, iw, ih) != (0, 0, w, h):
+        return None
+    rgba = np.empty((h, w, 4), dtype=np.uint8)
+    rgba[:, :, :3] = palette[plane]
+    rgba[:, :, 3] = 255
+    if transparent is not None:
+        rgba[:, :, 3] = np.where(plane == transparent, 0, 255)
+    return w, h, rgba
+
+
+def decode_gif_frames(payload: bytes):
+    """Decode an animated GIF to (width, height, frames) where frames is
+    an (n, h, w, 4) uint8 array of COMPOSITED canvas snapshots: the
+    canvas starts fully transparent, each image's non-transparent patch
+    pixels overwrite their rect, and the state after each draw is that
+    frame's output. Between frames the drawn image's disposal applies:
+    0/1 leave, 2 restore the rect to the transparent background, 3
+    restore the canvas as it was before the draw. Returns None on
+    anything `_parse_gif` refuses."""
+    parsed = _parse_gif(payload)
+    if parsed is None:
+        return None
+    w, h, raw = parsed
+    canvas = np.zeros((h, w, 4), dtype=np.uint8)
+    out = []
+    for left, top, iw, ih, plane, palette, transparent, disposal in raw:
+        before = canvas[top:top + ih, left:left + iw].copy()
+        patch = np.empty((ih, iw, 4), dtype=np.uint8)
+        patch[:, :, :3] = palette[plane]
+        patch[:, :, 3] = 255
+        opaque = (np.ones((ih, iw), dtype=bool) if transparent is None
+                  else plane != transparent)
+        region = canvas[top:top + ih, left:left + iw]
+        region[opaque] = patch[opaque]
+        out.append(canvas.copy())
+        if disposal == 2:
+            canvas[top:top + ih, left:left + iw] = 0
+        elif disposal == 3:
+            canvas[top:top + ih, left:left + iw] = before
+    return w, h, np.stack(out)
+
+
+def _build_palette(flat: np.ndarray):
+    """Lexicographic RGBA palette + index lookup for <= 256 colors with
+    at most one alpha-0 entry; raises ValueError outside that."""
+    colors = np.unique(flat, axis=0)
+    if colors.shape[0] > 256:
+        raise ValueError("more than 256 distinct colors")
+    if (colors[:, 3] == 0).sum() > 1:
+        raise ValueError("GIF has a single transparent index")
+    lut = {tuple(c): i for i, c in enumerate(colors)}
+    transparent = next(
+        (i for i, c in enumerate(colors) if c[3] == 0), None)
+    return colors, lut, transparent
+
+
+def encode_gif_animated(patches, w: int, h: int,
+                        interlace_odd: bool = False) -> bytes:
+    """Encode an animated GIF89a from (left, top, rgba_patch, disposal)
+    tuples over a w x h canvas — one GLOBAL color table across all
+    patches (lexicographic; alpha rules as `encode_gif`), a
+    graphic-control extension per frame carrying the disposal method
+    and the shared transparent index, REAL LZW per patch. With
+    interlace_odd, odd frames store interlaced rows — partial-rect
+    interlace becomes production surface. The fixture builder for
+    `decode_gif_frames`."""
+    assert patches and w > 0 and h > 0
+    allpx = np.concatenate(
+        [np.asarray(p[2], dtype=np.uint8).reshape(-1, 4)
+         for p in patches])
+    colors, lut, transparent = _build_palette(allpx)
+    bits = max(2, int(np.ceil(np.log2(max(colors.shape[0], 2)))))
+    table = np.zeros((1 << bits, 3), dtype=np.uint8)
+    table[:colors.shape[0]] = colors[:, :3]
+
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes(((0x80 | ((bits - 1) << 4) | (bits - 1)), 0, 0))
+    out += table.tobytes()
+    for f, (left, top, rgba, disposal) in enumerate(patches):
+        arr = np.asarray(rgba, dtype=np.uint8)
+        ih, iw, _ = arr.shape
+        assert left + iw <= w and top + ih <= h
+        gpacked = (disposal & 0x07) << 2
+        tr = 0
+        if transparent is not None:
+            gpacked |= 0x01
+            tr = transparent
+        out += bytes((0x21, 0xF9, 4, gpacked, 0, 0, tr, 0))
+        idx = np.fromiter(
+            (lut[tuple(p)] for p in arr.reshape(-1, 4)),
+            count=ih * iw, dtype=np.uint8).reshape(ih, iw)
+        inter = interlace_odd and f % 2 == 1
+        ipacked = 0x40 if inter else 0
+        out += bytes((0x2C,)) + left.to_bytes(2, "little") \
+            + top.to_bytes(2, "little") + iw.to_bytes(2, "little") \
+            + ih.to_bytes(2, "little") + bytes((ipacked,))
+        plane = idx
+        if inter:
+            order = [y for start, step in _INTERLACE_PASSES
+                     for y in range(start, ih, step)]
+            plane = idx[np.asarray(order)]
+        mcs = max(2, bits)
+        out += bytes((mcs,))
+        data = _lzw_encode(plane.reshape(-1), mcs)
+        for i in range(0, len(data), 255):
+            block = data[i:i + 255]
+            out += bytes((len(block),)) + block
+        out += bytes((0,))
+    out += bytes((0x3B,))
+    return bytes(out)
 
 
 def encode_gif(rgba: np.ndarray, interlace: bool = False) -> bytes:
@@ -285,17 +417,10 @@ def encode_gif(rgba: np.ndarray, interlace: bool = False) -> bytes:
     if not np.isin(alpha, (0, 255)).all():
         raise ValueError("alpha must be 0 or 255")
     flat = arr.reshape(-1, 4)
-    colors = np.unique(flat, axis=0)  # lexicographic (r, g, b, a)
-    if colors.shape[0] > 256:
-        raise ValueError("more than 256 distinct colors")
-    if (colors[:, 3] == 0).sum() > 1:
-        raise ValueError("GIF has a single transparent index")
-    lut = {tuple(c): i for i, c in enumerate(colors)}
+    colors, lut, transparent = _build_palette(flat)
     idx = np.fromiter(
         (lut[tuple(p)] for p in flat), count=flat.shape[0],
         dtype=np.uint8).reshape(h, w)
-    transparent = next(
-        (i for i, c in enumerate(colors) if c[3] == 0), None)
 
     # color table size: power of two >= n_colors, >= 4 (gct field >= 2^2)
     bits = max(2, int(np.ceil(np.log2(max(colors.shape[0], 2)))))

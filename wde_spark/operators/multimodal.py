@@ -691,6 +691,94 @@ def attach_gifs(docs: DataFrame, id_col: str = "doc_id",
         kernel, schema="media_id long, payload binary")
 
 
+def attach_animated_gifs(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Deterministic ANIMATED GIF media table: each doc becomes an
+    L%3+2-frame GIF89a over a (W = L%16+10) x (H = L%12+10) canvas.
+    Frame g patches the rect (left = 3g mod (W-3), top = 2g mod (H-3),
+    iw = min(W-left, L%7+3), ih = min(H-top, L%5+3)); patch pixel p
+    (row-major local) has j = byte((p + 11g) mod L) % 16 with the
+    16-color map of the other image tiers and j = 0 transparent, so
+    later frames overlay earlier ones only where opaque. All frames use
+    disposal 1 (leave) — the compositing the SQL oracle replays as
+    "latest covering non-transparent patch wins"; disposal 2/3 are
+    pinned by unit tests. Odd frames are stored interlaced."""
+    import numpy as np
+
+    from .gif_codec import encode_gif_animated
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                data = (text or "").encode("utf-8")
+                n = len(data)
+                W, H, nf = n % 16 + 10, n % 12 + 10, n % 3 + 2
+                b = (np.frombuffer(data, dtype=np.uint8)
+                     if n else None)
+                patches = []
+                for g in range(nf):
+                    left, top = (3 * g) % (W - 3), (2 * g) % (H - 3)
+                    iw = min(W - left, n % 7 + 3)
+                    ih = min(H - top, n % 5 + 3)
+                    p = np.arange(iw * ih)
+                    j = ((b[(p + 11 * g) % n] % 16) if b is not None
+                         else np.zeros(iw * ih, np.uint8)).reshape(
+                             ih, iw).astype(np.uint16)
+                    rgba = np.dstack([
+                        (j * 19) % 256, (j * 37) % 256, (j * 53) % 256,
+                        np.where(j == 0, 0, 255)]).astype(np.uint8)
+                    patches.append((left, top, rgba, 1))
+                rows.append((mid, encode_gif_animated(
+                    patches, W, H, interlace_odd=True)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return docs.select(id_col, text_col).mapInPandas(
+        kernel, schema="media_id long, payload binary")
+
+
+ANIM_STATS_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("px_sum", T.LongType()),
+    T.StructField("px_fp", T.StringType()),
+])
+
+
+def animation_frame_stats(media: DataFrame) -> DataFrame:
+    """ANIMATED GIF decode (`gif_codec.decode_gif_frames`): parse the
+    container, composite every frame onto the canvas (overlay +
+    disposal), and fingerprint each composited snapshot (sum + md5 of
+    the row-major RGBA decimal values). Undecodable payloads drop.
+    Row-local Arrow kernel emitting one row per frame."""
+    import hashlib
+
+    from .gif_codec import decode_gif_frames
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                decoded = decode_gif_frames(bytes(payload))
+                if decoded is None:
+                    continue
+                w, h, frames = decoded
+                for fi in range(frames.shape[0]):
+                    flat = frames[fi].reshape(-1)
+                    fp = hashlib.md5(
+                        "-".join(str(int(x)) for x in flat).encode()
+                    ).hexdigest()
+                    rows.append((mid, fi, w, h,
+                                 int(flat.sum(dtype="int64")), fp))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in ANIM_STATS_SCHEMA.fields])
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, schema=ANIM_STATS_SCHEMA)
+
+
 def image_rgba_stats(media: DataFrame) -> DataFrame:
     """Decoded-image statistics INCLUDING the alpha plane: per payload the
     decoded dims/channels, the sum over every channel value (alpha

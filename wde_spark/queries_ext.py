@@ -6260,6 +6260,93 @@ def streaming_ffd_manifest_documents(spark: SparkSession,
     return spark.read.parquet(os.path.join(man_dir, "b*"))
 
 
+@query(
+    "gif_animation_frames_documents",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS L,
+             CAST(octet_length(encode(text)) % 16 + 10 AS INT) AS w,
+             CAST(octet_length(encode(text)) % 12 + 10 AS INT) AS h,
+             CAST(octet_length(encode(text)) % 3 + 2 AS INT) AS nf
+      FROM documents),
+    fr AS (
+      SELECT media_id, hx, L, w, h, CAST(g AS INT) AS g,
+             CAST((3 * g) % (w - 3) AS INT) AS lft,
+             CAST((2 * g) % (h - 3) AS INT) AS tp
+      FROM m, unnest(range(0, nf)) AS u(g)),
+    fr2 AS (
+      SELECT media_id, hx, L, w, g, lft, tp,
+             CAST(LEAST(w - lft, L % 7 + 3) AS INT) AS iw,
+             CAST(LEAST(h - tp, L % 5 + 3) AS INT) AS ih
+      FROM fr),
+    contrib AS (
+      SELECT media_id, g,
+             CAST((tp + q // iw) * w + lft + q % iw AS BIGINT) AS p, j
+      FROM (
+        SELECT media_id, g, w, lft, tp, iw, CAST(q AS BIGINT) AS q,
+               CASE WHEN L = 0 THEN 0 ELSE
+                 ((strpos('0123456789ABCDEF', substr(hx,
+                     CAST(2 * ((q + 11 * g) % L) + 1 AS INT), 1)) - 1)
+                  * 16
+                  + (strpos('0123456789ABCDEF', substr(hx,
+                     CAST(2 * ((q + 11 * g) % L) + 2 AS INT), 1)) - 1))
+                 % 16
+               END AS j
+        FROM fr2, unnest(range(0, CAST(iw AS BIGINT) * ih)) AS u(q))
+      WHERE j <> 0),
+    grid AS (
+      SELECT media_id, w, h, CAST(f AS INT) AS f, CAST(p AS BIGINT) AS p
+      FROM m, unnest(range(0, nf)) AS uf(f),
+           unnest(range(0, CAST(w AS BIGINT) * h)) AS up(p)),
+    win AS (
+      SELECT g1.media_id, g1.f, g1.p, MAX(c.g) AS gw
+      FROM grid g1 JOIN contrib c
+        ON c.media_id = g1.media_id AND c.p = g1.p AND c.g <= g1.f
+      GROUP BY g1.media_id, g1.f, g1.p),
+    wj AS (
+      SELECT w2.media_id, w2.f, w2.p, c.j
+      FROM win w2 JOIN contrib c
+        ON c.media_id = w2.media_id AND c.p = w2.p AND c.g = w2.gw),
+    v AS (
+      SELECT grid.media_id, grid.w, grid.h, grid.f, grid.p,
+             CAST(t.c AS BIGINT) AS c,
+             CASE WHEN wj.j IS NULL THEN 0
+                  WHEN t.c = 0 THEN (wj.j * 19) % 256
+                  WHEN t.c = 1 THEN (wj.j * 37) % 256
+                  WHEN t.c = 2 THEN (wj.j * 53) % 256
+                  ELSE 255 END AS v
+      FROM grid
+      LEFT JOIN wj ON wj.media_id = grid.media_id
+                  AND wj.f = grid.f AND wj.p = grid.p
+      CROSS JOIN unnest(range(0, 4)) AS t(c))
+    SELECT media_id, f AS frame_idx, w AS width, h AS height,
+           CAST(SUM(v) AS BIGINT) AS px_sum,
+           md5(string_agg(CAST(v AS VARCHAR), '-' ORDER BY p * 4 + c))
+             AS px_fp
+    FROM v GROUP BY media_id, f, w, h
+    """,
+)
+def gif_animation_frames_documents(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """ANIMATED GIF decode with full compositing — the declared
+    null-route falls: multi-frame GIF89a clips with PARTIAL-RECT
+    patches, per-frame graphic control, transparency, and interlaced
+    odd frames (`multimodal.attach_animated_gifs`) decode through
+    `gif_codec.decode_gif_frames`, which overlays each patch onto the
+    canvas and snapshots it per frame. The oracle restates compositing
+    RELATIONALLY: for every (frame, canvas pixel), the winning color is
+    the latest source patch g <= f that covers the pixel with a
+    non-transparent value (MAX-g join over the contribution table), so
+    a wrong rect offset, interlace pass, transparency bit, or overlay
+    order breaks the canvas md5. Disposal methods 2/3 are pinned by
+    `tests/test_gif_codec.py` against an independent compositor."""
+    from .operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return MM.animation_frame_stats(MM.attach_animated_gifs(docs))
+
+
 # the ADPCM oracle embeds the SAME published step table the decoder
 # uses (wav_codec.ADPCM_STEPS) — generated from one constant so the
 # two sides cannot drift
