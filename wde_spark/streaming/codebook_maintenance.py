@@ -101,6 +101,13 @@ def bootstrap_codebook_v0(init_emb: DataFrame, target_dir: str,
         return
     spark = init_emb.sparkSession
     cents = train_ivf_centroids(init_emb, n_cells=n_cells, iters=iters)
+    if not cents:  # empty/unusable init slice: an empty codebook is the
+        # honest v0 (later batches copy it forward; see _apply)
+        spark.createDataFrame(
+            [], "cell int, d int, n long, s double, boot double"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            _state_dir(target_dir, 0))
+        return
     boot = spark.createDataFrame(
         [(c, d, float(cents[c][d]))
          for c in range(len(cents)) for d in range(DIM)],
@@ -129,6 +136,12 @@ def streaming_codebook_maintain(emb_stream: DataFrame, target_dir: str,
         sp = batch.sparkSession
         cents = _state_centroids(sp, target_dir, batch_id)
         st = sp.read.parquet(_state_dir(target_dir, batch_id))
+        if not cents:  # empty codebook (empty bootstrap slice): nothing
+            # to assign against — carry the state forward unchanged so
+            # the COW version ledger stays contiguous
+            st.coalesce(1).write.mode("overwrite").parquet(
+                _state_dir(target_dir, batch_id + 1))
+            return
         sums = _batch_cell_sums(batch, cents, vec_col)
         nxt = (
             st.join(sums, ["cell", "d"], "left")
