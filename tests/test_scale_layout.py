@@ -246,3 +246,66 @@ def test_pack_stream_conservation_and_density(spark):
             pos += n
     out2 = pack_stream(docs.repartition(7), seq_len=C).collect()
     assert {tuple(r) for r in out2} == {tuple(r) for r in out}
+
+
+def test_rendezvous_shard_minimal_movement(spark):
+    """HRW property: growing 8 -> 9 shards moves keys ONLY to the new
+    shard, and roughly 1/9 of them; survivors keep their assignment."""
+    from pyspark.sql import functions as F
+
+    from wde_spark.operators.layout import rendezvous_shard
+
+    ids = spark.range(3000).withColumnRenamed("id", "doc_id")
+    a = ids.select(
+        "doc_id",
+        rendezvous_shard("doc_id", 8).alias("s8"),
+        rendezvous_shard("doc_id", 9).alias("s9")).collect()
+    moved = [r for r in a if r["s8"] != r["s9"]]
+    assert all(r["s9"] == 8 for r in moved)           # only to the new
+    assert 3000 / 9 * 0.5 < len(moved) < 3000 / 9 * 1.7
+    from collections import Counter
+    c8 = Counter(r["s8"] for r in a)
+    assert set(c8) == set(range(8))                   # all shards used
+    assert max(c8.values()) < 2.0 * min(c8.values())  # balanced-ish
+
+
+def test_curriculum_order_interleaves_stages(spark):
+    """Exact NTILE staging, disjoint schedule positions, round-robin
+    interleave: consecutive schedule rounds draw one doc per stage."""
+    from pyspark.sql import functions as F
+
+    from wde_spark.operators.sampling import curriculum_order
+
+    docs = spark.createDataFrame(
+        [(i, "x" * (i % 37)) for i in range(90)],
+        "doc_id long, text string")
+    out = curriculum_order(
+        docs, F.coalesce(F.octet_length("text"), F.lit(-1)),
+        n_stages=3).collect()
+    assert len(out) == 90
+    by_stage = {}
+    pos = set()
+    for r in out:
+        by_stage.setdefault(r["stage"], []).append(r)
+        assert r["sched_pos"] not in pos
+        pos.add(r["sched_pos"])
+    assert {len(v) for v in by_stage.values()} == {30}  # exact terciles
+    # every stage-s position is congruent to s-1 mod 3 (round-robin)
+    for s, rows in by_stage.items():
+        assert all(r["sched_pos"] % 3 == s - 1 for r in rows)
+    # stages are ordered by difficulty: max len in stage 1 <= min in 3
+    lens = {s: [len(docs_row) for docs_row in []] for s in by_stage}
+    ln = {r["doc_id"]: (r["doc_id"] % 37) for r in out}
+    s_max1 = max(ln[r["doc_id"]] for r in by_stage[1])
+    s_min3 = min(ln[r["doc_id"]] for r in by_stage[3])
+    assert s_max1 <= s_min3
+
+
+def test_curriculum_order_empty_input(spark):
+    from pyspark.sql import functions as F
+
+    from wde_spark.operators.sampling import curriculum_order
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert curriculum_order(
+        docs, F.coalesce(F.octet_length("text"), F.lit(-1))).count() == 0

@@ -135,6 +135,32 @@ def export_shards(df: DataFrame, docs_per_shard: int,
     )
 
 
+def rendezvous_shard(id_col, n_shards: int, salt: str = "hrw"):
+    """Highest-random-weight (rendezvous) shard assignment as a pure
+    Column: shard = argmax over s in [0, n_shards) of
+    md5(salt|id|s). Stateless routing with the HRW minimal-movement
+    guarantee — growing to n+1 shards moves exactly the keys whose new
+    top scorer is the added shard (an expected 1/(n+1) fraction), and
+    nothing moves between surviving shards. At 100 TB that is the
+    property that lets a shard map grow without a corpus reshuffle.
+
+    Implementation: argmax via lexicographic max over (md5 || shard-id)
+    strings — fixed-width digests make the concat compare equal to the
+    (digest, shard) tuple compare, identically in any engine, so the
+    assignment is oracle-exact. Row-local, zero shuffle; plan size grows
+    with n_shards (one md5 per shard), so this is for shard-map-sized n
+    (2..~64), not hash-partitioning replacements."""
+    assert 2 <= n_shards <= 64
+    scores = [
+        F.concat(
+            F.md5(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string"),
+                           F.lit(f"|{s}"))),
+            F.lit(f"{s:02d}"))
+        for s in range(n_shards)
+    ]
+    return F.substring(F.array_max(F.array(*scores)), 33, 2).cast("int")
+
+
 def pack_stream(docs: DataFrame, seq_len: int, weight_col: str = "n_tok",
                 id_col: str = "doc_id", salt: str = "pack",
                 n_buckets: int = 256) -> DataFrame:

@@ -119,3 +119,77 @@ def quantile_gate_approx(scored: DataFrame, score_col: str, group_col: str,
         .filter(F.col(score_col) >= F.col("_thr"))
         .drop("_thr")
     )
+
+
+def curriculum_order(docs: DataFrame, difficulty_col, n_stages: int = 3,
+                     id_col: str = "doc_id",
+                     salt: str = "cur") -> DataFrame:
+    """Curriculum schedule: split the corpus into `n_stages` difficulty
+    stages (exact NTILE terciles under (difficulty, id) order), shuffle
+    WITHIN each stage (salted md5), and interleave the stages round-robin
+    — training round r sees one doc from every stage, easy to hard, so
+    the model never starves of either. Output adds `stage` (1-based) and
+    `sched_pos` (the deterministic total order: (in-stage rank − 1) ·
+    n_stages + stage − 1).
+
+    Scale shape — NO global window anywhere:
+      * the global (difficulty, id) rank is two-phase: per-difficulty
+        counts to the driver (bounded by the difficulty domain; coarsen
+        the column first if it is unbounded) → exclusive offsets
+        broadcast back → window partitioned BY difficulty value;
+      * NTILE is then pure arithmetic on that rank (group sizes
+        ceil/floor of n/n_stages, exactly SQL NTILE's split);
+      * the in-stage shuffle rank reuses the same two-phase primitive
+        keyed by md5 prefix buckets (`global_prefix_sum` per stage).
+    """
+    assert 2 <= n_stages <= 16
+    from .layout import global_prefix_sum
+
+    spark = docs.sparkSession
+    d = docs.withColumn("_diff", difficulty_col.cast("long"))
+    n_total = d.count()
+    if n_total == 0:
+        return (d.withColumn("stage", F.lit(0))
+                .withColumn("sched_pos", F.lit(0).cast("long"))
+                .drop("_diff"))
+    # phase 1: exclusive offsets per difficulty value (bounded domain)
+    totals = sorted(
+        (r["_diff"], r["cnt"]) for r in
+        d.groupBy("_diff").agg(F.count("*").alias("cnt")).collect())
+    offs, acc = [], 0
+    for v, c in totals:
+        offs.append((v, acc))
+        acc += c
+    off_df = spark.createDataFrame(offs, "_diff long, _off long")
+    w = (Window.partitionBy("_diff").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ranked = (
+        d.join(F.broadcast(off_df), "_diff")
+        .withColumn("_rank", (F.col("_off") + F.count("*").over(w))
+                    .cast("long"))
+        .drop("_off")
+    )
+    # phase 2: NTILE arithmetic — first `rem` stages get q+1 rows
+    q, rem = divmod(n_total, n_stages)
+    big = rem * (q + 1)
+    stage = F.when(
+        F.col("_rank") <= big,
+        F.ceil(F.col("_rank") / F.lit(q + 1))
+    ).otherwise(
+        F.lit(rem) + F.ceil((F.col("_rank") - big) / F.lit(max(q, 1))))
+    staged = ranked.withColumn("stage", stage.cast("int")).drop("_rank")
+    # phase 3: shuffle within each stage, interleave round-robin
+    parts = []
+    for s in range(1, n_stages + 1):
+        sl = staged.filter(F.col("stage") == s)
+        rk = global_prefix_sum(sl, F.lit(1), id_col, f"{salt}{s}") \
+            .withColumn("_srk", (F.col("start") + 1).cast("long")) \
+            .drop("start")
+        parts.append(rk.withColumn(
+            "sched_pos",
+            ((F.col("_srk") - 1) * n_stages + s - 1).cast("long")
+        ).drop("_srk"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.drop("_diff")

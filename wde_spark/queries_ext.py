@@ -6261,6 +6261,98 @@ def streaming_ffd_manifest_documents(spark: SparkSession,
 
 
 @query(
+    "rendezvous_sharding_documents",
+    """
+    WITH sc AS (
+      SELECT doc_id, CAST(s AS INT) AS s,
+             md5('hrw|' || doc_id || '|' || s)
+               || lpad(CAST(s AS VARCHAR), 2, '0') AS hs
+      FROM documents, unnest(range(0, 9)) AS u(s)),
+    a AS (
+      SELECT doc_id,
+             CAST(substr(MAX(CASE WHEN s < 8 THEN hs END), 33, 2)
+                  AS INT) AS s8,
+             CAST(substr(MAX(hs), 33, 2) AS INT) AS s9
+      FROM sc GROUP BY doc_id)
+    SELECT s9 AS shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN s8 <> s9 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_moved,
+           CAST(SUM(CASE WHEN s8 <> s9 AND s9 <> 8 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_moved_between_old
+    FROM a GROUP BY s9
+    """,
+)
+def rendezvous_sharding_documents(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) sharding with the
+    minimal-movement guarantee HASH-CHECKED: every doc is assigned under
+    an 8-shard and a 9-shard map (`layout.rendezvous_shard` — argmax of
+    per-shard salted digests, a pure row-local column expression), and
+    the per-shard rollup counts how many docs moved. HRW's defining
+    property — growing the map moves keys ONLY to the new shard, never
+    between survivors — is the `n_moved_between_old` column, which the
+    oracle pins to zero per shard. At 100 TB this is stateless routing:
+    a shard-map change costs a metadata edit, not a corpus reshuffle."""
+    from .operators.layout import rendezvous_shard
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    a = docs.select(
+        "doc_id",
+        rendezvous_shard("doc_id", 8).alias("s8"),
+        rendezvous_shard("doc_id", 9).alias("s9"))
+    moved = (F.col("s8") != F.col("s9")).cast("long")
+    return (
+        a.groupBy(F.col("s9").alias("shard"))
+        .agg(F.count("*").alias("n_docs"),
+             F.sum(moved).alias("n_moved"),
+             F.sum(moved * (F.col("s9") != 8).cast("long"))
+             .alias("n_moved_between_old"))
+    )
+
+
+@query(
+    "curriculum_order_documents",
+    """
+    WITH r AS (
+      SELECT doc_id,
+             NTILE(3) OVER (
+               ORDER BY COALESCE(octet_length(encode(text)), -1), doc_id
+             ) AS stage
+      FROM documents),
+    b AS (
+      SELECT doc_id, stage,
+             ROW_NUMBER() OVER (
+               PARTITION BY stage
+               ORDER BY md5('cur' || stage || '|'
+                            || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM r)
+    SELECT doc_id, CAST(stage AS INT) AS stage,
+           CAST((rk - 1) * 3 + stage - 1 AS BIGINT) AS sched_pos
+    FROM b
+    """,
+)
+def curriculum_order_documents(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Curriculum data ordering: exact length terciles (easy / medium /
+    hard), a deterministic shuffle WITHIN each stage, and a round-robin
+    interleave so every training round sees all difficulties
+    (`sampling.curriculum_order`). The Spark side never runs a global
+    window: the tercile rank is a two-phase prefix sum over the bounded
+    difficulty domain, NTILE is arithmetic on that rank, and the
+    in-stage shuffle rank is `global_prefix_sum` per stage — while the
+    oracle states the same schedule declaratively with NTILE +
+    ROW_NUMBER, so the scale-shaped plan is hash-checked against the
+    textbook formulation."""
+    from .operators.sampling import curriculum_order
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    out = curriculum_order(
+        docs, F.coalesce(F.octet_length("text"), F.lit(-1)),
+        n_stages=3, salt="cur")
+    return out.select("doc_id", "stage", "sched_pos")
+
+
+@query(
     "gif_animation_frames_documents",
     """
     WITH m AS (
