@@ -382,6 +382,9 @@ def test_no_unbounded_driver_collect_in_package_source():
         ("queries_ext.py", "truth = {r.source for r in exact.collect()}"),
         # 256 bucket totals (two-phase prefix sum)
         ("operators/layout.py", 'sorted((r["_bkt"], r["_t"])'),
+        # per-difficulty-value counts (curriculum staging): bounded by
+        # the difficulty domain, coarsened by the caller when unbounded
+        ("operators/sampling.py", 'd.groupBy("_diff").agg(F.count("*")'),
         # moment-state merge: one dim²-wide row per PARTITION (bounded
         # by cluster width, the bucket-totals class)
         ("operators/pca.py", "one row per partition: bounded state"),

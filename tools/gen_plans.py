@@ -54,6 +54,10 @@ PICKS = {
     "ffd_packed_documents": "FFD packing: zero-weight filter below ONE exchange on the salted-hash bucket key feeding the grouped Arrow fold (the declared per-bucket sequential stage); no global sort, no corpus-sized window.",
     "multimodal_thumbnails": "PNG thumbnail path: a pure Arrow-kernel chain (build -> decode/resample/re-encode -> verify-decode) over one scan — ZERO exchanges; codec work scales with bytes, never with joins.",
     "ccnet_source_scorecard_documents": "CCNet rollup: the buckets plan (broadcast-LM join + per-source NTILE) feeds ONE grouped aggregation keyed by source — output is sources x 10 cells whatever the corpus size.",
+    "rendezvous_sharding_documents": "HRW sharding: both shard maps are pure row-local column expressions (one md5 per shard inside codegen, argmax by string max) feeding ONE 9-group hash agg — no join, no window, nothing but the scan shuffles.",
+    "curriculum_order_documents": "Curriculum schedule: NO single-partition window — the tercile rank partitions by the bounded difficulty value (broadcast offsets), NTILE is row-local arithmetic, and each stage's shuffle rank partitions by the 256-way hash bucket (broadcast 256-row offsets); the 3 stage slices union.",
+    "gif_animation_frames_documents": "Animated GIF decode: container synth and composite/fingerprint are two row-local Arrow kernels over one scan — ZERO exchanges; compositing cost scales with canvas bytes, never with joins.",
+    "audio_adpcm_decoded_documents": "ADPCM decode: one Arrow kernel chain (block synth -> nibble state machine -> fingerprint) over one scan — zero exchanges; the sequential state is per-row, so parallelism is row-granular.",
 }
 
 HEADER = """# PLANS — physical-plan audit of representative queries
