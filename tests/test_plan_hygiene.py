@@ -317,6 +317,9 @@ def test_no_cartesian_or_undeclared_python_anywhere(spark):
                  # animated GIF compositing: multi-frame synth + canvas
                  # snapshot fingerprints, row-local mapInPandas
                  "gif_animation_frames_documents",
+                 # BMP container (DIB tiers + shared RLE codec) through
+                 # the same row-local RGBA stats kernel
+                 "bmp_rgb_documents",
                  # mixed-format audio (stereo/8-bit) through the decoded
                  # energy windows — same row-local codec kernels
                  "audio_energy_mixed_documents",

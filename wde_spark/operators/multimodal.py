@@ -652,6 +652,55 @@ def attach_audio_adpcm(docs: DataFrame, id_col: str = "doc_id",
         kernel, schema="media_id long, payload binary")
 
 
+def attach_bmps(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Deterministic BMP media table — the DIB container with three
+    tiers by doc_id % 3 over a (w = L%18+5) x (h = L%13+5) image with
+    pixel v = byte (3p mod L) (0 when empty):
+
+      0: 8-bit grayscale palette, BI_RGB  -> RGB (v, v, v);
+      1: 24-bit BGR, BI_RGB (top-down when doc_id % 2 = 1) with
+         channels (v, (v+91)%256, (v+182)%256);
+      2: 8-bit grayscale palette, BI_RLE8 -> RGB (v, v, v) through the
+         shared RLE row codec.
+
+    Every decoded RGB value is a pure function of the text the SQL
+    oracle predicts — header parsing, palette expansion, BGR order,
+    both row orders, stride padding, and RLE all hash-checked."""
+    import numpy as np
+
+    from .bmp_codec import encode_bmp
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                data = (text or "").encode("utf-8")
+                n = len(data)
+                w, h = n % 18 + 5, n % 13 + 5
+                if n:
+                    b = np.frombuffer(data, dtype=np.uint8)
+                    v = b[(3 * np.arange(w * h)) % n].reshape(h, w)
+                else:
+                    v = np.zeros((h, w), dtype=np.uint8)
+                tier = int(mid) % 3
+                if tier == 0:
+                    payload = encode_bmp(v)
+                elif tier == 1:
+                    vv = v.astype(np.uint16)
+                    rgb = np.dstack([vv % 256, (vv + 91) % 256,
+                                     (vv + 182) % 256]).astype(np.uint8)
+                    payload = encode_bmp(
+                        rgb, top_down=bool(int(mid) % 2))
+                else:
+                    payload = encode_bmp(v, rle=True)
+                rows.append((mid, payload))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return docs.select(id_col, text_col).mapInPandas(
+        kernel, schema="media_id long, payload binary")
+
+
 def attach_gifs(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Deterministic GIF media table — the LZW container twin of
@@ -791,6 +840,7 @@ def image_rgba_stats(media: DataFrame) -> DataFrame:
     Row-local Arrow kernel, zero shuffle."""
     import hashlib
 
+    from .bmp_codec import decode_bmp, is_bmp
     from .gif_codec import decode_gif, is_gif
     from .png_codec import decode_png
 
@@ -803,6 +853,10 @@ def image_rgba_stats(media: DataFrame) -> DataFrame:
                     g = decode_gif(raw)
                     decoded = None if g is None else (
                         g[0], g[1], 4, g[2])
+                elif is_bmp(raw):
+                    b = decode_bmp(raw)
+                    decoded = None if b is None else (
+                        b[0], b[1], 3, b[2])
                 else:
                     decoded = decode_png(raw)
                 if decoded is None:

@@ -6261,6 +6261,54 @@ def streaming_ffd_manifest_documents(spark: SparkSession,
 
 
 @query(
+    "bmp_rgb_documents",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, CAST(doc_id % 3 AS INT) AS tier,
+             hex(encode(text)) AS hx, octet_length(encode(text)) AS L,
+             CAST(octet_length(encode(text)) % 18 + 5 AS INT) AS w,
+             CAST(octet_length(encode(text)) % 13 + 5 AS INT) AS h
+      FROM documents),
+    px AS (
+      SELECT media_id, tier, w, h, CAST(p AS BIGINT) AS p,
+             CASE WHEN L = 0 THEN 0 ELSE
+               (strpos('0123456789ABCDEF', substr(hx,
+                   CAST(2 * ((3 * p) % L) + 1 AS INT), 1)) - 1) * 16
+               + (strpos('0123456789ABCDEF', substr(hx,
+                   CAST(2 * ((3 * p) % L) + 2 AS INT), 1)) - 1)
+             END AS v
+      FROM m, unnest(range(0, CAST(w AS BIGINT) * h)) AS u(p)),
+    ch AS (
+      SELECT media_id, w, h, p, CAST(c AS BIGINT) AS c,
+             CASE WHEN tier <> 1 THEN v
+                  WHEN c = 0 THEN v
+                  WHEN c = 1 THEN (v + 91) % 256
+                  ELSE (v + 182) % 256 END AS cv
+      FROM px, unnest(range(0, 3)) AS t(c))
+    SELECT media_id, w AS width, h AS height, CAST(3 AS INT) AS channels,
+           CAST(SUM(cv) AS BIGINT) AS px_sum,
+           CAST(0 AS BIGINT) AS n_transparent,
+           md5(string_agg(CAST(cv AS VARCHAR), '-' ORDER BY p * 3 + c))
+             AS px_fp
+    FROM ch GROUP BY media_id, w, h
+    """,
+)
+def bmp_rgb_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BMP decode as correctness surface — the THIRD image container
+    through the magic-dispatching stats pass: three tiers per corpus
+    (8-bit palette BI_RGB, 24-bit BGR with both row orders, 8-bit
+    BI_RLE8 through the RLE codec shared with the AVI tier —
+    `multimodal.attach_bmps`, `bmp_codec`). The oracle predicts every
+    channel of every pixel from the text alone, so header offsets,
+    palette expansion, BGR reorder, bottom-up/top-down flips, stride
+    padding, and the RLE packet walk are all under the driver hash."""
+    from .operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return MM.image_rgba_stats(MM.attach_bmps(docs))
+
+
+@query(
     "rendezvous_sharding_documents",
     """
     WITH sc AS (
