@@ -125,6 +125,13 @@ HEADLINE = [
     "video_rle_frames_documents",
     "gif_rgba_documents",
     "audio_adpcm_decoded_documents",
+    # second continuation wave: animated-GIF compositing, the BMP
+    # container, HRW sharding (pure-codegen argmax), and the curriculum
+    # schedule (two-phase ranks, no global window)
+    "gif_animation_frames_documents",
+    "bmp_rgb_documents",
+    "rendezvous_sharding_documents",
+    "curriculum_order_documents",
 ]
 
 

@@ -388,6 +388,8 @@ def test_no_unbounded_driver_collect_in_package_source():
         # per-difficulty-value counts (curriculum staging): bounded by
         # the difficulty domain, coarsened by the caller when unbounded
         ("operators/sampling.py", 'd.groupBy("_diff").agg(F.count("*")'),
+        # per-(stage, md5-prefix) totals: n_stages x 256 rows
+        ("operators/sampling.py", 'keyed.groupBy("stage", "_bkt")'),
         # moment-state merge: one dim²-wide row per PARTITION (bounded
         # by cluster width, the bucket-totals class)
         ("operators/pca.py", "one row per partition: bounded state"),

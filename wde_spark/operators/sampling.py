@@ -139,23 +139,22 @@ def curriculum_order(docs: DataFrame, difficulty_col, n_stages: int = 3,
         broadcast back → window partitioned BY difficulty value;
       * NTILE is then pure arithmetic on that rank (group sizes
         ceil/floor of n/n_stages, exactly SQL NTILE's split);
-      * the in-stage shuffle rank reuses the same two-phase primitive
-        keyed by md5 prefix buckets (`global_prefix_sum` per stage).
+      * the in-stage shuffle rank is the same two-phase primitive in
+        ONE job for all stages, keyed by (stage, md5-prefix bucket).
     """
     assert 2 <= n_stages <= 16
-    from .layout import global_prefix_sum
-
     spark = docs.sparkSession
     d = docs.withColumn("_diff", difficulty_col.cast("long"))
-    n_total = d.count()
+    # phase 1: exclusive offsets per difficulty value (bounded domain);
+    # the same collect yields n_total — no separate count job
+    totals = sorted(
+        (r["_diff"], r["cnt"]) for r in
+        d.groupBy("_diff").agg(F.count("*").alias("cnt")).collect())
+    n_total = sum(c for _v, c in totals)
     if n_total == 0:
         return (d.withColumn("stage", F.lit(0))
                 .withColumn("sched_pos", F.lit(0).cast("long"))
                 .drop("_diff"))
-    # phase 1: exclusive offsets per difficulty value (bounded domain)
-    totals = sorted(
-        (r["_diff"], r["cnt"]) for r in
-        d.groupBy("_diff").agg(F.count("*").alias("cnt")).collect())
     offs, acc = [], 0
     for v, c in totals:
         offs.append((v, acc))
@@ -178,18 +177,35 @@ def curriculum_order(docs: DataFrame, difficulty_col, n_stages: int = 3,
     ).otherwise(
         F.lit(rem) + F.ceil((F.col("_rank") - big) / F.lit(max(q, 1))))
     staged = ranked.withColumn("stage", stage.cast("int")).drop("_rank")
-    # phase 3: shuffle within each stage, interleave round-robin
-    parts = []
-    for s in range(1, n_stages + 1):
-        sl = staged.filter(F.col("stage") == s)
-        rk = global_prefix_sum(sl, F.lit(1), id_col, f"{salt}{s}") \
-            .withColumn("_srk", (F.col("start") + 1).cast("long")) \
-            .drop("start")
-        parts.append(rk.withColumn(
+    # phase 3: shuffle within each stage, interleave round-robin — ONE
+    # job for all stages: the prefix-sum buckets are (stage, md5 prefix),
+    # so the per-bucket totals collect is n_stages·256 rows and the only
+    # window partitions by (stage, bucket)
+    hx = F.md5(F.concat(F.lit(salt), F.col("stage").cast("string"),
+                        F.lit("|"), F.col(id_col).cast("string")))
+    keyed = (staged.withColumn("_hx", hx)
+             .withColumn("_bkt", F.substring("_hx", 1, 2)))
+    totals = sorted(
+        (r["stage"], r["_bkt"], r["cnt"]) for r in
+        keyed.groupBy("stage", "_bkt")
+        .agg(F.count("*").alias("cnt")).collect())
+    offs2, acc2, cur_stage = [], 0, None
+    for s, bkt, c in totals:
+        if s != cur_stage:
+            cur_stage, acc2 = s, 0
+        offs2.append((s, bkt, acc2))
+        acc2 += c
+    off2_df = spark.createDataFrame(
+        offs2, "stage int, _bkt string, _soff long")
+    w2 = (Window.partitionBy("stage", "_bkt").orderBy("_hx", id_col)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        keyed.join(F.broadcast(off2_df), ["stage", "_bkt"])
+        .withColumn("_srk", (F.col("_soff") + F.count("*").over(w2))
+                    .cast("long"))
+        .withColumn(
             "sched_pos",
-            ((F.col("_srk") - 1) * n_stages + s - 1).cast("long")
-        ).drop("_srk"))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.drop("_diff")
+            ((F.col("_srk") - 1) * n_stages + F.col("stage") - 1)
+            .cast("long"))
+        .drop("_hx", "_bkt", "_soff", "_srk", "_diff")
+    )
