@@ -211,3 +211,37 @@ def test_attach_video_rle_frames_predictable_from_text(spark):
     _, w1, h1, fr1 = decode_avi(media[1])
     assert (w1, h1, fr1.shape[0]) == (4, 4, 2)
     assert int(fr1.sum()) == 0
+
+
+def test_rle8_aggregate_decode_cap():
+    """A tiny RLE payload cannot demand an unbounded decode: frames x
+    frame-size beyond the byte cap null-routes instead of OOMing."""
+    import struct as _st
+
+    from wde_spark.operators.avi_codec import (_assemble_avi,
+                                               _gray_palette)
+
+    # 2048x2048 8-bit frames; each blob is the 2-byte EOB escape, so
+    # 70 frames promise ~280 MB decoded from a ~1 KB payload
+    blobs = [b"\x00\x01"] * 70
+    p = _assemble_avi(70, 2048, 2048, 10, 8, 1, b"MRLE", 2,
+                      _gray_palette(), b"00dc", blobs)
+    assert decode_avi(p) is None
+    # the same construction under the cap decodes fine
+    blobs = [b"\x00\x01"] * 2
+    p = _assemble_avi(2, 64, 64, 10, 8, 1, b"MRLE", 2,
+                      _gray_palette(), b"00dc", blobs)
+    dec = decode_avi(p)
+    assert dec is not None and int(dec[3].sum()) == 0
+
+
+def test_chunk_id_must_match_compression_tag():
+    """'00db' frames under an RLE header (or '00dc' under BI_RGB) are a
+    mismatched stream: refuse, don't decode garbage."""
+    from wde_spark.operators.avi_codec import encode_avi_rle8
+
+    g = _rand((1, 4, 4), seed=3)
+    swapped = encode_avi_rle8(g).replace(b"00dc", b"00db")
+    assert decode_avi(swapped) is None
+    swapped2 = encode_avi(g).replace(b"00db", b"00dc")
+    assert decode_avi(swapped2) is None

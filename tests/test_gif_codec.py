@@ -233,3 +233,20 @@ def test_attach_animated_gifs_composited_canvas_predictable(spark):
         assert rows[(0, f)]["width"] == W
     # empty text: fully transparent canvas in both frames
     assert rows[(1, 0)]["px_sum"] == 0 and rows[(1, 1)]["px_sum"] == 0
+
+
+def test_animated_aggregate_decode_cap():
+    """frames x canvas beyond the pixel budget null-routes — a crafted
+    small payload must not OOM the worker."""
+    from wde_spark.operators.gif_codec import (decode_gif_frames,
+                                               encode_gif_animated)
+
+    # 5000x5000 canvas (25M px, under the per-canvas cap) with 4 tiny
+    # patches -> 100M snapshot pixels, over the aggregate budget
+    tiny = np.zeros((1, 1, 4), np.uint8)
+    tiny[:, :, 3] = 255
+    enc = encode_gif_animated([(0, 0, tiny, 0)] * 4, 5000, 5000)
+    assert decode_gif_frames(enc) is None
+    # same patches on a small canvas decode fine
+    enc = encode_gif_animated([(0, 0, tiny, 0)] * 4, 8, 8)
+    assert decode_gif_frames(enc) is not None

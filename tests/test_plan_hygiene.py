@@ -387,7 +387,7 @@ def test_no_unbounded_driver_collect_in_package_source():
         ("operators/layout.py", 'sorted((r["_bkt"], r["_t"])'),
         # per-difficulty-value counts (curriculum staging): bounded by
         # the difficulty domain, coarsened by the caller when unbounded
-        ("operators/sampling.py", 'd.groupBy("_diff").agg(F.count("*")'),
+        ("operators/sampling.py", 'd.groupBy("_dnull", "_diff")'),
         # per-(stage, md5-prefix) totals: n_stages x 256 rows
         ("operators/sampling.py", 'keyed.groupBy("stage", "_bkt")'),
         # moment-state merge: one dim²-wide row per PARTITION (bounded

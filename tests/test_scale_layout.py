@@ -294,7 +294,6 @@ def test_curriculum_order_interleaves_stages(spark):
     for s, rows in by_stage.items():
         assert all(r["sched_pos"] % 3 == s - 1 for r in rows)
     # stages are ordered by difficulty: max len in stage 1 <= min in 3
-    lens = {s: [len(docs_row) for docs_row in []] for s in by_stage}
     ln = {r["doc_id"]: (r["doc_id"] % 37) for r in out}
     s_max1 = max(ln[r["doc_id"]] for r in by_stage[1])
     s_min3 = min(ln[r["doc_id"]] for r in by_stage[3])

@@ -89,9 +89,10 @@ def main() -> None:
         media = build(docs).localCheckpoint()  # exclude synth cost
         payload_mb = media.agg(
             F.sum(F.octet_length("payload"))).first()[0] / 1e6
-        res = stats(media)
-        _cnt, sec = _time(lambda r=res: r.count())
+        res = stats(media).persist()
+        _cnt, sec = _time(lambda r=res: r.count())  # decode once, cached
         dec_mb = decoded_bytes(res).first()[0] / 1e6
+        res.unpersist()
         out[name] = {
             "payload_mb": round(payload_mb, 1),
             "decoded_mb": round(dec_mb, 1),

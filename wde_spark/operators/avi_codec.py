@@ -160,7 +160,7 @@ def decode_avi(payload: bytes):
                             count=min(size - 40, 256 * 4)).reshape(-1, 4)
                         palette = pal[:, [2, 1, 0]]  # RGBQUAD is B,G,R,_
                 elif cid in (b"00db", b"00dc"):
-                    frame_blobs.append(payload[body:body + size])
+                    frame_blobs.append((payload[body:body + size], cid))
 
         walk(12, n)
         if width is None or height is None or bits not in (8, 24):
@@ -174,8 +174,18 @@ def decode_avi(payload: bytes):
         stride = _stride(width, bits)
         if stride * height > _MAX_FRAME_BYTES:
             return None
+        # aggregate guard: with RLE a 2-byte blob expands to a full
+        # frame, so the decoded TOTAL is no longer bounded by the
+        # payload size — cap frames x frame-size, don't OOM the worker
+        if len(frame_blobs) * stride * height > _MAX_FRAME_BYTES:
+            return None
         frames = []
-        for blob in frame_blobs:
+        for blob, cid in frame_blobs:
+            # chunk id must match the compression tag ('00db' =
+            # uncompressed DIB, '00dc' = compressed): a mismatched
+            # stream decodes to garbage, so refuse, don't guess
+            if cid != (b"00dc" if compression == 1 else b"00db"):
+                return None
             if compression == 1:
                 idx = _decode_rle8(blob, width, height)
                 if idx is None or idx.max(initial=0) >= palette.shape[0]:
@@ -208,6 +218,45 @@ def decode_avi(payload: bytes):
         return None
 
 
+def _chunk(cid: bytes, body: bytes) -> bytes:
+    return cid + struct.pack("<I", len(body)) + body \
+        + (b"\x00" if len(body) & 1 else b"")
+
+
+def _lst(kind: bytes, body: bytes) -> bytes:
+    return _chunk(b"LIST", kind + body)
+
+
+def _assemble_avi(nf: int, w: int, h: int, fps: int, bits: int,
+                  compression: int, handler: bytes, buf_size: int,
+                  palette: bytes, frame_cid: bytes,
+                  blobs: list) -> bytes:
+    """Shared RIFF/AVI container assembly for both encoders — one place
+    for the avih/strh/strf/hdrl/movi layout so a header fix cannot drift
+    between the uncompressed and RLE8 tiers."""
+    avih = struct.pack(
+        "<IIIIIIIIII", 1_000_000 // fps, buf_size * fps, 0, 0x10,
+        nf, 0, 1, buf_size, w, h) + b"\x00" * 16
+    strh = (b"vids" + handler + struct.pack(
+        "<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, nf, buf_size,
+        0xFFFFFFFF, 0) + struct.pack("<4h", 0, 0, w, h))
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, bits, compression, buf_size, 0, 0,
+        256 if bits == 8 else 0, 0) + palette
+    hdrl = _lst(b"hdrl", _chunk(b"avih", avih)
+                + _lst(b"strl", _chunk(b"strh", strh)
+                       + _chunk(b"strf", strf)))
+    movi = _lst(b"movi", b"".join(_chunk(frame_cid, b) for b in blobs))
+    body = b"AVI " + hdrl + movi
+    return RIFF_MAGIC + struct.pack("<I", len(body)) + body
+
+
+def _gray_palette() -> bytes:
+    g = np.arange(256, dtype=np.uint8)
+    return np.stack([g, g, g, np.zeros_like(g)],
+                    axis=1).tobytes()  # grayscale RGBQUADs (B,G,R,_)
+
+
 def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
     """Encode an (n, h, w) uint8 array as an 8-bit grayscale-palette AVI,
     or an (n, h, w, 3) uint8 RGB array as a 24-bit BGR AVI — uncompressed
@@ -226,42 +275,17 @@ def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
     assert nf > 0 and h > 0 and w > 0 and fps > 0
     stride = _stride(w, bits)
 
-    def chunk(cid: bytes, body: bytes) -> bytes:
-        return cid + struct.pack("<I", len(body)) + body \
-            + (b"\x00" if len(body) & 1 else b"")
-
-    def lst(kind: bytes, body: bytes) -> bytes:
-        return chunk(b"LIST", kind + body)
-
     blobs = []
     for f in range(nf):
+        rows = np.zeros((h, stride), dtype=np.uint8)
         if bits == 8:
-            rows = np.zeros((h, stride), dtype=np.uint8)
             rows[:, :w] = arr[f][::-1]  # bottom-up
         else:
-            rows = np.zeros((h, stride), dtype=np.uint8)
             rows[:, :w * 3] = arr[f][::-1, :, ::-1].reshape(h, w * 3)
         blobs.append(rows.tobytes())
-    frame_size = stride * h
-
-    avih = struct.pack(
-        "<IIIIIIIIII", 1_000_000 // fps, frame_size * fps, 0, 0x10,
-        nf, 0, 1, frame_size, w, h) + b"\x00" * 16
-    strh = (b"vids" + b"DIB " + struct.pack(
-        "<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, nf, frame_size,
-        0xFFFFFFFF, 0) + struct.pack("<4h", 0, 0, w, h))
-    bmih = struct.pack("<IiiHHIIiiII", 40, w, h, 1, bits, 0,
-                       frame_size, 0, 0, 256 if bits == 8 else 0, 0)
-    strf = bmih
-    if bits == 8:
-        g = np.arange(256, dtype=np.uint8)
-        strf += np.stack([g, g, g, np.zeros_like(g)],
-                         axis=1).tobytes()  # grayscale RGBQUADs (B,G,R,_)
-    hdrl = lst(b"hdrl", chunk(b"avih", avih)
-               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
-    movi = lst(b"movi", b"".join(chunk(b"00db", b) for b in blobs))
-    body = b"AVI " + hdrl + movi
-    return RIFF_MAGIC + struct.pack("<I", len(body)) + body
+    return _assemble_avi(
+        nf, w, h, fps, bits, 0, b"DIB ", stride * h,
+        _gray_palette() if bits == 8 else b"", b"00db", blobs)
 
 
 def _encode_rle8_row(row: bytes) -> bytes:
@@ -324,35 +348,19 @@ def encode_avi_rle8(frames: np.ndarray, fps: int = 10) -> bytes:
     nf, h, w = arr.shape
     assert nf > 0 and h > 0 and w > 0 and fps > 0
 
-    def chunk(cid: bytes, body: bytes) -> bytes:
-        return cid + struct.pack("<I", len(body)) + body \
-            + (b"\x00" if len(body) & 1 else b"")
+    blobs = [_rle8_frame(arr[f]) for f in range(nf)]
+    return _assemble_avi(
+        nf, w, h, fps, 8, 1, b"MRLE", max(len(b) for b in blobs),
+        _gray_palette(), b"00dc", blobs)
 
-    def lst(kind: bytes, body: bytes) -> bytes:
-        return chunk(b"LIST", kind + body)
 
-    blobs = []
-    for f in range(nf):
-        enc = bytearray()
-        for y in range(h):  # bottom-up storage order
-            enc += _encode_rle8_row(arr[f, h - 1 - y].tobytes())
-            enc += b"\x00\x00" if y < h - 1 else b"\x00\x01"
-        blobs.append(bytes(enc))
-    buf_size = max(len(b) for b in blobs)
-
-    avih = struct.pack(
-        "<IIIIIIIIII", 1_000_000 // fps, buf_size * fps, 0, 0x10,
-        nf, 0, 1, buf_size, w, h) + b"\x00" * 16
-    strh = (b"vids" + b"MRLE" + struct.pack(
-        "<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, nf, buf_size,
-        0xFFFFFFFF, 0) + struct.pack("<4h", 0, 0, w, h))
-    bmih = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 1,
-                       buf_size, 0, 0, 256, 0)
-    g = np.arange(256, dtype=np.uint8)
-    strf = bmih + np.stack(
-        [g, g, g, np.zeros_like(g)], axis=1).tobytes()
-    hdrl = lst(b"hdrl", chunk(b"avih", avih)
-               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
-    movi = lst(b"movi", b"".join(chunk(b"00dc", b) for b in blobs))
-    body = b"AVI " + hdrl + movi
-    return RIFF_MAGIC + struct.pack("<I", len(body)) + body
+def _rle8_frame(plane: np.ndarray) -> bytes:
+    """RLE8-encode one (h, w) index plane: bottom-up rows, end-of-line
+    escapes between rows, end-of-bitmap terminator — the frame/pixel
+    layout shared by the AVI RLE tier and `bmp_codec.encode_bmp`."""
+    h = plane.shape[0]
+    enc = bytearray()
+    for y in range(h):  # bottom-up storage order
+        enc += _encode_rle8_row(plane[h - 1 - y].tobytes())
+        enc += b"\x00\x00" if y < h - 1 else b"\x00\x01"
+    return bytes(enc)

@@ -94,7 +94,7 @@ def encode_bmp(pixels: np.ndarray, rle: bool = False,
     an (h, w, 3) uint8 RGB array as a 24-bit BI_RGB BMP. The fixture
     builder for the decoder; rle requires the gray form and bottom-up
     rows (per spec)."""
-    from .avi_codec import _encode_rle8_row
+    from .avi_codec import _rle8_frame
 
     arr = np.asarray(pixels, dtype=np.uint8)
     if arr.ndim == 2:
@@ -111,11 +111,7 @@ def encode_bmp(pixels: np.ndarray, rle: bool = False,
     stride = _stride(w, bits)
 
     if rle:
-        body = bytearray()
-        for y in range(h):  # bottom-up storage order
-            body += _encode_rle8_row(arr[h - 1 - y].tobytes())
-            body += b"\x00\x00" if y < h - 1 else b"\x00\x01"
-        body = bytes(body)
+        body = _rle8_frame(arr)
         comp = 1
     else:
         rows = np.zeros((h, stride), dtype=np.uint8)

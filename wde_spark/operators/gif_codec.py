@@ -310,6 +310,12 @@ def decode_gif_frames(payload: bytes):
     if parsed is None:
         return None
     w, h, raw = parsed
+    # aggregate guard: _MAX_PIXELS bounds ONE canvas; the snapshot stack
+    # is n_frames canvases, so a tiny payload promising a large canvas x
+    # many frames must null-route, not OOM the worker (a 3 KB payload
+    # can otherwise demand hundreds of GB)
+    if len(raw) * w * h > _MAX_PIXELS:
+        return None
     canvas = np.zeros((h, w, 4), dtype=np.uint8)
     out = []
     for left, top, iw, ih, plane, palette, transparent, disposal in raw:

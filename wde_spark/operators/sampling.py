@@ -144,26 +144,34 @@ def curriculum_order(docs: DataFrame, difficulty_col, n_stages: int = 3,
     """
     assert 2 <= n_stages <= 16
     spark = docs.sparkSession
-    d = docs.withColumn("_diff", difficulty_col.cast("long"))
+    # NULL difficulty sorts LAST (unknown = hardest), tracked by an
+    # explicit flag so the offsets sort and the rejoin are both
+    # null-safe — a NULL must neither crash the driver sort nor
+    # silently drop the row
+    dn = difficulty_col.cast("long")
+    d = (docs.withColumn("_dnull", dn.isNull().cast("int"))
+         .withColumn("_diff", F.coalesce(dn, F.lit(0))))
     # phase 1: exclusive offsets per difficulty value (bounded domain);
     # the same collect yields n_total — no separate count job
     totals = sorted(
-        (r["_diff"], r["cnt"]) for r in
-        d.groupBy("_diff").agg(F.count("*").alias("cnt")).collect())
-    n_total = sum(c for _v, c in totals)
+        (r["_dnull"], r["_diff"], r["cnt"]) for r in
+        d.groupBy("_dnull", "_diff")
+        .agg(F.count("*").alias("cnt")).collect())
+    n_total = sum(c for _n, _v, c in totals)
     if n_total == 0:
         return (d.withColumn("stage", F.lit(0))
                 .withColumn("sched_pos", F.lit(0).cast("long"))
-                .drop("_diff"))
+                .drop("_dnull", "_diff"))
     offs, acc = [], 0
-    for v, c in totals:
-        offs.append((v, acc))
+    for nn, v, c in totals:
+        offs.append((nn, v, acc))
         acc += c
-    off_df = spark.createDataFrame(offs, "_diff long, _off long")
-    w = (Window.partitionBy("_diff").orderBy(id_col)
+    off_df = spark.createDataFrame(
+        offs, "_dnull int, _diff long, _off long")
+    w = (Window.partitionBy("_dnull", "_diff").orderBy(id_col)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     ranked = (
-        d.join(F.broadcast(off_df), "_diff")
+        d.join(F.broadcast(off_df), ["_dnull", "_diff"])
         .withColumn("_rank", (F.col("_off") + F.count("*").over(w))
                     .cast("long"))
         .drop("_off")
@@ -207,5 +215,5 @@ def curriculum_order(docs: DataFrame, difficulty_col, n_stages: int = 3,
             "sched_pos",
             ((F.col("_srk") - 1) * n_stages + F.col("stage") - 1)
             .cast("long"))
-        .drop("_hx", "_bkt", "_soff", "_srk", "_diff")
+        .drop("_hx", "_bkt", "_soff", "_srk", "_dnull", "_diff")
     )
