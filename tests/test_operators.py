@@ -874,3 +874,37 @@ def test_embedding_recall_audit(spark):
     rn = SIM.embedding_recall_audit(lonely, empty, sample=3,
                                     threshold=0.99).collect()[0]
     assert rn.true_pairs == 0 and rn.recall is None
+
+
+def test_nearest_join_directions_and_ties(spark):
+    """Bidirectional nearest: picks whichever side is closer; distance
+    ties go backward; equal-ts ties go to the greatest tie_col; rows
+    with only one side available still match."""
+    from datetime import datetime as DT
+
+    from wde_spark.operators.relational import nearest_join
+
+    def t(s):
+        return DT(2024, 1, 1, 0, 0) + __import__("datetime").timedelta(
+            seconds=s)
+
+    right = spark.createDataFrame(
+        [(1, t(10), 100, 1.0), (1, t(20), 101, 2.0),
+         (1, t(20), 102, 3.0),   # same-ts duplicate: greatest id wins
+         (2, t(50), 200, 9.0)],
+        "user_id long, ts timestamp, event_id long, value double")
+    left = spark.createDataFrame(
+        [(1, t(12), 900),   # back d=2 (id 100) vs fwd d=8 -> back
+         (1, t(15), 901),   # equidistant d=5 -> backward wins (id 100)
+         (1, t(19), 902),   # fwd d=1 beats back d=9 -> id 102 (tie)
+         (1, t(5), 903),    # nothing earlier -> forward id 100
+         (2, t(99), 904),   # nothing later -> backward id 200
+         (3, t(1), 905)],   # no right rows at all -> NULL
+        "user_id long, ts timestamp, event_id long")
+    rows = {r["event_id"]: r for r in nearest_join(
+        left, right, on="user_id", ts_col="ts",
+        payload_cols=["value"], tie_col="event_id").collect()}
+    got = {k: (None if rows[k]["nearest"] is None
+               else rows[k]["nearest"]["event_id"]) for k in rows}
+    assert got == {900: 100, 901: 100, 902: 102, 903: 100,
+                   904: 200, 905: None}

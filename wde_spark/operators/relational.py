@@ -323,6 +323,68 @@ def asof_join(
     )
 
 
+def nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str,
+    payload_cols: Sequence[str],
+    tie_col: str | None = None,
+    out_col: str = "nearest",
+) -> DataFrame:
+    """Nearest-event join: attach to each left row the right row (matched
+    on `on`) whose timestamp is CLOSEST in either direction — the
+    bidirectional sibling of `asof_join`. Ties on distance go to the
+    earlier (backward) row; ties on an equal timestamp within a side go
+    to the greatest `tie_col`.
+
+    Same scale shape as the as-of join: union-tag + two carry windows
+    over ONE shuffle on `on` (last-non-null looking back, first-non-null
+    looking forward — the forward window orders the tiebreak descending
+    so both directions prefer the greatest tie), then a row-local
+    distance comparison. O(L + R) per key, never a pair explosion."""
+    order_cols = [ts_col] + ([tie_col] if tie_col else [])
+    r2 = right.select(
+        on,
+        *order_cols,
+        F.struct(*[F.col(c)
+                   for c in dict.fromkeys(order_cols + list(payload_cols))])
+        .alias("__np"),
+    ).withColumn("__side", F.lit(0))
+    l2 = left.withColumn("__side", F.lit(1))
+    u = l2.unionByName(r2, allowMissingColumns=True)
+    tie_asc = [F.col(tie_col).asc()] if tie_col else []
+    tie_desc = [F.col(tie_col).desc()] if tie_col else []
+    wb = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts_col).asc(), F.col("__side").asc(), *tie_asc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts_col).asc(), F.col("__side").asc(), *tie_desc)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    back = F.last("__np", ignorenulls=True).over(wb)
+    fwd = F.first("__np", ignorenulls=True).over(wf)
+    # _micros-style NTZ-tolerant epoch; applied to the struct fields too
+    def _ep(c):
+        return F.unix_micros(c.cast("timestamp"))
+
+    lts = _ep(F.col(ts_col))
+    chosen = (
+        F.when(back.isNull(), fwd)
+        .when(fwd.isNull(), back)
+        .when(lts - _ep(back[ts_col]) <= _ep(fwd[ts_col]) - lts, back)
+        .otherwise(fwd)
+    )
+    return (
+        u.withColumn(out_col, chosen)
+        .filter(F.col("__side") == 1)
+        .drop("__side", "__np")
+    )
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,

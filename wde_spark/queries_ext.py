@@ -902,6 +902,63 @@ def asof_join_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _nearest_purchase_view_oracle() -> str:
+    return f"""
+    WITH v AS (SELECT user_id, ts, event_id, value FROM events
+               WHERE event_type = 'view'),
+    p AS (SELECT user_id, ts, event_id FROM events
+          WHERE event_type = 'purchase'),
+    pairs AS (
+      SELECT p.event_id AS purchase_id, p.user_id, p.ts AS pts,
+             v.ts AS vts, v.value AS vval,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id
+               ORDER BY abs(epoch(v.ts) - epoch(p.ts)),
+                        CASE WHEN v.ts <= p.ts THEN 0 ELSE 1 END,
+                        v.event_id DESC) AS rn
+      FROM p LEFT JOIN v ON p.user_id = v.user_id
+    )
+    SELECT purchase_id, user_id,
+           strftime(pts, '{TS_FMT}') AS purchase_ts,
+           strftime(vts, '{TS_FMT}') AS view_ts,
+           ROUND(vval, 4) AS view_value
+    FROM pairs WHERE rn = 1
+    """
+
+
+@query("nearest_join_purchase_view", _nearest_purchase_view_oracle())
+def nearest_join_purchase_view(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """NEAREST-event join — the bidirectional sibling of the as-of join:
+    each purchase sees the user's closest view in EITHER direction
+    (distance ties -> the earlier view; equal-timestamp ties -> greatest
+    event_id). The engine form
+    (`operators/relational.py::nearest_join`) is union-tag + two carry
+    windows over one shuffle — O(L+R) per key — while the oracle ranks
+    the naive O(L*R) pair join by (|distance|, direction, id), so the
+    linear-scan formulation is hash-checked against the quadratic
+    textbook one."""
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    out = R.nearest_join(
+        purchases, views, on="user_id", ts_col="ts",
+        payload_cols=["value"], tie_col="event_id",
+    )
+    return out.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format("nearest.ts", "yyyy-MM-dd HH:mm:ss")
+        .alias("view_ts"),
+        F.round("nearest.value", 4).alias("view_value"),
+    )
+
+
+
 @query(
     "range_join_error_clicks",
     """
