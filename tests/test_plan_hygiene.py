@@ -320,6 +320,9 @@ def test_no_cartesian_or_undeclared_python_anywhere(spark):
                  # BMP container (DIB tiers + shared RLE codec) through
                  # the same row-local RGBA stats kernel
                  "bmp_rgb_documents",
+                 # QOI container (run/index/diff/luma state machine)
+                 # through the same row-local RGBA stats kernel
+                 "qoi_rgba_documents",
                  # mixed-format audio (stereo/8-bit) through the decoded
                  # energy windows — same row-local codec kernels
                  "audio_energy_mixed_documents",

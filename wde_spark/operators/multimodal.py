@@ -701,6 +701,49 @@ def attach_bmps(docs: DataFrame, id_col: str = "doc_id",
         kernel, schema="media_id long, payload binary")
 
 
+def attach_qoi(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Deterministic QOI media table — content shaped to exercise every
+    op family of the format on production data: over a (w = L%21+4) x
+    (h = L%15+4) image, pixel p has r = byte(p//4 mod L) (horizontal
+    runs -> QOI_OP_RUN), g = (r + p mod 3) % 256 and
+    b = (r + 2*(p mod 5)) % 256 (small channel deltas -> DIFF/LUMA),
+    alpha 255 on even doc_ids and 0-where-(r mod 7 = 0) on odd ones
+    (RGBA literals + index recalls). Every decoded RGBA value is a pure
+    function of the text the SQL oracle predicts — whatever op sequence
+    the greedy encoder chose."""
+    import numpy as np
+
+    from .qoi_codec import encode_qoi
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                data = (text or "").encode("utf-8")
+                n = len(data)
+                w, h = n % 21 + 4, n % 15 + 4
+                p = np.arange(w * h)
+                if n:
+                    b = np.frombuffer(data, dtype=np.uint8)
+                    r = b[(p // 4) % n].astype(np.uint16)
+                else:
+                    r = np.zeros(w * h, dtype=np.uint16)
+                g = (r + p % 3) % 256
+                bl = (r + 2 * (p % 5)) % 256
+                if int(mid) % 2 == 0:
+                    a = np.full(w * h, 255, dtype=np.uint16)
+                else:
+                    a = np.where(r % 7 == 0, 0, 255).astype(np.uint16)
+                rgba = np.stack([r, g, bl, a], axis=1).astype(
+                    np.uint8).reshape(h, w, 4)
+                rows.append((mid, encode_qoi(rgba)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return docs.select(id_col, text_col).mapInPandas(
+        kernel, schema="media_id long, payload binary")
+
+
 def attach_gifs(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Deterministic GIF media table — the LZW container twin of
@@ -843,6 +886,7 @@ def image_rgba_stats(media: DataFrame) -> DataFrame:
     from .bmp_codec import decode_bmp, is_bmp
     from .gif_codec import decode_gif, is_gif
     from .png_codec import decode_png
+    from .qoi_codec import decode_qoi, is_qoi
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -857,6 +901,10 @@ def image_rgba_stats(media: DataFrame) -> DataFrame:
                     b = decode_bmp(raw)
                     decoded = None if b is None else (
                         b[0], b[1], 3, b[2])
+                elif is_qoi(raw):
+                    q = decode_qoi(raw)
+                    decoded = None if q is None else (
+                        q[0], q[1], 4, q[2])
                 else:
                     decoded = decode_png(raw)
                 if decoded is None:

@@ -2133,7 +2133,7 @@ _DRIVER_PRIORITY = [
     "minhash_signatures_documents", "cosine_topk_embeddings",
     "streaming_pq_adc_ann", "q6_forecast_revenue", "q10_returned_items",
     "q11_supplier_share", "q15_top_supplier", "q18_large_volume_orders",
-    "asof_join_purchase_view", "bloom_semi_join_lineitem",
+    "asof_join_purchase_view",
     # --- net-new late in the round (first driver rows): the maintained
     # FFD manifest, the palette+tRNS image tier, the mixed-format
     # (stereo / 8-bit) audio energy windows, REAL video decode, and the
@@ -2147,7 +2147,7 @@ _DRIVER_PRIORITY = [
     "gif_rgba_documents", "audio_adpcm_decoded_documents",
     "gif_animation_frames_documents", "rendezvous_sharding_documents",
     "curriculum_order_documents", "bmp_rgb_documents",
-    "nearest_join_purchase_view",
+    "nearest_join_purchase_view", "qoi_rgba_documents",
     # dedup_corpus_semantic_documents, source_scorecard_documents,
     # embedding_recall_audit_embeddings, strip_duplicate_spans_documents,
     # substr_increment_documents, duplicate_spans_documents,
@@ -2155,9 +2155,9 @@ _DRIVER_PRIORITY = [
     # nb_classify_documents, lm_quality_documents,
     # corpus_drift_documents, dedup_recall_audit_documents,
     # data_quality_orders, dedup_increment_documents,
-    # quantile_sketch_gate, and dedup_weights_documents (r6 vintage)
-    # yield their seats to the late net-new entries; they lead the r10
-    # rotation.
+    # quantile_sketch_gate, dedup_weights_documents, and
+    # bloom_semi_join_lineitem (r6 vintage) yield their seats to the
+    # late net-new entries; they lead the r10 rotation.
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]

@@ -6318,6 +6318,58 @@ def streaming_ffd_manifest_documents(spark: SparkSession,
 
 
 @query(
+    "qoi_rgba_documents",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, CAST(doc_id % 2 AS INT) AS tier,
+             hex(encode(text)) AS hx, octet_length(encode(text)) AS L,
+             CAST(octet_length(encode(text)) % 21 + 4 AS INT) AS w,
+             CAST(octet_length(encode(text)) % 15 + 4 AS INT) AS h
+      FROM documents),
+    px AS (
+      SELECT media_id, tier, w, h, CAST(p AS BIGINT) AS p,
+             CASE WHEN L = 0 THEN 0 ELSE
+               (strpos('0123456789ABCDEF', substr(hx,
+                   CAST(2 * ((p // 4) % L) + 1 AS INT), 1)) - 1) * 16
+               + (strpos('0123456789ABCDEF', substr(hx,
+                   CAST(2 * ((p // 4) % L) + 2 AS INT), 1)) - 1)
+             END AS r
+      FROM m, unnest(range(0, CAST(w AS BIGINT) * h)) AS u(p)),
+    ch AS (
+      SELECT media_id, w, h, p, CAST(c AS BIGINT) AS c,
+             CASE CAST(c AS INT)
+                  WHEN 0 THEN r
+                  WHEN 1 THEN (r + p % 3) % 256
+                  WHEN 2 THEN (r + 2 * (p % 5)) % 256
+                  ELSE CASE WHEN tier = 0 THEN 255
+                            WHEN r % 7 = 0 THEN 0 ELSE 255 END END AS v
+      FROM px, unnest(range(0, 4)) AS t(c))
+    SELECT media_id, w AS width, h AS height, CAST(4 AS INT) AS channels,
+           CAST(SUM(v) AS BIGINT) AS px_sum,
+           CAST(SUM(CASE WHEN c = 3 AND v = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_transparent,
+           md5(string_agg(CAST(v AS VARCHAR), '-' ORDER BY p * 4 + c))
+             AS px_fp
+    FROM ch GROUP BY media_id, w, h
+    """,
+)
+def qoi_rgba_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QOI decode as correctness surface — the FOURTH image container,
+    and the one whose entire compression model is engine-owned (no zlib,
+    no LZW): run-length, 64-entry hash-index recall, DIFF/LUMA signed
+    deltas, and RGB/RGBA literals per the published QOI spec
+    (`operators/qoi_codec.py`). The builder's content is shaped so every
+    op family fires on production data (`multimodal.attach_qoi`); the
+    oracle predicts every RGBA value from the text alone, so a wrong
+    bias, wrap, hash, index slot, or run length anywhere in the state
+    machine breaks the md5."""
+    from .operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return MM.image_rgba_stats(MM.attach_qoi(docs))
+
+
+@query(
     "bmp_rgb_documents",
     """
     WITH m AS (
