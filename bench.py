@@ -132,6 +132,10 @@ HEADLINE = [
     "bmp_rgb_documents",
     "rendezvous_sharding_documents",
     "curriculum_order_documents",
+    # third wave: the QOI state-machine container and the bidirectional
+    # nearest-event join (two carry windows over one shuffle)
+    "qoi_rgba_documents",
+    "nearest_join_purchase_view",
 ]
 
 
