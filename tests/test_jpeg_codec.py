@@ -1,0 +1,119 @@
+"""Baseline JPEG codec (`operators/jpeg_codec.py`): the integer-exact
+DC-only tier (the driver oracle's contract), bounded-error round-trips
+on general AC content, entropy-layer structure (DPCM across tiles, ZRL,
+byte stuffing), marker parsing, and null-routes for the declared
+out-of-scope modes.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from wde_spark.operators.jpeg_codec import (decode_jpeg_gray,
+                                            encode_jpeg_gray, is_jpeg,
+                                            quant_table)
+
+
+def _tiled(bh, bw, seed):
+    tiles = np.random.RandomState(seed).randint(
+        0, 256, (bh, bw)).astype(np.uint8)
+    return tiles, np.kron(tiles, np.ones((8, 8), np.uint8))
+
+
+def test_dc_only_tier_is_integer_exact():
+    """Constant 8x8 tiles at quality 50 decode to EXACTLY
+    min(2*floor((v-127)/2) + 128, 255) — the closed form the SQL oracle
+    replays. Every byte value is hit across the trials."""
+    seen = set()
+    for seed in range(40):
+        bh, bw = seed % 5 + 1, seed % 7 + 1
+        tiles, img = _tiled(bh, bw, seed)
+        seen.update(int(v) for v in tiles.reshape(-1))
+        w, h, px = decode_jpeg_gray(encode_jpeg_gray(img, quality=50))
+        assert (w, h) == (bw * 8, bh * 8)
+        v = tiles.astype(np.int64)
+        want = np.minimum(2 * ((v - 127) // 2) + 128, 255)
+        assert np.array_equal(
+            px.astype(np.int64), np.kron(want, np.ones((8, 8), np.int64)))
+    assert len(seen) > 200  # formula exercised across the byte range
+    # explicit half-boundary values (odd DC sums): exactness is the
+    # point of computing F(0,0) as sum/8
+    for v in (1, 127, 129, 163, 179, 255, 0):
+        img = np.full((8, 8), v, np.uint8)
+        _, _, px = decode_jpeg_gray(encode_jpeg_gray(img, 50))
+        assert int(px[0, 0]) == min(2 * ((v - 127) // 2) + 128, 255), v
+
+
+@pytest.mark.parametrize("quality", [50, 75, 90])
+def test_general_content_bounded_error_and_crop(quality):
+    rng = np.random.RandomState(quality)
+    for _ in range(8):
+        h, w = int(rng.randint(5, 60)), int(rng.randint(5, 60))
+        gy = np.add.outer(np.arange(h) * 3, np.arange(w) * 2) % 256
+        img = ((gy + rng.randint(0, 8, (h, w))) % 256).astype(np.uint8)
+        dw, dh, px = decode_jpeg_gray(encode_jpeg_gray(img, quality))
+        assert (dw, dh) == (w, h)  # non-multiple-of-8 dims crop back
+        assert np.abs(px.astype(int) - img.astype(int)).max() <= 48
+
+
+def test_entropy_layer_structure():
+    """Byte stuffing (0xFF00) occurs and round-trips; a checkerboard
+    exercises high-frequency AC codes incl. ZRL runs."""
+    rng = np.random.RandomState(0)
+    img = (rng.randint(0, 2, (24, 24)) * 255).astype(np.uint8)
+    enc = encode_jpeg_gray(img, quality=95)
+    scan = enc[enc.index(b"\xFF\xDA") + 2:]
+    assert b"\xFF\x00" in scan  # stuffing happened somewhere in the run
+    dw, dh, px = decode_jpeg_gray(enc)
+    assert np.abs(px.astype(int) - img.astype(int)).max() <= 16
+
+
+def test_quality_scaling():
+    assert (quant_table(50) == quant_table(50)).all()
+    assert quant_table(50)[0, 0] == 16  # the exact-tier anchor
+    assert (quant_table(90) <= quant_table(50)).all()
+    assert (quant_table(10) >= quant_table(50)).all()
+    assert quant_table(100).min() >= 1
+
+
+def test_null_routes_outside_declared_support():
+    img = np.zeros((8, 8), np.uint8)
+    enc = encode_jpeg_gray(img)
+    assert is_jpeg(enc) and not is_jpeg(b"\x89PNG")
+    assert decode_jpeg_gray(b"\xFF\xD8junk") is None
+    assert decode_jpeg_gray(enc[:-2]) is None       # missing EOI
+    assert decode_jpeg_gray(enc[:30]) is None       # truncated headers
+    # progressive SOF2 must null-route
+    prog = bytearray(enc)
+    prog[enc.index(b"\xFF\xC0") + 1] = 0xC2
+    assert decode_jpeg_gray(bytes(prog)) is None
+    # 3-component claim must null-route (grayscale tier only)
+    sof = enc.index(b"\xFF\xC0")
+    color = bytearray(enc)
+    color[sof + 9] = 3
+    assert decode_jpeg_gray(bytes(color)) is None
+    # restart-interval marker must null-route
+    dri = (b"\xFF\xDD" + struct.pack(">H", 4) + struct.pack(">H", 4))
+    with_dri = enc[:2] + dri + enc[2:]
+    assert decode_jpeg_gray(with_dri) is None
+
+
+def test_attach_jpegs_stats_dispatch(spark):
+    from wde_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame(
+        [(0, "abc"), (1, "")], "doc_id long, text string")
+    rows = {r["media_id"]: r
+            for r in MM.image_rgba_stats(MM.attach_jpegs(docs)).collect()}
+    b = np.frombuffer(b"abc", np.uint8)
+    wb, hb = 3 % 6 + 2, 3 % 4 + 2
+    v = b[np.arange(wb * hb) % 3].astype(np.int64)
+    want = np.minimum(2 * ((v - 127) // 2) + 128, 255)
+    assert rows[0]["channels"] == 1
+    assert rows[0]["width"] == wb * 8 and rows[0]["height"] == hb * 8
+    assert rows[0]["px_sum"] == int(want.sum()) * 64
+    # empty text: all-zero tiles decode to 0 exactly
+    assert rows[1]["px_sum"] == 0

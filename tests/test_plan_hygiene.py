@@ -323,6 +323,9 @@ def test_no_cartesian_or_undeclared_python_anywhere(spark):
                  # QOI container (run/index/diff/luma state machine)
                  # through the same row-local RGBA stats kernel
                  "qoi_rgba_documents",
+                 # baseline JPEG (DCT + Huffman + DPCM) through the same
+                 # row-local stats kernel
+                 "jpeg_gray_documents",
                  # mixed-format audio (stereo/8-bit) through the decoded
                  # energy windows — same row-local codec kernels
                  "audio_energy_mixed_documents",

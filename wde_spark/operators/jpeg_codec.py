@@ -1,0 +1,392 @@
+"""Dependency-free baseline JPEG codec (grayscale tier) — the flagship
+transform codec: 8x8 DCT-II, standard Annex-K quantization (IJG quality
+scaling) and Huffman tables, zigzag, DC DPCM, canonical Huffman entropy
+coding with 0xFF byte stuffing, and the JFIF marker structure
+(SOI / DQT / SOF0 / DHT / SOS / EOI).
+
+Declared support: baseline sequential, 8-bit, ONE component (grayscale),
+no restart intervals, no progressive/arithmetic modes. 3-component
+(color), DRI, SOF2 etc. null-route — honest boundaries, like every other
+codec here. The encoder is the fixture builder; on images whose 8x8
+blocks are constant, the whole pipeline is integer-exact at quality 50
+(q[0,0] = 16: decoded pixel = min(2*floor((v-127)/2) + 128, 255)), which
+is what lets a SQL oracle predict every decoded pixel while the full
+Huffman/DPCM/bitstream machinery runs for real. General content
+round-trips with the usual lossy bounded error (property-tested).
+
+Pure stdlib + numpy; tables and layout from the public ITU T.81 spec
+(Annex K). Not derived from the reference repo (text-only; no media
+surface — extension parity documented in COVERAGE.md).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_MAX_PIXELS = 64 * 1024 * 1024
+
+# Annex K.1 — standard luminance quantization table (natural order)
+_BASE_QUANT = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99]], dtype=np.int64)
+
+# zigzag scan order: natural index of each zigzag position
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63])
+
+# Annex K.3 — standard luminance DC table: BITS (counts per code length
+# 1..16) and HUFFVAL (symbols in canonical order)
+_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_DC_VALS = tuple(range(12))
+
+# Annex K.3 — standard luminance AC table
+_AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_AC_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA)
+
+
+def _dct_matrix() -> np.ndarray:
+    m = getattr(_dct_matrix, "_m", None)
+    if m is None:
+        x = np.arange(8)
+        m = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2
+        m[0, :] = 1 / np.sqrt(8)
+        _dct_matrix._m = m
+    return m
+
+
+def quant_table(quality: int) -> np.ndarray:
+    """IJG quality scaling of the Annex-K luminance table. quality=50
+    returns the base table verbatim (q[0,0] = 16 — the value the exact
+    DC-only tier's arithmetic depends on)."""
+    assert 1 <= quality <= 100
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (_BASE_QUANT * scale + 50) // 100
+    return np.clip(q, 1, 255)
+
+
+def _canonical_codes(bits, vals):
+    """Canonical Huffman code assignment per T.81 C.2: returns
+    {symbol: (code, length)}."""
+    out = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self.buf)
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    unstuffing; any other marker mid-scan raises ValueError."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d = data
+        self.p = pos
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.p >= len(self.d):
+                raise ValueError("bitstream exhausted")
+            b = self.d[self.p]
+            self.p += 1
+            if b == 0xFF:
+                if self.p >= len(self.d) or self.d[self.p] != 0x00:
+                    raise ValueError("marker inside scan")
+                self.p += 1
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 F.12: decode an s-bit magnitude into a signed value."""
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _category(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+def encode_jpeg_gray(pixels: np.ndarray, quality: int = 50) -> bytes:
+    """Encode an (h, w) uint8 grayscale image as baseline JFIF. Images
+    whose dims aren't multiples of 8 pad by edge replication (decode
+    crops back)."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim != 2:
+        raise ValueError("encode_jpeg_gray expects (h, w) gray")
+    h, w = arr.shape
+    assert h > 0 and w > 0
+    ph, pw = -h % 8, -w % 8
+    arr = np.pad(arr, ((0, ph), (0, pw)), mode="edge")
+    q = quant_table(quality)
+    m = _dct_matrix()
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+    bw = _BitWriter()
+    prev_dc = 0
+    for by in range(0, arr.shape[0], 8):
+        for bx in range(0, arr.shape[1], 8):
+            blk = arr[by:by + 8, bx:bx + 8].astype(np.float64) - 128.0
+            coef = m @ blk @ m.T
+            # the DC basis is constant, so F(0,0) = sum/8 EXACTLY —
+            # replace the float-rounded inner products (odd DC sums land
+            # on the quantizer's half boundary, where matmul noise would
+            # otherwise decide the round and break the integer-exact
+            # DC-only tier)
+            coef[0, 0] = blk.sum() / 8.0
+            # symmetric round-half-up via floor(x/q + 0.5)
+            zz = np.floor(coef / q + 0.5).astype(np.int64).reshape(64)
+            zz = zz[_ZIGZAG]
+            diff = int(zz[0]) - prev_dc
+            prev_dc = int(zz[0])
+            s = _category(diff)
+            bw.put(*dc_codes[s])
+            if s:
+                bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+            run = 0
+            last_nz = int(np.nonzero(zz[1:])[0][-1]) + 1 \
+                if np.any(zz[1:]) else 0
+            for k in range(1, last_nz + 1):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    bw.put(*ac_codes[0xF0])  # ZRL
+                    run -= 16
+                s = _category(v)
+                bw.put(*ac_codes[(run << 4) | s])
+                bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last_nz < 63:
+                bw.put(*ac_codes[0x00])  # EOB
+    scan = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes((0xFF, marker)) + struct.pack(">H", len(body) + 2) \
+            + body
+
+    qz = q.reshape(64)[_ZIGZAG]
+    dqt = seg(0xDB, bytes((0,)) + bytes(int(x) for x in qz))
+    sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, 1)
+              + bytes((1, 0x11, 0)))
+    dht = seg(0xC4, bytes((0x00,)) + bytes(_DC_BITS)
+              + bytes(_DC_VALS)) \
+        + seg(0xC4, bytes((0x10,)) + bytes(_AC_BITS) + bytes(_AC_VALS))
+    sos = seg(0xDA, bytes((1, 1, 0x00, 0, 63, 0)))
+    return (b"\xFF\xD8" + dqt + sof + dht + sos + scan + b"\xFF\xD9")
+
+
+def is_jpeg(payload: bytes) -> bool:
+    return payload[:2] == b"\xFF\xD8"
+
+
+def decode_jpeg_gray(payload: bytes):
+    """Decode a baseline grayscale JFIF byte string to (width, height,
+    pixels) with pixels an (h, w) uint8 array, or None outside the
+    declared support (see module docstring)."""
+    try:
+        if not is_jpeg(payload):
+            return None
+        pos = 2
+        q = None
+        w = h = None
+        tables = {}
+        n = len(payload)
+        while pos + 4 <= n:
+            if payload[pos] != 0xFF:
+                return None
+            marker = payload[pos + 1]
+            if marker == 0xD9:
+                return None  # EOI before SOS
+            (ln,) = struct.unpack(">H", payload[pos + 2:pos + 4])
+            body = payload[pos + 4:pos + 2 + ln]
+            if len(body) != ln - 2:
+                return None
+            if marker == 0xDB:
+                p = 0
+                while p < len(body):
+                    pq, tq = body[p] >> 4, body[p] & 0x0F
+                    if pq != 0 or tq != 0 or p + 65 > len(body):
+                        return None  # 8-bit table 0 only
+                    zz = np.frombuffer(body, np.uint8, 64, p + 1)
+                    nat = np.empty(64, dtype=np.int64)
+                    nat[_ZIGZAG] = zz
+                    q = nat.reshape(8, 8)
+                    p += 65
+            elif marker == 0xC0:
+                prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+                if prec != 8 or nc != 1 or body[7] != 0x11:
+                    return None  # grayscale baseline only
+                if w <= 0 or h <= 0 or w * h > _MAX_PIXELS:
+                    return None
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # non-baseline SOF
+            elif marker == 0xDD:
+                return None  # restart intervals: declared out of scope
+            elif marker == 0xC4:
+                p = 0
+                while p < len(body):
+                    tc, th = body[p] >> 4, body[p] & 0x0F
+                    if p + 17 > len(body):
+                        return None
+                    bits = tuple(body[p + 1:p + 17])
+                    cnt = sum(bits)
+                    if p + 17 + cnt > len(body):
+                        return None
+                    vals = tuple(body[p + 17:p + 17 + cnt])
+                    tables[(tc, th)] = (bits, vals)
+                    p += 17 + cnt
+            elif marker == 0xDA:
+                if q is None or w is None:
+                    return None
+                if body[0] != 1 or (0, body[2] >> 4) not in tables \
+                        or (1, body[2] & 0x0F) not in tables:
+                    return None
+                return _decode_scan(
+                    payload, pos + 2 + ln, w, h, q,
+                    tables[(0, body[2] >> 4)],
+                    tables[(1, body[2] & 0x0F)])
+            pos += 2 + ln
+        return None
+    except (struct.error, ValueError, IndexError):
+        return None
+
+
+def _huff_decoder(bits, vals):
+    """mincode/maxcode/valptr decode tables per T.81 F.2.2.3."""
+    mincode, maxcode, valptr = {}, {}, {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        if bits[ln - 1]:
+            valptr[ln] = k
+            mincode[ln] = code
+            code += bits[ln - 1]
+            k += bits[ln - 1]
+            maxcode[ln] = code - 1
+        else:
+            maxcode[ln] = -1
+        code <<= 1
+    return mincode, maxcode, valptr, vals
+
+
+def _read_symbol(br: _BitReader, tbl) -> int:
+    mincode, maxcode, valptr, vals = tbl
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | br.bit()
+        if maxcode[ln] >= 0 and code <= maxcode[ln]:
+            return vals[valptr[ln] + code - mincode[ln]]
+    raise ValueError("invalid Huffman code")
+
+
+def _decode_scan(payload, pos, w, h, q, dc_spec, ac_spec):
+    bw_, bh_ = (w + 7) // 8, (h + 7) // 8
+    if bw_ * bh_ * 64 > _MAX_PIXELS:
+        return None
+    dc_tbl = _huff_decoder(*dc_spec)
+    ac_tbl = _huff_decoder(*ac_spec)
+    br = _BitReader(payload, pos)
+    m = _dct_matrix()
+    out = np.empty((bh_ * 8, bw_ * 8), dtype=np.uint8)
+    prev_dc = 0
+    for by in range(bh_):
+        for bx in range(bw_):
+            zz = np.zeros(64, dtype=np.int64)
+            s = _read_symbol(br, dc_tbl)
+            if s > 11:
+                return None
+            if s:
+                v = 0
+                for _ in range(s):
+                    v = (v << 1) | br.bit()
+                prev_dc += _extend(v, s)
+            zz[0] = prev_dc
+            k = 1
+            while k < 64:
+                rs = _read_symbol(br, ac_tbl)
+                if rs == 0x00:
+                    break
+                if rs == 0xF0:
+                    k += 16
+                    continue
+                run, size = rs >> 4, rs & 0x0F
+                k += run
+                if k > 63 or size == 0:
+                    return None
+                v = 0
+                for _ in range(size):
+                    v = (v << 1) | br.bit()
+                zz[k] = _extend(v, size)
+                k += 1
+            nat = np.zeros(64, dtype=np.int64)
+            nat[_ZIGZAG] = zz
+            coef = nat.reshape(8, 8) * q
+            blk = m.T @ (coef.astype(np.float64)) @ m
+            px = np.floor(blk + 128.5)
+            out[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = np.clip(
+                px, 0, 255).astype(np.uint8)
+    # after the scan only pad bits and EOI may remain
+    tail = payload[br.p:]
+    if not tail.startswith(b"\xFF\xD9"):
+        return None
+    return w, h, out[:h, :w].copy()

@@ -701,6 +701,42 @@ def attach_bmps(docs: DataFrame, id_col: str = "doc_id",
         kernel, schema="media_id long, payload binary")
 
 
+def attach_jpegs(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Deterministic baseline-JPEG media table on the codec's
+    integer-exact tier: a ((L%4+2)*8) x ((L%6+2)*8) grayscale image of
+    constant 8x8 tiles, tile t (row-major over blocks) = byte (t mod L)
+    (0 when empty), encoded at quality 50. Constant tiles make the
+    whole DCT -> quantize -> Huffman -> decode chain integer-exact
+    (decoded tile = min(2*floor((v-127)/2) + 128, 255)), so the SQL
+    oracle predicts every decoded pixel while the real entropy layer —
+    canonical Huffman, DC DPCM across tiles, byte stuffing — runs on
+    production data. General-content (AC) behavior is property-tested
+    with bounded error in tests/test_formats.py."""
+    import numpy as np
+
+    from .jpeg_codec import encode_jpeg_gray
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                data = (text or "").encode("utf-8")
+                n = len(data)
+                wb, hb = n % 6 + 2, n % 4 + 2
+                if n:
+                    b = np.frombuffer(data, dtype=np.uint8)
+                    tiles = b[np.arange(wb * hb) % n].reshape(hb, wb)
+                else:
+                    tiles = np.zeros((hb, wb), dtype=np.uint8)
+                img = np.kron(tiles, np.ones((8, 8), np.uint8))
+                rows.append((mid, encode_jpeg_gray(img, quality=50)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return docs.select(id_col, text_col).mapInPandas(
+        kernel, schema="media_id long, payload binary")
+
+
 def attach_qoi(docs: DataFrame, id_col: str = "doc_id",
                text_col: str = "text") -> DataFrame:
     """Deterministic QOI media table — content shaped to exercise every
@@ -885,6 +921,7 @@ def image_rgba_stats(media: DataFrame) -> DataFrame:
 
     from .bmp_codec import decode_bmp, is_bmp
     from .gif_codec import decode_gif, is_gif
+    from .jpeg_codec import decode_jpeg_gray, is_jpeg
     from .png_codec import decode_png
     from .qoi_codec import decode_qoi, is_qoi
 
@@ -905,6 +942,10 @@ def image_rgba_stats(media: DataFrame) -> DataFrame:
                     q = decode_qoi(raw)
                     decoded = None if q is None else (
                         q[0], q[1], 4, q[2])
+                elif is_jpeg(raw):
+                    j = decode_jpeg_gray(raw)
+                    decoded = None if j is None else (
+                        j[0], j[1], 1, j[2][:, :, None])
                 else:
                     decoded = decode_png(raw)
                 if decoded is None:

@@ -6318,6 +6318,55 @@ def streaming_ffd_manifest_documents(spark: SparkSession,
 
 
 @query(
+    "jpeg_gray_documents",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS L,
+             CAST((octet_length(encode(text)) % 6 + 2) * 8 AS INT) AS w,
+             CAST((octet_length(encode(text)) % 4 + 2) * 8 AS INT) AS h
+      FROM documents),
+    px AS (
+      SELECT media_id, w, h, CAST(p AS BIGINT) AS p,
+             ((p // w) // 8) * (w // 8) + (p % w) // 8 AS t
+      FROM m, unnest(range(0, CAST(w AS BIGINT) * h)) AS u(p)),
+    d AS (
+      -- FLOOR, not //: DuckDB integer division truncates toward zero,
+      -- and (v - 127) is negative for half the byte range
+      SELECT px.media_id, px.w AS w, px.h AS h, p,
+             LEAST(2 * CAST(FLOOR(((CASE WHEN m.L = 0 THEN 0 ELSE
+               (strpos('0123456789ABCDEF', substr(m.hx,
+                   CAST(2 * (t % m.L) + 1 AS INT), 1)) - 1) * 16
+               + (strpos('0123456789ABCDEF', substr(m.hx,
+                   CAST(2 * (t % m.L) + 2 AS INT), 1)) - 1)
+             END) - 127) / 2.0) AS BIGINT) + 128, 255) AS v
+      FROM px JOIN m ON m.media_id = px.media_id)
+    SELECT media_id, w AS width, h AS height, CAST(1 AS INT) AS channels,
+           CAST(SUM(v) AS BIGINT) AS px_sum,
+           CAST(0 AS BIGINT) AS n_transparent,
+           md5(string_agg(CAST(v AS VARCHAR), '-' ORDER BY p)) AS px_fp
+    FROM d GROUP BY media_id, w, h
+    """,
+)
+def jpeg_gray_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BASELINE JPEG decode as correctness surface — the transform
+    codec: 8x8 DCT, Annex-K quantization, zigzag, DC DPCM, canonical
+    Huffman with byte stuffing, full JFIF marker parsing
+    (`operators/jpeg_codec.py`). The fixture tier uses constant 8x8
+    tiles at quality 50, where the whole pipeline is INTEGER-EXACT
+    (decoded tile = min(2*floor((v-127)/2) + 128, 255) — the DC
+    coefficient is computed exactly as sum/8, so odd sums cannot teeter
+    on the quantizer's half boundary), letting the oracle predict every
+    decoded pixel while the real entropy machinery runs per tile.
+    General AC content is property-tested with bounded error;
+    progressive/color/restart JPEGs are the declared null-route."""
+    from .operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return MM.image_rgba_stats(MM.attach_jpegs(docs))
+
+
+@query(
     "qoi_rgba_documents",
     """
     WITH m AS (
