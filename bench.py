@@ -136,6 +136,7 @@ HEADLINE = [
     # nearest-event join (two carry windows over one shuffle)
     "qoi_rgba_documents",
     "nearest_join_purchase_view",
+    "jpeg_gray_documents",
 ]
 
 
