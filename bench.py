@@ -137,6 +137,7 @@ HEADLINE = [
     "qoi_rgba_documents",
     "nearest_join_purchase_view",
     "jpeg_gray_documents",
+    "jpeg_color_documents",
 ]
 
 

@@ -117,3 +117,86 @@ def test_attach_jpegs_stats_dispatch(spark):
     assert rows[0]["px_sum"] == int(want.sum()) * 64
     # empty text: all-zero tiles decode to 0 exactly
     assert rows[1]["px_sum"] == 0
+
+
+# --- color (YCbCr 4:4:4) tier --------------------------------------------
+
+
+def test_color_tiled_tier_is_integer_exact():
+    """Constant RGB tiles at quality 50: decoded pixels equal the pure
+    integer composition ycbcr_to_rgb(dequant(quant(rgb_to_ycbcr(v)))) —
+    the SQL oracle's formula chain."""
+    from wde_spark.operators.jpeg_codec import (decode_jpeg_rgb,
+                                                encode_jpeg_rgb,
+                                                rgb_to_ycbcr,
+                                                ycbcr_to_rgb)
+
+    rng = np.random.RandomState(23)
+    for trial in range(30):
+        bh, bw = int(rng.randint(1, 5)), int(rng.randint(1, 6))
+        t = rng.randint(0, 256, (bh, bw, 3)).astype(np.uint8)
+        img = np.kron(t, np.ones((8, 8, 1), np.uint8))
+        w, h, out = decode_jpeg_rgb(encode_jpeg_rgb(img, 50))
+        assert (w, h) == (bw * 8, bh * 8)
+        ycc = rgb_to_ycbcr(t).astype(np.int64)
+        dec = np.minimum(2 * ((ycc - 127) // 2) + 128, 255).astype(
+            np.uint8)
+        want = np.kron(ycbcr_to_rgb(dec), np.ones((8, 8, 1), np.uint8))
+        assert np.array_equal(out, want), trial
+
+
+def test_color_transform_fixed_point_properties():
+    """Forward/inverse are integer-deterministic and near-inverse
+    (|round trip - identity| <= 2 per channel across the full cube
+    sample)."""
+    from wde_spark.operators.jpeg_codec import rgb_to_ycbcr, ycbcr_to_rgb
+
+    g = np.arange(0, 256, 15)
+    r, gg, b = np.meshgrid(g, g, g, indexing="ij")
+    rgb = np.stack([r, gg, b], axis=-1).astype(np.uint8)
+    back = ycbcr_to_rgb(rgb_to_ycbcr(rgb))
+    assert np.abs(back.astype(int) - rgb.astype(int)).max() <= 2
+
+
+def test_color_general_content_bounded_error():
+    from wde_spark.operators.jpeg_codec import (decode_jpeg_rgb,
+                                                encode_jpeg_rgb)
+
+    rng = np.random.RandomState(7)
+    h, w = 37, 29
+    g = np.add.outer(np.arange(h) * 2, np.arange(w) * 3) % 256
+    img = np.stack([g, (g + 40) % 256, (g + 90) % 256],
+                   axis=2).astype(np.uint8)
+    dw, dh, out = decode_jpeg_rgb(encode_jpeg_rgb(img, 90))
+    assert (dw, dh) == (w, h)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 48
+
+
+def test_color_gray_api_boundaries():
+    from wde_spark.operators.jpeg_codec import (decode_jpeg_rgb,
+                                                encode_jpeg_rgb)
+
+    gray = encode_jpeg_gray(np.zeros((8, 8), np.uint8))
+    color = encode_jpeg_rgb(np.zeros((8, 8, 3), np.uint8))
+    assert decode_jpeg_rgb(gray) is None
+    assert decode_jpeg_gray(color) is None
+    assert decode_jpeg_rgb(color) is not None
+
+
+def test_attach_jpegs_color_stats(spark):
+    from wde_spark.operators import multimodal as MM
+    from wde_spark.operators.jpeg_codec import rgb_to_ycbcr, ycbcr_to_rgb
+
+    docs = spark.createDataFrame(
+        [(0, "abc")], "doc_id long, text string")
+    row = MM.image_rgba_stats(MM.attach_jpegs_color(docs)).collect()[0]
+    b = np.frombuffer(b"abc", np.uint8)
+    wb, hb = 3 % 5 + 2, 3 % 3 + 2
+    t = np.arange(wb * hb)
+    tiles = np.stack([b[t % 3], b[(t + 1) % 3], b[(t + 2) % 3]],
+                     axis=1).reshape(hb, wb, 3)
+    ycc = rgb_to_ycbcr(tiles).astype(np.int64)
+    dec = np.minimum(2 * ((ycc - 127) // 2) + 128, 255).astype(np.uint8)
+    want = ycbcr_to_rgb(dec).astype(np.int64)
+    assert row["channels"] == 3
+    assert row["px_sum"] == int(want.sum()) * 64

@@ -324,8 +324,9 @@ def test_no_cartesian_or_undeclared_python_anywhere(spark):
                  # through the same row-local RGBA stats kernel
                  "qoi_rgba_documents",
                  # baseline JPEG (DCT + Huffman + DPCM) through the same
-                 # row-local stats kernel
-                 "jpeg_gray_documents",
+                 # row-local stats kernel; the color twin adds the
+                 # fixed-point YCbCr transforms
+                 "jpeg_gray_documents", "jpeg_color_documents",
                  # mixed-format audio (stereo/8-bit) through the decoded
                  # energy windows — same row-local codec kernels
                  "audio_energy_mixed_documents",

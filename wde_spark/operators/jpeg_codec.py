@@ -4,13 +4,16 @@ scaling) and Huffman tables, zigzag, DC DPCM, canonical Huffman entropy
 coding with 0xFF byte stuffing, and the JFIF marker structure
 (SOI / DQT / SOF0 / DHT / SOS / EOI).
 
-Declared support: baseline sequential, 8-bit, ONE component (grayscale),
-no restart intervals, no progressive/arithmetic modes. 3-component
-(color), DRI, SOF2 etc. null-route — honest boundaries, like every other
-codec here. The encoder is the fixture builder; on images whose 8x8
-blocks are constant, the whole pipeline is integer-exact at quality 50
-(q[0,0] = 16: decoded pixel = min(2*floor((v-127)/2) + 128, 255)), which
-is what lets a SQL oracle predict every decoded pixel while the full
+Declared support: baseline sequential, 8-bit, grayscale (1 component)
+AND color (3 components, YCbCr 4:4:4 with a shared quantization table
+and FIXED-POINT color transforms — integer-exact like libjpeg's), no
+subsampling, no restart intervals, no progressive/arithmetic modes;
+anything else null-routes — honest boundaries, like every other codec
+here. The encoder is the fixture builder; on images whose 8x8 blocks
+are constant, the whole pipeline is integer-exact at quality 50
+(q[0,0] = 16: decoded channel = min(2*floor((v-127)/2) + 128, 255),
+composed with the fixed-point YCbCr transforms for color), which is
+what lets a SQL oracle predict every decoded pixel while the full
 Huffman/DPCM/bitstream machinery runs for real. General content
 round-trips with the usual lossy bounded error (property-tested).
 
@@ -164,6 +167,61 @@ def _category(v: int) -> int:
     return int(abs(v)).bit_length()
 
 
+def _encode_block(plane8: np.ndarray, q, m, dc_codes, ac_codes, bw,
+                  prev_dc: int) -> int:
+    """DCT + quantize + entropy-code ONE 8x8 block of a component plane;
+    returns the new DC predictor."""
+    blk = plane8.astype(np.float64) - 128.0
+    coef = m @ blk @ m.T
+    # the DC basis is constant, so F(0,0) = sum/8 EXACTLY — replace the
+    # float-rounded inner products (odd DC sums land on the quantizer's
+    # half boundary, where matmul noise would otherwise decide the
+    # round and break the integer-exact DC-only tier)
+    coef[0, 0] = blk.sum() / 8.0
+    # symmetric round-half-up via floor(x/q + 0.5)
+    zz = np.floor(coef / q + 0.5).astype(np.int64).reshape(64)
+    zz = zz[_ZIGZAG]
+    diff = int(zz[0]) - prev_dc
+    new_dc = int(zz[0])
+    s = _category(diff)
+    bw.put(*dc_codes[s])
+    if s:
+        bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last_nz = int(np.nonzero(zz[1:])[0][-1]) + 1 if np.any(zz[1:]) else 0
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            bw.put(*ac_codes[0xF0])  # ZRL
+            run -= 16
+        s = _category(v)
+        bw.put(*ac_codes[(run << 4) | s])
+        bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        bw.put(*ac_codes[0x00])  # EOB
+    return new_dc
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes((0xFF, marker)) + struct.pack(">H", len(body) + 2) + body
+
+
+def _headers(q, h: int, w: int, n_comp: int) -> bytes:
+    qz = q.reshape(64)[_ZIGZAG]
+    dqt = _seg(0xDB, bytes((0,)) + bytes(int(x) for x in qz))
+    comp = b"".join(bytes((c + 1, 0x11, 0)) for c in range(n_comp))
+    sof = _seg(0xC0, struct.pack(">BHHB", 8, h, w, n_comp) + comp)
+    dht = _seg(0xC4, bytes((0x00,)) + bytes(_DC_BITS) + bytes(_DC_VALS)) \
+        + _seg(0xC4, bytes((0x10,)) + bytes(_AC_BITS) + bytes(_AC_VALS))
+    scomp = b"".join(bytes((c + 1, 0x00)) for c in range(n_comp))
+    sos = _seg(0xDA, bytes((n_comp,)) + scomp + bytes((0, 63, 0)))
+    return b"\xFF\xD8" + dqt + sof + dht + sos
+
+
 def encode_jpeg_gray(pixels: np.ndarray, quality: int = 50) -> bytes:
     """Encode an (h, w) uint8 grayscale image as baseline JFIF. Images
     whose dims aren't multiples of 8 pad by edge replication (decode
@@ -173,8 +231,7 @@ def encode_jpeg_gray(pixels: np.ndarray, quality: int = 50) -> bytes:
         raise ValueError("encode_jpeg_gray expects (h, w) gray")
     h, w = arr.shape
     assert h > 0 and w > 0
-    ph, pw = -h % 8, -w % 8
-    arr = np.pad(arr, ((0, ph), (0, pw)), mode="edge")
+    arr = np.pad(arr, ((0, -h % 8), (0, -w % 8)), mode="edge")
     q = quant_table(quality)
     m = _dct_matrix()
     dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
@@ -183,55 +240,60 @@ def encode_jpeg_gray(pixels: np.ndarray, quality: int = 50) -> bytes:
     prev_dc = 0
     for by in range(0, arr.shape[0], 8):
         for bx in range(0, arr.shape[1], 8):
-            blk = arr[by:by + 8, bx:bx + 8].astype(np.float64) - 128.0
-            coef = m @ blk @ m.T
-            # the DC basis is constant, so F(0,0) = sum/8 EXACTLY —
-            # replace the float-rounded inner products (odd DC sums land
-            # on the quantizer's half boundary, where matmul noise would
-            # otherwise decide the round and break the integer-exact
-            # DC-only tier)
-            coef[0, 0] = blk.sum() / 8.0
-            # symmetric round-half-up via floor(x/q + 0.5)
-            zz = np.floor(coef / q + 0.5).astype(np.int64).reshape(64)
-            zz = zz[_ZIGZAG]
-            diff = int(zz[0]) - prev_dc
-            prev_dc = int(zz[0])
-            s = _category(diff)
-            bw.put(*dc_codes[s])
-            if s:
-                bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
-            run = 0
-            last_nz = int(np.nonzero(zz[1:])[0][-1]) + 1 \
-                if np.any(zz[1:]) else 0
-            for k in range(1, last_nz + 1):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    bw.put(*ac_codes[0xF0])  # ZRL
-                    run -= 16
-                s = _category(v)
-                bw.put(*ac_codes[(run << 4) | s])
-                bw.put(v if v >= 0 else v + (1 << s) - 1, s)
-                run = 0
-            if last_nz < 63:
-                bw.put(*ac_codes[0x00])  # EOB
-    scan = bw.flush()
+            prev_dc = _encode_block(arr[by:by + 8, bx:bx + 8], q, m,
+                                    dc_codes, ac_codes, bw, prev_dc)
+    return _headers(q, h, w, 1) + bw.flush() + b"\xFF\xD9"
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return bytes((0xFF, marker)) + struct.pack(">H", len(body) + 2) \
-            + body
 
-    qz = q.reshape(64)[_ZIGZAG]
-    dqt = seg(0xDB, bytes((0,)) + bytes(int(x) for x in qz))
-    sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, 1)
-              + bytes((1, 0x11, 0)))
-    dht = seg(0xC4, bytes((0x00,)) + bytes(_DC_BITS)
-              + bytes(_DC_VALS)) \
-        + seg(0xC4, bytes((0x10,)) + bytes(_AC_BITS) + bytes(_AC_VALS))
-    sos = seg(0xDA, bytes((1, 1, 0x00, 0, 63, 0)))
-    return (b"\xFF\xD8" + dqt + sof + dht + sos + scan + b"\xFF\xD9")
+def rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    """FIXED-POINT color transform (coefficients x 1e6, floor(x + 0.5)
+    rounding): integer-exact by construction, so a SQL oracle can replay
+    it digit for digit — the same reason libjpeg uses fixed-point."""
+    p = rgb.astype(np.int64)
+    r, g, b = p[..., 0], p[..., 1], p[..., 2]
+    y = (299000 * r + 587000 * g + 114000 * b + 500000) // 1000000
+    cb = 128 + (-168736 * r - 331264 * g + 500000 * b
+                + 500000) // 1000000
+    cr = 128 + (500000 * r - 418688 * g - 81312 * b + 500000) // 1000000
+    return np.clip(np.stack([y, cb, cr], axis=-1), 0, 255).astype(
+        np.uint8)
+
+
+def ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    """Fixed-point inverse of `rgb_to_ycbcr` (same 1e6 scale)."""
+    p = ycc.astype(np.int64)
+    y, cb, cr = p[..., 0], p[..., 1] - 128, p[..., 2] - 128
+    r = (1000000 * y + 1402000 * cr + 500000) // 1000000
+    g = (1000000 * y - 344136 * cb - 714136 * cr + 500000) // 1000000
+    b = (1000000 * y + 1772000 * cb + 500000) // 1000000
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+def encode_jpeg_rgb(pixels: np.ndarray, quality: int = 50) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB image as baseline color JFIF:
+    fixed-point YCbCr, 4:4:4 (no subsampling), ONE shared quantization
+    table, interleaved Y/Cb/Cr blocks per MCU with per-component DC
+    predictors."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("encode_jpeg_rgb expects (h, w, 3) RGB")
+    h, w, _ = arr.shape
+    assert h > 0 and w > 0
+    ycc = rgb_to_ycbcr(arr)
+    ycc = np.pad(ycc, ((0, -h % 8), (0, -w % 8), (0, 0)), mode="edge")
+    q = quant_table(quality)
+    m = _dct_matrix()
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+    bw = _BitWriter()
+    prev = [0, 0, 0]
+    for by in range(0, ycc.shape[0], 8):
+        for bx in range(0, ycc.shape[1], 8):
+            for c in range(3):  # one MCU = one block per component
+                prev[c] = _encode_block(
+                    ycc[by:by + 8, bx:bx + 8, c], q, m,
+                    dc_codes, ac_codes, bw, prev[c])
+    return _headers(q, h, w, 3) + bw.flush() + b"\xFF\xD9"
 
 
 def is_jpeg(payload: bytes) -> bool:
@@ -239,9 +301,33 @@ def is_jpeg(payload: bytes) -> bool:
 
 
 def decode_jpeg_gray(payload: bytes):
-    """Decode a baseline grayscale JFIF byte string to (width, height,
+    """Decode a baseline GRAYSCALE JFIF byte string to (width, height,
     pixels) with pixels an (h, w) uint8 array, or None outside the
-    declared support (see module docstring)."""
+    declared support (a 3-component file null-routes here; use
+    `decode_jpeg_rgb`)."""
+    d = _decode_jfif(payload)
+    if d is None or d[2] != 1:
+        return None
+    return d[0], d[1], d[3][0]
+
+
+def decode_jpeg_rgb(payload: bytes):
+    """Decode a baseline COLOR (YCbCr 4:4:4) JFIF byte string to
+    (width, height, rgb) with rgb an (h, w, 3) uint8 array via the
+    fixed-point inverse transform, or None outside the declared support
+    (grayscale files null-route here; subsampled / progressive / DRI
+    files null-route everywhere)."""
+    d = _decode_jfif(payload)
+    if d is None or d[2] != 3:
+        return None
+    w, h, _nc, planes = d
+    ycc = np.stack(planes, axis=-1)
+    return w, h, ycbcr_to_rgb(ycc)
+
+
+def _decode_jfif(payload: bytes):
+    """Shared marker walk + scan decode: returns (w, h, n_comp,
+    [plane, ...]) or None."""
     try:
         if not is_jpeg(payload):
             return None
@@ -273,9 +359,12 @@ def decode_jpeg_gray(payload: bytes):
                     p += 65
             elif marker == 0xC0:
                 prec, h, w, nc = struct.unpack(">BHHB", body[:6])
-                if prec != 8 or nc != 1 or body[7] != 0x11:
-                    return None  # grayscale baseline only
-                if w <= 0 or h <= 0 or w * h > _MAX_PIXELS:
+                if prec != 8 or nc not in (1, 3):
+                    return None
+                for c in range(nc):  # 4:4:4, shared quant table only
+                    if body[7 + 3 * c] != 0x11 or body[8 + 3 * c] != 0:
+                        return None
+                if w <= 0 or h <= 0 or w * h * nc > _MAX_PIXELS:
                     return None
             elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -298,13 +387,22 @@ def decode_jpeg_gray(payload: bytes):
             elif marker == 0xDA:
                 if q is None or w is None:
                     return None
-                if body[0] != 1 or (0, body[2] >> 4) not in tables \
-                        or (1, body[2] & 0x0F) not in tables:
+                ns = body[0]
+                specs = []
+                for c in range(ns):
+                    sel = body[2 + 2 * c]
+                    if (0, sel >> 4) not in tables \
+                            or (1, sel & 0x0F) not in tables:
+                        return None
+                    specs.append((tables[(0, sel >> 4)],
+                                  tables[(1, sel & 0x0F)]))
+                if ns not in (1, 3):
                     return None
-                return _decode_scan(
-                    payload, pos + 2 + ln, w, h, q,
-                    tables[(0, body[2] >> 4)],
-                    tables[(1, body[2] & 0x0F)])
+                planes = _decode_scan(
+                    payload, pos + 2 + ln, w, h, q, specs)
+                if planes is None:
+                    return None
+                return w, h, ns, planes
             pos += 2 + ln
         return None
     except (struct.error, ValueError, IndexError):
@@ -339,54 +437,60 @@ def _read_symbol(br: _BitReader, tbl) -> int:
     raise ValueError("invalid Huffman code")
 
 
-def _decode_scan(payload, pos, w, h, q, dc_spec, ac_spec):
+def _decode_scan(payload, pos, w, h, q, specs):
+    """Entropy-decode the (interleaved) scan: one 8x8 block per
+    component per MCU, per-component DC predictors; returns the list of
+    full-size component planes (cropped) or None."""
+    n_comp = len(specs)
     bw_, bh_ = (w + 7) // 8, (h + 7) // 8
-    if bw_ * bh_ * 64 > _MAX_PIXELS:
+    if bw_ * bh_ * 64 * n_comp > _MAX_PIXELS:
         return None
-    dc_tbl = _huff_decoder(*dc_spec)
-    ac_tbl = _huff_decoder(*ac_spec)
+    tbls = [(_huff_decoder(*dc), _huff_decoder(*ac)) for dc, ac in specs]
     br = _BitReader(payload, pos)
     m = _dct_matrix()
-    out = np.empty((bh_ * 8, bw_ * 8), dtype=np.uint8)
-    prev_dc = 0
+    planes = [np.empty((bh_ * 8, bw_ * 8), dtype=np.uint8)
+              for _ in range(n_comp)]
+    prev = [0] * n_comp
     for by in range(bh_):
         for bx in range(bw_):
-            zz = np.zeros(64, dtype=np.int64)
-            s = _read_symbol(br, dc_tbl)
-            if s > 11:
-                return None
-            if s:
-                v = 0
-                for _ in range(s):
-                    v = (v << 1) | br.bit()
-                prev_dc += _extend(v, s)
-            zz[0] = prev_dc
-            k = 1
-            while k < 64:
-                rs = _read_symbol(br, ac_tbl)
-                if rs == 0x00:
-                    break
-                if rs == 0xF0:
-                    k += 16
-                    continue
-                run, size = rs >> 4, rs & 0x0F
-                k += run
-                if k > 63 or size == 0:
+            for c in range(n_comp):
+                dc_tbl, ac_tbl = tbls[c]
+                zz = np.zeros(64, dtype=np.int64)
+                s = _read_symbol(br, dc_tbl)
+                if s > 11:
                     return None
-                v = 0
-                for _ in range(size):
-                    v = (v << 1) | br.bit()
-                zz[k] = _extend(v, size)
-                k += 1
-            nat = np.zeros(64, dtype=np.int64)
-            nat[_ZIGZAG] = zz
-            coef = nat.reshape(8, 8) * q
-            blk = m.T @ (coef.astype(np.float64)) @ m
-            px = np.floor(blk + 128.5)
-            out[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = np.clip(
-                px, 0, 255).astype(np.uint8)
+                if s:
+                    v = 0
+                    for _ in range(s):
+                        v = (v << 1) | br.bit()
+                    prev[c] += _extend(v, s)
+                zz[0] = prev[c]
+                k = 1
+                while k < 64:
+                    rs = _read_symbol(br, ac_tbl)
+                    if rs == 0x00:
+                        break
+                    if rs == 0xF0:
+                        k += 16
+                        continue
+                    run, size = rs >> 4, rs & 0x0F
+                    k += run
+                    if k > 63 or size == 0:
+                        return None
+                    v = 0
+                    for _ in range(size):
+                        v = (v << 1) | br.bit()
+                    zz[k] = _extend(v, size)
+                    k += 1
+                nat = np.zeros(64, dtype=np.int64)
+                nat[_ZIGZAG] = zz
+                coef = nat.reshape(8, 8) * q
+                blk = m.T @ (coef.astype(np.float64)) @ m
+                px = np.floor(blk + 128.5)
+                planes[c][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
+                    np.clip(px, 0, 255).astype(np.uint8)
     # after the scan only pad bits and EOI may remain
     tail = payload[br.p:]
     if not tail.startswith(b"\xFF\xD9"):
         return None
-    return w, h, out[:h, :w].copy()
+    return [pl[:h, :w].copy() for pl in planes]

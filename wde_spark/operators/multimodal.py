@@ -737,6 +737,43 @@ def attach_jpegs(docs: DataFrame, id_col: str = "doc_id",
         kernel, schema="media_id long, payload binary")
 
 
+def attach_jpegs_color(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Deterministic COLOR baseline-JPEG media table on the
+    integer-exact tier: constant 8x8 tiles over a ((L%3+2)*8) x
+    ((L%5+2)*8) canvas, tile t's RGB = bytes (t, t+1, t+2 mod L)
+    (zeros when empty), encoded at quality 50 through the fixed-point
+    YCbCr transform and interleaved Y/Cb/Cr MCUs with per-component DC
+    predictors. Every decoded RGB value is the composition
+    ycbcr_to_rgb(dequant(quant(rgb_to_ycbcr(v)))) of pure integer
+    formulas the SQL oracle replays exactly."""
+    import numpy as np
+
+    from .jpeg_codec import encode_jpeg_rgb
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                data = (text or "").encode("utf-8")
+                n = len(data)
+                wb, hb = n % 5 + 2, n % 3 + 2
+                t = np.arange(wb * hb)
+                if n:
+                    b = np.frombuffer(data, dtype=np.uint8)
+                    tiles = np.stack(
+                        [b[t % n], b[(t + 1) % n], b[(t + 2) % n]],
+                        axis=1).reshape(hb, wb, 3)
+                else:
+                    tiles = np.zeros((hb, wb, 3), dtype=np.uint8)
+                img = np.kron(tiles, np.ones((8, 8, 1), np.uint8))
+                rows.append((mid, encode_jpeg_rgb(img, quality=50)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return docs.select(id_col, text_col).mapInPandas(
+        kernel, schema="media_id long, payload binary")
+
+
 def attach_qoi(docs: DataFrame, id_col: str = "doc_id",
                text_col: str = "text") -> DataFrame:
     """Deterministic QOI media table — content shaped to exercise every
@@ -921,7 +958,7 @@ def image_rgba_stats(media: DataFrame) -> DataFrame:
 
     from .bmp_codec import decode_bmp, is_bmp
     from .gif_codec import decode_gif, is_gif
-    from .jpeg_codec import decode_jpeg_gray, is_jpeg
+    from .jpeg_codec import decode_jpeg_gray, decode_jpeg_rgb, is_jpeg
     from .png_codec import decode_png
     from .qoi_codec import decode_qoi, is_qoi
 
@@ -944,8 +981,12 @@ def image_rgba_stats(media: DataFrame) -> DataFrame:
                         q[0], q[1], 4, q[2])
                 elif is_jpeg(raw):
                     j = decode_jpeg_gray(raw)
-                    decoded = None if j is None else (
-                        j[0], j[1], 1, j[2][:, :, None])
+                    if j is not None:
+                        decoded = (j[0], j[1], 1, j[2][:, :, None])
+                    else:
+                        j3 = decode_jpeg_rgb(raw)
+                        decoded = None if j3 is None else (
+                            j3[0], j3[1], 3, j3[2])
                 else:
                     decoded = decode_png(raw)
                 if decoded is None:
