@@ -138,6 +138,7 @@ HEADLINE = [
     "nearest_join_purchase_view",
     "jpeg_gray_documents",
     "jpeg_color_documents",
+    "jpeg420_restart_documents",
 ]
 
 

@@ -95,10 +95,13 @@ def test_null_routes_outside_declared_support():
     color = bytearray(enc)
     color[sof + 9] = 3
     assert decode_jpeg_gray(bytes(color)) is None
-    # restart-interval marker must null-route
+    # restart intervals are SUPPORTED now (an interval larger than the
+    # MCU count simply never fires); 4:2:2 sampling is not — null-route
     dri = (b"\xFF\xDD" + struct.pack(">H", 4) + struct.pack(">H", 4))
-    with_dri = enc[:2] + dri + enc[2:]
-    assert decode_jpeg_gray(with_dri) is None
+    assert decode_jpeg_gray(enc[:2] + dri + enc[2:]) is not None
+    s422 = bytearray(enc)
+    s422[sof + 11] = 0x21  # the sampling byte of component 1
+    assert decode_jpeg_gray(bytes(s422)) is None
 
 
 def test_attach_jpegs_stats_dispatch(spark):
@@ -200,3 +203,88 @@ def test_attach_jpegs_color_stats(spark):
     want = ycbcr_to_rgb(dec).astype(np.int64)
     assert row["channels"] == 3
     assert row["px_sum"] == int(want.sum()) * 64
+
+
+# --- 4:2:0 subsampling + restart intervals -------------------------------
+
+
+def test_420_macro_tiles_exact_across_restart_intervals():
+    """Constant 16x16 macro-tiles at quality 50 decode to the same
+    integer formula chain as 4:4:4 (the subsample/upsample pair is
+    identity on constant chroma) — with restart 0, 1, and 2 (RSTn sync
+    + predictor resets included)."""
+    from wde_spark.operators.jpeg_codec import (decode_jpeg_rgb,
+                                                encode_jpeg_420,
+                                                rgb_to_ycbcr,
+                                                ycbcr_to_rgb)
+
+    rng = np.random.RandomState(29)
+    for trial in range(24):
+        bh, bw = int(rng.randint(1, 4)), int(rng.randint(1, 5))
+        t = rng.randint(0, 256, (bh, bw, 3)).astype(np.uint8)
+        img = np.kron(t, np.ones((16, 16, 1), np.uint8))
+        enc = encode_jpeg_420(img, 50, restart=trial % 3)
+        w, h, out = decode_jpeg_rgb(enc)
+        assert (w, h) == (bw * 16, bh * 16)
+        ycc = rgb_to_ycbcr(t).astype(np.int64)
+        dec = np.minimum(2 * ((ycc - 127) // 2) + 128, 255).astype(
+            np.uint8)
+        want = np.kron(ycbcr_to_rgb(dec), np.ones((16, 16, 1), np.uint8))
+        assert np.array_equal(out, want), trial
+
+
+def test_420_general_content_bounded_and_cropped():
+    from wde_spark.operators.jpeg_codec import (decode_jpeg_rgb,
+                                                encode_jpeg_420)
+
+    rng = np.random.RandomState(31)
+    for _ in range(5):
+        h, w = int(rng.randint(5, 40)), int(rng.randint(5, 40))
+        g = np.clip(np.add.outer(np.arange(h) * 2, np.arange(w) * 2),
+                    0, 200)
+        img = np.stack([g, np.clip(g + 30, 0, 255),
+                        np.clip(g + 55, 0, 255)], axis=2).astype(np.uint8)
+        dw, dh, out = decode_jpeg_rgb(encode_jpeg_420(img, 90, restart=2))
+        assert (dw, dh) == (w, h)  # non-multiple-of-16 dims crop back
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 48
+
+
+def test_restart_marker_discipline():
+    """Mis-sequenced or missing RSTn must null-route, never desync
+    silently; byte stuffing around the aligned markers survives."""
+    from wde_spark.operators.jpeg_codec import (decode_jpeg_rgb,
+                                                encode_jpeg_420)
+
+    rng = np.random.RandomState(3)
+    t = rng.randint(0, 256, (2, 3, 3)).astype(np.uint8)
+    img = np.kron(t, np.ones((16, 16, 1), np.uint8))
+    enc = encode_jpeg_420(img, 50, restart=1)
+    assert decode_jpeg_rgb(enc) is not None
+    i = enc.find(b"\xFF\xD0")
+    assert i > 0
+    bad = bytearray(enc)
+    bad[i + 1] = 0xD5  # out-of-sequence restart number
+    assert decode_jpeg_rgb(bytes(bad)) is None
+
+
+def test_attach_jpegs_420_stats(spark):
+    from wde_spark.operators import multimodal as MM
+    from wde_spark.operators.jpeg_codec import rgb_to_ycbcr, ycbcr_to_rgb
+
+    docs = spark.createDataFrame(
+        [(0, "abcdefgh"), (1, "abcdefgh"), (2, "abcdefgh")],
+        "doc_id long, text string")
+    rows = {r["media_id"]: r for r in
+            MM.image_rgba_stats(MM.attach_jpegs_420(docs)).collect()}
+    b = np.frombuffer(b"abcdefgh", np.uint8)
+    wb, hb = 8 % 4 + 1, 8 % 3 + 1
+    t = np.arange(wb * hb)
+    tiles = np.stack([b[t % 8], b[(t + 3) % 8], b[(t + 6) % 8]],
+                     axis=1).reshape(hb, wb, 3)
+    ycc = rgb_to_ycbcr(tiles).astype(np.int64)
+    dec = np.minimum(2 * ((ycc - 127) // 2) + 128, 255).astype(np.uint8)
+    want = int(ycbcr_to_rgb(dec).astype(np.int64).sum()) * 256
+    # all three restart settings (doc_id % 3) decode identically
+    for mid in (0, 1, 2):
+        assert rows[mid]["px_sum"] == want
+        assert rows[mid]["channels"] == 3

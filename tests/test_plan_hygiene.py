@@ -327,6 +327,7 @@ def test_no_cartesian_or_undeclared_python_anywhere(spark):
                  # row-local stats kernel; the color twin adds the
                  # fixed-point YCbCr transforms
                  "jpeg_gray_documents", "jpeg_color_documents",
+                 "jpeg420_restart_documents",
                  # mixed-format audio (stereo/8-bit) through the decoded
                  # energy windows — same row-local codec kernels
                  "audio_energy_mixed_documents",

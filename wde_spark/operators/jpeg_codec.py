@@ -125,10 +125,18 @@ class _BitWriter:
             self.n -= 8
         self.acc &= (1 << self.n) - 1
 
-    def flush(self) -> bytes:
+    def align(self) -> None:
         if self.n:
             pad = 8 - self.n
             self.put((1 << pad) - 1, pad)  # pad with 1-bits per spec
+
+    def marker(self, m: int) -> None:
+        """Byte-align and emit a raw (unstuffed) marker — RSTn."""
+        self.align()
+        self.buf += bytes((0xFF, m))
+
+    def flush(self) -> bytes:
+        self.align()
         return bytes(self.buf)
 
 
@@ -141,6 +149,15 @@ class _BitReader:
         self.p = pos
         self.acc = 0
         self.n = 0
+
+    def sync_restart(self, idx: int) -> None:
+        """Drop pad bits and consume the expected byte-aligned RSTn
+        marker (T.81 E.1.4); raises if it is absent or out of order."""
+        self.n = 0
+        if self.p + 2 > len(self.d) or self.d[self.p] != 0xFF \
+                or self.d[self.p + 1] != 0xD0 + idx:
+            raise ValueError("missing/mis-sequenced restart marker")
+        self.p += 2
 
     def bit(self) -> int:
         if self.n == 0:
@@ -210,16 +227,20 @@ def _seg(marker: int, body: bytes) -> bytes:
     return bytes((0xFF, marker)) + struct.pack(">H", len(body) + 2) + body
 
 
-def _headers(q, h: int, w: int, n_comp: int) -> bytes:
+def _headers(q, h: int, w: int, n_comp: int, subsample: bool = False,
+             restart: int = 0) -> bytes:
     qz = q.reshape(64)[_ZIGZAG]
     dqt = _seg(0xDB, bytes((0,)) + bytes(int(x) for x in qz))
-    comp = b"".join(bytes((c + 1, 0x11, 0)) for c in range(n_comp))
+    comp = b"".join(
+        bytes((c + 1, 0x22 if (subsample and c == 0) else 0x11, 0))
+        for c in range(n_comp))
     sof = _seg(0xC0, struct.pack(">BHHB", 8, h, w, n_comp) + comp)
     dht = _seg(0xC4, bytes((0x00,)) + bytes(_DC_BITS) + bytes(_DC_VALS)) \
         + _seg(0xC4, bytes((0x10,)) + bytes(_AC_BITS) + bytes(_AC_VALS))
+    dri = _seg(0xDD, struct.pack(">H", restart)) if restart else b""
     scomp = b"".join(bytes((c + 1, 0x00)) for c in range(n_comp))
     sos = _seg(0xDA, bytes((n_comp,)) + scomp + bytes((0, 63, 0)))
-    return b"\xFF\xD8" + dqt + sof + dht + sos
+    return b"\xFF\xD8" + dqt + sof + dht + dri + sos
 
 
 def encode_jpeg_gray(pixels: np.ndarray, quality: int = 50) -> bytes:
@@ -296,6 +317,68 @@ def encode_jpeg_rgb(pixels: np.ndarray, quality: int = 50) -> bytes:
     return _headers(q, h, w, 3) + bw.flush() + b"\xFF\xD9"
 
 
+def subsample_420(plane: np.ndarray) -> np.ndarray:
+    """2x2 mean with floor((sum + 2) / 4) rounding — integer-exact, so
+    the oracle tier (constant 16x16 macro-tiles) passes through it
+    unchanged. Expects even dims."""
+    p = plane.astype(np.int64)
+    return ((p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2]
+             + p[1::2, 1::2] + 2) // 4).astype(np.uint8)
+
+
+def encode_jpeg_420(pixels: np.ndarray, quality: int = 50,
+                    restart: int = 0) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB image as 4:2:0 baseline color
+    JFIF — the sampling nearly every real-world JPEG uses: Y at full
+    resolution (sampling 0x22), Cb/Cr 2x2-subsampled; each MCU is a
+    16x16 region carrying four Y blocks (left-to-right, top-to-bottom)
+    then one Cb and one Cr block. With `restart` > 0, a DRI segment is
+    written and an RSTn marker (byte-aligned, predictors reset) closes
+    every `restart` MCUs — the feature that makes huge JPEGs
+    PARALLEL-decodable, since each restart segment is independently
+    entropy-decodable."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("encode_jpeg_420 expects (h, w, 3) RGB")
+    h, w, _ = arr.shape
+    assert h > 0 and w > 0
+    ycc = rgb_to_ycbcr(arr)
+    ycc = np.pad(ycc, ((0, -h % 16), (0, -w % 16), (0, 0)), mode="edge")
+    y_pl = ycc[:, :, 0]
+    cb_pl = subsample_420(ycc[:, :, 1])
+    cr_pl = subsample_420(ycc[:, :, 2])
+    q = quant_table(quality)
+    m = _dct_matrix()
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+    bw = _BitWriter()
+    prev = [0, 0, 0]
+    n_mcu_x = ycc.shape[1] // 16
+    n_mcu_y = ycc.shape[0] // 16
+    mcu_i = 0
+    rst = 0
+    total = n_mcu_x * n_mcu_y
+    for my in range(n_mcu_y):
+        for mx in range(n_mcu_x):
+            for dy, dx in ((0, 0), (0, 8), (8, 0), (8, 8)):
+                yy, xx = my * 16 + dy, mx * 16 + dx
+                prev[0] = _encode_block(
+                    y_pl[yy:yy + 8, xx:xx + 8], q, m,
+                    dc_codes, ac_codes, bw, prev[0])
+            cy, cx = my * 8, mx * 8
+            prev[1] = _encode_block(cb_pl[cy:cy + 8, cx:cx + 8], q, m,
+                                    dc_codes, ac_codes, bw, prev[1])
+            prev[2] = _encode_block(cr_pl[cy:cy + 8, cx:cx + 8], q, m,
+                                    dc_codes, ac_codes, bw, prev[2])
+            mcu_i += 1
+            if restart and mcu_i % restart == 0 and mcu_i < total:
+                bw.marker(0xD0 + rst)
+                rst = (rst + 1) % 8
+                prev = [0, 0, 0]
+    return (_headers(q, h, w, 3, subsample=True, restart=restart)
+            + bw.flush() + b"\xFF\xD9")
+
+
 def is_jpeg(payload: bytes) -> bool:
     return payload[:2] == b"\xFF\xD8"
 
@@ -334,6 +417,8 @@ def _decode_jfif(payload: bytes):
         pos = 2
         q = None
         w = h = None
+        samplings = None
+        restart = 0
         tables = {}
         n = len(payload)
         while pos + 4 <= n:
@@ -361,16 +446,21 @@ def _decode_jfif(payload: bytes):
                 prec, h, w, nc = struct.unpack(">BHHB", body[:6])
                 if prec != 8 or nc not in (1, 3):
                     return None
-                for c in range(nc):  # 4:4:4, shared quant table only
-                    if body[7 + 3 * c] != 0x11 or body[8 + 3 * c] != 0:
-                        return None
+                samplings = tuple(body[7 + 3 * c] for c in range(nc))
+                if any(body[8 + 3 * c] != 0 for c in range(nc)):
+                    return None  # shared quant table only
+                if samplings not in ((0x11,), (0x11,) * 3,
+                                     (0x22, 0x11, 0x11)):
+                    return None  # 4:4:4 or 4:2:0 only
                 if w <= 0 or h <= 0 or w * h * nc > _MAX_PIXELS:
                     return None
             elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 return None  # non-baseline SOF
             elif marker == 0xDD:
-                return None  # restart intervals: declared out of scope
+                if len(body) != 2:
+                    return None
+                (restart,) = struct.unpack(">H", body)
             elif marker == 0xC4:
                 p = 0
                 while p < len(body):
@@ -396,10 +486,12 @@ def _decode_jfif(payload: bytes):
                         return None
                     specs.append((tables[(0, sel >> 4)],
                                   tables[(1, sel & 0x0F)]))
-                if ns not in (1, 3):
+                if ns not in (1, 3) or samplings is None \
+                        or len(samplings) != ns:
                     return None
                 planes = _decode_scan(
-                    payload, pos + 2 + ln, w, h, q, specs)
+                    payload, pos + 2 + ln, w, h, q, specs,
+                    samplings, restart)
                 if planes is None:
                     return None
                 return w, h, ns, planes
@@ -437,60 +529,99 @@ def _read_symbol(br: _BitReader, tbl) -> int:
     raise ValueError("invalid Huffman code")
 
 
-def _decode_scan(payload, pos, w, h, q, specs):
-    """Entropy-decode the (interleaved) scan: one 8x8 block per
-    component per MCU, per-component DC predictors; returns the list of
-    full-size component planes (cropped) or None."""
+def _decode_block(br, dc_tbl, ac_tbl, q, m, prev_dc):
+    """Entropy-decode + dequantize + IDCT one block; returns
+    (pixels8x8 uint8, new_dc)."""
+    zz = np.zeros(64, dtype=np.int64)
+    s = _read_symbol(br, dc_tbl)
+    if s > 11:
+        raise ValueError("DC category out of range")
+    if s:
+        v = 0
+        for _ in range(s):
+            v = (v << 1) | br.bit()
+        prev_dc += _extend(v, s)
+    zz[0] = prev_dc
+    k = 1
+    while k < 64:
+        rs = _read_symbol(br, ac_tbl)
+        if rs == 0x00:
+            break
+        if rs == 0xF0:
+            k += 16
+            continue
+        run, size = rs >> 4, rs & 0x0F
+        k += run
+        if k > 63 or size == 0:
+            raise ValueError("AC run overflow")
+        v = 0
+        for _ in range(size):
+            v = (v << 1) | br.bit()
+        zz[k] = _extend(v, size)
+        k += 1
+    nat = np.zeros(64, dtype=np.int64)
+    nat[_ZIGZAG] = zz
+    coef = nat.reshape(8, 8) * q
+    blk = m.T @ (coef.astype(np.float64)) @ m
+    px = np.clip(np.floor(blk + 128.5), 0, 255).astype(np.uint8)
+    return px, prev_dc
+
+
+def _decode_scan(payload, pos, w, h, q, specs, samplings, restart):
+    """Entropy-decode the (interleaved) scan — 4:4:4 (one block per
+    component per MCU) or 4:2:0 (four Y + Cb + Cr per 16x16 MCU) — with
+    optional restart intervals (RSTn sync + predictor reset). Returns
+    full-size component planes (chroma upsampled by replication for
+    4:2:0), cropped, or None."""
     n_comp = len(specs)
-    bw_, bh_ = (w + 7) // 8, (h + 7) // 8
-    if bw_ * bh_ * 64 * n_comp > _MAX_PIXELS:
+    is420 = samplings == (0x22, 0x11, 0x11)
+    mcu = 16 if is420 else 8
+    mx_n, my_n = (w + mcu - 1) // mcu, (h + mcu - 1) // mcu
+    if mx_n * my_n * mcu * mcu * n_comp > _MAX_PIXELS * 2:
         return None
     tbls = [(_huff_decoder(*dc), _huff_decoder(*ac)) for dc, ac in specs]
     br = _BitReader(payload, pos)
     m = _dct_matrix()
-    planes = [np.empty((bh_ * 8, bw_ * 8), dtype=np.uint8)
-              for _ in range(n_comp)]
+    if is420:
+        y_pl = np.empty((my_n * 16, mx_n * 16), dtype=np.uint8)
+        cb_pl = np.empty((my_n * 8, mx_n * 8), dtype=np.uint8)
+        cr_pl = np.empty((my_n * 8, mx_n * 8), dtype=np.uint8)
+    else:
+        planes = [np.empty((my_n * 8, mx_n * 8), dtype=np.uint8)
+                  for _ in range(n_comp)]
     prev = [0] * n_comp
-    for by in range(bh_):
-        for bx in range(bw_):
-            for c in range(n_comp):
-                dc_tbl, ac_tbl = tbls[c]
-                zz = np.zeros(64, dtype=np.int64)
-                s = _read_symbol(br, dc_tbl)
-                if s > 11:
-                    return None
-                if s:
-                    v = 0
-                    for _ in range(s):
-                        v = (v << 1) | br.bit()
-                    prev[c] += _extend(v, s)
-                zz[0] = prev[c]
-                k = 1
-                while k < 64:
-                    rs = _read_symbol(br, ac_tbl)
-                    if rs == 0x00:
-                        break
-                    if rs == 0xF0:
-                        k += 16
-                        continue
-                    run, size = rs >> 4, rs & 0x0F
-                    k += run
-                    if k > 63 or size == 0:
-                        return None
-                    v = 0
-                    for _ in range(size):
-                        v = (v << 1) | br.bit()
-                    zz[k] = _extend(v, size)
-                    k += 1
-                nat = np.zeros(64, dtype=np.int64)
-                nat[_ZIGZAG] = zz
-                coef = nat.reshape(8, 8) * q
-                blk = m.T @ (coef.astype(np.float64)) @ m
-                px = np.floor(blk + 128.5)
-                planes[c][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
-                    np.clip(px, 0, 255).astype(np.uint8)
+    mcu_i = 0
+    rst = 0
+    total = mx_n * my_n
+    for my in range(my_n):
+        for mx in range(mx_n):
+            if is420:
+                for dy, dx in ((0, 0), (0, 8), (8, 0), (8, 8)):
+                    blk, prev[0] = _decode_block(
+                        br, *tbls[0], q, m, prev[0])
+                    y_pl[my * 16 + dy:my * 16 + dy + 8,
+                         mx * 16 + dx:mx * 16 + dx + 8] = blk
+                blk, prev[1] = _decode_block(br, *tbls[1], q, m, prev[1])
+                cb_pl[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = blk
+                blk, prev[2] = _decode_block(br, *tbls[2], q, m, prev[2])
+                cr_pl[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = blk
+            else:
+                for c in range(n_comp):
+                    blk, prev[c] = _decode_block(
+                        br, *tbls[c], q, m, prev[c])
+                    planes[c][my * 8:my * 8 + 8,
+                              mx * 8:mx * 8 + 8] = blk
+            mcu_i += 1
+            if restart and mcu_i % restart == 0 and mcu_i < total:
+                br.sync_restart(rst)
+                rst = (rst + 1) % 8
+                prev = [0] * n_comp
     # after the scan only pad bits and EOI may remain
     tail = payload[br.p:]
     if not tail.startswith(b"\xFF\xD9"):
         return None
+    if is420:
+        planes = [y_pl,
+                  np.repeat(np.repeat(cb_pl, 2, axis=0), 2, axis=1),
+                  np.repeat(np.repeat(cr_pl, 2, axis=0), 2, axis=1)]
     return [pl[:h, :w].copy() for pl in planes]

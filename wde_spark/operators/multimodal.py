@@ -774,6 +774,45 @@ def attach_jpegs_color(docs: DataFrame, id_col: str = "doc_id",
         kernel, schema="media_id long, payload binary")
 
 
+def attach_jpegs_420(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Deterministic 4:2:0 baseline-JPEG media table with RESTART
+    INTERVALS: constant 16x16 macro-tiles over a ((L%3+1)*16) x
+    ((L%4+1)*16) canvas, macro-tile t's RGB = bytes (t, t+3, t+6 mod
+    L), encoded at quality 50 with restart = doc_id % 3 (0 = no DRI,
+    1-2 = RSTn every 1-2 MCUs — predictor resets and byte-aligned
+    marker sync become production surface). Constant macro-tiles pass
+    unchanged through the 2x2 chroma subsample, so the decoded pixels
+    follow the same integer formula chain as the 4:4:4 tier and the
+    SQL oracle predicts every value."""
+    import numpy as np
+
+    from .jpeg_codec import encode_jpeg_420
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                data = (text or "").encode("utf-8")
+                n = len(data)
+                wb, hb = n % 4 + 1, n % 3 + 1
+                t = np.arange(wb * hb)
+                if n:
+                    b = np.frombuffer(data, dtype=np.uint8)
+                    tiles = np.stack(
+                        [b[t % n], b[(t + 3) % n], b[(t + 6) % n]],
+                        axis=1).reshape(hb, wb, 3)
+                else:
+                    tiles = np.zeros((hb, wb, 3), dtype=np.uint8)
+                img = np.kron(tiles, np.ones((16, 16, 1), np.uint8))
+                rows.append((mid, encode_jpeg_420(
+                    img, quality=50, restart=int(mid) % 3)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return docs.select(id_col, text_col).mapInPandas(
+        kernel, schema="media_id long, payload binary")
+
+
 def attach_qoi(docs: DataFrame, id_col: str = "doc_id",
                text_col: str = "text") -> DataFrame:
     """Deterministic QOI media table — content shaped to exercise every
