@@ -84,6 +84,30 @@ def main() -> None:
             lambda df: df.agg(F.sum(
                 F.col("n_frames").cast("long") * F.col("n_channels") * 2)),
         ),
+        "qoi": (
+            MM.attach_qoi,
+            MM.image_rgba_stats,
+            lambda df: df.agg(F.sum(
+                F.col("width").cast("long") * F.col("height") * 4)),
+        ),
+        "bmp": (
+            MM.attach_bmps,
+            MM.image_rgba_stats,
+            lambda df: df.agg(F.sum(
+                F.col("width").cast("long") * F.col("height") * 3)),
+        ),
+        "jpeg_gray": (
+            MM.attach_jpegs,
+            MM.image_rgba_stats,
+            lambda df: df.agg(F.sum(
+                F.col("width").cast("long") * F.col("height"))),
+        ),
+        "jpeg_420_restart": (
+            MM.attach_jpegs_420,
+            MM.image_rgba_stats,
+            lambda df: df.agg(F.sum(
+                F.col("width").cast("long") * F.col("height") * 3)),
+        ),
     }
     for name, (build, stats, decoded_bytes) in fams.items():
         media = build(docs).localCheckpoint()  # exclude synth cost
