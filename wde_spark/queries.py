@@ -2129,7 +2129,7 @@ _DRIVER_PRIORITY = [
     # --- r6-vintage rows (rotation tool order) ---
     "q1_pricing_summary", "q3_shipping_priority",
     "q5_local_supplier_volume",
-    "doc_source_stats", "group_collect_langs",
+    "doc_source_stats",
     "minhash_signatures_documents", "cosine_topk_embeddings",
     "streaming_pq_adc_ann", "q6_forecast_revenue", "q10_returned_items",
     "q11_supplier_share",
@@ -2149,7 +2149,7 @@ _DRIVER_PRIORITY = [
     "curriculum_order_documents", "bmp_rgb_documents",
     "nearest_join_purchase_view", "qoi_rgba_documents",
     "jpeg_gray_documents", "jpeg_color_documents",
-    "jpeg420_restart_documents",
+    "jpeg420_restart_documents", "streaming_shard_migration_documents",
     # dedup_corpus_semantic_documents, source_scorecard_documents,
     # embedding_recall_audit_embeddings, strip_duplicate_spans_documents,
     # substr_increment_documents, duplicate_spans_documents,
@@ -2159,9 +2159,9 @@ _DRIVER_PRIORITY = [
     # data_quality_orders, dedup_increment_documents,
     # quantile_sketch_gate, dedup_weights_documents,
     # bloom_semi_join_lineitem, q18_large_volume_orders,
-    # q15_top_supplier, and resolve_ladder_parts (r6 vintage) yield
-    # their seats to the late net-new entries; they lead the r10
-    # rotation.
+    # q15_top_supplier, resolve_ladder_parts, and group_collect_langs
+    # (r6 vintage) yield their seats to the late net-new entries; they
+    # lead the r10 rotation.
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]

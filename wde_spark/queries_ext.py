@@ -6652,6 +6652,101 @@ def bmp_rgb_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.image_rgba_stats(MM.attach_bmps(docs))
 
 
+def _streaming_shards_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per parquet snapshot) the maintained HRW routing
+    table: odd doc_ids arrive as micro-batch 0 (map grows to 7), even
+    ones as micro-batch 1 (map grows to 8, migrating batch-0 docs).
+    Same staging + atomic-rename cache as the other streaming
+    builders."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    src_parquet = os.path.join(sf_dir, "documents.parquet")
+    try:
+        mtime = str(int(os.path.getmtime(src_parquet)))
+    except OSError:
+        mtime = "0"
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{mtime}".encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"wde_shards_{tag}")
+    route_dir = os.path.join(base, "route")
+    done = os.path.join(base, "_COMPLETE")
+    if os.path.exists(done):
+        return route_dir
+    from .streaming.shard_migration import streaming_shard_maintain
+
+    if os.path.exists(base):
+        shutil.rmtree(base, ignore_errors=True)
+    stage = f"{base}.build.{os.getpid()}"
+    shutil.rmtree(stage, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    feed = os.path.join(stage, "feed")
+    for i, pred in ((1, F.col("doc_id") % 2 == 1),
+                    (2, F.col("doc_id") % 2 == 0)):
+        docs.filter(pred).coalesce(1).write.mode("overwrite") \
+            .parquet(os.path.join(feed, f"b{i}.parquet"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(feed, "*.parquet"))
+    )
+    streaming_shard_maintain(
+        stream, os.path.join(stage, "route"), os.path.join(stage, "ckpt"))
+    with open(os.path.join(stage, "_COMPLETE"), "w") as fh:
+        fh.write("ok")
+    try:
+        os.rename(stage, base)
+    except OSError:
+        if not os.path.exists(done):
+            raise
+        shutil.rmtree(stage, ignore_errors=True)
+    return route_dir
+
+
+@query(
+    "streaming_shard_migration_documents",
+    """
+    WITH sc AS (
+      SELECT doc_id, CAST(s AS INT) AS s,
+             md5('hrw|' || doc_id || '|' || s)
+               || lpad(CAST(s AS VARCHAR), 2, '0') AS hs
+      FROM documents, unnest(range(0, 8)) AS u(s)),
+    a AS (
+      SELECT doc_id,
+             CAST(substr(MAX(CASE WHEN s < 7 THEN hs END), 33, 2)
+                  AS INT) AS s7,
+             CAST(substr(MAX(hs), 33, 2) AS INT) AS s8
+      FROM sc GROUP BY doc_id)
+    SELECT doc_id, s8 AS shard,
+           CAST(CASE WHEN doc_id % 2 = 1 THEN 0 ELSE 1 END AS INT)
+             AS arrived_batch,
+           CAST(CASE WHEN doc_id % 2 = 1 AND s7 <> s8 THEN 1 ELSE 0 END
+                AS INT) AS n_moves
+    FROM a
+    """,
+)
+def streaming_shard_migration_documents(spark: SparkSession,
+                                        sf_dir: str) -> DataFrame:
+    """STREAMING-MAINTAINED HRW shard map with a migration ledger
+    (`streaming/shard_migration.py`): the map grows by one shard per
+    micro-batch (7 when the odd docs arrive, 8 when the even docs do);
+    each growth step re-evaluates the HRW argmax over the stored routing
+    table, bumping n_moves for rows whose shard changed — by the
+    minimal-movement guarantee, only onto the new shard, expected 1/8 of
+    them. Because migration recomputes the same pure argmax the one-shot
+    form uses, the final table is row-identical on `shard` to one-shot
+    `rendezvous_shard` at size 8, and `n_moves` is exactly [argmax at 7
+    differs from argmax at 8] for batch-0 docs — which the oracle
+    replays per doc. At 100 TB the per-step moved set IS the minimal
+    data movement a migration executor must perform; the corpus never
+    reshuffles."""
+    from .streaming.shard_migration import read_routing
+
+    route_dir = _streaming_shards_dir(spark, sf_dir)
+    return read_routing(spark, route_dir)
+
+
 @query(
     "rendezvous_sharding_documents",
     """
