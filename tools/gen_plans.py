@@ -58,6 +58,8 @@ PICKS = {
     "curriculum_order_documents": "Curriculum schedule: NO single-partition window — the tercile rank partitions by the bounded difficulty value (broadcast offsets), NTILE is row-local arithmetic, and each stage's shuffle rank partitions by the 256-way hash bucket (broadcast 256-row offsets); the 3 stage slices union.",
     "gif_animation_frames_documents": "Animated GIF decode: container synth and composite/fingerprint are two row-local Arrow kernels over one scan — ZERO exchanges; compositing cost scales with canvas bytes, never with joins.",
     "audio_adpcm_decoded_documents": "ADPCM decode: one Arrow kernel chain (block synth -> nibble state machine -> fingerprint) over one scan — zero exchanges; the sequential state is per-row, so parallelism is row-granular.",
+    "jpeg420_restart_documents": "4:2:0 JPEG with restart intervals: one row-local Arrow kernel chain (encode -> full baseline decode -> RGBA fingerprint) over one scan — zero exchanges; restart segments are the unit that makes a single huge JPEG parallel-decodable at 100 TB.",
+    "streaming_shard_migration_documents": "Maintained HRW routing: the latest COW version is ONE parquet scan of the doc-sized routing table; each maintenance step was a row-local argmax rewrite + append — the corpus never shuffles, and the per-step moved set is the minimal migration workload.",
 }
 
 HEADER = """# PLANS — physical-plan audit of representative queries
