@@ -77,22 +77,28 @@ def test_replay_idempotent(spark, tmp_path):
     routing, target = _run_stream(
         spark, tmp_path, [list(range(1, 60, 2)), list(range(0, 60, 2))])
     before = sorted(map(tuple, routing.collect()))
-    # simulate a replay of the LAST batch: re-run _apply semantics by
-    # re-deriving v2 from v1 + batch-1 docs
-    from wde_spark.operators.layout import rendezvous_shard
+    # replay the LAST batch through the REAL step function — the
+    # at-least-once case where v2 already exists when batch 1 re-runs.
+    # A latest-version read would see v2 (which already contains batch
+    # 1's rows) and double-count; the batch-aligned read must not.
+    from wde_spark.streaming.shard_migration import apply_shard_batch
 
-    v1 = spark.read.parquet(os.path.join(target, "v1"))
-    resh = rendezvous_shard("doc_id", 8)
-    migrated = v1.select(
-        "doc_id", resh.alias("shard"), "arrived_batch",
-        (F.col("n_moves") + (resh != F.col("shard")).cast("int"))
-        .alias("n_moves"))
     fresh = spark.createDataFrame(
-        [(x,) for x in range(0, 60, 2)], "doc_id long").select(
-        "doc_id", rendezvous_shard("doc_id", 8).alias("shard"),
-        F.lit(1).cast("int").alias("arrived_batch"),
-        F.lit(0).cast("int").alias("n_moves"))
-    migrated.unionByName(fresh).write.mode("overwrite").parquet(
-        os.path.join(target, "v2"))
+        [(x,) for x in range(0, 60, 2)], "doc_id long")
+    apply_shard_batch(fresh, 1, target)
     after = sorted(map(tuple, read_routing(spark, target).collect()))
     assert after == before
+    # and replaying twice more stays fixed
+    apply_shard_batch(fresh, 1, target)
+    assert sorted(map(tuple, read_routing(spark, target).collect())) \
+        == before
+
+
+def test_shard_cap_raises(spark, tmp_path):
+    """Growth past the 64-shard HRW plan limit fails loudly with the
+    documented message, not a bare AssertionError inside foreachBatch."""
+    from wde_spark.streaming.shard_migration import apply_shard_batch
+
+    batch = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match="64 shards"):
+        apply_shard_batch(batch, batch_id=58, target_dir=str(tmp_path))

@@ -46,6 +46,59 @@ from ..operators.layout import rendezvous_shard
 from .cdc import latest_version_dir
 
 BASE_SHARDS_DEFAULT = 6
+MAX_SHARDS = 64  # HRW plan-size limit: rendezvous_shard unrolls one
+# hash expression per candidate shard, so the map is capped at 64.
+
+
+def apply_shard_batch(
+    batch: DataFrame,
+    batch_id: int,
+    target_dir: str,
+    id_col: str = "doc_id",
+    base_shards: int = BASE_SHARDS_DEFAULT,
+    salt: str = "hrw",
+) -> None:
+    """One maintenance step: migrate v{batch_id} to the grown map and
+    append the arriving docs as v{batch_id + 1}.
+
+    Reads the batch-aligned previous version, NOT latest: under
+    foreachBatch at-least-once replay, batch b can re-run after v{b+1}
+    was already written — latest would then double-count batch b's own
+    rows (and overwrite the path being read). Missing v{batch_id} ==
+    first batch == empty prior table, matching the
+    embedding_admission/sketch_maintenance pattern, so a replayed step
+    is a pure function of (v{batch_id}, batch) and idempotent."""
+    spark = batch.sparkSession
+    n_new = base_shards + batch_id + 1
+    if n_new > MAX_SHARDS:
+        raise ValueError(
+            f"shard map would grow to {n_new} > {MAX_SHARDS} shards "
+            f"(base {base_shards} + batch {batch_id}); the HRW argmax "
+            f"is plan-unrolled and capped at {MAX_SHARDS} — restart "
+            f"the maintainer with a larger batch granularity"
+        )
+    fresh = batch.select(
+        F.col(id_col),
+        rendezvous_shard(id_col, n_new, salt).alias("shard"),
+        F.lit(batch_id).cast("int").alias("arrived_batch"),
+        F.lit(0).cast("int").alias("n_moves"),
+    )
+    prev = os.path.join(target_dir, f"v{batch_id}")
+    if os.path.exists(os.path.join(prev, "_SUCCESS")):
+        cur = spark.read.parquet(prev)
+        resh = rendezvous_shard(id_col, n_new, salt)
+        migrated = cur.select(
+            id_col,
+            resh.alias("shard"),
+            "arrived_batch",
+            (F.col("n_moves")
+             + (resh != F.col("shard")).cast("int")).alias("n_moves"),
+        )
+        merged = migrated.unionByName(fresh)
+    else:
+        merged = fresh
+    out = os.path.join(target_dir, f"v{batch_id + 1}")
+    merged.write.mode("overwrite").parquet(out)
 
 
 def streaming_shard_maintain(
@@ -62,29 +115,8 @@ def streaming_shard_maintain(
     os.makedirs(target_dir, exist_ok=True)
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        n_new = base_shards + batch_id + 1
-        fresh = batch.select(
-            F.col(id_col),
-            rendezvous_shard(id_col, n_new, salt).alias("shard"),
-            F.lit(batch_id).cast("int").alias("arrived_batch"),
-            F.lit(0).cast("int").alias("n_moves"),
-        )
-        try:
-            cur = spark.read.parquet(latest_version_dir(target_dir))
-            resh = rendezvous_shard(id_col, n_new, salt)
-            migrated = cur.select(
-                id_col,
-                resh.alias("shard"),
-                "arrived_batch",
-                (F.col("n_moves")
-                 + (resh != F.col("shard")).cast("int")).alias("n_moves"),
-            )
-            merged = migrated.unionByName(fresh)
-        except FileNotFoundError:
-            merged = fresh
-        out = os.path.join(target_dir, f"v{batch_id + 1}")
-        merged.write.mode("overwrite").parquet(out)
+        apply_shard_batch(batch, batch_id, target_dir, id_col,
+                          base_shards, salt)
 
     q = (
         doc_stream.writeStream.foreachBatch(_apply)
