@@ -13,6 +13,7 @@ These are the layout/aggregation choices a 100 TB deployment leans on:
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from conftest import SF_CORRECT
@@ -308,3 +309,32 @@ def test_curriculum_order_empty_input(spark):
     docs = spark.createDataFrame([], "doc_id long, text string")
     assert curriculum_order(
         docs, F.coalesce(F.octet_length("text"), F.lit(-1))).count() == 0
+
+
+def test_curriculum_order_rejects_fractional_difficulty(spark):
+    """A float score in (0,1) would truncate to 0 under the long cast
+    and silently collapse the stages — must fail loudly instead."""
+    from pyspark.sql import functions as F
+
+    from wde_spark.operators.sampling import curriculum_order
+
+    docs = spark.createDataFrame(
+        [(i, i / 100.0) for i in range(10)], "doc_id long, score double")
+    with pytest.raises(TypeError, match="integral difficulty"):
+        curriculum_order(docs, F.col("score"))
+
+
+def test_curriculum_order_caps_difficulty_domain(spark):
+    """The per-value offset table collects to the driver — an unbounded
+    domain must raise with coarsening guidance, not OOM the driver."""
+    from pyspark.sql import functions as F
+
+    from wde_spark.operators.sampling import curriculum_order
+
+    docs = spark.range(300).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError, match="coarsen"):
+        curriculum_order(docs, F.col("doc_id"), max_domain=100)
+    # and the documented fix — bucketing — makes the same input legal
+    out = curriculum_order(
+        docs, F.floor(F.col("doc_id") / 8), max_domain=100)
+    assert out.count() == 300

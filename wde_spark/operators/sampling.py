@@ -123,7 +123,8 @@ def quantile_gate_approx(scored: DataFrame, score_col: str, group_col: str,
 
 def curriculum_order(docs: DataFrame, difficulty_col, n_stages: int = 3,
                      id_col: str = "doc_id",
-                     salt: str = "cur") -> DataFrame:
+                     salt: str = "cur",
+                     max_domain: int = 200_000) -> DataFrame:
     """Curriculum schedule: split the corpus into `n_stages` difficulty
     stages (exact NTILE terciles under (difficulty, id) order), shuffle
     WITHIN each stage (salted md5), and interleave the stages round-robin
@@ -144,6 +145,20 @@ def curriculum_order(docs: DataFrame, difficulty_col, n_stages: int = 3,
     """
     assert 2 <= n_stages <= 16
     spark = docs.sparkSession
+    # The difficulty domain must be INTEGRAL: a float score in (0, 1)
+    # — the common shape for model-scored difficulty — would truncate
+    # to 0 under the long cast and silently collapse every stage into
+    # tie-broken-by-id order. Fail loudly; the caller bucketizes
+    # (e.g. floor(score * 1000)) and thereby also bounds the domain.
+    dtype = docs.select(difficulty_col.alias("_d")).schema[0].dataType
+    if dtype.typeName() in ("float", "double") or (
+            dtype.typeName() == "decimal" and dtype.scale > 0):
+        raise TypeError(
+            f"curriculum_order needs an integral difficulty column, got "
+            f"{dtype.simpleString()}: a fractional score would truncate "
+            f"under the long cast — bucketize first, e.g. "
+            f"floor(score * 1000).cast('long')"
+        )
     # NULL difficulty sorts LAST (unknown = hardest), tracked by an
     # explicit flag so the offsets sort and the rejoin are both
     # null-safe — a NULL must neither crash the driver sort nor
@@ -152,11 +167,21 @@ def curriculum_order(docs: DataFrame, difficulty_col, n_stages: int = 3,
     d = (docs.withColumn("_dnull", dn.isNull().cast("int"))
          .withColumn("_diff", F.coalesce(dn, F.lit(0))))
     # phase 1: exclusive offsets per difficulty value (bounded domain);
-    # the same collect yields n_total — no separate count job
-    totals = sorted(
-        (r["_dnull"], r["_diff"], r["cnt"]) for r in
-        d.groupBy("_dnull", "_diff")
-        .agg(F.count("*").alias("cnt")).collect())
+    # the same collect yields n_total — no separate count job. The
+    # collect is capped: an unbounded domain (raw byte lengths over a
+    # 100 TB corpus, say) must fail loudly here, not OOM the driver.
+    totals_rows = (d.groupBy("_dnull", "_diff")
+                   .agg(F.count("*").alias("cnt"))
+                   .limit(max_domain + 1).collect())
+    if len(totals_rows) > max_domain:
+        raise ValueError(
+            f"difficulty domain exceeds max_domain={max_domain} distinct "
+            f"values — the per-value offset table would not fit the "
+            f"driver; coarsen the difficulty column first (e.g. 64-byte "
+            f"length buckets: floor(octet_length(text) / 64))"
+        )
+    totals = sorted((r["_dnull"], r["_diff"], r["cnt"])
+                    for r in totals_rows)
     n_total = sum(c for _n, _v, c in totals)
     if n_total == 0:
         return (d.withColumn("stage", F.lit(0))

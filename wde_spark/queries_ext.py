@@ -6803,7 +6803,8 @@ def rendezvous_sharding_documents(spark: SparkSession,
     WITH r AS (
       SELECT doc_id,
              NTILE(3) OVER (
-               ORDER BY COALESCE(octet_length(encode(text)), -1), doc_id
+               ORDER BY COALESCE(octet_length(encode(text)) // 64, -1),
+                        doc_id
              ) AS stage
       FROM documents),
     b AS (
@@ -6820,21 +6821,27 @@ def rendezvous_sharding_documents(spark: SparkSession,
 )
 def curriculum_order_documents(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
-    """Curriculum data ordering: exact length terciles (easy / medium /
-    hard), a deterministic shuffle WITHIN each stage, and a round-robin
-    interleave so every training round sees all difficulties
+    """Curriculum data ordering: 64-byte length-bucket terciles (easy /
+    medium / hard), a deterministic shuffle WITHIN each stage, and a
+    round-robin interleave so every training round sees all difficulties
     (`sampling.curriculum_order`). The Spark side never runs a global
     window: the tercile rank is a two-phase prefix sum over the bounded
     difficulty domain, NTILE is arithmetic on that rank, and the
     in-stage shuffle rank is `global_prefix_sum` per stage — while the
     oracle states the same schedule declaratively with NTILE +
     ROW_NUMBER, so the scale-shaped plan is hash-checked against the
-    textbook formulation."""
+    textbook formulation. The 64-byte bucketing is what BOUNDS the
+    difficulty domain at 100 TB: raw byte lengths have ~len(corpus)
+    distinct values (the per-value offset table would flood the
+    driver); buckets keep it at max_doc_len/64 regardless of corpus
+    size, and curriculum_order's max_domain cap now fails loudly if a
+    caller forgets to coarsen."""
     from .operators.sampling import curriculum_order
 
     docs = load_table(spark, sf_dir, "documents", spread=True)
     out = curriculum_order(
-        docs, F.coalesce(F.octet_length("text"), F.lit(-1)),
+        docs,
+        F.coalesce(F.floor(F.octet_length("text") / 64), F.lit(-1)),
         n_stages=3, salt="cur")
     return out.select("doc_id", "stage", "sched_pos")
 
