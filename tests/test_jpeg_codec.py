@@ -186,6 +186,27 @@ def test_color_gray_api_boundaries():
     assert decode_jpeg_rgb(color) is not None
 
 
+def test_n_components_probe():
+    """The SOF-only probe routes gray/color WITHOUT a scan decode and
+    null-routes garbage — the stats-kernel dispatch contract."""
+    from wde_spark.operators.jpeg_codec import (encode_jpeg_gray,
+                                                encode_jpeg_rgb,
+                                                jpeg_n_components)
+
+    gray = encode_jpeg_gray(np.arange(64, dtype=np.uint8).reshape(8, 8))
+    color = encode_jpeg_rgb(np.zeros((8, 8, 3), np.uint8))
+    assert jpeg_n_components(gray) == 1
+    assert jpeg_n_components(color) == 3
+    assert jpeg_n_components(b"\xFF\xD8junk") is None
+    assert jpeg_n_components(gray[:20]) is None  # truncated before SOF
+    assert jpeg_n_components(b"notajpeg") is None
+    # progressive SOF2 → no baseline SOF0 → probe declines, matching
+    # the decoders
+    prog = bytearray(gray)
+    prog[prog.index(b"\xFF\xC0", 2) + 1] = 0xC2
+    assert jpeg_n_components(bytes(prog)) is None
+
+
 def test_attach_jpegs_color_stats(spark):
     from wde_spark.operators import multimodal as MM
     from wde_spark.operators.jpeg_codec import rgb_to_ycbcr, ycbcr_to_rgb

@@ -383,6 +383,34 @@ def is_jpeg(payload: bytes) -> bool:
     return payload[:2] == b"\xFF\xD8"
 
 
+def jpeg_n_components(payload: bytes):
+    """Cheap gray/color probe: walk markers only as far as the baseline
+    SOF0 and return its component count (1 or 3), or None when no SOF0
+    appears before the scan. No Huffman/scan decode — this is what lets
+    a stats kernel dispatch to `decode_jpeg_gray` vs `decode_jpeg_rgb`
+    without entropy-decoding every color file twice."""
+    try:
+        if not is_jpeg(payload):
+            return None
+        pos, n = 2, len(payload)
+        while pos + 4 <= n:
+            if payload[pos] != 0xFF:
+                return None
+            marker = payload[pos + 1]
+            if marker in (0xD9, 0xDA):
+                return None  # EOI / scan start without SOF0
+            (ln,) = struct.unpack(">H", payload[pos + 2:pos + 4])
+            if ln < 2 or pos + 2 + ln > n:
+                return None
+            if marker == 0xC0:
+                nc = payload[pos + 9]
+                return nc if nc in (1, 3) else None
+            pos += 2 + ln
+        return None
+    except (IndexError, struct.error):
+        return None
+
+
 def decode_jpeg_gray(payload: bytes):
     """Decode a baseline GRAYSCALE JFIF byte string to (width, height,
     pixels) with pixels an (h, w) uint8 array, or None outside the

@@ -997,7 +997,8 @@ def image_rgba_stats(media: DataFrame) -> DataFrame:
 
     from .bmp_codec import decode_bmp, is_bmp
     from .gif_codec import decode_gif, is_gif
-    from .jpeg_codec import decode_jpeg_gray, decode_jpeg_rgb, is_jpeg
+    from .jpeg_codec import (decode_jpeg_gray, decode_jpeg_rgb, is_jpeg,
+                             jpeg_n_components)
     from .png_codec import decode_png
     from .qoi_codec import decode_qoi, is_qoi
 
@@ -1019,13 +1020,20 @@ def image_rgba_stats(media: DataFrame) -> DataFrame:
                     decoded = None if q is None else (
                         q[0], q[1], 4, q[2])
                 elif is_jpeg(raw):
-                    j = decode_jpeg_gray(raw)
-                    if j is not None:
-                        decoded = (j[0], j[1], 1, j[2][:, :, None])
-                    else:
+                    # dispatch on the SOF component count BEFORE any
+                    # scan decode — otherwise every color file pays the
+                    # full gray entropy decode just to be rejected
+                    nc = jpeg_n_components(raw)
+                    if nc == 1:
+                        j = decode_jpeg_gray(raw)
+                        decoded = None if j is None else (
+                            j[0], j[1], 1, j[2][:, :, None])
+                    elif nc == 3:
                         j3 = decode_jpeg_rgb(raw)
                         decoded = None if j3 is None else (
                             j3[0], j3[1], 3, j3[2])
+                    else:
+                        decoded = None
                 else:
                     decoded = decode_png(raw)
                 if decoded is None:
