@@ -309,3 +309,77 @@ def test_attach_jpegs_420_stats(spark):
     for mid in (0, 1, 2):
         assert rows[mid]["px_sum"] == want
         assert rows[mid]["channels"] == 3
+
+
+def test_restart_segment_split_roundtrip():
+    """split → per-segment decode → reassemble is byte-identical to the
+    whole-file sequential decode, across interval sizes and both
+    subsampling modes — the equivalence that makes segment-parallel
+    decode safe (T.81: DC predictors reset at every RSTn)."""
+    from wde_spark.operators.jpeg_codec import (
+        _decode_jfif, decode_restart_segment, encode_jpeg_420,
+        reassemble_segments, split_restart_segments)
+
+    rng = np.random.RandomState(11)
+    t = rng.randint(0, 256, (4, 5, 3)).astype(np.uint8)
+    img = np.kron(t, np.ones((16, 16, 1), np.uint8))  # 64x80
+    for restart in (1, 3, 7, 20):
+        enc = encode_jpeg_420(img, 50, restart=restart)
+        whole = _decode_jfif(enc)
+        assert whole is not None
+        sp = split_restart_segments(enc)
+        assert sp is not None
+        w, h, q, specs, samplings, rst, segs = sp
+        assert rst == restart
+        total = ((w + 15) // 16) * ((h + 15) // 16)
+        assert len(segs) == (total + restart - 1) // restart
+        blocks = [decode_restart_segment(
+            s, min(restart, total - i * restart), q, specs, samplings)
+            for i, s in enumerate(segs)]
+        planes = reassemble_segments(w, h, samplings, restart, blocks)
+        for a, b in zip(whole[3], planes):
+            assert np.array_equal(a, b)
+
+
+def test_restart_split_null_routes():
+    """No DRI, mis-sequenced RSTn, or truncation → None, matching the
+    sequential decoder's honesty."""
+    from wde_spark.operators.jpeg_codec import (encode_jpeg_420,
+                                                split_restart_segments)
+
+    img = np.zeros((32, 32, 3), np.uint8)
+    no_dri = encode_jpeg_420(img, 50, restart=0)
+    assert split_restart_segments(no_dri) is None
+    enc = encode_jpeg_420(np.kron(
+        np.arange(12, dtype=np.uint8).reshape(2, 2, 3),
+        np.ones((16, 16, 1), np.uint8)), 50, restart=1)
+    i = enc.find(b"\xFF\xD0")
+    bad = bytearray(enc)
+    bad[i + 1] = 0xD4
+    assert split_restart_segments(bytes(bad)) is None
+    assert split_restart_segments(enc[:-2]) is None  # EOI gone
+
+
+def test_restart_distributed_decode_equals_sequential(spark):
+    """The Spark mapInPandas fan-out reproduces the sequential decode
+    exactly — full planes, both coarse and fine task granularity."""
+    from wde_spark.operators.jpeg_codec import _decode_jfif, encode_jpeg_420
+    from wde_spark.operators.multimodal import (
+        decode_jpeg_restart_distributed)
+
+    rng = np.random.RandomState(7)
+    t = rng.randint(0, 256, (3, 4, 3)).astype(np.uint8)
+    img = np.kron(t, np.ones((16, 16, 1), np.uint8))  # 48x64
+    enc = encode_jpeg_420(img, 75, restart=2)
+    whole = _decode_jfif(enc)
+    for spt in (1, 4):
+        got = decode_jpeg_restart_distributed(spark, enc,
+                                              segments_per_task=spt)
+        assert got is not None
+        w, h, nc, planes = got
+        assert (w, h, nc) == (whole[0], whole[1], whole[2])
+        for a, b in zip(whole[3], planes):
+            assert np.array_equal(a, b)
+    # no restart interval → honest None
+    assert decode_jpeg_restart_distributed(
+        spark, encode_jpeg_420(img, 75, restart=0)) is None

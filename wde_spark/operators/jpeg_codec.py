@@ -439,6 +439,25 @@ def decode_jpeg_rgb(payload: bytes):
 def _decode_jfif(payload: bytes):
     """Shared marker walk + scan decode: returns (w, h, n_comp,
     [plane, ...]) or None."""
+    p = _parse_scan_params(payload)
+    if p is None:
+        return None
+    w, h, q, specs, samplings, restart, scan_pos = p
+    try:
+        planes = _decode_scan(payload, scan_pos, w, h, q, specs,
+                              samplings, restart)
+    except (struct.error, ValueError, IndexError):
+        return None
+    if planes is None:
+        return None
+    return w, h, len(specs), planes
+
+
+def _parse_scan_params(payload: bytes):
+    """Marker walk up to (and including) the SOS header: returns
+    (w, h, q, specs, samplings, restart, scan_pos) with scan_pos the
+    byte offset of the entropy-coded data, or None outside the declared
+    support — exactly the null-routing `_decode_jfif` always had."""
     try:
         if not is_jpeg(payload):
             return None
@@ -517,12 +536,7 @@ def _decode_jfif(payload: bytes):
                 if ns not in (1, 3) or samplings is None \
                         or len(samplings) != ns:
                     return None
-                planes = _decode_scan(
-                    payload, pos + 2 + ln, w, h, q, specs,
-                    samplings, restart)
-                if planes is None:
-                    return None
-                return w, h, ns, planes
+                return w, h, q, specs, samplings, restart, pos + 2 + ln
             pos += 2 + ln
         return None
     except (struct.error, ValueError, IndexError):
@@ -648,6 +662,135 @@ def _decode_scan(payload, pos, w, h, q, specs, samplings, restart):
     tail = payload[br.p:]
     if not tail.startswith(b"\xFF\xD9"):
         return None
+    if is420:
+        planes = [y_pl,
+                  np.repeat(np.repeat(cb_pl, 2, axis=0), 2, axis=1),
+                  np.repeat(np.repeat(cr_pl, 2, axis=0), 2, axis=1)]
+    return [pl[:h, :w].copy() for pl in planes]
+
+
+# ---------------------------------------------------------------------------
+# Segment-parallel restart decode
+#
+# T.81 E.1.4: restart markers are byte-aligned, DC predictors reset at
+# each, and byte stuffing guarantees 0xFF inside entropy-coded data is
+# always followed by 0x00 — so (a) a linear BYTE scan for 0xFF 0xD0-D7
+# finds the exact segment boundaries with no entropy decode, and (b)
+# each segment decodes independently of every other. That is what makes
+# a huge JPEG parallel-decodable: split → fan the segments out (Spark
+# mapInPandas in `multimodal.decode_jpeg_restart_distributed`) →
+# reassemble. Equivalence with the whole-file decoder is pinned in
+# tests/test_jpeg_codec.py and receipted at scale by
+# tools/stress_jpeg_restart.py.
+
+def split_restart_segments(payload: bytes):
+    """Split a DRI-bearing baseline JFIF scan at its RSTn boundaries.
+
+    Returns (w, h, q, specs, samplings, restart, segments) where
+    `segments[i]` is the entropy-coded slice (markers stripped) covering
+    MCUs [i*restart, min((i+1)*restart, total)); or None when the file
+    has no restart interval or is outside the decoder's support. RSTn
+    sequence numbers are checked (they cycle 0-7) so a dropped marker
+    null-routes here exactly as it does in the sequential decoder."""
+    p = _parse_scan_params(payload)
+    if p is None:
+        return None
+    w, h, q, specs, samplings, restart, scan_pos = p
+    if restart == 0:
+        return None
+    is420 = samplings == (0x22, 0x11, 0x11)
+    mcu = 16 if is420 else 8
+    total = ((w + mcu - 1) // mcu) * ((h + mcu - 1) // mcu)
+    segments = []
+    start = pos = scan_pos
+    n = len(payload)
+    while pos + 1 < n:
+        if payload[pos] != 0xFF:
+            pos += 1
+            continue
+        m = payload[pos + 1]
+        if m == 0x00:
+            pos += 2
+        elif 0xD0 <= m <= 0xD7:
+            if m - 0xD0 != len(segments) % 8:
+                return None  # mis-sequenced restart marker
+            segments.append(payload[start:pos])
+            start = pos = pos + 2
+        elif m == 0xD9:
+            segments.append(payload[start:pos])
+            if len(segments) != (total + restart - 1) // restart:
+                return None  # marker count disagrees with the geometry
+            return w, h, q, specs, samplings, restart, segments
+        else:
+            return None  # foreign marker inside the scan
+    return None  # no EOI
+
+
+def decode_restart_segment(seg: bytes, n_mcus: int, q, specs,
+                           samplings) -> np.ndarray:
+    """Decode ONE restart segment's MCUs with fresh DC predictors.
+
+    Returns (n_mcus, blocks_per_mcu, 8, 8) uint8 spatial blocks; per-MCU
+    block order is Y00,Y01,Y10,Y11,Cb,Cr for 4:2:0, else one block per
+    component. Raises ValueError on a corrupt or over-long segment —
+    the distributed caller maps that to the same null-route the
+    sequential decoder takes."""
+    n_comp = len(specs)
+    is420 = samplings == (0x22, 0x11, 0x11)
+    bpm = 6 if is420 else n_comp
+    tbls = [(_huff_decoder(*dc), _huff_decoder(*ac))
+            for dc, ac in specs]
+    br = _BitReader(seg, 0)
+    m = _dct_matrix()
+    out = np.empty((n_mcus, bpm, 8, 8), dtype=np.uint8)
+    prev = [0] * n_comp
+    for k in range(n_mcus):
+        if is420:
+            for b in range(4):
+                blk, prev[0] = _decode_block(br, *tbls[0], q, m, prev[0])
+                out[k, b] = blk
+            blk, prev[1] = _decode_block(br, *tbls[1], q, m, prev[1])
+            out[k, 4] = blk
+            blk, prev[2] = _decode_block(br, *tbls[2], q, m, prev[2])
+            out[k, 5] = blk
+        else:
+            for c in range(n_comp):
+                blk, prev[c] = _decode_block(br, *tbls[c], q, m, prev[c])
+                out[k, c] = blk
+    if br.p != len(seg):
+        raise ValueError("trailing bytes in restart segment")
+    return out
+
+
+def reassemble_segments(w: int, h: int, samplings, restart: int,
+                        seg_blocks) -> list:
+    """Scatter per-segment MCU blocks (ordered list, one array per
+    segment as `decode_restart_segment` returns) back into full
+    component planes — byte-identical to `_decode_scan` on the same
+    file. Chroma is replication-upsampled for 4:2:0 and every plane is
+    cropped to (h, w), matching the sequential path exactly."""
+    is420 = samplings == (0x22, 0x11, 0x11)
+    mcu = 16 if is420 else 8
+    mx_n, my_n = (w + mcu - 1) // mcu, (h + mcu - 1) // mcu
+    # segments are contiguous MCU runs, so concatenation puts MCU k at
+    # index k — the whole scatter is one vectorized blockgrid→plane
+    # transpose per component, no per-MCU Python loop
+    ab = np.concatenate(seg_blocks, axis=0)
+    if is420:
+        # per-MCU block order Y00,Y01,Y10,Y11: axes (my, mx, bdy, bdx,
+        # py, px) → (my, bdy, py, mx, bdx, px)
+        y_pl = (ab[:, :4].reshape(my_n, mx_n, 2, 2, 8, 8)
+                .transpose(0, 2, 4, 1, 3, 5)
+                .reshape(my_n * 16, mx_n * 16))
+        cb_pl = (ab[:, 4].reshape(my_n, mx_n, 8, 8)
+                 .transpose(0, 2, 1, 3).reshape(my_n * 8, mx_n * 8))
+        cr_pl = (ab[:, 5].reshape(my_n, mx_n, 8, 8)
+                 .transpose(0, 2, 1, 3).reshape(my_n * 8, mx_n * 8))
+    else:
+        planes = [
+            ab[:, c].reshape(my_n, mx_n, 8, 8)
+            .transpose(0, 2, 1, 3).reshape(my_n * 8, mx_n * 8)
+            for c in range(ab.shape[1])]
     if is420:
         planes = [y_pl,
                   np.repeat(np.repeat(cb_pl, 2, axis=0), 2, axis=1),

@@ -6846,6 +6846,107 @@ def curriculum_order_documents(spark: SparkSession,
     return out.select("doc_id", "stage", "sched_pos")
 
 
+def _streaming_curriculum_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per parquet snapshot) the maintained curriculum
+    ledger: odd doc_ids arrive as micro-batch 0, even ones as
+    micro-batch 1; the 64-byte length bucket is computed ON the stream
+    (the only pass over text). Same staging + atomic-rename cache as
+    the other streaming builders."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    src_parquet = os.path.join(sf_dir, "documents.parquet")
+    try:
+        mtime = str(int(os.path.getmtime(src_parquet)))
+    except OSError:
+        mtime = "0"
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{mtime}".encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"wde_curric_{tag}")
+    ledger_dir = os.path.join(base, "ledger")
+    done = os.path.join(base, "_COMPLETE")
+    if os.path.exists(done):
+        return ledger_dir
+    from .streaming.curriculum import streaming_curriculum_maintain
+
+    if os.path.exists(base):
+        shutil.rmtree(base, ignore_errors=True)
+    stage = f"{base}.build.{os.getpid()}"
+    shutil.rmtree(stage, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    feed = os.path.join(stage, "feed")
+    for i, pred in ((1, F.col("doc_id") % 2 == 1),
+                    (2, F.col("doc_id") % 2 == 0)):
+        docs.filter(pred).coalesce(1).write.mode("overwrite") \
+            .parquet(os.path.join(feed, f"b{i}.parquet"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(feed, "*.parquet"))
+        .select("doc_id",
+                F.coalesce(F.floor(F.octet_length("text") / 64),
+                           F.lit(-1)).alias("bucket"))
+    )
+    streaming_curriculum_maintain(
+        stream, os.path.join(stage, "ledger"),
+        os.path.join(stage, "ckpt"))
+    with open(os.path.join(stage, "_COMPLETE"), "w") as fh:
+        fh.write("ok")
+    try:
+        os.rename(stage, base)
+    except OSError:
+        if not os.path.exists(done):
+            raise
+        shutil.rmtree(stage, ignore_errors=True)
+    return ledger_dir
+
+
+@query(
+    "streaming_curriculum_documents",
+    """
+    WITH r AS (
+      SELECT doc_id,
+             NTILE(3) OVER (
+               ORDER BY COALESCE(octet_length(encode(text)) // 64, -1),
+                        doc_id
+             ) AS stage
+      FROM documents),
+    b AS (
+      SELECT doc_id, stage,
+             ROW_NUMBER() OVER (
+               PARTITION BY stage
+               ORDER BY md5('cur' || stage || '|'
+                            || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM r)
+    SELECT doc_id, CAST(stage AS INT) AS stage,
+           CAST((rk - 1) * 3 + stage - 1 AS BIGINT) AS sched_pos,
+           CAST(CASE WHEN doc_id % 2 = 1 THEN 0 ELSE 1 END AS INT)
+             AS arrived_batch
+    FROM b
+    """,
+)
+def streaming_curriculum_documents(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """STREAMING-MAINTAINED curriculum (`streaming/curriculum.py`) —
+    the maintained form of `curriculum_order_documents`: documents
+    arrive as micro-batches (odd doc_ids then even), the 64-byte length
+    bucket is computed ON the stream at arrival, and the COW ledger
+    (doc_id, bucket, arrived_batch) is the only state — document bytes
+    are read exactly once, ever. The materialized schedule after the
+    final batch is hash-checked against the same NTILE + ROW_NUMBER
+    oracle as the one-shot form, with the ledger's provenance column
+    alongside: the maintained schedule IS the full-rebuild schedule, at
+    ledger-append cost. At 100 TB a corpus refresh costs one pass over
+    the NEW documents plus arithmetic on the bucket histogram — the
+    existing corpus is never rescanned."""
+    from .streaming.curriculum import read_curriculum
+
+    ledger_dir = _streaming_curriculum_dir(spark, sf_dir)
+    return read_curriculum(spark, ledger_dir).select(
+        "doc_id", "stage", "sched_pos", "arrived_batch")
+
+
 @query(
     "gif_animation_frames_documents",
     """
