@@ -338,3 +338,39 @@ def test_curriculum_order_caps_difficulty_domain(spark):
     out = curriculum_order(
         docs, F.floor(F.col("doc_id") / 8), max_domain=100)
     assert out.count() == 300
+
+
+def test_curriculum_pacing_phases_and_budgets(spark):
+    """Stage-quota admission: phases fill in the in-stage salted order,
+    inclusive cumulative sums respect each phase boundary, and the tail
+    beyond the stage's total budget drops."""
+    from wde_spark.operators.sampling import curriculum_pacing
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (i % 23 + 1)) for i in range(120)],
+        "doc_id long, text string")
+    quotas = [[60, 40, 30], [50, 60, 40], [40, 50, 70]]
+    out = curriculum_pacing(
+        docs, F.floor(F.octet_length("text") / 8),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")),
+        quotas).collect()
+    assert out, "pacing admitted nothing"
+    by_stage = {}
+    for r in out:
+        by_stage.setdefault(r["stage"], []).append(r)
+    assert set(by_stage) == {1, 2, 3}
+    for s, rows in by_stage.items():
+        rows = sorted(rows, key=lambda r: r["cum_tok"])
+        bounds = [sum(quotas[s - 1][:p + 1]) for p in range(3)]
+        # running sums are consistent and within the total budget
+        acc = 0
+        for r in rows:
+            acc += r["n_tok"]
+            assert r["cum_tok"] == acc
+            assert r["cum_tok"] <= bounds[-1]
+            want = next(p + 1 for p in range(3)
+                        if r["cum_tok"] <= bounds[p])
+            assert r["phase"] == want
+        # phases are contiguous in the admission order
+        phases = [r["phase"] for r in rows]
+        assert phases == sorted(phases)

@@ -242,3 +242,80 @@ def curriculum_order(docs: DataFrame, difficulty_col, n_stages: int = 3,
             .cast("long"))
         .drop("_hx", "_bkt", "_soff", "_srk", "_dnull", "_diff")
     )
+
+
+def curriculum_pacing(docs: DataFrame, difficulty_col, tok_col,
+                      quotas, n_stages: int = 3,
+                      id_col: str = "doc_id", salt: str = "cur",
+                      n_buckets: int = 256,
+                      max_domain: int = 200_000) -> DataFrame:
+    """Per-stage curriculum PACING: compose `curriculum_order`'s staging
+    with `token_budget_mixture`'s token-budget admission — each stage's
+    docs, taken in the curriculum's own in-stage salted order, fill
+    training PHASES by cumulative token quota. Phase p of stage s gets
+    the docs whose inclusive in-stage running token sum lands in
+    (sum(quotas[s][:p-1]), sum(quotas[s][:p])]; docs beyond the total
+    stage quota drop (budget semantics — a pacing schedule is a budget,
+    not a partition). `quotas[s-1][p-1]` = token budget of phase p in
+    stage s; an easy-heavy first row and hard-heavy last row is the
+    classic curriculum ramp.
+
+    Scale shape: staging is `curriculum_order`'s bounded-domain
+    two-phase rank; the per-stage running TOKEN sum is the same
+    two-phase prefix-sum primitive keyed by (stage, md5-prefix bucket)
+    — the driver sees n_stages x n_buckets count rows, never the
+    corpus, and no window partition exceeds ~stage/n_buckets rows.
+    The oracle states the same admission with one plain
+    SUM() OVER (PARTITION BY stage ORDER BY md5) window.
+
+    Output: id, stage, n_tok, cum_tok (inclusive, in-stage), phase.
+    """
+    assert len(quotas) == n_stages and all(len(q) == len(quotas[0])
+                                           for q in quotas)
+    spark = docs.sparkSession
+    staged = curriculum_order(docs, difficulty_col, n_stages=n_stages,
+                              id_col=id_col, salt=salt,
+                              max_domain=max_domain) \
+        .withColumn("_tok", (tok_col if not isinstance(tok_col, str)
+                             else F.col(tok_col)).cast("long"))
+    # two-phase exclusive prefix sum of tokens per (stage, hash bucket),
+    # under the SAME in-stage order the curriculum schedule uses
+    plen = 1
+    while 16 ** plen < n_buckets:
+        plen += 1
+    hx = F.md5(F.concat(F.lit(salt), F.col("stage").cast("string"),
+                        F.lit("|"), F.col(id_col).cast("string")))
+    keyed = (staged.withColumn("_hx", hx)
+             .withColumn("_bkt", F.substring("_hx", 1, plen)))
+    totals = sorted(
+        (r["stage"], r["_bkt"], r["t"]) for r in
+        keyed.groupBy("stage", "_bkt")
+        .agg(F.sum("_tok").alias("t")).collect())
+    offs, acc, cur_stage = [], 0, None
+    for s, bkt, t in totals:
+        if s != cur_stage:
+            cur_stage, acc = s, 0
+        offs.append((s, bkt, acc))
+        acc += t
+    off_df = spark.createDataFrame(
+        offs, "stage int, _bkt string, _toff long")
+    w = (Window.partitionBy("stage", "_bkt").orderBy("_hx", id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (F.col("_toff") + F.sum("_tok").over(w)).cast("long")
+    with_cum = (keyed.join(F.broadcast(off_df), ["stage", "_bkt"])
+                .withColumn("cum_tok", cum))
+    # phase = first cumulative boundary the running sum fits under
+    n_phases = len(quotas[0])
+    bounds = [[sum(q[:p + 1]) for p in range(n_phases)] for q in quotas]
+    phase = F.lit(None).cast("int")
+    for p in range(n_phases - 1, -1, -1):
+        b = F.lit(bounds[0][p])
+        for s in range(1, n_stages):
+            b = F.when(F.col("stage") == s + 1,
+                       F.lit(bounds[s][p])).otherwise(b)
+        phase = F.when(F.col("cum_tok") <= b,
+                       F.lit(p + 1)).otherwise(phase)
+    return (with_cum.withColumn("phase", phase)
+            .filter(F.col("phase").isNotNull())
+            .select(id_col, "stage",
+                    F.col("_tok").alias("n_tok"), "cum_tok", "phase"))

@@ -6846,6 +6846,79 @@ def curriculum_order_documents(spark: SparkSession,
     return out.select("doc_id", "stage", "sched_pos")
 
 
+# curriculum pacing quota matrix: quotas[stage][phase] in TOKENS —
+# easy-heavy first phase ramping to hard-heavy last phase, sized so all
+# three phases populate AND a tail drops at sf0.01 (per-stage token
+# totals there: ~4.3k / 9.1k / 13.8k)
+_PACING_QUOTAS = {1: (2000, 1200, 800),
+                  2: (2500, 3500, 2000),
+                  3: (2000, 4000, 6000)}
+
+
+def _pacing_bound_sql(p: int) -> str:
+    return ("CASE stage "
+            + " ".join(f"WHEN {s} THEN {sum(q[:p])}"
+                       for s, q in _PACING_QUOTAS.items())
+            + " END")
+
+
+@query(
+    "curriculum_pacing_documents",
+    f"""
+    WITH r AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tok,
+             NTILE(3) OVER (
+               ORDER BY COALESCE(octet_length(encode(text)) // 64, -1),
+                        doc_id
+             ) AS stage
+      FROM documents),
+    c AS (
+      SELECT doc_id, stage, n_tok,
+             SUM(n_tok) OVER (
+               PARTITION BY stage
+               ORDER BY md5('cur' || stage || '|'
+                            || CAST(doc_id AS VARCHAR)), doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum_tok
+      FROM r)
+    SELECT doc_id, CAST(stage AS INT) AS stage,
+           CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(cum_tok AS BIGINT) AS cum_tok,
+           CAST(CASE
+             WHEN cum_tok <= {_pacing_bound_sql(1)} THEN 1
+             WHEN cum_tok <= {_pacing_bound_sql(2)} THEN 2
+             WHEN cum_tok <= {_pacing_bound_sql(3)} THEN 3
+           END AS INT) AS phase
+    FROM c
+    WHERE cum_tok <= {_pacing_bound_sql(3)}
+    """,
+)
+def curriculum_pacing_documents(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Per-stage curriculum PACING (`sampling.curriculum_pacing`) — the
+    composition of curriculum staging with token-budget admission:
+    each difficulty stage's docs, in the curriculum's own in-stage
+    salted order, fill training phases by cumulative TOKEN quota
+    (easy-heavy phase 1 ramping to hard-heavy phase 3); docs beyond the
+    stage's total budget drop. The Spark side stages with the
+    bounded-domain two-phase rank and runs the per-stage running token
+    sum as the same two-phase prefix-sum primitive keyed by (stage,
+    md5-prefix bucket) — the driver sees n_stages x 256 count rows,
+    never the corpus — while the oracle states the admission with one
+    plain SUM() OVER (PARTITION BY stage ORDER BY md5) window, so the
+    scale-shaped plan is hash-checked against the textbook form."""
+    from .functions.strings import tokens as _tokens
+    from .operators.sampling import curriculum_pacing
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    quotas = [list(_PACING_QUOTAS[s]) for s in (1, 2, 3)]
+    return curriculum_pacing(
+        docs,
+        F.coalesce(F.floor(F.octet_length("text") / 64), F.lit(-1)),
+        F.size(_tokens(F.col("text"))),
+        quotas, n_stages=3, salt="cur")
+
+
 def _streaming_curriculum_dir(spark: SparkSession, sf_dir: str) -> str:
     """Build (once per parquet snapshot) the maintained curriculum
     ledger: odd doc_ids arrive as micro-batch 0, even ones as
