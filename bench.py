@@ -139,6 +139,11 @@ HEADLINE = [
     "jpeg_gray_documents",
     "jpeg_color_documents",
     "jpeg420_restart_documents",
+    # r10 additions: the maintained curriculum (stream ledger + staging
+    # arithmetic) and per-stage token-quota pacing (two-phase prefix
+    # sums keyed by (stage, bucket))
+    "streaming_curriculum_documents",
+    "curriculum_pacing_documents",
 ]
 
 
