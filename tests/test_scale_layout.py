@@ -374,3 +374,34 @@ def test_curriculum_pacing_phases_and_budgets(spark):
         # phases are contiguous in the admission order
         phases = [r["phase"] for r in rows]
         assert phases == sorted(phases)
+
+
+def test_curriculum_order_approx_matches_exact_away_from_boundaries(spark):
+    """The sketch-staged form agrees with exact NTILE staging for all
+    but a boundary-sized sliver, stages are near-terciles, and the
+    schedule contract (disjoint positions, round-robin congruence)
+    holds exactly."""
+    from wde_spark.operators.sampling import (curriculum_order,
+                                              curriculum_order_approx)
+
+    docs = spark.createDataFrame(
+        [(i, "x" * (i * 17 % 997)) for i in range(900)],
+        "doc_id long, text string")
+    diff = F.coalesce(F.floor(F.octet_length("text") / 8), F.lit(-1))
+    exact = {r["doc_id"]: r["stage"]
+             for r in curriculum_order(docs, diff).collect()}
+    approx = curriculum_order_approx(docs, diff).collect()
+    # stages near-terciles (within 10% of n/3)
+    from collections import Counter
+    sizes = Counter(r["stage"] for r in approx)
+    assert set(sizes) == {1, 2, 3}
+    assert all(abs(c - 300) <= 30 for c in sizes.values()), sizes
+    # ≥95% agreement with exact staging (disagreements hug boundaries)
+    agree = sum(1 for r in approx if exact[r["doc_id"]] == r["stage"])
+    assert agree >= 0.95 * 900, agree
+    # schedule contract exact regardless of staging
+    pos = set()
+    for r in approx:
+        assert r["sched_pos"] not in pos
+        pos.add(r["sched_pos"])
+        assert r["sched_pos"] % 3 == r["stage"] - 1

@@ -319,3 +319,63 @@ def curriculum_pacing(docs: DataFrame, difficulty_col, tok_col,
             .filter(F.col("phase").isNotNull())
             .select(id_col, "stage",
                     F.col("_tok").alias("n_tok"), "cum_tok", "phase"))
+
+
+def curriculum_order_approx(docs: DataFrame, difficulty_col,
+                            n_stages: int = 3, id_col: str = "doc_id",
+                            salt: str = "cur",
+                            accuracy: int = 10000) -> DataFrame:
+    """Scale path for `curriculum_order`'s STAGING: stage boundaries
+    from one `percentile_approx` agg (Greenwald-Khanna sketch, O(1)
+    driver rows) instead of the exact per-value offset table — the form
+    for difficulty domains too wide even for bucketing. Stages may
+    differ from exact NTILE near the quantile boundaries (bounded by
+    the sketch accuracy); the exact form is the correctness oracle
+    (`quantile_gate` / `quantile_gate_approx` pairing discipline).
+
+    The in-stage shuffle + round-robin interleave are the same salted
+    md5 schedule as the exact form, so downstream pacing composes
+    unchanged. NULL difficulty = hardest (stage n_stages), matching the
+    exact form's NULLs-last rule."""
+    assert 2 <= n_stages <= 16
+    dn = difficulty_col.cast("double")
+    probs = [i / n_stages for i in range(1, n_stages)]
+    cuts = docs.select(
+        F.percentile_approx(dn, F.array(*[F.lit(p) for p in probs]),
+                            F.lit(accuracy)).alias("c")).first()["c"]
+    stage = F.lit(n_stages)
+    for i in range(n_stages - 2, -1, -1):
+        stage = F.when(dn <= F.lit(float(cuts[i])),
+                       F.lit(i + 1)).otherwise(stage)
+    stage = F.when(dn.isNull(), F.lit(n_stages)).otherwise(stage)
+    staged = docs.withColumn("stage", stage.cast("int"))
+    # same two-phase in-stage shuffle rank as the exact form
+    spark = docs.sparkSession
+    hx = F.md5(F.concat(F.lit(salt), F.col("stage").cast("string"),
+                        F.lit("|"), F.col(id_col).cast("string")))
+    keyed = (staged.withColumn("_hx", hx)
+             .withColumn("_bkt", F.substring("_hx", 1, 2)))
+    totals = sorted(
+        (r["stage"], r["_bkt"], r["cnt"]) for r in
+        keyed.groupBy("stage", "_bkt")
+        .agg(F.count("*").alias("cnt")).collect())
+    offs, acc, cur_stage = [], 0, None
+    for s, bkt, c in totals:
+        if s != cur_stage:
+            cur_stage, acc = s, 0
+        offs.append((s, bkt, acc))
+        acc += c
+    off_df = spark.createDataFrame(
+        offs, "stage int, _bkt string, _soff long")
+    w = (Window.partitionBy("stage", "_bkt").orderBy("_hx", id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        keyed.join(F.broadcast(off_df), ["stage", "_bkt"])
+        .withColumn("_srk", (F.col("_soff") + F.count("*").over(w))
+                    .cast("long"))
+        .withColumn(
+            "sched_pos",
+            ((F.col("_srk") - 1) * n_stages + F.col("stage") - 1)
+            .cast("long"))
+        .drop("_hx", "_bkt", "_soff", "_srk")
+    )
