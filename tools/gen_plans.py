@@ -60,6 +60,8 @@ PICKS = {
     "audio_adpcm_decoded_documents": "ADPCM decode: one Arrow kernel chain (block synth -> nibble state machine -> fingerprint) over one scan — zero exchanges; the sequential state is per-row, so parallelism is row-granular.",
     "jpeg420_restart_documents": "4:2:0 JPEG with restart intervals: one row-local Arrow kernel chain (encode -> full baseline decode -> RGBA fingerprint) over one scan — zero exchanges; restart segments are the unit that makes a single huge JPEG parallel-decodable at 100 TB.",
     "streaming_shard_migration_documents": "Maintained HRW routing: the latest COW version is ONE parquet scan of the doc-sized routing table; each maintenance step was a row-local argmax rewrite + append — the corpus never shuffles, and the per-step moved set is the minimal migration workload.",
+    "streaming_curriculum_documents": "Maintained curriculum: the query side is ONE scan of the text-free COW ledger (doc_id, bucket, arrived_batch) — document bytes were read once, at arrival; staging on top is the same bounded-domain two-phase rank as the one-shot form.",
+    "curriculum_pacing_documents": "Curriculum pacing: staging's bounded-domain rank + ONE (stage, 256-bucket)-partitioned token prefix-sum window with broadcast offsets; phase assignment is a row-local CASE — no corpus-sized window, no join wider than 768 broadcast rows.",
 }
 
 HEADER = """# PLANS — physical-plan audit of representative queries

@@ -701,6 +701,50 @@ def attach_bmps(docs: DataFrame, id_col: str = "doc_id",
         kernel, schema="media_id long, payload binary")
 
 
+def attach_tiffs(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Deterministic TIFF media table — the PackBits container with two
+    tiers by doc_id % 2 over a (w = L%17+4) x (h = L%11+4) image with
+    base pixel v = byte (5p mod L) (0 when empty):
+
+      0: 8-bit grayscale, QUANTIZED v_q = (v // 64) * 64 so repeat-runs
+         fire on production data -> RGB (v_q, v_q, v_q);
+      1: 8-bit RGB with channels (v, (v+77)%256, (v+154)%256) — mostly
+         literal-runs through the row coder.
+
+    PackBits is lossless, so every decoded RGB value is a pure function
+    of the text the SQL oracle predicts — IFD parsing, per-row coder
+    restarts, repeat and literal packets all hash-checked."""
+    import numpy as np
+
+    from .tiff_codec import encode_tiff
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                data = (text or "").encode("utf-8")
+                n = len(data)
+                w, h = n % 17 + 4, n % 11 + 4
+                if n:
+                    b = np.frombuffer(data, dtype=np.uint8)
+                    v = b[(5 * np.arange(w * h)) % n].reshape(h, w)
+                else:
+                    v = np.zeros((h, w), dtype=np.uint8)
+                if int(mid) % 2 == 0:
+                    payload = encode_tiff((v // 64) * 64)
+                else:
+                    vv = v.astype(np.uint16)
+                    rgb = np.dstack([vv % 256, (vv + 77) % 256,
+                                     (vv + 154) % 256]).astype(np.uint8)
+                    payload = encode_tiff(rgb)
+                rows.append((mid, payload))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return docs.select(id_col, text_col).mapInPandas(
+        kernel, schema="media_id long, payload binary")
+
+
 def attach_jpegs(docs: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
     """Deterministic baseline-JPEG media table on the codec's
@@ -1001,6 +1045,7 @@ def image_rgba_stats(media: DataFrame) -> DataFrame:
                              jpeg_n_components)
     from .png_codec import decode_png
     from .qoi_codec import decode_qoi, is_qoi
+    from .tiff_codec import decode_tiff, is_tiff
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1015,6 +1060,10 @@ def image_rgba_stats(media: DataFrame) -> DataFrame:
                     b = decode_bmp(raw)
                     decoded = None if b is None else (
                         b[0], b[1], 3, b[2])
+                elif is_tiff(raw):
+                    t = decode_tiff(raw)
+                    decoded = None if t is None else (
+                        t[0], t[1], 3, t[2])
                 elif is_qoi(raw):
                     q = decode_qoi(raw)
                     decoded = None if q is None else (

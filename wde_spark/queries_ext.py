@@ -6652,6 +6652,55 @@ def bmp_rgb_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.image_rgba_stats(MM.attach_bmps(docs))
 
 
+@query(
+    "tiff_packbits_documents",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, CAST(doc_id % 2 AS INT) AS tier,
+             hex(encode(text)) AS hx, octet_length(encode(text)) AS L,
+             CAST(octet_length(encode(text)) % 17 + 4 AS INT) AS w,
+             CAST(octet_length(encode(text)) % 11 + 4 AS INT) AS h
+      FROM documents),
+    px AS (
+      SELECT media_id, tier, w, h, CAST(p AS BIGINT) AS p,
+             CASE WHEN L = 0 THEN 0 ELSE
+               (strpos('0123456789ABCDEF', substr(hx,
+                   CAST(2 * ((5 * p) % L) + 1 AS INT), 1)) - 1) * 16
+               + (strpos('0123456789ABCDEF', substr(hx,
+                   CAST(2 * ((5 * p) % L) + 2 AS INT), 1)) - 1)
+             END AS v
+      FROM m, unnest(range(0, CAST(w AS BIGINT) * h)) AS u(p)),
+    ch AS (
+      SELECT media_id, w, h, p, CAST(c AS BIGINT) AS c,
+             CASE WHEN tier = 0 THEN (v // 64) * 64
+                  WHEN c = 0 THEN v
+                  WHEN c = 1 THEN (v + 77) % 256
+                  ELSE (v + 154) % 256 END AS cv
+      FROM px, unnest(range(0, 3)) AS t(c))
+    SELECT media_id, w AS width, h AS height, CAST(3 AS INT) AS channels,
+           CAST(SUM(cv) AS BIGINT) AS px_sum,
+           CAST(0 AS BIGINT) AS n_transparent,
+           md5(string_agg(CAST(cv AS VARCHAR), '-' ORDER BY p * 3 + c))
+             AS px_fp
+    FROM ch GROUP BY media_id, w, h
+    """,
+)
+def tiff_packbits_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIFF PackBits decode as correctness surface — the SIXTH image
+    container through the magic-dispatching stats pass and the third
+    RLE family (after BI_RLE8 and GIF LZW): two tiers per corpus
+    (quantized grayscale so repeat-runs fire on production data, and
+    RGB exercising the literal path — `multimodal.attach_tiffs`,
+    `tiff_codec`). PackBits is lossless and the coder restarts per row,
+    so the oracle predicts every channel of every pixel from the text
+    alone — IFD tag walk, strip geometry, and both packet kinds are all
+    under the driver hash."""
+    from .operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return MM.image_rgba_stats(MM.attach_tiffs(docs))
+
+
 def _streaming_shards_dir(spark: SparkSession, sf_dir: str) -> str:
     """Build (once per parquet snapshot) the maintained HRW routing
     table: odd doc_ids arrive as micro-batch 0 (map grows to 7), even
