@@ -6652,6 +6652,134 @@ def bmp_rgb_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.image_rgba_stats(MM.attach_bmps(docs))
 
 
+def _streaming_budget_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per parquet snapshot) the maintained token-budget
+    admission ledger: odd doc_ids arrive as micro-batch 0, even ones as
+    micro-batch 1; n_tok is computed ON the stream (text read once).
+    Same staging + atomic-rename cache as the other streaming
+    builders."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from .functions.strings import tokens as _tokens
+
+    src_parquet = os.path.join(sf_dir, "documents.parquet")
+    try:
+        mtime = str(int(os.path.getmtime(src_parquet)))
+    except OSError:
+        mtime = "0"
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{mtime}".encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"wde_budget_{tag}")
+    ledger_dir = os.path.join(base, "ledger")
+    done = os.path.join(base, "_COMPLETE")
+    if os.path.exists(done):
+        return ledger_dir
+    from .streaming.budget_admission import streaming_budget_maintain
+
+    if os.path.exists(base):
+        shutil.rmtree(base, ignore_errors=True)
+    stage = f"{base}.build.{os.getpid()}"
+    shutil.rmtree(stage, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "source", "text")
+    feed = os.path.join(stage, "feed")
+    for i, pred in ((1, F.col("doc_id") % 2 == 1),
+                    (2, F.col("doc_id") % 2 == 0)):
+        docs.filter(pred).coalesce(1).write.mode("overwrite") \
+            .parquet(os.path.join(feed, f"b{i}.parquet"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(feed, "*.parquet"))
+        .select("doc_id", "source",
+                F.size(_tokens(F.col("text"))).cast("long")
+                .alias("n_tok"))
+    )
+    streaming_budget_maintain(
+        stream, os.path.join(stage, "ledger"),
+        os.path.join(stage, "ckpt"), _TOKEN_BUDGET,
+        _TOKEN_BUDGET_DEFAULT)
+    with open(os.path.join(stage, "_COMPLETE"), "w") as fh:
+        fh.write("ok")
+    try:
+        os.rename(stage, base)
+    except OSError:
+        if not os.path.exists(done):
+            raise
+        shutil.rmtree(stage, ignore_errors=True)
+    return ledger_dir
+
+
+_BUDGET_CASE_SQL = ("CASE source "
+                    + " ".join(f"WHEN '{s}' THEN {b}"
+                               for s, b in _TOKEN_BUDGET.items())
+                    + f" ELSE {_TOKEN_BUDGET_DEFAULT} END")
+
+
+@query(
+    "streaming_token_budget_documents",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tok,
+             md5('wde@' || CAST(doc_id AS VARCHAR)) AS hx,
+             CAST(CASE WHEN doc_id % 2 = 1 THEN 0 ELSE 1 END AS INT)
+               AS batch
+      FROM documents),
+    c0 AS (
+      SELECT doc_id, source, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY hx, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t WHERE batch = 0),
+    a0 AS (SELECT * FROM c0 WHERE cum <= {_BUDGET_CASE_SQL}),
+    s0 AS (SELECT source, MAX(cum) AS spent FROM a0 GROUP BY source),
+    c1 AS (
+      SELECT doc_id, source, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY hx, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS rs
+      FROM t WHERE batch = 1),
+    a1 AS (
+      SELECT c1.doc_id, c1.source, c1.n_tok,
+             c1.rs + COALESCE(s0.spent, 0) AS cum
+      FROM c1 LEFT JOIN s0 ON c1.source = s0.source
+      WHERE c1.rs + COALESCE(s0.spent, 0) <= {_BUDGET_CASE_SQL.replace(
+          "CASE source", "CASE c1.source")})
+    SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(cum AS BIGINT) AS cum_tokens,
+           CAST(0 AS INT) AS arrived_batch
+    FROM a0
+    UNION ALL
+    SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(cum AS BIGINT) AS cum_tokens,
+           CAST(1 AS INT) AS arrived_batch
+    FROM a1
+    """,
+)
+def streaming_token_budget_documents(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """STREAMING token-budget admission
+    (`streaming/budget_admission.py`) — the maintained form of
+    `token_budget_mixture_documents`: documents arrive as micro-batches
+    (odd doc_ids then even), each batch's docs are hash-ordered within
+    their source and admitted while the source's carried spent plus the
+    running sum fits the budget; rejected docs never consume budget.
+    The COW ledger (id, source, n_tok, cum_tokens, arrived_batch) is
+    hash-checked against the oracle's unrolled recursion (batch-0
+    prefix -> per-source spent -> batch-1 prefix offset by it). At
+    100 TB the per-batch work is one batch-sized window plus a
+    broadcast join against the sources x 1 spent table — the corpus is
+    never rescanned, and the admitted set answers the operational
+    question a FEED poses (does this doc still fit?) rather than the
+    static corpus's global hash prefix."""
+    from .streaming.budget_admission import read_admitted
+
+    ledger_dir = _streaming_budget_dir(spark, sf_dir)
+    return read_admitted(spark, ledger_dir).select(
+        "doc_id", "source", "n_tok", "cum_tokens", "arrived_batch")
+
+
 @query(
     "tiff_packbits_documents",
     """
