@@ -393,9 +393,14 @@ def test_no_unbounded_driver_collect_in_package_source():
         ("queries_ext.py", "truth = {r.source for r in exact.collect()}"),
         # 256 bucket totals (two-phase prefix sum)
         ("operators/layout.py", 'sorted((r["_bkt"], r["_t"])'),
-        # per-difficulty-value counts (curriculum staging): bounded by
-        # the difficulty domain, coarsened by the caller when unbounded
-        ("operators/sampling.py", 'd.groupBy("_dnull", "_diff")'),
+        # per-difficulty-value counts (curriculum staging): limit-capped
+        # at max_domain + 1 with an explicit raise above the cap
+        ("operators/sampling.py", ".limit(max_domain + 1).collect()"),
+        # segment-parallel JPEG reassembly: one row per restart segment,
+        # payload n_mcus*blocks*64 bytes — bounded by the single image's
+        # pixel count (<= _MAX_PIXELS), never a corpus
+        ("operators/multimodal.py",
+         'kernel, "seg_id int, blocks binary").collect()'),
         # per-(stage, md5-prefix) totals: n_stages x 256 rows
         ("operators/sampling.py", 'keyed.groupBy("stage", "_bkt")'),
         # moment-state merge: one dim²-wide row per PARTITION (bounded
