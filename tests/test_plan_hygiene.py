@@ -348,7 +348,10 @@ def test_no_cartesian_or_undeclared_python_anywhere(spark):
                  "palette_thumbnails_documents",
                  # FFD packing: the declared per-bucket grouped Arrow
                  # fold behind ONE exchange on the bucket key
-                 "ffd_packed_documents"}
+                 "ffd_packed_documents",
+                 # TIFF PackBits container (r10): per-row RLE coder
+                 # through the same row-local RGBA stats kernel
+                 "tiff_packbits_documents"}
     bad = {}
     for name, fn in QUERIES.items():
         try:
