@@ -140,10 +140,14 @@ HEADLINE = [
     "jpeg_color_documents",
     "jpeg420_restart_documents",
     # r10 additions: the maintained curriculum (stream ledger + staging
-    # arithmetic) and per-stage token-quota pacing (two-phase prefix
-    # sums keyed by (stage, bucket))
+    # arithmetic), per-stage token-quota pacing (two-phase prefix sums
+    # keyed by (stage, bucket)), the TIFF PackBits container (third RLE
+    # family through the stats kernel), and maintained token-budget
+    # admission (per-batch prefix under carried spent)
     "streaming_curriculum_documents",
     "curriculum_pacing_documents",
+    "tiff_packbits_documents",
+    "streaming_token_budget_documents",
 ]
 
 

@@ -62,6 +62,8 @@ PICKS = {
     "streaming_shard_migration_documents": "Maintained HRW routing: the latest COW version is ONE parquet scan of the doc-sized routing table; each maintenance step was a row-local argmax rewrite + append — the corpus never shuffles, and the per-step moved set is the minimal migration workload.",
     "streaming_curriculum_documents": "Maintained curriculum: the query side is ONE scan of the text-free COW ledger (doc_id, bucket, arrived_batch) — document bytes were read once, at arrival; staging on top is the same bounded-domain two-phase rank as the one-shot form.",
     "curriculum_pacing_documents": "Curriculum pacing: staging's bounded-domain rank + ONE (stage, 256-bucket)-partitioned token prefix-sum window with broadcast offsets; phase assignment is a row-local CASE — no corpus-sized window, no join wider than 768 broadcast rows.",
+    "streaming_token_budget_documents": "Maintained budget admission: the query side is ONE scan of the admitted-ledger COW version; each maintenance step was one batch-sized window plus a broadcast join against the sources x 1 spent table — the corpus is never rescanned.",
+    "tiff_packbits_documents": "TIFF PackBits decode: container synth and the per-row RLE walk are row-local Arrow kernels over one scan — ZERO exchanges; codec work scales with bytes, never with joins.",
 }
 
 HEADER = """# PLANS — physical-plan audit of representative queries
