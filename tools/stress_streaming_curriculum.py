@@ -38,13 +38,11 @@ from wde_spark.operators.sampling import curriculum_order
 from wde_spark.streaming.curriculum import (apply_curriculum_batch,
                                             read_curriculum)
 
-BUCKET = F.coalesce(F.floor(F.octet_length("text") / 64), F.lit(-1))
-
-
 def main() -> None:
     batch_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     spark = get_session("stress-stream-curric")
+    BUCKET = F.coalesce(F.floor(F.octet_length("text") / 64), F.lit(-1))
     work = tempfile.mkdtemp(prefix="wde_scur_")
     feed = os.path.join(work, "feed")
     target = os.path.join(work, "ledger")
@@ -57,17 +55,25 @@ def main() -> None:
          .parquet(os.path.join(feed, f"b{b}.parquet")))
     runs = []
     for b in range(n_batches):
-        t0 = time.time()
-        batch = (spark.read.parquet(os.path.join(feed, f"b{b}.parquet"))
-                 .select("doc_id", BUCKET.alias("bucket")))
-        apply_curriculum_batch(batch, b, target)
-        n_sched = read_curriculum(spark, target).count()
-        sec_maint = time.time() - t0
-        t0 = time.time()
-        full = (spark.read.parquet(
-            *[os.path.join(feed, f"b{i}.parquet") for i in range(b + 1)]))
-        n_rebuild = curriculum_order(full, BUCKET).count()
-        sec_rebuild = time.time() - t0
+        # min over 2 reps per side: one-off GC/AQE jitter at these sizes
+        # is larger than the signal (the ledger rewrite is idempotent,
+        # so re-applying the same batch is safe by contract)
+        sec_maint, sec_rebuild, n_sched, n_rebuild = 1e9, 1e9, -1, -2
+        for _ in range(2):
+            t0 = time.time()
+            batch = (spark.read
+                     .parquet(os.path.join(feed, f"b{b}.parquet"))
+                     .select("doc_id", BUCKET.alias("bucket")))
+            apply_curriculum_batch(batch, b, target)
+            n_sched = read_curriculum(spark, target).count()
+            sec_maint = min(sec_maint, time.time() - t0)
+        for _ in range(2):
+            t0 = time.time()
+            full = (spark.read.parquet(
+                *[os.path.join(feed, f"b{i}.parquet")
+                  for i in range(b + 1)]))
+            n_rebuild = curriculum_order(full, BUCKET).count()
+            sec_rebuild = min(sec_rebuild, time.time() - t0)
         assert n_sched == n_rebuild == (b + 1) * batch_rows
         runs.append({
             "batch": b,
