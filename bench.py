@@ -148,6 +148,9 @@ HEADLINE = [
     "curriculum_pacing_documents",
     "tiff_packbits_documents",
     "streaming_token_budget_documents",
+    # segment-parallel JPEG: split -> per-segment decode -> one
+    # reassembly shuffle; the distributed form of the restart claim
+    "jpeg420_segment_parallel_documents",
 ]
 
 

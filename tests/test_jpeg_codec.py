@@ -383,3 +383,23 @@ def test_restart_distributed_decode_equals_sequential(spark):
     # no restart interval → honest None
     assert decode_jpeg_restart_distributed(
         spark, encode_jpeg_420(img, 75, restart=0)) is None
+
+
+def test_segment_parallel_stats_equal_whole_file(spark):
+    """The distributed pipeline (split -> per-segment decode -> one
+    reassembly shuffle) produces the IDENTICAL stats row as the
+    whole-file stats kernel on the same DRI fixtures — the registry
+    query's equivalence contract."""
+    from wde_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["hello world", "", "a much longer text payload 123", "x"])],
+        "doc_id long, text string")
+    media = MM.attach_jpegs_420_dri(docs)
+    whole = {r["media_id"]: tuple(r)
+             for r in MM.image_rgba_stats(media).collect()}
+    par = {r["media_id"]: tuple(r)
+           for r in MM.segment_parallel_rgba_stats(media).collect()}
+    assert set(par) == set(whole) == {0, 1, 2, 3}
+    assert par == whole

@@ -351,7 +351,11 @@ def test_no_cartesian_or_undeclared_python_anywhere(spark):
                  "ffd_packed_documents",
                  # TIFF PackBits container (r10): per-row RLE coder
                  # through the same row-local RGBA stats kernel
-                 "tiff_packbits_documents"}
+                 "tiff_packbits_documents",
+                 # segment-parallel JPEG (r10): two row-local kernels
+                 # (split, per-segment decode) + the declared grouped
+                 # reassembly behind ONE media_id shuffle
+                 "jpeg420_segment_parallel_documents"}
     bad = {}
     for name, fn in QUERIES.items():
         try:

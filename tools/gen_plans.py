@@ -64,6 +64,7 @@ PICKS = {
     "curriculum_pacing_documents": "Curriculum pacing: staging's bounded-domain rank + ONE (stage, 256-bucket)-partitioned token prefix-sum window with broadcast offsets; phase assignment is a row-local CASE — no corpus-sized window, no join wider than 768 broadcast rows.",
     "streaming_token_budget_documents": "Maintained budget admission: the query side is ONE scan of the admitted-ledger COW version; each maintenance step was one batch-sized window plus a broadcast join against the sources x 1 spent table — the corpus is never rescanned.",
     "tiff_packbits_documents": "TIFF PackBits decode: container synth and the per-row RLE walk are row-local Arrow kernels over one scan — ZERO exchanges; codec work scales with bytes, never with joins.",
+    "jpeg420_segment_parallel_documents": "Segment-parallel JPEG: split and per-segment decode are row-local kernels (the parallel grain is the SEGMENT, so one huge file fans out); reassembly is the pipeline's ONE shuffle, keyed by media_id.",
 }
 
 HEADER = """# PLANS — physical-plan audit of representative queries

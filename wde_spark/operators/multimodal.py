@@ -1384,3 +1384,146 @@ def decode_jpeg_restart_distributed(spark, payload: bytes,
         ).reshape(n_mcus[r["seg_id"]], bpm, 8, 8)
     planes = reassemble_segments(w, h, samplings, restart, seg_blocks)
     return w, h, len(specs), planes
+
+
+def attach_jpegs_420_dri(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """`attach_jpegs_420` with a restart interval on EVERY file
+    (restart = doc_id % 2 + 1) — the fixture for the segment-parallel
+    decode surface, where splittability is the point. Same macro-tile
+    pixel formula, so the same SQL oracle predicts every value (the
+    interval changes the transport framing, never the pixels)."""
+    import numpy as np
+
+    from .jpeg_codec import encode_jpeg_420
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                data = (text or "").encode("utf-8")
+                n = len(data)
+                wb, hb = n % 4 + 1, n % 3 + 1
+                t = np.arange(wb * hb)
+                if n:
+                    b = np.frombuffer(data, dtype=np.uint8)
+                    tiles = np.stack(
+                        [b[t % n], b[(t + 3) % n], b[(t + 6) % n]],
+                        axis=1).reshape(hb, wb, 3)
+                else:
+                    tiles = np.zeros((hb, wb, 3), dtype=np.uint8)
+                img = np.kron(tiles, np.ones((16, 16, 1), np.uint8))
+                rows.append((mid, encode_jpeg_420(
+                    img, quality=50, restart=int(mid) % 2 + 1)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return docs.select(id_col, text_col).mapInPandas(
+        kernel, schema="media_id long, payload binary")
+
+
+def segment_parallel_rgba_stats(media: DataFrame) -> DataFrame:
+    """RGBA stats through the SEGMENT-PARALLEL JPEG decode pipeline —
+    the distributed form of the restart-decode claim as a DataFrame op:
+
+      1. SPLIT (row-local kernel): each DRI-bearing payload's scan
+         splits at its RSTn byte boundaries (linear byte walk, zero
+         entropy work) into (media_id, seg_id, n_mcus, header, seg)
+         rows — the parallel grain becomes the SEGMENT, so one huge
+         JPEG fans out across tasks instead of pinning one core;
+      2. DECODE (row-local kernel): each segment entropy-decodes
+         independently (T.81 resets DC predictors at every RSTn) into
+         its spatial blocks;
+      3. REASSEMBLE (the pipeline's ONE shuffle, keyed by media_id):
+         blocks scatter into planes, chroma upsamples, and the stats
+         row is computed exactly like `image_rgba_stats` — pinned
+         equal to the whole-file path in tests and under the same SQL
+         oracle as the sequential query.
+
+    Payloads without a restart interval (or outside support) drop —
+    the caller guarantees DRI fixtures (`attach_jpegs_420_dri`)."""
+    import hashlib
+
+    import numpy as np
+
+    from .jpeg_codec import (_parse_scan_params, decode_restart_segment,
+                             reassemble_segments, ycbcr_to_rgb)
+
+    def split_kernel(batches: Iterator[pd.DataFrame]) \
+            -> Iterator[pd.DataFrame]:
+        from .jpeg_codec import split_restart_segments
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                sp = split_restart_segments(raw)
+                if sp is None:
+                    continue
+                w, h, q, specs, samplings, restart, segs = sp
+                p = _parse_scan_params(raw)
+                header = raw[:p[6]]
+                mcu = 16 if samplings == (0x22, 0x11, 0x11) else 8
+                total = ((w + mcu - 1) // mcu) * ((h + mcu - 1) // mcu)
+                for i, seg in enumerate(segs):
+                    rows.append((mid, i,
+                                 min(restart, total - i * restart),
+                                 header, seg))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "seg_id", "n_mcus",
+                               "header", "seg"])
+
+    def decode_kernel(batches: Iterator[pd.DataFrame]) \
+            -> Iterator[pd.DataFrame]:
+        hdr_cache = {}
+        for pdf in batches:
+            rows = []
+            for mid, sid, nm, header, seg in zip(
+                    pdf["media_id"], pdf["seg_id"], pdf["n_mcus"],
+                    pdf["header"], pdf["seg"]):
+                hb = bytes(header)
+                params = hdr_cache.get(hb)
+                if params is None:
+                    params = _parse_scan_params(hb + b"\xFF\xD9")
+                    hdr_cache[hb] = params
+                w, h, q, specs, samplings, _r, _sp = params
+                blocks = decode_restart_segment(
+                    bytes(seg), int(nm), q, specs, samplings)
+                rows.append((mid, int(sid), blocks.tobytes(),
+                             hb))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "seg_id", "blocks", "header"])
+
+    def reassemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("seg_id")
+        hb = bytes(pdf["header"].iloc[0])
+        w, h, q, specs, samplings, restart, _sp = \
+            _parse_scan_params(hb + b"\xFF\xD9")
+        is420 = samplings == (0x22, 0x11, 0x11)
+        bpm = 6 if is420 else len(specs)
+        seg_blocks = [
+            np.frombuffer(bytes(b), np.uint8).reshape(-1, bpm, 8, 8)
+            for b in pdf["blocks"]]
+        planes = reassemble_segments(w, h, samplings, restart,
+                                     seg_blocks)
+        if len(specs) == 3:
+            px = ycbcr_to_rgb(np.stack(planes, axis=-1))
+            ch = 3
+        else:
+            px = planes[0][:, :, None]
+            ch = 1
+        flat = px.reshape(-1)
+        fp = hashlib.md5(
+            "-".join(str(int(v)) for v in flat).encode()).hexdigest()
+        return pd.DataFrame(
+            [(int(key[0]), w, h, ch, int(flat.sum(dtype="int64")), 0,
+              fp)],
+            columns=[f.name for f in RGBA_STATS_SCHEMA.fields])
+
+    segs = media.select("media_id", "payload").mapInPandas(
+        split_kernel,
+        "media_id long, seg_id int, n_mcus int, header binary, "
+        "seg binary")
+    decoded = segs.mapInPandas(
+        decode_kernel,
+        "media_id long, seg_id int, blocks binary, header binary")
+    return decoded.groupBy("media_id").applyInPandas(
+        reassemble, schema=RGBA_STATS_SCHEMA)

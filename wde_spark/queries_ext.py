@@ -6553,6 +6553,100 @@ def jpeg420_restart_documents(spark: SparkSession,
 
 
 @query(
+    "jpeg420_segment_parallel_documents",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS L,
+             CAST((octet_length(encode(text)) % 4 + 1) * 16 AS INT) AS w,
+             CAST((octet_length(encode(text)) % 3 + 1) * 16 AS INT) AS h
+      FROM documents),
+    tiles AS (
+      SELECT media_id, w, h, CAST(t AS BIGINT) AS t,
+             CASE WHEN L = 0 THEN 0 ELSE
+               (strpos('0123456789ABCDEF', substr(hx,
+                   CAST(2 * (t % L) + 1 AS INT), 1)) - 1) * 16
+               + (strpos('0123456789ABCDEF', substr(hx,
+                   CAST(2 * (t % L) + 2 AS INT), 1)) - 1) END AS r,
+             CASE WHEN L = 0 THEN 0 ELSE
+               (strpos('0123456789ABCDEF', substr(hx,
+                   CAST(2 * ((t + 3) % L) + 1 AS INT), 1)) - 1) * 16
+               + (strpos('0123456789ABCDEF', substr(hx,
+                   CAST(2 * ((t + 3) % L) + 2 AS INT), 1)) - 1) END AS g,
+             CASE WHEN L = 0 THEN 0 ELSE
+               (strpos('0123456789ABCDEF', substr(hx,
+                   CAST(2 * ((t + 6) % L) + 1 AS INT), 1)) - 1) * 16
+               + (strpos('0123456789ABCDEF', substr(hx,
+                   CAST(2 * ((t + 6) % L) + 2 AS INT), 1)) - 1) END AS b
+      FROM m, unnest(range(0, CAST(w AS BIGINT) * h // 256)) AS u(t)),
+    ycc AS (
+      SELECT media_id, w, h, t,
+        LEAST(GREATEST(CAST(FLOOR((299000*r + 587000*g + 114000*b
+            + 500000) / 1000000.0) AS BIGINT), 0), 255) AS y,
+        LEAST(GREATEST(128 + CAST(FLOOR((-168736*r - 331264*g
+            + 500000*b + 500000) / 1000000.0) AS BIGINT), 0), 255) AS cb,
+        LEAST(GREATEST(128 + CAST(FLOOR((500000*r - 418688*g - 81312*b
+            + 500000) / 1000000.0) AS BIGINT), 0), 255) AS cr
+      FROM tiles),
+    dec AS (
+      SELECT media_id, w, h, t,
+        LEAST(2 * CAST(FLOOR((y - 127) / 2.0) AS BIGINT) + 128, 255)
+          AS y2,
+        LEAST(2 * CAST(FLOOR((cb - 127) / 2.0) AS BIGINT) + 128, 255)
+          AS cb2,
+        LEAST(2 * CAST(FLOOR((cr - 127) / 2.0) AS BIGINT) + 128, 255)
+          AS cr2
+      FROM ycc),
+    rgb AS (
+      SELECT media_id, w, h, t,
+        LEAST(GREATEST(CAST(FLOOR((1000000*y2 + 1402000*(cr2 - 128)
+            + 500000) / 1000000.0) AS BIGINT), 0), 255) AS r2,
+        LEAST(GREATEST(CAST(FLOOR((1000000*y2 - 344136*(cb2 - 128)
+            - 714136*(cr2 - 128) + 500000) / 1000000.0) AS BIGINT),
+            0), 255) AS g2,
+        LEAST(GREATEST(CAST(FLOOR((1000000*y2 + 1772000*(cb2 - 128)
+            + 500000) / 1000000.0) AS BIGINT), 0), 255) AS b2
+      FROM dec),
+    px AS (
+      SELECT rgb.media_id, rgb.w AS w, rgb.h AS h,
+             CAST(p AS BIGINT) AS p, CAST(c AS BIGINT) AS c,
+             CASE CAST(c AS INT) WHEN 0 THEN r2 WHEN 1 THEN g2
+                  ELSE b2 END AS v
+      FROM rgb
+      JOIN (SELECT media_id AS mid2, CAST(p AS BIGINT) AS p,
+                   ((p // w) // 16) * (w // 16) + (p % w) // 16 AS pt
+            FROM m, unnest(range(0, CAST(w AS BIGINT) * h)) AS up(p)) g1
+        ON g1.mid2 = rgb.media_id AND g1.pt = rgb.t
+      CROSS JOIN unnest(range(0, 3)) AS uc(c))
+    SELECT media_id, w AS width, h AS height, CAST(3 AS INT) AS channels,
+           CAST(SUM(v) AS BIGINT) AS px_sum,
+           CAST(0 AS BIGINT) AS n_transparent,
+           md5(string_agg(CAST(v AS VARCHAR), '-' ORDER BY p * 3 + c))
+             AS px_fp
+    FROM px GROUP BY media_id, w, h
+    """,
+)
+def jpeg420_segment_parallel_documents(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """SEGMENT-PARALLEL JPEG decode as a registry surface — the same
+    4:2:0 macro-tile pixels as `jpeg420_restart_documents` (the oracle
+    is identical: a restart interval changes the transport framing,
+    never the pixels), but decoded through the DISTRIBUTED pipeline
+    (`multimodal.segment_parallel_rgba_stats`): every payload's scan
+    splits at its RSTn byte boundaries into per-SEGMENT rows (row-local
+    linear byte walk), each segment entropy-decodes independently (T.81
+    resets DC predictors per marker), and the planes reassemble behind
+    the pipeline's ONE shuffle keyed by media_id. At 100 TB this is the
+    shape that makes a single multi-gigabyte JPEG a many-task decode
+    instead of a one-core bitstream crawl — and the driver hash pins it
+    byte-equal to the sequential form."""
+    from .operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return MM.segment_parallel_rgba_stats(MM.attach_jpegs_420_dri(docs))
+
+
+@query(
     "qoi_rgba_documents",
     """
     WITH m AS (
