@@ -151,6 +151,7 @@ HEADLINE = [
     # segment-parallel JPEG: split -> per-segment decode -> one
     # reassembly shuffle; the distributed form of the restart claim
     "jpeg420_segment_parallel_documents",
+    "streaming_curriculum_pacing_documents",
 ]
 
 

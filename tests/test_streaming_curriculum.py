@@ -95,3 +95,47 @@ def test_ledger_is_text_free(spark, tmp_path):
     target = _run_stream(spark, tmp_path, [_mkrows(range(10))])
     v1 = spark.read.parquet(os.path.join(target, "v1"))
     assert set(v1.columns) == {"doc_id", "bucket", "arrived_batch"}
+
+
+def test_read_paced_equals_one_shot_pacing(spark, tmp_path):
+    """Maintained pacing over the ledger's arrival-time (bucket, n_tok)
+    is row-identical to one-shot curriculum_pacing over the corpus."""
+    import os
+
+    from wde_spark.operators.sampling import curriculum_pacing
+    from wde_spark.streaming.curriculum import (
+        read_paced, streaming_curriculum_maintain)
+
+    rows = [(i, "w " * (i * 7 % 90 + 1)) for i in range(120)]
+    feed = os.path.join(str(tmp_path), "feed")
+    schema = "doc_id long, text string"
+    for j, half in enumerate((rows[0::2], rows[1::2]), start=1):
+        spark.createDataFrame(half, schema).coalesce(1) \
+            .write.mode("overwrite") \
+            .parquet(os.path.join(feed, f"b{j}.parquet"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(feed, "*.parquet"))
+        .select("doc_id",
+                F.coalesce(F.floor(F.octet_length("text") / 8),
+                           F.lit(-1)).alias("bucket"),
+                F.size(F.split(F.trim(F.col("text")), r"\s+"))
+                .cast("long").alias("n_tok")))
+    target = os.path.join(str(tmp_path), "ledger")
+    streaming_curriculum_maintain(
+        stream, target, os.path.join(str(tmp_path), "ckpt"),
+        extra_cols=("n_tok",))
+    quotas = [[300, 200, 150], [250, 300, 200], [200, 250, 300]]
+    got = {(r["doc_id"], r["stage"], r["n_tok"], r["cum_tok"],
+            r["phase"])
+           for r in read_paced(spark, target, quotas).collect()}
+    docs = spark.createDataFrame(rows, schema)
+    want = {(r["doc_id"], r["stage"], r["n_tok"], r["cum_tok"],
+             r["phase"])
+            for r in curriculum_pacing(
+                docs, F.coalesce(F.floor(F.octet_length("text") / 8),
+                                 F.lit(-1)),
+                F.size(F.split(F.trim(F.col("text")), r"\s+")),
+                quotas).collect()}
+    assert got == want and got

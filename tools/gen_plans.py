@@ -65,6 +65,7 @@ PICKS = {
     "streaming_token_budget_documents": "Maintained budget admission: the query side is ONE scan of the admitted-ledger COW version; each maintenance step was one batch-sized window plus a broadcast join against the sources x 1 spent table — the corpus is never rescanned.",
     "tiff_packbits_documents": "TIFF PackBits decode: container synth and the per-row RLE walk are row-local Arrow kernels over one scan — ZERO exchanges; codec work scales with bytes, never with joins.",
     "jpeg420_segment_parallel_documents": "Segment-parallel JPEG: split and per-segment decode are row-local kernels (the parallel grain is the SEGMENT, so one huge file fans out); reassembly is the pipeline's ONE shuffle, keyed by media_id.",
+    "streaming_curriculum_pacing_documents": "Maintained pacing: ONE scan of the text-free ledger (buckets + arrival-time token counts); staging and the token prefix sums are the same bounded two-phase primitives as the one-shot form.",
 }
 
 HEADER = """# PLANS — physical-plan audit of representative queries

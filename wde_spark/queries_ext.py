@@ -7207,7 +7207,8 @@ def _streaming_curriculum_dir(spark: SparkSession, sf_dir: str) -> str:
         mtime = "0"
     tag = hashlib.md5(
         f"{os.path.abspath(sf_dir)}:{mtime}".encode()).hexdigest()[:12]
-    base = os.path.join(tempfile.gettempdir(), f"wde_curric_{tag}")
+    # cache key v2: the ledger schema gained n_tok (maintained pacing)
+    base = os.path.join(tempfile.gettempdir(), f"wde_curric2_{tag}")
     ledger_dir = os.path.join(base, "ledger")
     done = os.path.join(base, "_COMPLETE")
     if os.path.exists(done):
@@ -7224,17 +7225,23 @@ def _streaming_curriculum_dir(spark: SparkSession, sf_dir: str) -> str:
                     (2, F.col("doc_id") % 2 == 0)):
         docs.filter(pred).coalesce(1).write.mode("overwrite") \
             .parquet(os.path.join(feed, f"b{i}.parquet"))
+    from .functions.strings import tokens as _tokens
+
     stream = (
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(os.path.join(feed, "*.parquet"))
         .select("doc_id",
                 F.coalesce(F.floor(F.octet_length("text") / 64),
-                           F.lit(-1)).alias("bucket"))
+                           F.lit(-1)).alias("bucket"),
+                # arrival-time token count: carried for maintained
+                # PACING (read_paced) — the text is read exactly once
+                F.size(_tokens(F.col("text"))).cast("long")
+                .alias("n_tok"))
     )
     streaming_curriculum_maintain(
         stream, os.path.join(stage, "ledger"),
-        os.path.join(stage, "ckpt"))
+        os.path.join(stage, "ckpt"), extra_cols=("n_tok",))
     with open(os.path.join(stage, "_COMPLETE"), "w") as fh:
         fh.write("ok")
     try:
@@ -7276,9 +7283,9 @@ def streaming_curriculum_documents(spark: SparkSession,
     the maintained form of `curriculum_order_documents`: documents
     arrive as micro-batches (odd doc_ids then even), the 64-byte length
     bucket is computed ON the stream at arrival, and the COW ledger
-    (doc_id, bucket, arrived_batch) is the only state — document bytes
-    are read exactly once, ever. The materialized schedule after the
-    final batch is hash-checked against the same NTILE + ROW_NUMBER
+    (doc_id, bucket, n_tok, arrived_batch) is the only state — document
+    bytes are read exactly once, ever. The materialized schedule after
+    the final batch is hash-checked against the same NTILE + ROW_NUMBER
     oracle as the one-shot form, with the ledger's provenance column
     alongside: the maintained schedule IS the full-rebuild schedule, at
     ledger-append cost. At 100 TB a corpus refresh costs one pass over
@@ -7289,6 +7296,60 @@ def streaming_curriculum_documents(spark: SparkSession,
     ledger_dir = _streaming_curriculum_dir(spark, sf_dir)
     return read_curriculum(spark, ledger_dir).select(
         "doc_id", "stage", "sched_pos", "arrived_batch")
+
+
+@query(
+    "streaming_curriculum_pacing_documents",
+    f"""
+    WITH r AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tok,
+             NTILE(3) OVER (
+               ORDER BY COALESCE(octet_length(encode(text)) // 64, -1),
+                        doc_id
+             ) AS stage
+      FROM documents),
+    c AS (
+      SELECT doc_id, stage, n_tok,
+             SUM(n_tok) OVER (
+               PARTITION BY stage
+               ORDER BY md5('cur' || stage || '|'
+                            || CAST(doc_id AS VARCHAR)), doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum_tok
+      FROM r)
+    SELECT doc_id, CAST(stage AS INT) AS stage,
+           CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(cum_tok AS BIGINT) AS cum_tok,
+           CAST(CASE
+             WHEN cum_tok <= {_pacing_bound_sql(1)} THEN 1
+             WHEN cum_tok <= {_pacing_bound_sql(2)} THEN 2
+             WHEN cum_tok <= {_pacing_bound_sql(3)} THEN 3
+           END AS INT) AS phase,
+           CAST(CASE WHEN doc_id % 2 = 1 THEN 0 ELSE 1 END AS INT)
+             AS arrived_batch
+    FROM c
+    WHERE cum_tok <= {_pacing_bound_sql(3)}
+    """,
+)
+def streaming_curriculum_pacing_documents(spark: SparkSession,
+                                          sf_dir: str) -> DataFrame:
+    """MAINTAINED curriculum pacing (`streaming/curriculum.read_paced`)
+    — the last ordering operator gains its maintained form: the COW
+    ledger carries arrival-time buckets AND token counts (text read
+    exactly once, at ingest), so a pacing refresh after every batch is
+    pure ledger arithmetic — the same two-phase staging + per-stage
+    token prefix sums as the one-shot `curriculum_pacing_documents`,
+    whose oracle this reuses with the ledger's provenance column
+    alongside. Because the ledger after the final batch holds exactly
+    the corpus with the buckets/counts the one-shot form computes, the
+    maintained pacing is row-identical to a full rebuild — pinned under
+    the driver hash."""
+    from .streaming.curriculum import read_paced
+
+    ledger_dir = _streaming_curriculum_dir(spark, sf_dir)
+    quotas = [list(_PACING_QUOTAS[s]) for s in (1, 2, 3)]
+    return read_paced(spark, ledger_dir, quotas).select(
+        "doc_id", "stage", "n_tok", "cum_tok", "phase", "arrived_batch")
 
 
 @query(

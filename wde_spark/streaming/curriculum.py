@@ -37,14 +37,18 @@ from .cdc import latest_version_dir
 
 def apply_curriculum_batch(batch: DataFrame, batch_id: int,
                            target_dir: str, id_col: str = "doc_id",
-                           bucket_col: str = "bucket") -> None:
-    """One maintenance step: append the arriving (id, bucket) rows to
-    v{batch_id}'s ledger as v{batch_id + 1}. Missing v{batch_id} ==
-    first batch == empty ledger."""
+                           bucket_col: str = "bucket",
+                           extra_cols: tuple = ()) -> None:
+    """One maintenance step: append the arriving (id, bucket[, extra])
+    rows to v{batch_id}'s ledger as v{batch_id + 1}. Missing
+    v{batch_id} == first batch == empty ledger. `extra_cols` carries
+    additional arrival-time columns (e.g. n_tok for maintained pacing)
+    — still metadata-sized, never text."""
     spark = batch.sparkSession
     fresh = batch.select(
         F.col(id_col),
         F.col(bucket_col).cast("long").alias(bucket_col),
+        *[F.col(c) for c in extra_cols],
         F.lit(batch_id).cast("int").alias("arrived_batch"),
     )
     prev = os.path.join(target_dir, f"v{batch_id}")
@@ -62,17 +66,18 @@ def streaming_curriculum_maintain(
     checkpoint_dir: str,
     id_col: str = "doc_id",
     bucket_col: str = "bucket",
+    extra_cols: tuple = (),
 ) -> None:
-    """Run the (id, bucket) stream to completion (availableNow — static
-    test input), maintaining the schedule ledger under `target_dir` as
-    COW versions. The caller computes the bucket ON the stream (e.g.
-    floor(octet_length(text)/64)) so document bytes are read exactly
-    once, at arrival."""
+    """Run the (id, bucket[, extra]) stream to completion (availableNow
+    — static test input), maintaining the schedule ledger under
+    `target_dir` as COW versions. The caller computes the bucket (and
+    any extra arrival-time columns, e.g. n_tok) ON the stream so
+    document bytes are read exactly once, at arrival."""
     os.makedirs(target_dir, exist_ok=True)
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         apply_curriculum_batch(batch, batch_id, target_dir, id_col,
-                               bucket_col)
+                               bucket_col, extra_cols)
 
     q = (
         doc_stream.writeStream.foreachBatch(_apply)
@@ -99,3 +104,22 @@ def read_curriculum(spark, target_dir: str, n_stages: int = 3,
     ledger = spark.read.parquet(latest_version_dir(target_dir))
     return curriculum_order(ledger, F.col(bucket_col),
                             n_stages=n_stages, id_col=id_col, salt=salt)
+
+
+def read_paced(spark, target_dir: str, quotas, n_stages: int = 3,
+               id_col: str = "doc_id", bucket_col: str = "bucket",
+               tok_col: str = "n_tok", salt: str = "cur") -> DataFrame:
+    """Maintained PACING: the per-stage token-quota phase admission
+    (`sampling.curriculum_pacing`) materialized from the ledger's
+    arrival-time buckets and token counts — no document bytes touched,
+    so a pacing refresh after every ingest batch is pure ledger
+    arithmetic. Provenance (arrived_batch) rejoins by id so the output
+    carries it alongside the schedule columns."""
+    from ..operators.sampling import curriculum_pacing
+
+    ledger = spark.read.parquet(latest_version_dir(target_dir))
+    paced = curriculum_pacing(ledger, F.col(bucket_col),
+                              F.col(tok_col), quotas,
+                              n_stages=n_stages, id_col=id_col,
+                              salt=salt)
+    return paced.join(ledger.select(id_col, "arrived_batch"), id_col)
