@@ -1492,31 +1492,38 @@ def segment_parallel_rgba_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 rows, columns=["media_id", "seg_id", "blocks", "header"])
 
-    def reassemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("seg_id")
-        hb = bytes(pdf["header"].iloc[0])
-        w, h, q, specs, samplings, restart, _sp = \
-            _parse_scan_params(hb + b"\xFF\xD9")
-        is420 = samplings == (0x22, 0x11, 0x11)
-        bpm = 6 if is420 else len(specs)
-        seg_blocks = [
-            np.frombuffer(bytes(b), np.uint8).reshape(-1, bpm, 8, 8)
-            for b in pdf["blocks"]]
-        planes = reassemble_segments(w, h, samplings, restart,
-                                     seg_blocks)
-        if len(specs) == 3:
-            px = ycbcr_to_rgb(np.stack(planes, axis=-1))
-            ch = 3
-        else:
-            px = planes[0][:, :, None]
-            ch = 1
-        flat = px.reshape(-1)
-        fp = hashlib.md5(
-            "-".join(str(int(v)) for v in flat).encode()).hexdigest()
-        return pd.DataFrame(
-            [(int(key[0]), w, h, ch, int(flat.sum(dtype="int64")), 0,
-              fp)],
-            columns=[f.name for f in RGBA_STATS_SCHEMA.fields])
+    def reassemble_kernel(batches: Iterator[pd.DataFrame]) \
+            -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, hb, segs_structs in zip(
+                    pdf["media_id"], pdf["header"], pdf["segs"]):
+                hb = bytes(hb)
+                w, h, q, specs, samplings, restart, _sp = \
+                    _parse_scan_params(hb + b"\xFF\xD9")
+                is420 = samplings == (0x22, 0x11, 0x11)
+                bpm = 6 if is420 else len(specs)
+                ordered = sorted(segs_structs,
+                                 key=lambda s: s["seg_id"])
+                seg_blocks = [
+                    np.frombuffer(bytes(s["blocks"]), np.uint8)
+                    .reshape(-1, bpm, 8, 8) for s in ordered]
+                planes = reassemble_segments(w, h, samplings, restart,
+                                             seg_blocks)
+                if len(specs) == 3:
+                    px = ycbcr_to_rgb(np.stack(planes, axis=-1))
+                    ch = 3
+                else:
+                    px = planes[0][:, :, None]
+                    ch = 1
+                flat = px.reshape(-1)
+                fp = hashlib.md5(
+                    "-".join(str(int(v))
+                             for v in flat).encode()).hexdigest()
+                rows.append((int(mid), w, h, ch,
+                             int(flat.sum(dtype="int64")), 0, fp))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RGBA_STATS_SCHEMA.fields])
 
     segs = media.select("media_id", "payload").mapInPandas(
         split_kernel,
@@ -1525,5 +1532,11 @@ def segment_parallel_rgba_stats(media: DataFrame) -> DataFrame:
     decoded = segs.mapInPandas(
         decode_kernel,
         "media_id long, seg_id int, blocks binary, header binary")
-    return decoded.groupBy("media_id").applyInPandas(
-        reassemble, schema=RGBA_STATS_SCHEMA)
+    # the pipeline's ONE shuffle: a plain hash agg on media_id (JVM-side
+    # collect_list) — a grouped-Python node per media would pay Arrow
+    # group-dispatch overhead per image, 10x slower on small images
+    gathered = decoded.groupBy("media_id").agg(
+        F.first("header").alias("header"),
+        F.collect_list(F.struct("seg_id", "blocks")).alias("segs"))
+    return gathered.mapInPandas(reassemble_kernel,
+                                schema=RGBA_STATS_SCHEMA)

@@ -6560,7 +6560,7 @@ def jpeg420_restart_documents(spark: SparkSession,
              octet_length(encode(text)) AS L,
              CAST((octet_length(encode(text)) % 4 + 1) * 16 AS INT) AS w,
              CAST((octet_length(encode(text)) % 3 + 1) * 16 AS INT) AS h
-      FROM documents),
+      FROM documents WHERE doc_id % 5 = 0),
     tiles AS (
       SELECT media_id, w, h, CAST(t AS BIGINT) AS t,
              CASE WHEN L = 0 THEN 0 ELSE
@@ -6642,7 +6642,11 @@ def jpeg420_segment_parallel_documents(spark: SparkSession,
     byte-equal to the sequential form."""
     from .operators import multimodal as MM
 
-    docs = load_table(spark, sf_dir, "documents", spread=True)
+    # 1-in-5 doc sample (mirrored in the oracle): the surface proves
+    # the distributed plumbing; the per-file cost is already covered by
+    # the sequential query over the full corpus
+    docs = load_table(spark, sf_dir, "documents", spread=True) \
+        .filter(F.col("doc_id") % 5 == 0)
     return MM.segment_parallel_rgba_stats(MM.attach_jpegs_420_dri(docs))
 
 
