@@ -2107,61 +2107,45 @@ from . import queries_ext  # noqa: E402,F401
 # greens rotate back in, topped up with the oldest r5-vintage rows per
 # `tools/plan_rotation.py`'s proposal (its last three r5 slots yield to
 # the late registrations and rotate in r9).
+# Round-11 window (tools/plan_rotation.py proposal, applied verbatim):
+# the flagship keeps its slot; the 6 r10-only registry entries with no
+# driver row ever (the r10 verdict's top item) seat first rows; then the
+# oldest-evidence rotation — the r6-vintage rows that yielded their r10
+# seats to the r9 program — topped up with the oldest r7-vintage rows.
 _DRIVER_PRIORITY = [
     # --- flagship (keeps a driver row every round) ---
     "semantic_dedup_embeddings",
-    # --- never driver-checked (the 152/153 gap the r8 verdict names) ---
-    "cms_heavy_hitters_documents",
-    # --- net-new this round (first driver rows) ---
-    "streaming_bloom_admission_documents", "ffd_packed_documents",
-    "multimodal_thumbnails", "multimodal_audio_decoded",
-    "ccnet_source_scorecard_documents", "image_pixel_dedup_documents",
-    "audio_energy_windows_documents", "contamination_source_rollup_documents",
-    # --- code changed this round (re-prove under the driver hash):
-    # png_codec gained tRNS/eof guards (features decodes PNGs),
-    # decontaminate_bloom now routes through the shared bloom_bit kernel
-    "multimodal_features", "bloom_decontaminate_documents",
-    # --- r5-vintage rows (oldest first per tools/plan_rotation.py) ---
-    "scd2_order_status_history", "embedding_vector_stats",
-    "unpivot_part_metrics", "hll_distinct_gate",
-    "train_val_split_documents", "freq_items_gate",
-    "ivfpq_ann_recall_gate",
-    # --- r6-vintage rows (rotation tool order) ---
-    "q1_pricing_summary", "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "doc_source_stats",
-    "minhash_signatures_documents", "cosine_topk_embeddings",
-    "streaming_pq_adc_ann", "q6_forecast_revenue", "q10_returned_items",
-    "q11_supplier_share",
-    "asof_join_purchase_view",
-    # --- net-new late in the round (first driver rows): the maintained
-    # FFD manifest, the palette+tRNS image tier, the mixed-format
-    # (stereo / 8-bit) audio energy windows, REAL video decode, and the
-    # maintained mini-batch k-means codebook ---
-    "streaming_ffd_manifest_documents", "image_palette_rgba_documents",
-    "audio_energy_mixed_documents", "video_frames_decoded_documents",
-    "streaming_kmeans_codebook_embeddings", "palette_thumbnails_documents",
-    # --- net-new in the continuation session (first driver rows): the
-    # BI_RLE8 compressed-video tier and the G.711 companded-audio tiers
-    "video_rle_frames_documents", "audio_energy_g711_documents",
-    "gif_rgba_documents", "audio_adpcm_decoded_documents",
-    "gif_animation_frames_documents", "rendezvous_sharding_documents",
-    "curriculum_order_documents", "bmp_rgb_documents",
-    "nearest_join_purchase_view", "qoi_rgba_documents",
-    "jpeg_gray_documents", "jpeg_color_documents",
-    "jpeg420_restart_documents", "streaming_shard_migration_documents",
-    # dedup_corpus_semantic_documents, source_scorecard_documents,
-    # embedding_recall_audit_embeddings, strip_duplicate_spans_documents,
-    # substr_increment_documents, duplicate_spans_documents,
-    # source_overlap_documents, dsir_sample_documents,
-    # nb_classify_documents, lm_quality_documents,
-    # corpus_drift_documents, dedup_recall_audit_documents,
-    # data_quality_orders, dedup_increment_documents,
-    # quantile_sketch_gate, dedup_weights_documents,
-    # bloom_semi_join_lineitem, q18_large_volume_orders,
-    # q15_top_supplier, resolve_ladder_parts, and group_collect_langs
-    # (r6 vintage) yield their seats to the late net-new entries; they
-    # lead the r10 rotation.
+    # --- never driver-checked (local-receipt-green only; first rows) ---
+    "jpeg420_segment_parallel_documents",
+    "streaming_token_budget_documents",
+    "tiff_packbits_documents",
+    "curriculum_pacing_documents",
+    "streaming_curriculum_documents",
+    "streaming_curriculum_pacing_documents",
+    # --- r6-vintage rows (oldest evidence first, rotation tool order) ---
+    "resolve_ladder_parts", "group_collect_langs",
+    "q15_top_supplier", "q18_large_volume_orders",
+    "bloom_semi_join_lineitem", "dedup_weights_documents",
+    "quantile_sketch_gate", "data_quality_orders",
+    "dedup_increment_documents", "dedup_recall_audit_documents",
+    "corpus_drift_documents", "lm_quality_documents",
+    "dsir_sample_documents", "nb_classify_documents",
+    "source_overlap_documents", "duplicate_spans_documents",
+    "substr_increment_documents", "strip_duplicate_spans_documents",
+    "source_scorecard_documents", "embedding_recall_audit_embeddings",
+    "dedup_corpus_semantic_documents", "lm_gated_admission_documents",
+    "dsir_gated_admission_documents", "ivfpq_residual_recall_gate",
+    "bpe_merges_documents", "frame_runs_multimodal",
+    "nb_gated_admission_documents", "kmeans_clusters_embeddings",
+    "export_shards_documents", "token_budget_mixture_documents",
+    "cluster_cap_embeddings", "contamination_by_source_documents",
+    "cluster_prototypes_embeddings", "export_manifest_stream_documents",
+    "cluster_drift_embeddings", "packed_sequences_documents",
+    # --- r7-vintage rows (next-oldest evidence) ---
+    "anti_join_idle_customers", "topk_orders_salted",
+    "lww_latest_order_agg", "window_frames_running",
+    "fingerprint_documents", "ngram_jaccard_pairs",
+    "snm_neardup_documents",
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]
