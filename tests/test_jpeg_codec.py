@@ -403,3 +403,65 @@ def test_segment_parallel_stats_equal_whole_file(spark):
            for r in MM.segment_parallel_rgba_stats(media).collect()}
     assert set(par) == set(whole) == {0, 1, 2, 3}
     assert par == whole
+
+
+def _corrupt_first_segment(enc: bytes) -> bytes:
+    """Replace segment 0's entropy bytes with a single 0x00 — the scan
+    stays structurally valid (markers, counts, sequence all intact, so
+    `split_restart_segments` accepts it) but the segment can no longer
+    decode its MCUs (bitstream exhaustion)."""
+    from wde_spark.operators.jpeg_codec import _parse_scan_params
+
+    scan_pos = _parse_scan_params(enc)[6]
+    rst = enc.find(b"\xFF\xD0", scan_pos)
+    assert rst > scan_pos
+    return enc[:scan_pos] + b"\x00" + enc[rst:]
+
+
+def test_corrupt_segment_null_routes_whole_media(spark):
+    """ADVICE r10 (medium): a payload whose entropy data is corrupt but
+    structurally splittable must DROP its whole media_id from
+    `segment_parallel_rgba_stats` — never fail the job, never
+    reassemble a partial image — matching image_rgba_stats' contract."""
+    from wde_spark.operators import multimodal as MM
+    from wde_spark.operators.jpeg_codec import split_restart_segments
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["hello world", "", "a much longer text payload 123", "x"])],
+        "doc_id long, text string")
+    rows = MM.attach_jpegs_420_dri(docs).collect()
+    tampered = []
+    for r in rows:
+        payload = bytes(r["payload"])
+        if r["media_id"] == 2:
+            payload = _corrupt_first_segment(payload)
+            assert split_restart_segments(payload) is not None
+        tampered.append((r["media_id"], payload))
+    media = spark.createDataFrame(tampered, "media_id long, payload binary")
+    par = {r["media_id"]: tuple(r)
+           for r in MM.segment_parallel_rgba_stats(media).collect()}
+    assert set(par) == {0, 1, 3}  # media 2 dropped whole, job survived
+    clean = spark.createDataFrame(
+        [t for t in tampered if t[0] != 2], "media_id long, payload binary")
+    whole = {r["media_id"]: tuple(r)
+             for r in MM.image_rgba_stats(clean).collect()}
+    assert par == whole
+
+
+def test_restart_distributed_corrupt_and_pixel_cap(spark):
+    """The driver-side utility null-routes a corrupt segment to None
+    (same contract as _decode_jfif) and refuses images whose decoded
+    blocks would exceed max_pixels on the driver."""
+    from wde_spark.operators.jpeg_codec import encode_jpeg_420
+    from wde_spark.operators.multimodal import (
+        decode_jpeg_restart_distributed)
+
+    t = np.random.RandomState(3).randint(0, 256, (2, 3, 3)).astype(np.uint8)
+    img = np.kron(t, np.ones((16, 16, 1), np.uint8))  # 32x48
+    enc = encode_jpeg_420(img, 75, restart=1)
+    assert decode_jpeg_restart_distributed(spark, enc) is not None
+    assert decode_jpeg_restart_distributed(
+        spark, _corrupt_first_segment(enc)) is None
+    with pytest.raises(ValueError, match="max_pixels"):
+        decode_jpeg_restart_distributed(spark, enc, max_pixels=100)

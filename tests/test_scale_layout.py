@@ -405,3 +405,23 @@ def test_curriculum_order_approx_matches_exact_away_from_boundaries(spark):
         assert r["sched_pos"] not in pos
         pos.add(r["sched_pos"])
         assert r["sched_pos"] % 3 == r["stage"] - 1
+
+
+def test_curriculum_order_approx_empty_and_all_null(spark):
+    """ADVICE r10: percentile_approx yields NULL cuts on an empty frame
+    or all-NULL difficulty — the approx form must degrade like the
+    exact one (empty result / NULLs-last hardest stage) instead of
+    raising TypeError on float(None)."""
+    from wde_spark.operators.sampling import curriculum_order_approx
+
+    empty = spark.createDataFrame([], "doc_id long, score long")
+    out = curriculum_order_approx(empty, F.col("score"))
+    assert {"stage", "sched_pos"} <= set(out.columns)
+    assert out.count() == 0
+    nulls = spark.createDataFrame(
+        [(i, None) for i in range(7)], "doc_id long, score long")
+    rows = curriculum_order_approx(nulls, F.col("score")).collect()
+    assert len(rows) == 7
+    assert all(r["stage"] == 3 for r in rows)
+    assert sorted(r["sched_pos"] for r in rows) == [
+        i * 3 + 2 for i in range(7)]

@@ -712,6 +712,12 @@ def attach_tiffs(docs: DataFrame, id_col: str = "doc_id",
       1: 8-bit RGB with channels (v, (v+77)%256, (v+154)%256) — mostly
          literal-runs through the row coder.
 
+    Byte order mixes orthogonally: doc_id % 4 in (2, 3) encodes
+    big-endian ('MM'), the rest little-endian ('II') — all four
+    (tier, order) combinations appear, and since byte order changes
+    only the container framing (never a pixel) the SQL oracle is
+    untouched while the MM IFD walk lands under the driver hash.
+
     PackBits is lossless, so every decoded RGB value is a pure function
     of the text the SQL oracle predicts — IFD parsing, per-row coder
     restarts, repeat and literal packets all hash-checked."""
@@ -731,13 +737,14 @@ def attach_tiffs(docs: DataFrame, id_col: str = "doc_id",
                     v = b[(5 * np.arange(w * h)) % n].reshape(h, w)
                 else:
                     v = np.zeros((h, w), dtype=np.uint8)
+                big = int(mid) % 4 in (2, 3)
                 if int(mid) % 2 == 0:
-                    payload = encode_tiff((v // 64) * 64)
+                    payload = encode_tiff((v // 64) * 64, big=big)
                 else:
                     vv = v.astype(np.uint16)
                     rgb = np.dstack([vv % 256, (vv + 77) % 256,
                                      (vv + 154) % 256]).astype(np.uint8)
-                    payload = encode_tiff(rgb)
+                    payload = encode_tiff(rgb, big=big)
                 rows.append((mid, payload))
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
@@ -1314,7 +1321,8 @@ def video_frame_stats(media: DataFrame) -> DataFrame:
 
 
 def decode_jpeg_restart_distributed(spark, payload: bytes,
-                                    segments_per_task: int = 0):
+                                    segments_per_task: int = 0,
+                                    max_pixels: int = 1 << 28):
     """Segment-parallel baseline-JPEG decode over Spark: split the scan
     at its RSTn byte boundaries (T.81 E.1.4 — byte-aligned markers, DC
     predictors reset per segment, so segments are independent by spec),
@@ -1332,6 +1340,8 @@ def decode_jpeg_restart_distributed(spark, payload: bytes,
     cluster's default parallelism — per-task scheduling latency
     dominates when segments are small, so one task per core beats one
     task per segment."""
+    import struct
+
     import numpy as np
 
     from .jpeg_codec import (decode_restart_segment, reassemble_segments,
@@ -1341,6 +1351,18 @@ def decode_jpeg_restart_distributed(spark, payload: bytes,
     if sp is None:
         return None
     w, h, q, specs, samplings, restart, segs = sp
+    # This UTILITY returns the decoded planes to the caller, so the
+    # driver necessarily holds ~1.05x the image's pixel bytes during
+    # reassembly. max_pixels (default 2^28 ≈ 268 Mpx, ~1.6 GB of
+    # gathered blocks) bounds that; beyond it use the DataFrame surface
+    # `segment_parallel_rgba_stats`, whose reassembly is a media_id
+    # shuffle and never materializes pixels on the driver.
+    if w * h > max_pixels:
+        raise ValueError(
+            f"image is {w}x{h} = {w * h} px > max_pixels={max_pixels}: "
+            f"driver-side reassembly would gather ~{w * h * 3} block "
+            f"bytes; raise max_pixels explicitly or use the distributed "
+            f"stats surface segment_parallel_rgba_stats")
     is420 = samplings == (0x22, 0x11, 0x11)
     mcu = 16 if is420 else 8
     mx_n, my_n = (w + mcu - 1) // mcu, (h + mcu - 1) // mcu
@@ -1368,14 +1390,23 @@ def decode_jpeg_restart_distributed(spark, payload: bytes,
             out = []
             for sid, data, nm in zip(pdf["seg_id"], pdf["data"],
                                      pdf["n_mcus"]):
-                blocks = decode_restart_segment(
-                    bytes(data), int(nm), qq, sspecs, ssamp)
+                try:
+                    blocks = decode_restart_segment(
+                        bytes(data), int(nm), qq, sspecs, ssamp)
+                except (ValueError, IndexError, struct.error):
+                    # corrupt entropy data that passed the split's
+                    # structural checks: NULL marks the segment and the
+                    # driver null-routes the WHOLE image below — same
+                    # drop contract as the sequential _decode_jfif path
+                    out.append((int(sid), None))
+                    continue
                 out.append((int(sid), blocks.tobytes()))
             yield pd.DataFrame(out, columns=["seg_id", "blocks"])
 
     decoded = df.mapInPandas(
         kernel, "seg_id int, blocks binary").collect()
-    if len(decoded) != len(segs):
+    if len(decoded) != len(segs) or any(r["blocks"] is None
+                                        for r in decoded):
         return None
     seg_blocks = [None] * len(segs)
     for r in decoded:
@@ -1440,8 +1471,15 @@ def segment_parallel_rgba_stats(media: DataFrame) -> DataFrame:
          oracle as the sequential query.
 
     Payloads without a restart interval (or outside support) drop —
-    the caller guarantees DRI fixtures (`attach_jpegs_420_dri`)."""
+    the caller guarantees DRI fixtures (`attach_jpegs_420_dri`). A
+    segment whose entropy data is corrupt (but structurally splittable)
+    null-routes its WHOLE media_id — the decode kernel emits NULL
+    blocks and reassembly drops the image, matching `image_rgba_stats`'
+    drop contract; a partial image is never reassembled. The JFIF
+    header rides on seg_id 0 ONLY (not once per segment), so the
+    Arrow exchange and the media_id shuffle carry it once per image."""
     import hashlib
+    import struct
 
     import numpy as np
 
@@ -1466,29 +1504,44 @@ def segment_parallel_rgba_stats(media: DataFrame) -> DataFrame:
                 for i, seg in enumerate(segs):
                     rows.append((mid, i,
                                  min(restart, total - i * restart),
-                                 header, seg))
+                                 header if i == 0 else None, seg))
             yield pd.DataFrame(
                 rows, columns=["media_id", "seg_id", "n_mcus",
                                "header", "seg"])
 
     def decode_kernel(batches: Iterator[pd.DataFrame]) \
             -> Iterator[pd.DataFrame]:
+        # split emits one media's segments contiguously, seg_id 0 first,
+        # and both kernels are narrow (row order is stable within the
+        # task) — so the header seen on seg 0 serves the whole media
         hdr_cache = {}
         for pdf in batches:
             rows = []
             for mid, sid, nm, header, seg in zip(
                     pdf["media_id"], pdf["seg_id"], pdf["n_mcus"],
                     pdf["header"], pdf["seg"]):
-                hb = bytes(header)
-                params = hdr_cache.get(hb)
+                mid = int(mid)
+                hb = None
+                if header is not None:
+                    hb = bytes(header)
+                    hdr_cache[mid] = _parse_scan_params(hb + b"\xFF\xD9")
+                params = hdr_cache.get(mid)
                 if params is None:
-                    params = _parse_scan_params(hb + b"\xFF\xD9")
-                    hdr_cache[hb] = params
+                    # header row lost/out of order: null-route the
+                    # segment rather than fail the job
+                    rows.append((mid, int(sid), None, hb))
+                    continue
                 w, h, q, specs, samplings, _r, _sp = params
-                blocks = decode_restart_segment(
-                    bytes(seg), int(nm), q, specs, samplings)
-                rows.append((mid, int(sid), blocks.tobytes(),
-                             hb))
+                try:
+                    blocks = decode_restart_segment(
+                        bytes(seg), int(nm), q, specs, samplings)
+                except (ValueError, IndexError, struct.error):
+                    # corrupt entropy data that survived the split's
+                    # structural checks: NULL blocks → reassembly drops
+                    # the whole media_id (never a partial image)
+                    rows.append((mid, int(sid), None, hb))
+                    continue
+                rows.append((mid, int(sid), blocks.tobytes(), hb))
             yield pd.DataFrame(
                 rows, columns=["media_id", "seg_id", "blocks", "header"])
 
@@ -1498,11 +1551,20 @@ def segment_parallel_rgba_stats(media: DataFrame) -> DataFrame:
             rows = []
             for mid, hb, segs_structs in zip(
                     pdf["media_id"], pdf["header"], pdf["segs"]):
+                if hb is None:
+                    continue
                 hb = bytes(hb)
                 w, h, q, specs, samplings, restart, _sp = \
                     _parse_scan_params(hb + b"\xFF\xD9")
                 is420 = samplings == (0x22, 0x11, 0x11)
                 bpm = 6 if is420 else len(specs)
+                mcu = 16 if is420 else 8
+                total = ((w + mcu - 1) // mcu) * ((h + mcu - 1) // mcu)
+                expected = (total + restart - 1) // restart
+                if (len(segs_structs) != expected
+                        or any(s["blocks"] is None
+                               for s in segs_structs)):
+                    continue  # a segment null-routed → drop the image
                 ordered = sorted(segs_structs,
                                  key=lambda s: s["seg_id"])
                 seg_blocks = [
@@ -1536,7 +1598,7 @@ def segment_parallel_rgba_stats(media: DataFrame) -> DataFrame:
     # collect_list) — a grouped-Python node per media would pay Arrow
     # group-dispatch overhead per image, 10x slower on small images
     gathered = decoded.groupBy("media_id").agg(
-        F.first("header").alias("header"),
+        F.first("header", ignorenulls=True).alias("header"),
         F.collect_list(F.struct("seg_id", "blocks")).alias("segs"))
     return gathered.mapInPandas(reassemble_kernel,
                                 schema=RGBA_STATS_SCHEMA)

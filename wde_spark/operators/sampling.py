@@ -346,10 +346,17 @@ def curriculum_order_approx(docs: DataFrame, difficulty_col,
     cuts = docs.select(
         F.percentile_approx(dn, F.array(*[F.lit(p) for p in probs]),
                             F.lit(accuracy)).alias("c")).first()["c"]
+    # Empty input or all-NULL difficulty: percentile_approx yields NULL
+    # cuts. No finite boundaries exist, so every row falls through to
+    # the hardest stage (the NULLs-last rule), and on a truly empty
+    # frame the two-phase rank below degenerates to an empty result —
+    # mirroring the exact form's n_total == 0 early return instead of
+    # raising TypeError on float(None).
     stage = F.lit(n_stages)
-    for i in range(n_stages - 2, -1, -1):
-        stage = F.when(dn <= F.lit(float(cuts[i])),
-                       F.lit(i + 1)).otherwise(stage)
+    if cuts is not None:
+        for i in range(n_stages - 2, -1, -1):
+            stage = F.when(dn <= F.lit(float(cuts[i])),
+                           F.lit(i + 1)).otherwise(stage)
     stage = F.when(dn.isNull(), F.lit(n_stages)).otherwise(stage)
     staged = docs.withColumn("stage", stage.cast("int"))
     # same two-phase in-stage shuffle rank as the exact form

@@ -1477,6 +1477,8 @@ def _streaming_pq_index_dir(spark: SparkSession, sf_dir: str) -> str:
         emb.filter(F.col("vec_id") % 3 == i).coalesce(1) \
             .write.mode("overwrite") \
             .parquet(os.path.join(feed, f"b{i}.parquet"))
+    from .queries_ext import _space_feed_mtimes
+    _space_feed_mtimes(feed)
     stream = (
         spark.readStream.schema(emb.schema)
         .option("maxFilesPerTrigger", "1")

@@ -2259,6 +2259,7 @@ def _streaming_bloom_bits_dir(spark: SparkSession, sf_dir: str) -> str:
                     (2, F.col("doc_id") % 34 == 17)):
         bench.filter(pred).coalesce(1).write.mode("overwrite") \
             .parquet(os.path.join(feed, f"b{i}.parquet"))
+    _space_feed_mtimes(feed)
     stream = (
         spark.readStream.schema(bench.schema)
         .option("maxFilesPerTrigger", "1")
@@ -4029,6 +4030,27 @@ _LM_GATE_CUTOFF = -3.42  # sits inside the synthetic corpus's score band
 import os  # noqa: E402  (used by the streaming-ledger builders below)
 
 
+def _space_feed_mtimes(feed: str) -> None:
+    """Make file-source batch order deterministic. Spark's file stream
+    admits new files oldest-mtime-first, and the b1/b2 feed batches are
+    written back-to-back — on a filesystem with second-granularity
+    timestamps they can land in the same granule and flip arrival
+    order, inverting the carried/arrived recursion relative to the
+    oracle's doc_id-parity batching. Stamp every leaf file with a
+    strictly increasing mtime per batch index (b1 < b2 < ...)."""
+    import time
+
+    base_t = time.time() - 600.0
+    batches = sorted(os.listdir(feed),
+                     key=lambda d: int("".join(c for c in d
+                                               if c.isdigit()) or 0))
+    for i, d in enumerate(batches):
+        t = base_t + 10.0 * i
+        for root, _dirs, files in os.walk(os.path.join(feed, d)):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (t, t))
+
+
 def _streaming_lm_corpus_dir(spark: SparkSession, sf_dir: str) -> str:
     """Build (once per parquet snapshot) an LM-GATED streamed corpus over
     the documents table and return its ledger directory: the doc_id%5!=0
@@ -4070,6 +4092,7 @@ def _streaming_lm_corpus_dir(spark: SparkSession, sf_dir: str) -> str:
                     (2, F.col("doc_id") % 10 == 5)):
         docs.filter(pred).coalesce(1).write.mode("overwrite") \
             .parquet(os.path.join(feed, f"b{i}.parquet"))
+    _space_feed_mtimes(feed)
     stream = (
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1")
@@ -4182,6 +4205,7 @@ def _streaming_dsir_corpus_dir(spark: SparkSession, sf_dir: str) -> str:
                     (2, F.col("doc_id") % 10 == 5)):
         docs.filter(pred).coalesce(1).write.mode("overwrite") \
             .parquet(os.path.join(feed, f"b{i}.parquet"))
+    _space_feed_mtimes(feed)
     stream = (
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1")
@@ -4507,6 +4531,7 @@ def _streaming_nb_corpus_dir(spark: SparkSession, sf_dir: str) -> str:
                     (2, F.col("doc_id") % 10 == 5)):
         docs.filter(pred).coalesce(1).write.mode("overwrite") \
             .parquet(os.path.join(feed, f"b{i}.parquet"))
+    _space_feed_mtimes(feed)
     stream = (
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1")
@@ -5229,6 +5254,7 @@ def _streaming_manifest_dir(spark: SparkSession, sf_dir: str) -> str:
                     (2, F.col("doc_id") % 10 == 5)):
         docs.filter(pred).coalesce(1).write.mode("overwrite") \
             .parquet(os.path.join(feed, f"b{i}.parquet"))
+    _space_feed_mtimes(feed)
     stream = (
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1")
@@ -5977,6 +6003,7 @@ def _streaming_sessions_dir(spark: SparkSession, sf_dir: str) -> str:
     for i, h in enumerate(halves):
         h.coalesce(1).write.mode("overwrite") \
             .parquet(os.path.join(feed, f"b{i}.parquet"))
+    _space_feed_mtimes(feed)
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1")
@@ -6787,6 +6814,7 @@ def _streaming_budget_dir(spark: SparkSession, sf_dir: str) -> str:
                     (2, F.col("doc_id") % 2 == 0)):
         docs.filter(pred).coalesce(1).write.mode("overwrite") \
             .parquet(os.path.join(feed, f"b{i}.parquet"))
+    _space_feed_mtimes(feed)
     stream = (
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1")
@@ -6917,10 +6945,13 @@ def tiff_packbits_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     RLE family (after BI_RLE8 and GIF LZW): two tiers per corpus
     (quantized grayscale so repeat-runs fire on production data, and
     RGB exercising the literal path — `multimodal.attach_tiffs`,
-    `tiff_codec`). PackBits is lossless and the coder restarts per row,
-    so the oracle predicts every channel of every pixel from the text
-    alone — IFD tag walk, strip geometry, and both packet kinds are all
-    under the driver hash."""
+    `tiff_codec`), each mixed across BOTH byte orders (doc_id % 4 in
+    (2, 3) encodes 'MM' big-endian — framing-only, so the oracle's
+    pixel formula is untouched while the big-endian IFD walk lands
+    under the driver hash). PackBits is lossless and the coder restarts
+    per row, so the oracle predicts every channel of every pixel from
+    the text alone — IFD tag walk in either byte order, strip geometry,
+    and both packet kinds are all under the driver hash."""
     from .operators import multimodal as MM
 
     docs = load_table(spark, sf_dir, "documents", spread=True)
@@ -6961,6 +6992,7 @@ def _streaming_shards_dir(spark: SparkSession, sf_dir: str) -> str:
                     (2, F.col("doc_id") % 2 == 0)):
         docs.filter(pred).coalesce(1).write.mode("overwrite") \
             .parquet(os.path.join(feed, f"b{i}.parquet"))
+    _space_feed_mtimes(feed)
     stream = (
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1")
@@ -7229,6 +7261,7 @@ def _streaming_curriculum_dir(spark: SparkSession, sf_dir: str) -> str:
                     (2, F.col("doc_id") % 2 == 0)):
         docs.filter(pred).coalesce(1).write.mode("overwrite") \
             .parquet(os.path.join(feed, f"b{i}.parquet"))
+    _space_feed_mtimes(feed)
     from .functions.strings import tokens as _tokens
 
     stream = (
