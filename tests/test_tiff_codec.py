@@ -22,13 +22,15 @@ def test_roundtrip_gray_and_rgb_both_compressions():
         else:
             img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
         for pb in (True, False):
-            enc = encode_tiff(img, packbits=pb)
-            assert is_tiff(enc)
-            dw, dh, rgb = decode_tiff(enc)
-            assert (dw, dh) == (w, h)
-            want = (np.repeat(img[:, :, None], 3, 2)
-                    if img.ndim == 2 else img)
-            assert np.array_equal(rgb, want), (trial, pb)
+            for big in (False, True):
+                enc = encode_tiff(img, packbits=pb, big=big)
+                assert is_tiff(enc)
+                assert enc[:2] == (b"MM" if big else b"II")
+                dw, dh, rgb = decode_tiff(enc)
+                assert (dw, dh) == (w, h)
+                want = (np.repeat(img[:, :, None], 3, 2)
+                        if img.ndim == 2 else img)
+                assert np.array_equal(rgb, want), (trial, pb, big)
 
 
 def test_packbits_row_coder_properties():
@@ -55,7 +57,9 @@ def test_packbits_row_coder_properties():
 
 def test_null_routes_outside_declared_support():
     enc = encode_tiff(np.zeros((6, 6), np.uint8))
-    assert decode_tiff(b"MM\x00*" + enc[4:]) is None    # big-endian
+    # an MM magic grafted onto an II body is CORRUPT (every multi-byte
+    # field now reads byte-swapped), not a valid big-endian file
+    assert decode_tiff(b"MM\x00*" + enc[4:]) is None
     assert decode_tiff(b"II*\x00\x00") is None          # truncated
     assert decode_tiff(enc[:-3]) is None                # IFD cut short
     assert decode_tiff(b"notatiff") is None
@@ -78,10 +82,20 @@ def test_stats_dispatch_tiff(spark):
     from wde_spark.operators import multimodal as MM
 
     docs = spark.createDataFrame(
-        [(0, "hello world"), (1, "hello world"), (2, "")],
+        [(0, "hello world"), (1, "hello world"),
+         (2, "hello world"), (3, "hello world"), (4, "")],
         "doc_id long, text string")
+    media = MM.attach_tiffs(docs)
+    # byte-order mixing: docs 2,3 encode big-endian, 0,1,4 little
+    orders = {r["media_id"]: bytes(r["payload"])[:2]
+              for r in media.collect()}
+    assert orders == {0: b"II", 1: b"II", 2: b"MM", 3: b"MM", 4: b"II"}
     rows = {r["media_id"]: r for r in
-            MM.image_rgba_stats(MM.attach_tiffs(docs)).collect()}
+            MM.image_rgba_stats(media).collect()}
+    # MM decodes to the SAME stats as its II twin (framing-only change)
+    for k in ("width", "height", "channels", "px_sum", "px_fp"):
+        assert rows[2][k] == rows[0][k]
+        assert rows[3][k] == rows[1][k]
     data = b"hello world"
     n = len(data)
     w, h = n % 17 + 4, n % 11 + 4
@@ -97,4 +111,4 @@ def test_stats_dispatch_tiff(spark):
         + ((vv + 154) % 256).sum()
     assert rows[1]["px_sum"] == int(want)
     # empty text: all-zero image
-    assert rows[2]["px_sum"] == 0 and rows[2]["n_transparent"] == 0
+    assert rows[4]["px_sum"] == 0 and rows[4]["n_transparent"] == 0

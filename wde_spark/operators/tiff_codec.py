@@ -3,11 +3,12 @@ PackBits byte-run compression (the third RLE variant after BI_RLE8 and
 GIF's LZW-adjacent runs, and the simplest: literal-run / repeat-run
 control bytes, restarted per row).
 
-Declared support: little-endian ('II*\\0') baseline TIFF with a single
-IFD and a single strip; 8-bit grayscale (PhotometricInterpretation 1,
-SamplesPerPixel 1) and 8-bit RGB (PI 2, SPP 3); Compression 1 (none) or
-32773 (PackBits); value offsets either inline (<= 4 bytes) or pointed.
-Everything outside that — big-endian, tiles, multiple strips, other bit
+Declared support: BOTH byte orders — little-endian ('II*\\0') and
+big-endian ('MM\\0*') — baseline TIFF with a single IFD and a single
+strip; 8-bit grayscale (PhotometricInterpretation 1, SamplesPerPixel 1)
+and 8-bit RGB (PI 2, SPP 3); Compression 1 (none) or 32773 (PackBits);
+value offsets either inline (<= 4 bytes, left-justified per TIFF 6.0)
+or pointed. Everything outside that — tiles, multiple strips, other bit
 depths, predictors, other compressions — returns None so callers
 null-route to the raw-byte path.
 
@@ -43,7 +44,7 @@ _T_STRIP_CNT = 279
 
 
 def is_tiff(payload: bytes) -> bool:
-    return payload[:4] == b"II*\x00"
+    return payload[:4] in (b"II*\x00", b"MM\x00*")
 
 
 def packbits_encode_row(row: bytes) -> bytes:
@@ -103,15 +104,25 @@ def packbits_decode(data: bytes, expect: int):
     return bytes(out)
 
 
-def _ifd_entry(tag: int, typ: int, count: int, value: int) -> bytes:
-    return struct.pack("<HHII", tag, typ, count, value)
+def _ifd_entry(e: str, tag: int, typ: int, count: int,
+               value: int) -> bytes:
+    # inline values are LEFT-justified in the 4-byte field (TIFF 6.0
+    # §2), so a count-1 SHORT packs as (H value, H 0) in EITHER byte
+    # order — never as a 4-byte long
+    if typ == 3 and count == 1:
+        vf = struct.pack(e + "HH", value, 0)
+    else:
+        vf = struct.pack(e + "I", value)
+    return struct.pack(e + "HHI", tag, typ, count) + vf
 
 
-def encode_tiff(pixels: np.ndarray, packbits: bool = True) -> bytes:
+def encode_tiff(pixels: np.ndarray, packbits: bool = True,
+                big: bool = False) -> bytes:
     """Encode an (h, w) uint8 grayscale or (h, w, 3) uint8 RGB array as
-    a single-strip little-endian baseline TIFF, PackBits-compressed by
-    default. The fixture builder for the decode path; lossless, so the
-    SQL oracle predicts every decoded byte."""
+    a single-strip baseline TIFF — little-endian ('II') by default,
+    big-endian ('MM') with big=True — PackBits-compressed by default.
+    The fixture builder for the decode path; lossless, so the SQL
+    oracle predicts every decoded byte."""
     assert pixels.dtype == np.uint8 and pixels.ndim in (2, 3)
     gray = pixels.ndim == 2
     h, w = pixels.shape[:2]
@@ -127,30 +138,32 @@ def encode_tiff(pixels: np.ndarray, packbits: bool = True) -> bytes:
         strip = raw
         comp = 1
     # layout: header(8) | strip | [bps array for RGB] | IFD
+    e = ">" if big else "<"
+    magic = b"MM\x00*" if big else b"II*\x00"
     strip_off = 8
     pos = strip_off + len(strip)
     if spp == 3:
         bps_off = pos
-        bps_extra = struct.pack("<HHH", 8, 8, 8)
+        bps_extra = struct.pack(e + "HHH", 8, 8, 8)
         pos += len(bps_extra)
     else:
         bps_extra = b""
     ifd_off = pos + (pos & 1)  # word-align the IFD
     pad = b"\x00" * (ifd_off - pos)
     entries = [
-        _ifd_entry(_T_WIDTH, 3, 1, w),
-        _ifd_entry(_T_HEIGHT, 3, 1, h),
-        _ifd_entry(_T_BPS, 3, spp, 8 if spp == 1 else bps_off),
-        _ifd_entry(_T_COMP, 3, 1, comp),
-        _ifd_entry(_T_PHOTO, 3, 1, 1 if gray else 2),
-        _ifd_entry(_T_STRIP_OFF, 4, 1, strip_off),
-        _ifd_entry(_T_SPP, 3, 1, spp),
-        _ifd_entry(_T_ROWS_PER_STRIP, 3, 1, h),
-        _ifd_entry(_T_STRIP_CNT, 4, 1, len(strip)),
+        _ifd_entry(e, _T_WIDTH, 3, 1, w),
+        _ifd_entry(e, _T_HEIGHT, 3, 1, h),
+        _ifd_entry(e, _T_BPS, 3, spp, 8 if spp == 1 else bps_off),
+        _ifd_entry(e, _T_COMP, 3, 1, comp),
+        _ifd_entry(e, _T_PHOTO, 3, 1, 1 if gray else 2),
+        _ifd_entry(e, _T_STRIP_OFF, 4, 1, strip_off),
+        _ifd_entry(e, _T_SPP, 3, 1, spp),
+        _ifd_entry(e, _T_ROWS_PER_STRIP, 3, 1, h),
+        _ifd_entry(e, _T_STRIP_CNT, 4, 1, len(strip)),
     ]
-    ifd = (struct.pack("<H", len(entries)) + b"".join(entries)
-           + struct.pack("<I", 0))
-    return (b"II*\x00" + struct.pack("<I", ifd_off) + strip
+    ifd = (struct.pack(e + "H", len(entries)) + b"".join(entries)
+           + struct.pack(e + "I", 0))
+    return (magic + struct.pack(e + "I", ifd_off) + strip
             + bps_extra + pad + ifd)
 
 
@@ -162,17 +175,28 @@ def decode_tiff(payload: bytes):
     try:
         if not is_tiff(payload) or len(payload) < 8:
             return None
-        (ifd_off,) = struct.unpack("<I", payload[4:8])
+        e = ">" if payload[:2] == b"MM" else "<"
+        (ifd_off,) = struct.unpack(e + "I", payload[4:8])
         if ifd_off + 2 > len(payload):
             return None
-        (n_ent,) = struct.unpack("<H", payload[ifd_off:ifd_off + 2])
+        (n_ent,) = struct.unpack(e + "H", payload[ifd_off:ifd_off + 2])
         if ifd_off + 2 + 12 * n_ent + 4 > len(payload):
             return None
         tags = {}
-        for e in range(n_ent):
-            off = ifd_off + 2 + 12 * e
-            tag, typ, count, val = struct.unpack(
-                "<HHII", payload[off:off + 12])
+        for ent in range(n_ent):
+            off = ifd_off + 2 + 12 * ent
+            tag, typ, count = struct.unpack(
+                e + "HHI", payload[off:off + 8])
+            # inline values are left-justified in the 4-byte field, so
+            # a count-1 SHORT reads from the FIRST two bytes in either
+            # byte order (reading the field as a long would shift it
+            # 16 bits in an 'MM' file)
+            if typ == 3 and count == 1:
+                (val,) = struct.unpack(
+                    e + "H", payload[off + 8:off + 10])
+            else:
+                (val,) = struct.unpack(
+                    e + "I", payload[off + 8:off + 12])
             tags[tag] = (typ, count, val, off + 8)
         for req in (_T_WIDTH, _T_HEIGHT, _T_COMP, _T_PHOTO,
                     _T_STRIP_OFF, _T_STRIP_CNT):
@@ -194,12 +218,12 @@ def decode_tiff(payload: bytes):
                 return None
             if count * 2 <= 4:
                 bps = struct.unpack(
-                    f"<{count}H", payload[val_pos:val_pos + 2 * count])
+                    f"{e}{count}H", payload[val_pos:val_pos + 2 * count])
             else:
                 if val + 2 * count > len(payload):
                     return None
                 bps = struct.unpack(
-                    f"<{count}H", payload[val:val + 2 * count])
+                    f"{e}{count}H", payload[val:val + 2 * count])
             if any(b != 8 for b in bps):
                 return None
         if tags[_T_STRIP_OFF][1] != 1 or tags[_T_STRIP_CNT][1] != 1:
