@@ -145,3 +145,90 @@ def test_empty_cell_reports_bootstrap(spark, tmp_path):
         F.col("cell").isin(empty)).collect()}
     for r in cb.filter(F.col("cell").isin(empty)).collect():
         assert r["m"] == boots[(r["cell"], r["d"])]
+
+
+def _run_stream_delta(spark, emb, tmp_path, tag: str):
+    from wde_spark.streaming.codebook_maintenance import (
+        bootstrap_codebook_delta, streaming_codebook_maintain_delta)
+
+    target = str(tmp_path / f"cbkd_{tag}")
+    bootstrap_codebook_delta(emb.filter(F.col("vec_id") % 5 != 0), target)
+    feed = str(tmp_path / f"feedd_{tag}")
+    now = time.time()
+    for i, pred in ((0, F.col("vec_id") % 10 == 0),
+                    (1, F.col("vec_id") % 10 == 5)):
+        fdir = os.path.join(feed, f"b{i}.parquet")
+        emb.filter(pred).coalesce(1).write.mode("overwrite").parquet(fdir)
+        for name in os.listdir(fdir):
+            os.utime(os.path.join(fdir, name),
+                     (now - 600 + i * 60, now - 600 + i * 60))
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(feed, "*.parquet"))
+    )
+    streaming_codebook_maintain_delta(stream, target,
+                                      str(tmp_path / f"ckptd_{tag}"))
+    return target
+
+
+def _codebook_rows(df):
+    return sorted((int(r["cell"]), int(r["d"]), int(r["n"]),
+                   round(float(r["m"]), 9)) for r in df.collect())
+
+
+def test_delta_ledger_equals_cow_and_compaction_preserves(spark, tmp_path):
+    """The delta-ledger maintainer lands on the SAME final codebook as
+    the COW-snapshot one; compaction changes read amplification, never
+    a row."""
+    from wde_spark.streaming.codebook_maintenance import (
+        read_codebook, read_codebook_merged)
+    from wde_spark.streaming.compaction import (compact, ledger_entries,
+                                                read_amplification)
+
+    emb = _emb(spark)
+    cow = _run_stream(spark, emb, tmp_path, "eq")
+    dl = _run_stream_delta(spark, emb, tmp_path, "eq")
+    want = _codebook_rows(read_codebook(spark, cow))
+    pre_rows = _codebook_rows(read_codebook_merged(spark, dl))
+    assert pre_rows == want
+    ledger = os.path.join(dl, "state")
+    pre = read_amplification(ledger)
+    assert pre["entries"] == 3  # b0 + d1 + d2
+    res = compact(spark, ledger, ["cell", "d"])
+    assert set(res["removed"]) == {"b0", "d1", "d2"}
+    post = read_amplification(ledger)
+    assert post["entries"] == 1  # one folded base
+    assert ledger_entries(ledger) == [(2, "b")]
+    assert _codebook_rows(read_codebook_merged(spark, dl)) == want
+    # compacting an already-compact ledger is a no-op
+    assert compact(spark, ledger, ["cell", "d"])["removed"] == []
+
+
+def test_compaction_lww_tombstones_and_time_travel(spark, tmp_path):
+    """Generic ledger semantics: last-writer-wins per key across
+    deltas, tombstones delete (and never survive compaction), and
+    as_of reads see the historical prefix."""
+    from wde_spark.streaming.compaction import (compact, read_merged,
+                                                write_base, write_delta)
+
+    ledger = str(tmp_path / "ledger")
+    write_base(spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string"), ledger, 0)
+    write_delta(spark.createDataFrame(
+        [(2, "B", "U"), (4, "d", "U")], "k int, v string, _op string"),
+        ledger, 1)
+    write_delta(spark.createDataFrame(
+        [(3, None, "D"), (4, "D2", "U")], "k int, v string, _op string"),
+        ledger, 2)
+    got = {r["k"]: r["v"]
+           for r in read_merged(spark, ledger, ["k"]).collect()}
+    assert got == {1: "a", 2: "B", 4: "D2"}  # 3 tombstoned, 4 LWW d2
+    asof1 = {r["k"]: r["v"]
+             for r in read_merged(spark, ledger, ["k"],
+                                  as_of=1).collect()}
+    assert asof1 == {1: "a", 2: "B", 3: "c", 4: "d"}
+    compact(spark, ledger, ["k"])
+    post = {r["k"]: r["v"]
+            for r in read_merged(spark, ledger, ["k"]).collect()}
+    assert post == got  # tombstone physically gone, rows identical

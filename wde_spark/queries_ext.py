@@ -8057,6 +8057,97 @@ def streaming_kmeans_codebook_embeddings(spark: SparkSession,
         "cell", "d", "n", F.round("m", 6).alias("m"))
 
 
+def _streaming_codebook_delta_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per parquet snapshot) the DELTA-LEDGER maintained
+    codebook and COMPACT it: same slices and arrival order as
+    `_streaming_codebook_dir` (bootstrap %5!=0; micro-batches %10==0
+    then %10==5), but each batch appends only its touched (cell, d)
+    rows as ledger deltas; after the stream drains, `compaction.compact`
+    folds b0+d1+d2 into one base. Pre/post read-amplification lands in
+    `compaction_stats.json` (the pytest/receipt hook). Same staging +
+    atomic-rename cache as the other streaming builders."""
+    import hashlib
+    import json
+    import shutil
+    import tempfile
+
+    src_parquet = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        mtime = str(int(os.path.getmtime(src_parquet)))
+    except OSError:
+        mtime = "0"
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{mtime}".encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"wde_cbk_delta_{tag}")
+    cbk_dir = os.path.join(base, "cbk")
+    done = os.path.join(base, "_COMPLETE")
+    if os.path.exists(done):
+        return cbk_dir
+    from .streaming.codebook_maintenance import (
+        bootstrap_codebook_delta, streaming_codebook_maintain_delta)
+    from .streaming.compaction import compact, read_amplification
+
+    if os.path.exists(base):
+        shutil.rmtree(base, ignore_errors=True)
+    stage = f"{base}.build.{os.getpid()}"
+    shutil.rmtree(stage, ignore_errors=True)
+    emb = load_table(spark, sf_dir, "embeddings") \
+        .select("vec_id", "embedding")
+    bootstrap_codebook_delta(emb.filter(F.col("vec_id") % 5 != 0),
+                             os.path.join(stage, "cbk"))
+    feed = os.path.join(stage, "feed")
+    for i, pred in ((1, F.col("vec_id") % 10 == 0),
+                    (2, F.col("vec_id") % 10 == 5)):
+        emb.filter(pred).coalesce(1).write.mode("overwrite") \
+            .parquet(os.path.join(feed, f"b{i}.parquet"))
+    _space_feed_mtimes(feed)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(feed, "*.parquet"))
+    )
+    streaming_codebook_maintain_delta(
+        stream, os.path.join(stage, "cbk"), os.path.join(stage, "ckpt"))
+    ledger = os.path.join(stage, "cbk", "state")
+    pre = read_amplification(ledger)
+    res = compact(spark, ledger, ["cell", "d"])
+    post = read_amplification(ledger)
+    with open(os.path.join(stage, "cbk", "compaction_stats.json"),
+              "w") as fh:
+        json.dump({"pre": pre, "post": post,
+                   "removed": res["removed"]}, fh)
+    with open(os.path.join(stage, "_COMPLETE"), "w") as fh:
+        fh.write("ok")
+    try:
+        os.rename(stage, base)
+    except OSError:
+        if not os.path.exists(done):
+            raise
+        shutil.rmtree(stage, ignore_errors=True)
+    return cbk_dir
+
+
+@query("codebook_compaction_embeddings", _streaming_codebook_oracle())
+def codebook_compaction_embeddings(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """DELTA-LEDGER maintained codebook, read AFTER COMPACTION
+    (`streaming/compaction.py` + `codebook_maintenance.py`'s delta
+    twin): per-batch writes are O(batch) delta appends instead of
+    full-state snapshots — the table-format (Delta/Iceberg MOR) write
+    path every corpus-sized maintained family needs at 100 TB — reads
+    are last-writer-wins merge-on-read, and `compact` folds base +
+    deltas back into one base (post-compaction read amplification: 1
+    entry). The oracle is the SAME full-history replay that checks the
+    COW-snapshot maintainer (`streaming_kmeans_codebook_embeddings`),
+    so a hash match here proves compacted read ≡ replayed history ≡
+    uncompacted read — every centroid coordinate and member count."""
+    from .streaming.codebook_maintenance import read_codebook_merged
+
+    cbk_dir = _streaming_codebook_delta_dir(spark, sf_dir)
+    return read_codebook_merged(spark, cbk_dir).select(
+        "cell", "d", "n", F.round("m", 6).alias("m"))
+
+
 @query(
     "palette_thumbnails_documents",
     """

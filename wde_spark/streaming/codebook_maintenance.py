@@ -167,6 +167,125 @@ def streaming_codebook_maintain(emb_stream: DataFrame, target_dir: str,
         q.stop()
 
 
+def _centroids_from_state(st: DataFrame) -> list:
+    """Centroids out of ANY state frame (cell, d, n, s, boot): running
+    mean with bootstrap fallback — the bounded n_cells x dim collect."""
+    rows = st.select(
+        "cell", "d",
+        F.when(F.col("n") > 0, F.col("s") / F.col("n"))
+        .otherwise(F.col("boot")).alias("m"),
+    ).collect()  # n_cells x dim rows: bounded model state, never corpus
+    cells = {}
+    for r in rows:
+        cells.setdefault(int(r["cell"]), {})[int(r["d"])] = float(r["m"])
+    return [[cells[c][d] for d in range(DIM)] for c in sorted(cells)]
+
+
+def bootstrap_codebook_delta(init_emb: DataFrame, target_dir: str,
+                             n_cells: int = N_CELLS_DEFAULT,
+                             iters: int = 2,
+                             vec_col: str = "embedding") -> None:
+    """DELTA-LEDGER twin of `bootstrap_codebook_v0`: identical state-0
+    arithmetic, written as ledger base `state/b0` (merge-on-read layout
+    from `streaming/compaction.py`) instead of snapshot `state/v0`."""
+    from .compaction import write_base
+
+    ledger = os.path.join(target_dir, "state")
+    if os.path.exists(os.path.join(ledger, "b0", "_SUCCESS")):
+        return
+    spark = init_emb.sparkSession
+    cents = train_ivf_centroids(init_emb, n_cells=n_cells, iters=iters)
+    if not cents:
+        write_base(spark.createDataFrame(
+            [], "cell int, d int, n long, s double, boot double"
+        ).coalesce(1), ledger, 0)
+        return
+    boot = spark.createDataFrame(
+        [(c, d, float(cents[c][d]))
+         for c in range(len(cents)) for d in range(DIM)],
+        "cell int, d int, boot double")
+    sums = _batch_cell_sums(init_emb, cents, vec_col)
+    state0 = (
+        boot.join(sums, ["cell", "d"], "left")
+        .select("cell", "d",
+                F.coalesce("n_add", F.lit(0)).cast("long").alias("n"),
+                F.coalesce("s_add", F.lit(0.0)).alias("s"),
+                "boot")
+    )
+    write_base(state0.coalesce(1), ledger, 0)
+
+
+def streaming_codebook_maintain_delta(emb_stream: DataFrame,
+                                      target_dir: str,
+                                      checkpoint_dir: str,
+                                      vec_col: str = "embedding") -> None:
+    """DELTA-LEDGER twin of `streaming_codebook_maintain` — the
+    table-format write path for maintained state that is CORPUS-sized
+    in general (here model-sized, so the semantics stay exactly
+    oracle-able): each micro-batch appends ONLY the (cell, d) rows it
+    changed as ledger delta `d{batch_id+1}` (O(batch) write, never a
+    full-state rewrite), reads merge LWW-on-read, and
+    `compaction.compact` folds base + deltas back into one base when
+    read amplification warrants it. Same frozen-at-arrival semantics
+    and the same final state as the COW-snapshot maintainer — the
+    codebook oracle hash-checks both.
+
+    Replay contract: batch `b` reads the ledger `as_of=b` (its own
+    delta at b+1 excluded), so a foreachBatch re-run rewrites `d{b+1}`
+    with identical bytes."""
+    from .compaction import read_merged, write_delta
+
+    ledger = os.path.join(target_dir, "state")
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        cur = read_merged(sp, ledger, ["cell", "d"], as_of=batch_id)
+        cents = _centroids_from_state(cur)
+        if not cents:  # empty bootstrap: nothing to assign against;
+            # write an empty delta so the ledger records the batch
+            write_delta(sp.createDataFrame(
+                [], "cell int, d int, n long, s double, boot double"
+            ).coalesce(1), ledger, batch_id + 1)
+            return
+        sums = _batch_cell_sums(batch, cents, vec_col)
+        delta = (
+            cur.join(sums, ["cell", "d"], "inner")  # touched rows only
+            .select("cell", "d",
+                    (F.col("n") + F.col("n_add")).cast("long").alias("n"),
+                    (F.col("s") + F.col("s_add")).alias("s"),
+                    "boot")
+        )
+        write_delta(delta.coalesce(1), ledger, batch_id + 1)
+
+    q = (
+        emb_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+
+
+def read_codebook_merged(spark, target_dir: str) -> DataFrame:
+    """Latest maintained codebook out of the DELTA ledger — same output
+    shape as `read_codebook` ((cell, d, n, m)), but the read is the
+    merge-on-read path: latest base + later deltas, LWW per (cell, d).
+    Identical rows before and after `compaction.compact` by
+    construction."""
+    from .compaction import read_merged
+
+    st = read_merged(spark, os.path.join(target_dir, "state"),
+                     ["cell", "d"])
+    return st.select(
+        "cell", "d", "n",
+        F.when(F.col("n") > 0, F.col("s") / F.col("n"))
+        .otherwise(F.col("boot")).alias("m"),
+    )
+
+
 def read_codebook(spark, target_dir: str) -> DataFrame:
     """The latest maintained codebook: (cell, d, n, m) — member count and
     running-mean centroid coordinate (bootstrap coordinate for cells no

@@ -1,0 +1,182 @@
+"""Delta-ledger maintained tables: merge-on-read + compaction — the
+table-format idiom (Delta/Iceberg MOR) the full-snapshot COW sinks
+deliberately skip.
+
+The existing maintainers (`cdc.py`, `codebook_maintenance.py`,
+`embedding_admission.py`, ...) write a SELF-CONTAINED `v{n}` snapshot per
+micro-batch: reads touch one version, compaction is a directory delete.
+That is the right trade for MODEL-sized state (a 16x64 codebook, a Bloom
+bitmap). For CORPUS-sized maintained tables — PQ codes over billions of
+vectors, per-doc admission ledgers — a full snapshot per batch rewrites
+the world every batch: O(corpus) write amplification for an O(batch)
+change. The delta ledger flips it:
+
+  * each batch appends `d{n}` — ONLY the rows it changed (upserts, plus
+    tombstones for deletes): O(batch) write;
+  * reads union the latest base `b{k}` with every delta `d{n}`, n > k,
+    and keep the row from the HIGHEST ledger sequence per key
+    (last-writer-wins merge-on-read);
+  * compaction folds base + deltas into a new base `b{max_n}` and
+    deletes what it merged — read amplification (files + rows unioned
+    per read) drops back to 1 base, and the ledger keeps growing from
+    there.
+
+Layout: `target_dir/b{n}` (base) and `target_dir/d{n}` (delta) parquet
+directories, `n` a strictly increasing sequence shared by both kinds.
+Writers never mutate an existing entry (replaying a crashed batch
+rewrites the same `d{n}` with the same bytes — deterministic content in,
+idempotent ledger out), so readers at any moment see a consistent
+prefix.
+
+Tombstones: a delta row with `_op = 'D'` deletes its key; `_op = 'U'`
+upserts. `read_merged` drops tombstoned keys after the LWW pick;
+compaction physically removes them (a tombstone never survives into a
+base).
+
+At 100 TB: the LWW pick is ONE window over the union keyed by the
+table's key columns — a single hash shuffle of base + deltas, the same
+cost any MOR reader pays; keep deltas few (compact on a cadence) and
+the union stays near base-sized. Compaction itself is one such read
+plus one base write — O(table), amortized over the batches it absorbs,
+exactly the economics of OPTIMIZE/rewrite_data_files in the table
+formats.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_ENTRY_RE = re.compile(r"^([bd])(\d+)$")
+
+
+def ledger_entries(target_dir: str) -> list:
+    """Sorted (seq, kind) entries present under `target_dir`
+    (kind 'b' base / 'd' delta)."""
+    if not os.path.isdir(target_dir):
+        return []
+    out = []
+    for name in os.listdir(target_dir):
+        m = _ENTRY_RE.match(name)
+        if m:
+            out.append((int(m.group(2)), m.group(1)))
+    return sorted(out)
+
+
+def _entry_dir(target_dir: str, kind: str, seq: int) -> str:
+    return os.path.join(target_dir, f"{kind}{seq}")
+
+
+def write_base(df: DataFrame, target_dir: str, seq: int) -> None:
+    """Write a self-contained base at ledger sequence `seq`. The frame
+    must NOT contain tombstones (bases hold live rows only)."""
+    os.makedirs(target_dir, exist_ok=True)
+    df.write.mode("overwrite").parquet(_entry_dir(target_dir, "b", seq))
+
+
+def write_delta(df: DataFrame, target_dir: str, seq: int,
+                op_col: str = "_op") -> None:
+    """Append the batch's changed rows at sequence `seq`. `op_col`
+    ('U' upsert / 'D' delete) is added as all-'U' when absent."""
+    os.makedirs(target_dir, exist_ok=True)
+    if op_col not in df.columns:
+        df = df.withColumn(op_col, F.lit("U"))
+    df.write.mode("overwrite").parquet(_entry_dir(target_dir, "d", seq))
+
+
+def read_merged(spark, target_dir: str, key_cols,
+                as_of: int | None = None) -> DataFrame:
+    """Merge-on-read: latest base <= as_of, plus every later delta
+    <= as_of; last-writer-wins per key, tombstones dropped. With
+    `as_of=None` reads the full ledger (time travel otherwise — the
+    maintainers replay against `as_of=batch_id` for idempotency)."""
+    key_cols = list(key_cols)
+    entries = ledger_entries(target_dir)
+    if as_of is not None:
+        entries = [e for e in entries if e[0] <= as_of]
+    if not entries:
+        raise FileNotFoundError(
+            f"no ledger entries under {target_dir} (as_of={as_of})")
+    bases = [s for s, k in entries if k == "b"]
+    start = max(bases) if bases else None
+    parts = []
+    for seq, kind in entries:
+        if kind == "b":
+            if seq != start:
+                continue  # superseded base: compaction already folded it
+            d = spark.read.parquet(_entry_dir(target_dir, "b", seq)) \
+                .withColumn("_op", F.lit("U"))
+        elif start is not None and seq <= start:
+            continue  # delta already folded into the base (compaction
+            # writes b{k} AT the top delta's sequence, so d{n<=k} is
+            # always absorbed content, never fresher than the base)
+        else:
+            d = spark.read.parquet(_entry_dir(target_dir, "d", seq))
+        parts.append(d.withColumn("_seq", F.lit(seq)))
+    if len(parts) == 1 and start is not None:
+        # fully compacted ledger: a base holds live, unique-keyed rows
+        # by construction, so the read is a plain scan — no LWW window,
+        # no shuffle. This is the payoff compaction buys.
+        return parts[0].drop("_op", "_seq")
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    w = Window.partitionBy(*key_cols).orderBy(F.col("_seq").desc())
+    return (merged.withColumn("_rk", F.row_number().over(w))
+            .filter((F.col("_rk") == 1) & (F.col("_op") == "U"))
+            .drop("_rk", "_seq", "_op"))
+
+
+def read_amplification(target_dir: str) -> dict:
+    """What one merged read must touch RIGHT NOW: ledger entries unioned
+    and parquet part-files opened — the quantity compaction exists to
+    push back down."""
+    entries = ledger_entries(target_dir)
+    bases = [s for s, k in entries if k == "b"]
+    start = max(bases) if bases else None
+    live = [(s, k) for s, k in entries
+            if (k == "b" and s == start)
+            or (k == "d" and (start is None or s > start))]
+    n_files = 0
+    for seq, kind in live:
+        d = _entry_dir(target_dir, kind, seq)
+        n_files += sum(1 for f in os.listdir(d)
+                       if f.endswith(".parquet"))
+    return {"entries": len(live), "files": n_files}
+
+
+def compact(spark, target_dir: str, key_cols) -> dict:
+    """Fold the latest base + all later deltas into a new base at the
+    ledger's max sequence, then delete what was merged. The merged read
+    BEFORE equals the base read AFTER by construction (same LWW pick,
+    materialized); returns {'new_base': seq, 'removed': [...]}."""
+    import shutil
+
+    entries = ledger_entries(target_dir)
+    if not entries:
+        raise FileNotFoundError(f"no ledger entries under {target_dir}")
+    top = entries[-1][0]
+    bases = [s for s, k in entries if k == "b"]
+    if bases and max(bases) == top and entries[-1][1] == "b":
+        return {"new_base": top, "removed": []}  # already compact
+    snapshot = read_merged(spark, target_dir, key_cols).cache()
+    snapshot.count()  # materialize BEFORE touching the ledger
+    tmp = _entry_dir(target_dir, "b", top) + ".compacting"
+    shutil.rmtree(tmp, ignore_errors=True)
+    snapshot.write.mode("overwrite").parquet(tmp)
+    snapshot.unpersist()
+    os.rename(tmp, _entry_dir(target_dir, "b", top))
+    removed = []
+    start = max(bases) if bases else None
+    for seq, kind in entries:
+        if kind == "b" and seq == start and seq != top:
+            shutil.rmtree(_entry_dir(target_dir, "b", seq))
+            removed.append(f"b{seq}")
+        elif kind == "d" and (start is None or seq > start):
+            shutil.rmtree(_entry_dir(target_dir, "d", seq))
+            removed.append(f"d{seq}")
+    return {"new_base": top, "removed": removed}
