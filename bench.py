@@ -152,6 +152,9 @@ HEADLINE = [
     # reassembly shuffle; the distributed form of the restart claim
     "jpeg420_segment_parallel_documents",
     "streaming_curriculum_pacing_documents",
+    # r11 addition: delta-ledger codebook read after compaction (the
+    # table-format merge-on-read path folded to one base scan)
+    "codebook_compaction_embeddings",
 ]
 
 

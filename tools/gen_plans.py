@@ -66,6 +66,7 @@ PICKS = {
     "tiff_packbits_documents": "TIFF PackBits decode: container synth and the per-row RLE walk are row-local Arrow kernels over one scan — ZERO exchanges; codec work scales with bytes, never with joins.",
     "jpeg420_segment_parallel_documents": "Segment-parallel JPEG: split and per-segment decode are row-local kernels (the parallel grain is the SEGMENT, so one huge file fans out); reassembly is the pipeline's ONE shuffle, keyed by media_id.",
     "streaming_curriculum_pacing_documents": "Maintained pacing: ONE scan of the text-free ledger (buckets + arrival-time token counts); staging and the token prefix sums are the same bounded two-phase primitives as the one-shot form.",
+    "codebook_compaction_embeddings": "Delta-ledger codebook after compaction: the merge-on-read collapses to ONE plain parquet scan of the folded base (no LWW window, no union) — the read amplification compaction exists to buy back; each maintenance step was an O(batch) delta append, never a full-state rewrite.",
 }
 
 HEADER = """# PLANS — physical-plan audit of representative queries
