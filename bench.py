@@ -152,9 +152,11 @@ HEADLINE = [
     # reassembly shuffle; the distributed form of the restart claim
     "jpeg420_segment_parallel_documents",
     "streaming_curriculum_pacing_documents",
-    # r11 addition: delta-ledger codebook read after compaction (the
-    # table-format merge-on-read path folded to one base scan)
+    # r11 additions: delta-ledger reads after compaction (the
+    # table-format merge-on-read path folded to one base scan) — the
+    # model-sized codebook and the corpus-sized dedup admission
     "codebook_compaction_embeddings",
+    "dedup_admission_compaction_documents",
 ]
 
 

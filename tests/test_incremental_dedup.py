@@ -18,6 +18,8 @@ Scenario coverage, one corpus:
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import functions as F
 
 from wde_spark.operators import dedup as D
@@ -521,3 +523,63 @@ def test_streaming_nb_gated_admission(spark, tmp_path):
     assert _kept_ids(read_corpus(spark, target)) == got
     assert {r.doc_id for r in read_predictions(spark, target)
             .collect()} == set(preds)
+
+
+def test_delta_ledger_admission_matches_cow_and_compaction(spark, tmp_path):
+    """The delta-ledger admission twin (O(batch) upsert/tombstone appends
+    for corpus, fingerprints, AND bands) lands on exactly the corpus the
+    COW maintainer and the full re-run keep; compacting all three
+    ledgers changes read amplification, never a row; replay rewrites
+    the same deltas."""
+    import os
+
+    from wde_spark.streaming.compaction import (compact, ledger_entries,
+                                                read_merged)
+    from wde_spark.streaming.dedup_admission import (
+        read_corpus_merged, streaming_dedup_admission_delta)
+
+    corpus0 = D.dedup_corpus(spark.createDataFrame(CORPUS, SCHEMA))
+    src = tmp_path / "docs"
+    now = time.time()
+    for i, rows in enumerate((BATCH[:4], BATCH[4:])):
+        fdir = str(src / f"f{i}.parquet")
+        spark.createDataFrame(rows, SCHEMA).coalesce(1) \
+            .write.mode("overwrite").parquet(fdir)
+        for name in os.listdir(fdir):
+            os.utime(os.path.join(fdir, name),
+                     (now - 600 + i * 60, now - 600 + i * 60))
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*.parquet"))
+    )
+    target, ckpt = str(tmp_path / "ledgers"), str(tmp_path / "ckptd")
+    streaming_dedup_admission_delta(stream, corpus0, target, ckpt)
+
+    got = _kept_ids(read_corpus_merged(spark, target))
+    assert got == _full(spark, CORPUS + BATCH)
+
+    # ledger shape: base + one delta per micro-batch, all three tables
+    for sub in ("corpus", "fp", "bands"):
+        assert ledger_entries(os.path.join(target, sub)) == [
+            (0, "b"), (1, "d"), (2, "d")]
+
+    # state ledgers merge to exactly the admitted corpus's state
+    fp = read_merged(spark, os.path.join(target, "fp"), ["doc_id"])
+    assert {r["doc_id"] for r in fp.select("doc_id").collect()} == got
+    bands = read_merged(spark, os.path.join(target, "bands"),
+                        ["doc_id", "band_idx"])
+    assert {r["doc_id"] for r in
+            bands.select("doc_id").distinct().collect()} == got
+
+    # compaction: rows identical, ledgers fold to one base each
+    for sub, keys in (("corpus", ["doc_id"]), ("fp", ["doc_id"]),
+                      ("bands", ["doc_id", "band_idx"])):
+        compact(spark, os.path.join(target, sub), keys)
+        assert ledger_entries(os.path.join(target, sub)) == [(2, "b")]
+    assert _kept_ids(read_corpus_merged(spark, target)) == got
+
+    # replay from the same checkpoint: no new ledger entries
+    streaming_dedup_admission_delta(stream, corpus0, target, ckpt)
+    for sub in ("corpus", "fp", "bands"):
+        assert ledger_entries(os.path.join(target, sub)) == [(2, "b")]

@@ -67,6 +67,7 @@ PICKS = {
     "jpeg420_segment_parallel_documents": "Segment-parallel JPEG: split and per-segment decode are row-local kernels (the parallel grain is the SEGMENT, so one huge file fans out); reassembly is the pipeline's ONE shuffle, keyed by media_id.",
     "streaming_curriculum_pacing_documents": "Maintained pacing: ONE scan of the text-free ledger (buckets + arrival-time token counts); staging and the token prefix sums are the same bounded two-phase primitives as the one-shot form.",
     "codebook_compaction_embeddings": "Delta-ledger codebook after compaction: the merge-on-read collapses to ONE plain parquet scan of the folded base (no LWW window, no union) — the read amplification compaction exists to buy back; each maintenance step was an O(batch) delta append, never a full-state rewrite.",
+    "dedup_admission_compaction_documents": "Delta-ledger dedup admission after compaction: the corpus-sized table the COW form rewrote per batch is now ONE folded base scan; each maintenance step appended only admitted upserts + revoked tombstones (corpus, fingerprints, and enumerable band keys alike).",
 }
 
 HEADER = """# PLANS — physical-plan audit of representative queries

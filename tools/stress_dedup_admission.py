@@ -14,11 +14,17 @@ growing under it, against the full rebuild at each step.
 Per batch it records:
 
   * admit_sec — read version v{i}, `dedup_increment`, write v{i+1}
-    (corpus + fp + bands): the maintainer's true per-batch cost,
-    including its state/corpus COW write;
+    (corpus + fp + bands): the COW maintainer's true per-batch cost,
+    including its full-snapshot state/corpus write;
+  * admit_delta_sec — the same admission through the DELTA-LEDGER twin
+    (`_admit_batch_delta`): identical `dedup_increment` work, but the
+    write is O(batch) upserts + tombstones (`streaming/compaction.py`)
+    instead of the snapshot rewrite — the gap between the two IS the
+    snapshot write;
   * rebuild_sec — `dedup_corpus` over ALL raw docs arrived so far
     (read back from parquet, as a re-run would), counted;
-  * corpus_rows — admitted corpus size after the batch.
+  * corpus_rows — admitted corpus size after the batch (asserted equal
+    across COW, delta-ledger, and the rebuild).
 
 Batches are 30% exact clones of existing corpus texts (dropped or
 dethroning) and 70% novel md5-salad texts (admitted), so both dedup
@@ -45,8 +51,11 @@ from pyspark.sql import functions as F
 
 from wde_spark.core.session import get_session
 from wde_spark.operators.dedup import dedup_corpus
-from wde_spark.streaming.dedup_admission import (_admit_batch, bootstrap_v0,
-                                                 read_corpus)
+from wde_spark.streaming.dedup_admission import (_admit_batch,
+                                                 _admit_batch_delta,
+                                                 bootstrap_delta,
+                                                 bootstrap_v0, read_corpus,
+                                                 read_corpus_merged)
 
 
 def _salad(key, tag: str, words: int = 40):
@@ -74,6 +83,8 @@ def main() -> None:
             os.path.join(raw_dir, "b0.parquet"))
         init = spark.read.parquet(os.path.join(raw_dir, "b0.parquet"))
         bootstrap_v0(init, target, "text", "doc_id", 16, "auto", 2)
+        target_d = os.path.join(work, "corpus_delta")
+        bootstrap_delta(init, target_d, "text", "doc_id", 16, "auto", 2)
 
         rows = []
         for i in range(1, n_batches + 1):
@@ -102,14 +113,23 @@ def main() -> None:
             admit_sec = time.time() - t0
             corpus_rows = read_corpus(spark, target).count()
 
+            t0 = time.time()
+            _admit_batch_delta(batch, i - 1, target_d, "text", "doc_id",
+                               16, "auto", 2, 0.2, 64)
+            admit_delta_sec = time.time() - t0
+            delta_rows = read_corpus_merged(spark, target_d).count()
+
             all_raw = spark.read.parquet(os.path.join(raw_dir, "*.parquet"))
             t0 = time.time()
             rebuilt_rows = dedup_corpus(all_raw).count()
             rebuild_sec = time.time() - t0
+            assert corpus_rows == delta_rows == rebuilt_rows, (
+                corpus_rows, delta_rows, rebuilt_rows)
             rows.append({
                 "batch": i, "corpus_rows": corpus_rows,
                 "rebuilt_rows": rebuilt_rows,
                 "admit_sec": round(admit_sec, 3),
+                "admit_delta_sec": round(admit_delta_sec, 3),
                 "rebuild_sec": round(rebuild_sec, 3),
             })
 

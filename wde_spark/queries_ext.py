@@ -2839,6 +2839,101 @@ def dedup_increment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(res.kept).select("doc_id")
 
 
+def _streaming_dedup_delta_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per parquet snapshot) the DELTA-LEDGER streamed dedup
+    admission and COMPACT it: the %5!=0 slice bootstraps a dedup'd init
+    corpus (ledger bases for corpus/fp/bands), the %5==0 slice arrives
+    as two micro-batches (%10==0 then %10==5, mtime-pinned) through
+    `streaming_dedup_admission_delta` — each batch an O(batch) delta
+    append (admitted upserts + revoked tombstones) instead of the COW
+    snapshot rewrite — then all three ledgers compact to single bases.
+    Same staging + atomic-rename cache as the other streaming builders."""
+    import hashlib
+    import json
+    import shutil
+    import tempfile
+
+    src_parquet = os.path.join(sf_dir, "documents.parquet")
+    try:
+        mtime = str(int(os.path.getmtime(src_parquet)))
+    except OSError:
+        mtime = "0"
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{mtime}".encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"wde_dedup_delta_{tag}")
+    corpus_dir = os.path.join(base, "corpus")
+    done = os.path.join(base, "_COMPLETE")
+    if os.path.exists(done):
+        return corpus_dir
+    from .operators import dedup as D
+    from .streaming.compaction import compact, read_amplification
+    from .streaming.dedup_admission import streaming_dedup_admission_delta
+
+    if os.path.exists(base):
+        shutil.rmtree(base, ignore_errors=True)
+    stage = f"{base}.build.{os.getpid()}"
+    shutil.rmtree(stage, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus0 = D.dedup_corpus(docs.filter(F.col("doc_id") % 5 != 0),
+                             max_bucket=None)
+    feed = os.path.join(stage, "feed")
+    for i, pred in ((1, F.col("doc_id") % 10 == 0),
+                    (2, F.col("doc_id") % 10 == 5)):
+        docs.filter(pred).coalesce(1).write.mode("overwrite") \
+            .parquet(os.path.join(feed, f"b{i}.parquet"))
+    _space_feed_mtimes(feed)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(feed, "*.parquet"))
+    )
+    streaming_dedup_admission_delta(
+        stream, corpus0, os.path.join(stage, "corpus"),
+        os.path.join(stage, "ckpt"), max_bucket=None)
+    stats = {}
+    for sub, keys in (("corpus", ["doc_id"]), ("fp", ["doc_id"]),
+                      ("bands", ["doc_id", "band_idx"])):
+        ledger = os.path.join(stage, "corpus", sub)
+        pre = read_amplification(ledger)
+        res = compact(spark, ledger, keys)
+        stats[sub] = {"pre": pre, "post": read_amplification(ledger),
+                      "removed": res["removed"]}
+    with open(os.path.join(stage, "corpus", "compaction_stats.json"),
+              "w") as fh:
+        json.dump(stats, fh)
+    with open(os.path.join(stage, "_COMPLETE"), "w") as fh:
+        fh.write("ok")
+    try:
+        os.rename(stage, base)
+    except OSError:
+        if not os.path.exists(done):
+            raise
+        shutil.rmtree(stage, ignore_errors=True)
+    return corpus_dir
+
+
+@query("dedup_admission_compaction_documents", _increment_oracle())
+def dedup_admission_compaction_documents(spark: SparkSession,
+                                         sf_dir: str) -> DataFrame:
+    """DELTA-LEDGER streamed dedup admission, read AFTER COMPACTION
+    (`streaming/dedup_admission.streaming_dedup_admission_delta` +
+    `streaming/compaction.py`): the admission family's corpus AND its
+    fingerprint/band state maintained as merge-on-read ledgers — each
+    micro-batch appends admitted upserts + revoked tombstones (O(batch)
+    write; tombstoned band keys are enumerable as revoked x band_idx),
+    where the COW form rewrites corpus-sized snapshots per batch
+    (measured: the snapshot write dominates `_admit_batch` at test
+    scale, measurements/stress_dedup_admission_r11.json). The oracle is
+    the increment family's unconditional full-rerun equivalence —
+    dedup(dedup(init) ∪ batches) replayed in SQL — so a hash match
+    proves compacted merged read ≡ sequential streamed admission ≡ flat
+    batch dedup, all three."""
+    from .streaming.dedup_admission import read_corpus_merged
+
+    corpus_dir = _streaming_dedup_delta_dir(spark, sf_dir)
+    return read_corpus_merged(spark, corpus_dir).select("doc_id")
+
+
 def _recall_audit_oracle() -> str:
     from .queries import _lsh_verified_oracle
 

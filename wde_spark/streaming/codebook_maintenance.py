@@ -188,10 +188,12 @@ def bootstrap_codebook_delta(init_emb: DataFrame, target_dir: str,
     """DELTA-LEDGER twin of `bootstrap_codebook_v0`: identical state-0
     arithmetic, written as ledger base `state/b0` (merge-on-read layout
     from `streaming/compaction.py`) instead of snapshot `state/v0`."""
-    from .compaction import write_base
+    from .compaction import ledger_entries, write_base
 
     ledger = os.path.join(target_dir, "state")
-    if os.path.exists(os.path.join(ledger, "b0", "_SUCCESS")):
+    # any entry means the ledger is live — compaction may have folded
+    # b0 away, so "b0 exists" is NOT the bootstrapped test
+    if ledger_entries(ledger):
         return
     spark = init_emb.sparkSession
     cents = train_ivf_centroids(init_emb, n_cells=n_cells, iters=iters)

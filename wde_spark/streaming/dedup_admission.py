@@ -166,6 +166,157 @@ def bootstrap_v0(init_corpus: DataFrame, target_dir: str, text_col: str,
     st.bands.write.mode("overwrite").parquet(os.path.join(v0, "bands"))
 
 
+def bootstrap_delta(init_corpus: DataFrame, target_dir: str,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    num_hashes: int = 16, bands: int | str = "auto",
+                    shingle_k: int = 2) -> None:
+    """DELTA-LEDGER twin of `bootstrap_v0`: the (already-deduplicated)
+    init corpus and its dedup state land as ledger bases
+    (`{target_dir}/{corpus,fp,bands}/b0`, `streaming/compaction.py`
+    layout) instead of a `v0` snapshot."""
+    from ..operators.incremental import dedup_state
+    from .compaction import ledger_entries, write_base
+
+    # any entry means the ledger is live — compaction may have folded
+    # b0 away, so "b0 exists" is NOT the bootstrapped test
+    if ledger_entries(os.path.join(target_dir, "corpus")):
+        return
+    st = dedup_state(init_corpus, text_col, id_col, num_hashes, bands,
+                     shingle_k)
+    write_base(init_corpus, os.path.join(target_dir, "corpus"), 0)
+    write_base(st.fingerprints, os.path.join(target_dir, "fp"), 0)
+    write_base(st.bands, os.path.join(target_dir, "bands"), 0)
+
+
+def streaming_dedup_admission_delta(
+    docs_stream: DataFrame,
+    init_corpus: DataFrame,
+    target_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int | str = "auto",
+    shingle_k: int = 2,
+    threshold: float = 0.2,
+    max_bucket: int | None = 64,
+) -> None:
+    """DELTA-LEDGER twin of `streaming_dedup_admission` — the corpus AND
+    both dedup-state tables are maintained as merge-on-read ledgers
+    (`streaming/compaction.py`), so a micro-batch writes O(batch) rows:
+
+      * corpus delta: admitted rows as upserts + revoked ids as
+        tombstones (key: id_col);
+      * fingerprint delta: admitted fps + revoked tombstones (id_col);
+      * band delta: admitted band rows + revoked tombstones, one per
+        (id, band_idx) — enumerable because every doc has exactly
+        `bands` band rows, so a revocation's keys are known without
+        reading the state.
+
+    This is the production write path the COW module docstring promises
+    ("a production deployment would write the kept/revoked DELTAS per
+    version and compact"): the snapshot rewrite that dominates
+    `_admit_batch`'s cost at test scale (see
+    measurements/stress_dedup_admission_r11.json) disappears, and
+    `compaction.compact` restores read amplification on a cadence.
+    Semantics are UNCHANGED — same `dedup_increment`, same
+    frozen-at-arrival ledger; the final merged corpus is pinned equal
+    to the COW maintainer's in tests and oracled as
+    `dedup_admission_compaction_documents`.
+
+    Replay contract: batch `b` reads every ledger `as_of=b` (its own
+    deltas at b+1 excluded), so a foreachBatch re-run rewrites the same
+    deltas with the same bytes."""
+    bootstrap_delta(init_corpus, target_dir, text_col, id_col,
+                    num_hashes, bands, shingle_k)
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        _admit_batch_delta(batch, batch_id, target_dir, text_col,
+                           id_col, num_hashes, bands, shingle_k,
+                           threshold, max_bucket)
+
+    q = (
+        docs_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+
+
+def _admit_batch_delta(batch: DataFrame, batch_id: int, target_dir: str,
+                       text_col: str, id_col: str, num_hashes: int,
+                       bands: int | str, shingle_k: int,
+                       threshold: float,
+                       max_bucket: int | None) -> None:
+    """One delta-ledger admission step: read every ledger `as_of`
+    batch_id, `dedup_increment`, append ledger deltas seq batch_id+1
+    (admitted upserts + revoked tombstones for corpus/fp/bands) —
+    `streaming_dedup_admission_delta`'s foreachBatch body, callable
+    directly (tools/stress_dedup_admission.py times it against the COW
+    `_admit_batch`)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import lsh_band_table
+    from ..operators.incremental import (_fingerprints, _resolve_bands,
+                                         dedup_increment)
+    from .compaction import read_merged, write_delta
+
+    sp = batch.sparkSession
+    n_bands = _resolve_bands(bands, num_hashes, 0.7)
+    corpus = read_merged(sp, os.path.join(target_dir, "corpus"),
+                         [id_col], as_of=batch_id)
+    state = DedupState(
+        fingerprints=read_merged(sp, os.path.join(target_dir, "fp"),
+                                 [id_col], as_of=batch_id),
+        bands=read_merged(sp, os.path.join(target_dir, "bands"),
+                          [id_col, "band_idx"], as_of=batch_id),
+    )
+    res = dedup_increment(corpus, batch, state, text_col, id_col,
+                          num_hashes, n_bands, shingle_k, threshold,
+                          max_bucket)
+    kept = res.kept.localCheckpoint()  # reused by all three deltas
+    revoked = res.revoked.localCheckpoint()
+    seq = batch_id + 1
+    other = [f.name for f in batch.schema.fields if f.name != id_col]
+    corpus_delta = kept.withColumn("_op", F.lit("U")).unionByName(
+        revoked.select(
+            id_col, *[F.lit(None).cast(batch.schema[c].dataType)
+                      .alias(c) for c in other],
+            F.lit("D").alias("_op")))
+    write_delta(corpus_delta, os.path.join(target_dir, "corpus"), seq)
+    fp_delta = (_fingerprints(kept, text_col, id_col)
+                .withColumn("_op", F.lit("U"))
+                .unionByName(revoked.select(
+                    id_col, F.lit(None).cast("string").alias("fp"),
+                    F.lit("D").alias("_op"))))
+    write_delta(fp_delta, os.path.join(target_dir, "fp"), seq)
+    band_tombs = revoked.crossJoin(
+        sp.range(n_bands).select(F.col("id").cast("int")
+                                 .alias("band_idx"))) \
+        .select(id_col, "band_idx",
+                F.lit(None).cast("string").alias("band_hash"),
+                F.lit("D").alias("_op"))
+    band_delta = (lsh_band_table(kept, text_col, id_col, num_hashes,
+                                 n_bands, shingle_k)
+                  .withColumn("_op", F.lit("U"))
+                  .unionByName(band_tombs))
+    write_delta(band_delta, os.path.join(target_dir, "bands"), seq)
+
+
+def read_corpus_merged(spark, target_dir: str,
+                       id_col: str = "doc_id") -> DataFrame:
+    """Current admitted corpus out of the delta ledger (merge-on-read;
+    a plain base scan once compacted)."""
+    from .compaction import read_merged
+
+    return read_merged(spark, os.path.join(target_dir, "corpus"),
+                       [id_col])
+
+
 def read_drift(spark, drift_dir: str) -> DataFrame:
     """The drift ledger written by the maintainer: (from_version,
     to_version, jsd, l1, n_terms_a, n_terms_b, n_terms_common), one row
