@@ -232,3 +232,27 @@ def test_compaction_lww_tombstones_and_time_travel(spark, tmp_path):
     post = {r["k"]: r["v"]
             for r in read_merged(spark, ledger, ["k"]).collect()}
     assert post == got  # tombstone physically gone, rows identical
+
+
+def test_maybe_compact_cadence(spark, tmp_path):
+    """maybe_compact folds only past the entry budget, keeping read
+    amplification bounded while appends accrue."""
+    from wde_spark.streaming.compaction import (ledger_entries,
+                                                maybe_compact, read_merged,
+                                                write_base, write_delta)
+
+    ledger = str(tmp_path / "cadence")
+    write_base(spark.createDataFrame([(1, "a")], "k int, v string"),
+               ledger, 0)
+    folded_at = []
+    for i in range(1, 5):
+        write_delta(spark.createDataFrame(
+            [(i + 1, f"v{i}")], "k int, v string"), ledger, i)
+        if maybe_compact(spark, ledger, ["k"], max_entries=3) is not None:
+            folded_at.append(i)
+    # entries grow 2,3,4(fold->1),2 — exactly one fold, at the 3rd append
+    assert folded_at == [3]
+    assert len(ledger_entries(ledger)) == 2  # folded base + 4th delta
+    got = {r["k"]: r["v"]
+           for r in read_merged(spark, ledger, ["k"]).collect()}
+    assert got == {1: "a", 2: "v1", 3: "v2", 4: "v3", 5: "v4"}

@@ -149,6 +149,20 @@ def read_amplification(target_dir: str) -> dict:
     return {"entries": len(live), "files": n_files}
 
 
+def maybe_compact(spark, target_dir: str, key_cols,
+                  max_entries: int = 8) -> dict | None:
+    """Compaction cadence: fold the ledger iff a merged read would
+    touch more than `max_entries` live entries (base + deltas). Call
+    after each delta append — the maintainer's auto-OPTIMIZE. Bounds
+    read amplification at `max_entries` while amortizing each O(table)
+    fold over that many O(batch) appends; returns compact()'s result
+    when it ran, None when the ledger was within budget."""
+    amp = read_amplification(target_dir)
+    if amp["entries"] <= max_entries:
+        return None
+    return compact(spark, target_dir, key_cols)
+
+
 def compact(spark, target_dir: str, key_cols) -> dict:
     """Fold the latest base + all later deltas into a new base at the
     ledger's max sequence, then delete what was merged. The merged read
