@@ -2124,6 +2124,10 @@ _DRIVER_PRIORITY = [
     "curriculum_pacing_documents",
     "streaming_curriculum_documents",
     "streaming_curriculum_pacing_documents",
+    # --- net-new this round (first rows; seated in-window so the r10
+    # verdict's landed-after-the-pin evidence gap does not recur) ---
+    "codebook_compaction_embeddings",
+    "dedup_admission_compaction_documents",
     # --- r6-vintage rows (oldest evidence first, rotation tool order) ---
     "resolve_ladder_parts", "group_collect_langs",
     "q15_top_supplier", "q18_large_volume_orders",
@@ -2143,11 +2147,12 @@ _DRIVER_PRIORITY = [
     "cluster_cap_embeddings", "contamination_by_source_documents",
     "cluster_prototypes_embeddings", "export_manifest_stream_documents",
     "cluster_drift_embeddings", "packed_sequences_documents",
-    # --- r7-vintage rows (next-oldest evidence) ---
+    # --- r7-vintage rows (next-oldest evidence; ngram_jaccard_pairs and
+    # snm_neardup_documents yield their seats to the r11 net-new
+    # entries and lead the r12 rotation) ---
     "anti_join_idle_customers", "topk_orders_salted",
     "lww_latest_order_agg", "window_frames_running",
-    "fingerprint_documents", "ngram_jaccard_pairs",
-    "snm_neardup_documents",
+    "fingerprint_documents",
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]

@@ -93,7 +93,15 @@ def read_merged(spark, target_dir: str, key_cols,
     """Merge-on-read: latest base <= as_of, plus every later delta
     <= as_of; last-writer-wins per key, tombstones dropped. With
     `as_of=None` reads the full ledger (time travel otherwise — the
-    maintainers replay against `as_of=batch_id` for idempotency)."""
+    maintainers replay against `as_of=batch_id` for idempotency).
+
+    The BASE IS NEVER SHUFFLED: the LWW window runs over the deltas
+    only (batch-sized by the write contract), whose key set then
+    broadcast-anti-joins the base — so a merged read costs one base
+    scan plus delta-sized work, not a table-sized repartition. A
+    fully-compacted ledger collapses further to a plain scan. (If
+    deltas outgrow broadcast, the ledger is overdue for `compact` /
+    `maybe_compact` — that cadence, not a bigger join, is the fix.)"""
     key_cols = list(key_cols)
     entries = ledger_entries(target_dir)
     if as_of is not None:
@@ -103,32 +111,40 @@ def read_merged(spark, target_dir: str, key_cols,
             f"no ledger entries under {target_dir} (as_of={as_of})")
     bases = [s for s, k in entries if k == "b"]
     start = max(bases) if bases else None
+    base_df = None
     parts = []
     for seq, kind in entries:
         if kind == "b":
             if seq != start:
                 continue  # superseded base: compaction already folded it
-            d = spark.read.parquet(_entry_dir(target_dir, "b", seq)) \
-                .withColumn("_op", F.lit("U"))
+            base_df = spark.read.parquet(
+                _entry_dir(target_dir, "b", seq))
         elif start is not None and seq <= start:
             continue  # delta already folded into the base (compaction
             # writes b{k} AT the top delta's sequence, so d{n<=k} is
             # always absorbed content, never fresher than the base)
         else:
-            d = spark.read.parquet(_entry_dir(target_dir, "d", seq))
-        parts.append(d.withColumn("_seq", F.lit(seq)))
-    if len(parts) == 1 and start is not None:
+            parts.append(
+                spark.read.parquet(_entry_dir(target_dir, "d", seq))
+                .withColumn("_seq", F.lit(seq)))
+    if not parts:
         # fully compacted ledger: a base holds live, unique-keyed rows
         # by construction, so the read is a plain scan — no LWW window,
-        # no shuffle. This is the payoff compaction buys.
-        return parts[0].drop("_op", "_seq")
+        # no join. This is the payoff compaction buys.
+        return base_df
     merged = parts[0]
     for p in parts[1:]:
         merged = merged.unionByName(p)
     w = Window.partitionBy(*key_cols).orderBy(F.col("_seq").desc())
-    return (merged.withColumn("_rk", F.row_number().over(w))
-            .filter((F.col("_rk") == 1) & (F.col("_op") == "U"))
-            .drop("_rk", "_seq", "_op"))
+    delta_live = (merged.withColumn("_rk", F.row_number().over(w))
+                  .filter((F.col("_rk") == 1) & (F.col("_op") == "U"))
+                  .drop("_rk", "_seq", "_op"))
+    if base_df is None:
+        return delta_live
+    delta_keys = merged.select(*key_cols).distinct()
+    survivors = base_df.join(F.broadcast(delta_keys), key_cols,
+                             "left_anti")
+    return survivors.unionByName(delta_live)
 
 
 def read_amplification(target_dir: str) -> dict:
