@@ -256,3 +256,35 @@ def test_maybe_compact_cadence(spark, tmp_path):
     got = {r["k"]: r["v"]
            for r in read_merged(spark, ledger, ["k"]).collect()}
     assert got == {1: "a", 2: "v1", 3: "v2", 4: "v3", 5: "v4"}
+
+
+def test_compacted_read_plan_is_scan_and_live_read_never_shuffles_base(
+        spark, tmp_path):
+    """Plan pins for the merge-on-read contract: a fully-compacted
+    ledger reads as ONE scan (no Exchange at all), and a live ledger's
+    read shuffles only delta rows — the base side is scan + broadcast
+    anti-join, never a hash repartition of the table."""
+    from wde_spark.streaming.compaction import (compact, read_merged,
+                                                write_base, write_delta)
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    ledger = str(tmp_path / "planpin")
+    write_base(spark.range(1000).select(
+        F.col("id").alias("k"), F.md5(F.col("id").cast("string"))
+        .alias("v")), ledger, 0)
+    write_delta(spark.createDataFrame(
+        [(5, "x", "U"), (7, None, "D")], "k long, v string, _op string"),
+        ledger, 1)
+    live = read_merged(spark, ledger, ["k"])
+    live.collect()
+    p = plan(live)
+    # the base reaches the anti-join as a plain scan under a broadcast
+    # exchange — no hash-partition Exchange feeds it
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p, p
+    compact(spark, ledger, ["k"])
+    folded = read_merged(spark, ledger, ["k"])
+    folded.collect()
+    p2 = plan(folded)
+    assert "Exchange" not in p2, p2  # ONE scan, nothing else moves

@@ -51,6 +51,7 @@ from pyspark.sql import functions as F
 
 from wde_spark.core.session import get_session
 from wde_spark.operators.dedup import dedup_corpus
+from wde_spark.streaming.compaction import maybe_compact
 from wde_spark.streaming.dedup_admission import (_admit_batch,
                                                  _admit_batch_delta,
                                                  bootstrap_delta,
@@ -117,6 +118,18 @@ def main() -> None:
             _admit_batch_delta(batch, i - 1, target_d, "text", "doc_id",
                                16, "auto", 2, 0.2, 64)
             admit_delta_sec = time.time() - t0
+            # compaction cadence between committed batches: bounds the
+            # ledger length every merged read (incl. the NEXT batch's
+            # as_of read) must union — amortized O(table) folds, charged
+            # separately from the per-batch admit cost
+            t0 = time.time()
+            folded = [sub for sub, keys in
+                      (("corpus", ["doc_id"]), ("fp", ["doc_id"]),
+                       ("bands", ["doc_id", "band_idx"]))
+                      if maybe_compact(
+                          spark, os.path.join(target_d, sub), keys,
+                          max_entries=3) is not None]
+            compact_sec = time.time() - t0
             delta_rows = read_corpus_merged(spark, target_d).count()
 
             all_raw = spark.read.parquet(os.path.join(raw_dir, "*.parquet"))
@@ -130,6 +143,8 @@ def main() -> None:
                 "rebuilt_rows": rebuilt_rows,
                 "admit_sec": round(admit_sec, 3),
                 "admit_delta_sec": round(admit_delta_sec, 3),
+                "compact_sec": round(compact_sec, 3),
+                "folded": folded,
                 "rebuild_sec": round(rebuild_sec, 3),
             })
 

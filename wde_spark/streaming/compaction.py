@@ -172,7 +172,13 @@ def maybe_compact(spark, target_dir: str, key_cols,
     after each delta append — the maintainer's auto-OPTIMIZE. Bounds
     read amplification at `max_entries` while amortizing each O(table)
     fold over that many O(batch) appends; returns compact()'s result
-    when it ran, None when the ledger was within budget."""
+    when it ran, None when the ledger was within budget.
+
+    Retention horizon: a fold absorbs every live delta, so `as_of`
+    reads EARLIER than the new base become unavailable (exactly the
+    table formats' vacuum/retention trade). Run it between COMMITTED
+    micro-batches — the streaming maintainers replay at most the last
+    uncommitted batch, which is always at or above the fold point."""
     amp = read_amplification(target_dir)
     if amp["entries"] <= max_entries:
         return None
