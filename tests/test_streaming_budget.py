@@ -120,3 +120,32 @@ def test_boundary_and_zero_token_edges(spark, tmp_path):
     rows2 = {r["doc_id"] for r in
              read_admitted(spark, target2).collect()}
     assert rows2 == {1}
+
+
+def test_space_feed_mtimes_orders_batches(tmp_path):
+    """The shared feed-mtime stamper (ADVICE r10): leaf files under
+    b{i}.parquet get strictly increasing mtimes by batch index, so the
+    file stream's oldest-first order always equals intended arrival
+    order — even when the writes landed in one timestamp granule."""
+    import os
+
+    import wde_spark.queries  # noqa: F401  (registry init owns the
+    # queries <-> queries_ext import order; a direct ext import would
+    # re-enter it half-initialized)
+    from wde_spark.queries_ext import _space_feed_mtimes
+
+    feed = tmp_path / "feed"
+    for i in (1, 2, 10):  # 10 checks numeric (not lexicographic) order
+        d = feed / f"b{i}.parquet"
+        d.mkdir(parents=True)
+        (d / "part-0.parquet").write_bytes(b"x")
+        (d / "_SUCCESS").write_bytes(b"")
+    # simulate the same-granule hazard: identical mtimes everywhere
+    for p in feed.rglob("*"):
+        os.utime(p, (1_000_000, 1_000_000))
+    _space_feed_mtimes(str(feed))
+    stamps = {i: os.path.getmtime(feed / f"b{i}.parquet" / "part-0.parquet")
+              for i in (1, 2, 10)}
+    assert stamps[1] < stamps[2] < stamps[10]
+    # every leaf file inside one batch shares that batch's stamp
+    assert os.path.getmtime(feed / "b2.parquet" / "_SUCCESS") == stamps[2]

@@ -75,6 +75,11 @@ class IncrementResult(NamedTuple):
     kept: DataFrame     # batch rows admitted to the corpus (original schema)
     revoked: DataFrame  # single-column: corpus ids dethroned by this batch
     state: DedupState   # state for corpus' = (corpus − revoked) ∪ kept
+    # the batch's OWN fp/band tables (localCheckpointed inside the
+    # increment) — delta-ledger writers subset these by kept ids instead
+    # of re-deriving shingles/minhashes (reuse, don't re-derive)
+    batch_fp: DataFrame | None = None
+    batch_bands: DataFrame | None = None
 
 
 def _fingerprints(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -274,4 +279,5 @@ def dedup_increment(corpus: DataFrame, batch: DataFrame,
         .join(revoked, id_col, "left_anti")
         .unionByName(bands_b.join(kept_ids, id_col, "left_semi")),
     )
-    return IncrementResult(kept=kept, revoked=revoked, state=new_state)
+    return IncrementResult(kept=kept, revoked=revoked, state=new_state,
+                           batch_fp=b_fp, batch_bands=bands_b)

@@ -260,9 +260,7 @@ def _admit_batch_delta(batch: DataFrame, batch_id: int, target_dir: str,
     `_admit_batch`)."""
     from pyspark.sql import functions as F
 
-    from ..operators.dedup import lsh_band_table
-    from ..operators.incremental import (_fingerprints, _resolve_bands,
-                                         dedup_increment)
+    from ..operators.incremental import _resolve_bands, dedup_increment
     from .compaction import read_merged, write_delta
 
     sp = batch.sparkSession
@@ -288,7 +286,11 @@ def _admit_batch_delta(batch: DataFrame, batch_id: int, target_dir: str,
                       .alias(c) for c in other],
             F.lit("D").alias("_op")))
     write_delta(corpus_delta, os.path.join(target_dir, "corpus"), seq)
-    fp_delta = (_fingerprints(kept, text_col, id_col)
+    kept_ids = kept.select(id_col)
+    # the increment already computed and checkpointed the batch's fp and
+    # band tables — subset by kept ids instead of re-deriving shingles
+    fp_delta = (res.batch_fp.select(id_col, "fp")
+                .join(kept_ids, id_col, "left_semi")
                 .withColumn("_op", F.lit("U"))
                 .unionByName(revoked.select(
                     id_col, F.lit(None).cast("string").alias("fp"),
@@ -300,8 +302,8 @@ def _admit_batch_delta(batch: DataFrame, batch_id: int, target_dir: str,
         .select(id_col, "band_idx",
                 F.lit(None).cast("string").alias("band_hash"),
                 F.lit("D").alias("_op"))
-    band_delta = (lsh_band_table(kept, text_col, id_col, num_hashes,
-                                 n_bands, shingle_k)
+    band_delta = (res.batch_bands
+                  .join(kept_ids, id_col, "left_semi")
                   .withColumn("_op", F.lit("U"))
                   .unionByName(band_tombs))
     write_delta(band_delta, os.path.join(target_dir, "bands"), seq)
