@@ -142,8 +142,11 @@ def read_merged(spark, target_dir: str, key_cols,
     if base_df is None:
         return delta_live
     delta_keys = merged.select(*key_cols).distinct()
-    survivors = base_df.join(F.broadcast(delta_keys), key_cols,
-                             "left_anti")
+    # no forced broadcast: AQE broadcasts the (batch-sized) key set in
+    # the designed regime, and an overdue-for-compaction ledger whose
+    # keys outgrow the threshold degrades to a shuffle join instead of
+    # flattening the driver
+    survivors = base_df.join(delta_keys, key_cols, "left_anti")
     return survivors.unionByName(delta_live)
 
 
