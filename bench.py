@@ -157,6 +157,7 @@ HEADLINE = [
     # model-sized codebook and the corpus-sized dedup admission
     "codebook_compaction_embeddings",
     "dedup_admission_compaction_documents",
+    "pq_codes_compaction_ann",
 ]
 
 

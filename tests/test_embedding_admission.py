@@ -134,3 +134,60 @@ def test_pq_query_luts_raises_on_oversized_query_side(spark):
     qrows, q_lut = SIM._pq_query_luts(spark, big, books, "vec_id",
                                       "embedding", max_queries=25)
     assert len(qrows) == 25 and q_lut.count() == 25
+
+
+def test_delta_ledger_pq_index_matches_cow_and_compacts(spark, tmp_path):
+    """The delta-ledger PQ maintainer (pure O(batch) code appends, no
+    ledger read) lands on exactly the COW maintainer's codes; ADC
+    queries agree before and after compaction; replay appends nothing."""
+    import time
+
+    from wde_spark.streaming.compaction import compact, ledger_entries
+    from wde_spark.streaming.embedding_admission import (
+        ann_query_merged, read_codes_merged,
+        streaming_pq_index_maintain_delta)
+
+    init = spark.createDataFrame(_vecs(range(40)), SCHEMA)
+    b0, b1 = _vecs(range(100, 110)), _vecs(range(200, 212))
+    src = tmp_path / "vecsd"
+    now = time.time()
+    for i, rows in enumerate((b0, b1)):
+        fdir = str(src / f"f{i}.parquet")
+        spark.createDataFrame(rows, SCHEMA).coalesce(1) \
+            .write.mode("overwrite").parquet(fdir)
+        for name in os.listdir(fdir):
+            os.utime(os.path.join(fdir, name),
+                     (now - 600 + i * 60, now - 600 + i * 60))
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*.parquet"))
+    )
+    cow_t, cow_c = str(tmp_path / "cow"), str(tmp_path / "cowck")
+    streaming_pq_index_maintain(stream, init, cow_t, cow_c,
+                                m=4, k_codes=8)
+    dl_t, dl_c = str(tmp_path / "dl"), str(tmp_path / "dlck")
+    streaming_pq_index_maintain_delta(stream, init, dl_t, dl_c,
+                                      m=4, k_codes=8)
+
+    want = read_codes(spark, cow_t)
+    got = read_codes_merged(spark, dl_t)
+    assert got.exceptAll(want).unionAll(want.exceptAll(got)).count() == 0
+    ledger = os.path.join(dl_t, "codes")
+    assert ledger_entries(ledger) == [(0, "b"), (1, "d"), (2, "d")]
+
+    q = spark.createDataFrame(_vecs([0, 5]), SCHEMA)
+    pre = {(r.query_id, r.item_id, r.approx_sim, r.rnk)
+           for r in ann_query_merged(spark, dl_t, q, k=3).collect()}
+    compact(spark, ledger, ["vec_id"])
+    assert ledger_entries(ledger) == [(2, "b")]
+    post = {(r.query_id, r.item_id, r.approx_sim, r.rnk)
+            for r in ann_query_merged(spark, dl_t, q, k=3).collect()}
+    cow = {(r.query_id, r.item_id, r.approx_sim, r.rnk)
+           for r in ann_query(spark, cow_t, q, k=3).collect()}
+    assert pre == post == cow and len(post) == 6
+
+    # replay: the compacted ledger gains nothing (checkpoint committed)
+    streaming_pq_index_maintain_delta(stream, init, dl_t, dl_c,
+                                      m=4, k_codes=8)
+    assert ledger_entries(ledger) == [(2, "b")]

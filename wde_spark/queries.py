@@ -2128,6 +2128,7 @@ _DRIVER_PRIORITY = [
     # verdict's landed-after-the-pin evidence gap does not recur) ---
     "codebook_compaction_embeddings",
     "dedup_admission_compaction_documents",
+    "pq_codes_compaction_ann",
     # --- r6-vintage rows (oldest evidence first, rotation tool order) ---
     "resolve_ladder_parts", "group_collect_langs",
     "q15_top_supplier", "q18_large_volume_orders",
@@ -2147,12 +2148,11 @@ _DRIVER_PRIORITY = [
     "cluster_cap_embeddings", "contamination_by_source_documents",
     "cluster_prototypes_embeddings", "export_manifest_stream_documents",
     "cluster_drift_embeddings", "packed_sequences_documents",
-    # --- r7-vintage rows (next-oldest evidence; ngram_jaccard_pairs and
-    # snm_neardup_documents yield their seats to the r11 net-new
-    # entries and lead the r12 rotation) ---
+    # --- r7-vintage rows (next-oldest evidence; ngram_jaccard_pairs,
+    # snm_neardup_documents, and fingerprint_documents yield their
+    # seats to the r11 net-new entries and lead the r12 rotation) ---
     "anti_join_idle_customers", "topk_orders_salted",
     "lww_latest_order_agg", "window_frames_running",
-    "fingerprint_documents",
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]

@@ -8222,6 +8222,101 @@ def _streaming_codebook_delta_dir(spark: SparkSession, sf_dir: str) -> str:
     return cbk_dir
 
 
+def _streaming_pq_delta_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per parquet snapshot) the DELTA-LEDGER maintained PQ
+    index and COMPACT it: same slices and arrival order as
+    `queries._streaming_pq_index_dir` (init vec_id%3==0 trains the
+    frozen codebook + base codes; %3==1 then %3==2 stream in), but each
+    batch is a PURE code append — no ledger read — and the ledger folds
+    to one base after the stream. Same staging + atomic-rename cache as
+    the other streaming builders."""
+    import hashlib
+    import json
+    import shutil
+    import tempfile
+
+    src_parquet = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        mtime = str(int(os.path.getmtime(src_parquet)))
+    except OSError:
+        mtime = "0"
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{mtime}".encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"wde_pq_delta_{tag}")
+    index_dir = os.path.join(base, "index")
+    done = os.path.join(base, "_COMPLETE")
+    if os.path.exists(done):
+        return index_dir
+    from .streaming.compaction import compact, read_amplification
+    from .streaming.embedding_admission import (
+        streaming_pq_index_maintain_delta)
+
+    if os.path.exists(base):
+        shutil.rmtree(base, ignore_errors=True)
+    stage = f"{base}.build.{os.getpid()}"
+    shutil.rmtree(stage, ignore_errors=True)
+    emb = load_table(spark, sf_dir, "embeddings") \
+        .select("vec_id", "embedding")
+    feed = os.path.join(stage, "feed")
+    for i in (1, 2):
+        emb.filter(F.col("vec_id") % 3 == i).coalesce(1) \
+            .write.mode("overwrite") \
+            .parquet(os.path.join(feed, f"b{i}.parquet"))
+    _space_feed_mtimes(feed)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(feed, "*.parquet"))
+    )
+    streaming_pq_index_maintain_delta(
+        stream, emb.filter(F.col("vec_id") % 3 == 0),
+        os.path.join(stage, "index"),
+        os.path.join(stage, "ckpt"), m=16, k_codes=16, iters=2)
+    ledger = os.path.join(stage, "index", "codes")
+    pre = read_amplification(ledger)
+    res = compact(spark, ledger, ["vec_id"])
+    with open(os.path.join(stage, "index", "compaction_stats.json"),
+              "w") as fh:
+        json.dump({"pre": pre, "post": read_amplification(ledger),
+                   "removed": res["removed"]}, fh)
+    with open(os.path.join(stage, "_COMPLETE"), "w") as fh:
+        fh.write("ok")
+    try:
+        os.rename(stage, base)
+    except OSError:
+        if not os.path.exists(done):
+            raise
+        shutil.rmtree(stage, ignore_errors=True)
+    return index_dir
+
+
+from .queries import ORACLE as _CORE_ORACLE  # noqa: E402  (fully built:
+# queries.py registers its own entries before importing this module)
+
+
+@query("pq_codes_compaction_ann", _CORE_ORACLE["streaming_pq_adc_ann"])
+def pq_codes_compaction_ann(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """DELTA-LEDGER maintained PQ index, ADC-queried AFTER COMPACTION
+    (`embedding_admission.streaming_pq_index_maintain_delta` +
+    `streaming/compaction.py`): the third and last corpus-sized COW
+    family on the table-format write path, and the idiom's best case —
+    codes are append-only under a frozen codebook, so a micro-batch
+    writes O(batch) encoded rows with NO ledger read at all (the COW
+    form rewrites the whole codes table per batch; at 10B vectors that
+    is ~640 GB per micro-batch vs ~64 B x batch here). The query scans
+    the folded base (one FileScan). The oracle is IDENTICAL to
+    `streaming_pq_adc_ann`'s full SQL replay (frozen-codebook encoding
+    is batching-invariant), so a hash match proves compacted merged
+    read ≡ streamed COW index ≡ one-shot batch encode."""
+    from .streaming.embedding_admission import ann_query_merged
+
+    index_dir = _streaming_pq_delta_dir(spark, sf_dir)
+    queries_df = load_table(spark, sf_dir, "embeddings", spread=True) \
+        .filter(F.col("vec_id") < 8)
+    return ann_query_merged(spark, index_dir, queries_df, k=5)
+
+
 @query("codebook_compaction_embeddings", _streaming_codebook_oracle())
 def codebook_compaction_embeddings(spark: SparkSession,
                                    sf_dir: str) -> DataFrame:

@@ -53,6 +53,83 @@ def ann_query(spark, target_dir: str, queries: DataFrame, k: int = 5,
                        read_codebooks(target_dir), k, id_col, vec_col)
 
 
+def read_codes_merged(spark, target_dir: str,
+                      id_col: str = "vec_id") -> DataFrame:
+    """Current PQ codes out of the DELTA ledger (merge-on-read; a plain
+    base scan once compacted)."""
+    from .compaction import read_merged
+
+    return read_merged(spark, os.path.join(target_dir, "codes"),
+                       [id_col])
+
+
+def ann_query_merged(spark, target_dir: str, queries: DataFrame,
+                     k: int = 5, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """ADC top-k against the delta-ledger index — same scoring as
+    `ann_query`, codes via merge-on-read."""
+    return pq_adc_topk(read_codes_merged(spark, target_dir, id_col),
+                       queries, read_codebooks(target_dir), k, id_col,
+                       vec_col)
+
+
+def streaming_pq_index_maintain_delta(
+    vec_stream: DataFrame,
+    init_items: DataFrame,
+    target_dir: str,
+    checkpoint_dir: str,
+    m: int = 8,
+    k_codes: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """DELTA-LEDGER twin of `streaming_pq_index_maintain` — the
+    remaining corpus-sized COW family moved to the table-format write
+    path (`streaming/compaction.py`). The codes table is APPEND-ONLY
+    (vectors admitted under a frozen codebook are never revoked), so a
+    micro-batch is the idiom's best case: encode the batch and append
+    it as ledger delta `d{batch_id+1}` — NO ledger read at all, so
+    per-batch cost is independent of index size, where the COW form
+    rewrites the whole codes table (10-billion-vector index = ~640 GB
+    rewritten per batch). Queries merge-on-read (a plain base scan once
+    compacted); encoding determinism gives the same replay contract as
+    the COW twin, and the same batch-invariance the ADC oracle
+    replays."""
+    from .compaction import ledger_entries, write_base, write_delta
+
+    os.makedirs(target_dir, exist_ok=True)
+    ledger = os.path.join(target_dir, "codes")
+    # bootstrap idempotent-by-redo, same discipline as the COW twin;
+    # "any ledger entry" is the completed test (compaction may fold b0)
+    complete = (os.path.exists(_codebook_path(target_dir))
+                and bool(ledger_entries(ledger)))
+    if not complete:
+        books = train_pq_codebooks(init_items, m, k_codes, iters, id_col,
+                                   vec_col)
+        with open(_codebook_path(target_dir), "w") as f:
+            json.dump(books, f)
+        write_base(pq_encode(init_items, books, id_col, vec_col),
+                   ledger, 0)
+
+    books = read_codebooks(target_dir)
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        write_delta(pq_encode(batch, books, id_col, vec_col), ledger,
+                    batch_id + 1)
+
+    q = (
+        vec_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+
+
 def streaming_pq_index_maintain(
     vec_stream: DataFrame,
     init_items: DataFrame,
