@@ -33,13 +33,15 @@ upserts. `read_merged` drops tombstoned keys after the LWW pick;
 compaction physically removes them (a tombstone never survives into a
 base).
 
-At 100 TB: the LWW pick is ONE window over the union keyed by the
-table's key columns — a single hash shuffle of base + deltas, the same
-cost any MOR reader pays; keep deltas few (compact on a cadence) and
-the union stays near base-sized. Compaction itself is one such read
-plus one base write — O(table), amortized over the batches it absorbs,
-exactly the economics of OPTIMIZE/rewrite_data_files in the table
-formats.
+At 100 TB: the BASE IS NEVER SHUFFLED on a merged read — the LWW
+window runs over the deltas only (batch-sized by the write contract),
+and their key set anti-joins the base (AQE broadcasts it in the
+designed regime; an overdue ledger degrades to a shuffle join instead
+of flattening the driver). A fully-compacted ledger reads as one plain
+scan. Compaction itself is one merged read plus one base write —
+O(table), amortized over the batches it absorbs via `maybe_compact`'s
+entry budget, exactly the economics of OPTIMIZE/rewrite_data_files in
+the table formats.
 """
 
 from __future__ import annotations
