@@ -213,6 +213,9 @@ def test_no_cartesian_or_undeclared_python_anywhere(spark):
                     # embarrassingly-parallel scan shape, like cosine_topk
                     "pq_ann_embeddings", "pq_ann_recall_gate",
                     "ivfpq_ann_recall_gate", "streaming_pq_adc_ann",
+                    # same ADC scan over the delta-ledger index's
+                    # folded base
+                    "pq_codes_compaction_ann",
                     "q11_supplier_share", "q22_idle_rich_customers",
                     "tfidf_top_terms_documents",
                     # expectations: each FK/unique part crossJoins a
