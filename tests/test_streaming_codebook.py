@@ -288,3 +288,49 @@ def test_compacted_read_plan_is_scan_and_live_read_never_shuffles_base(
     folded.collect()
     p2 = plan(folded)
     assert "Exchange" not in p2, p2  # ONE scan, nothing else moves
+
+
+def test_ledger_stats_prune_range_reads(spark, tmp_path):
+    """Per-entry (min, max) key stats skip non-intersecting entries on a
+    range read — exact under LWW (a skipped entry holds no in-range
+    key) — and survive compaction onto the folded base."""
+    from wde_spark.streaming.compaction import (compact, entry_stats,
+                                                plan_entries, read_merged,
+                                                write_base, write_delta)
+
+    ledger = str(tmp_path / "statsledger")
+    write_base(spark.createDataFrame(
+        [(i, f"b{i}") for i in range(100)], "k int, v string"),
+        ledger, 0, stats_col="k")
+    # delta 1: keys 200-209; delta 2: keys 50-54 (overwrites base rows);
+    # delta 3: keys 300-309
+    for seq, keys in ((1, range(200, 210)), (2, range(50, 55)),
+                      (3, range(300, 310))):
+        write_delta(spark.createDataFrame(
+            [(k, f"d{seq}_{k}") for k in keys], "k int, v string"),
+            ledger, seq, stats_col="k")
+    assert entry_stats(ledger, "d", 1) == {
+        "col": "k", "min": 200, "max": 209, "rows": 10}
+    # a read for keys 40..60 must touch base + delta 2 ONLY
+    assert plan_entries(ledger, key_range=(40, 60)) == [(0, "b"), (2, "d")]
+    got = {r["k"]: r["v"] for r in read_merged(
+        spark, ledger, ["k"], key_range=(40, 60)).collect()}
+    want = {k: (f"d2_{k}" if 50 <= k <= 54 else f"b{k}")
+            for k in range(40, 61)}
+    assert got == want
+    # a fully out-of-range read returns empty with the right schema
+    out = read_merged(spark, ledger, ["k"], key_range=(1000, 2000))
+    assert out.count() == 0 and set(out.columns) == {"k", "v"}
+    # pruned read == unpruned read + filter (correctness oracle)
+    full = {r["k"]: r["v"] for r in read_merged(
+        spark, ledger, ["k"]).collect() if 40 <= r["k"] <= 60}
+    assert got == full
+    # compaction recomputes stats for the folded base
+    compact(spark, ledger, ["k"])
+    st = entry_stats(ledger, "b", 3)
+    # 100 base + 10 (d1) + 10 (d3); d2's 5 keys overwrite base rows
+    assert st == {"col": "k", "min": 0, "max": 309, "rows": 120}
+    assert plan_entries(ledger, key_range=(40, 60)) == [(3, "b")]
+    got2 = {r["k"]: r["v"] for r in read_merged(
+        spark, ledger, ["k"], key_range=(40, 60)).collect()}
+    assert got2 == want

@@ -73,25 +73,96 @@ def _entry_dir(target_dir: str, kind: str, seq: int) -> str:
     return os.path.join(target_dir, f"{kind}{seq}")
 
 
-def write_base(df: DataFrame, target_dir: str, seq: int) -> None:
+_STATS_FILE = "_ledger_stats.json"  # underscore-prefixed: Spark's
+# parquet reader ignores it inside the entry directory
+
+
+def _write_stats(df: DataFrame, entry: str, stats_col: str) -> None:
+    import json
+
+    row = df.agg(F.min(stats_col).alias("lo"),
+                 F.max(stats_col).alias("hi"),
+                 F.count("*").alias("n")).first()
+    with open(os.path.join(entry, _STATS_FILE), "w") as fh:
+        json.dump({"col": stats_col,
+                   "min": row["lo"], "max": row["hi"],
+                   "rows": row["n"]}, fh)
+
+
+def entry_stats(target_dir: str, kind: str, seq: int) -> dict | None:
+    """The (col, min, max, rows) stats recorded for an entry, or None
+    when the writer did not request stats."""
+    import json
+
+    p = os.path.join(_entry_dir(target_dir, kind, seq), _STATS_FILE)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def write_base(df: DataFrame, target_dir: str, seq: int,
+               stats_col: str | None = None) -> None:
     """Write a self-contained base at ledger sequence `seq`. The frame
-    must NOT contain tombstones (bases hold live rows only)."""
+    must NOT contain tombstones (bases hold live rows only).
+    `stats_col` records the column's (min, max, rows) next to the data
+    (one extra O(batch) agg) so range reads can skip the entry."""
     os.makedirs(target_dir, exist_ok=True)
-    df.write.mode("overwrite").parquet(_entry_dir(target_dir, "b", seq))
+    entry = _entry_dir(target_dir, "b", seq)
+    df.write.mode("overwrite").parquet(entry)
+    if stats_col is not None:
+        _write_stats(df, entry, stats_col)
 
 
 def write_delta(df: DataFrame, target_dir: str, seq: int,
-                op_col: str = "_op") -> None:
+                op_col: str = "_op",
+                stats_col: str | None = None) -> None:
     """Append the batch's changed rows at sequence `seq`. `op_col`
-    ('U' upsert / 'D' delete) is added as all-'U' when absent."""
+    ('U' upsert / 'D' delete) is added as all-'U' when absent.
+    `stats_col`: see `write_base` — tombstone rows count toward the
+    range too (a delete for key k lives wherever k does)."""
     os.makedirs(target_dir, exist_ok=True)
     if op_col not in df.columns:
         df = df.withColumn(op_col, F.lit("U"))
-    df.write.mode("overwrite").parquet(_entry_dir(target_dir, "d", seq))
+    entry = _entry_dir(target_dir, "d", seq)
+    df.write.mode("overwrite").parquet(entry)
+    if stats_col is not None:
+        _write_stats(df, entry, stats_col)
+
+
+def plan_entries(target_dir: str, as_of: int | None = None,
+                 key_range: tuple | None = None) -> list:
+    """The (seq, kind) entries a merged read must touch: the latest
+    base <= as_of plus every later delta, MINUS entries whose recorded
+    (min, max) stats don't intersect `key_range` — the data-skipping
+    half of the table-format idiom. Entries without stats are never
+    pruned (correct by default); pruning is exact for LWW because a
+    skipped entry provably holds no key in range, so it can neither
+    supply nor supersede an in-range row."""
+    entries = ledger_entries(target_dir)
+    if as_of is not None:
+        entries = [e for e in entries if e[0] <= as_of]
+    bases = [s for s, k in entries if k == "b"]
+    start = max(bases) if bases else None
+    live = [(s, k) for s, k in entries
+            if (k == "b" and s == start)
+            or (k == "d" and (start is None or s > start))]
+    if key_range is None:
+        return live
+    lo, hi = key_range
+    kept = []
+    for seq, kind in live:
+        st = entry_stats(target_dir, kind, seq)
+        if st is not None and st["min"] is not None and (
+                st["max"] < lo or st["min"] > hi):
+            continue
+        kept.append((seq, kind))
+    return kept
 
 
 def read_merged(spark, target_dir: str, key_cols,
-                as_of: int | None = None) -> DataFrame:
+                as_of: int | None = None,
+                key_range: tuple | None = None) -> DataFrame:
     """Merge-on-read: latest base <= as_of, plus every later delta
     <= as_of; last-writer-wins per key, tombstones dropped. With
     `as_of=None` reads the full ledger (time travel otherwise — the
@@ -111,24 +182,35 @@ def read_merged(spark, target_dir: str, key_cols,
     if not entries:
         raise FileNotFoundError(
             f"no ledger entries under {target_dir} (as_of={as_of})")
-    bases = [s for s, k in entries if k == "b"]
-    start = max(bases) if bases else None
+    live = plan_entries(target_dir, as_of, key_range)
+    if key_range is not None and not live:
+        # every entry's stats exclude the range: empty result, schema
+        # from the newest entry
+        seq, kind = entries[-1]
+        empty = spark.read.parquet(
+            _entry_dir(target_dir, kind, seq)).limit(0)
+        if "_op" in empty.columns:
+            empty = empty.drop("_op")
+        return empty
     base_df = None
     parts = []
-    for seq, kind in entries:
+    for seq, kind in live:
         if kind == "b":
-            if seq != start:
-                continue  # superseded base: compaction already folded it
             base_df = spark.read.parquet(
                 _entry_dir(target_dir, "b", seq))
-        elif start is not None and seq <= start:
-            continue  # delta already folded into the base (compaction
-            # writes b{k} AT the top delta's sequence, so d{n<=k} is
-            # always absorbed content, never fresher than the base)
         else:
             parts.append(
                 spark.read.parquet(_entry_dir(target_dir, "d", seq))
                 .withColumn("_seq", F.lit(seq)))
+    if key_range is not None:
+        # `key_range` applies to key_cols[0] (the stats column by the
+        # write contract); the residual filter pushes to every scan
+        lo, hi = key_range
+        rng = (F.col(key_cols[0]) >= F.lit(lo)) \
+            & (F.col(key_cols[0]) <= F.lit(hi))
+        if base_df is not None:
+            base_df = base_df.filter(rng)
+        parts = [p.filter(rng) for p in parts]
     if not parts:
         # fully compacted ledger: a base holds live, unique-keyed rows
         # by construction, so the read is a plain scan — no LWW window,
@@ -156,12 +238,7 @@ def read_amplification(target_dir: str) -> dict:
     """What one merged read must touch RIGHT NOW: ledger entries unioned
     and parquet part-files opened — the quantity compaction exists to
     push back down."""
-    entries = ledger_entries(target_dir)
-    bases = [s for s, k in entries if k == "b"]
-    start = max(bases) if bases else None
-    live = [(s, k) for s, k in entries
-            if (k == "b" and s == start)
-            or (k == "d" and (start is None or s > start))]
+    live = plan_entries(target_dir)
     n_files = 0
     for seq, kind in live:
         d = _entry_dir(target_dir, kind, seq)
@@ -206,9 +283,17 @@ def compact(spark, target_dir: str, key_cols) -> dict:
         return {"new_base": top, "removed": []}  # already compact
     snapshot = read_merged(spark, target_dir, key_cols).cache()
     snapshot.count()  # materialize BEFORE touching the ledger
+    # preserve data-skipping across folds: if any live entry recorded
+    # stats, the folded base records them on the same column
+    stats_col = next(
+        (st["col"] for seq, kind in plan_entries(target_dir)
+         if (st := entry_stats(target_dir, kind, seq)) is not None),
+        None)
     tmp = _entry_dir(target_dir, "b", top) + ".compacting"
     shutil.rmtree(tmp, ignore_errors=True)
     snapshot.write.mode("overwrite").parquet(tmp)
+    if stats_col is not None:
+        _write_stats(snapshot, tmp, stats_col)
     snapshot.unpersist()
     os.rename(tmp, _entry_dir(target_dir, "b", top))
     removed = []

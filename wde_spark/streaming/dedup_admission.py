@@ -183,9 +183,12 @@ def bootstrap_delta(init_corpus: DataFrame, target_dir: str,
         return
     st = dedup_state(init_corpus, text_col, id_col, num_hashes, bands,
                      shingle_k)
-    write_base(init_corpus, os.path.join(target_dir, "corpus"), 0)
-    write_base(st.fingerprints, os.path.join(target_dir, "fp"), 0)
-    write_base(st.bands, os.path.join(target_dir, "bands"), 0)
+    write_base(init_corpus, os.path.join(target_dir, "corpus"), 0,
+               stats_col=id_col)
+    write_base(st.fingerprints, os.path.join(target_dir, "fp"), 0,
+               stats_col=id_col)
+    write_base(st.bands, os.path.join(target_dir, "bands"), 0,
+               stats_col=id_col)
 
 
 def streaming_dedup_admission_delta(
@@ -285,7 +288,8 @@ def _admit_batch_delta(batch: DataFrame, batch_id: int, target_dir: str,
             id_col, *[F.lit(None).cast(batch.schema[c].dataType)
                       .alias(c) for c in other],
             F.lit("D").alias("_op")))
-    write_delta(corpus_delta, os.path.join(target_dir, "corpus"), seq)
+    write_delta(corpus_delta, os.path.join(target_dir, "corpus"), seq,
+                stats_col=id_col)
     kept_ids = kept.select(id_col)
     # the increment already computed and checkpointed the batch's fp and
     # band tables — subset by kept ids instead of re-deriving shingles
@@ -295,7 +299,8 @@ def _admit_batch_delta(batch: DataFrame, batch_id: int, target_dir: str,
                 .unionByName(revoked.select(
                     id_col, F.lit(None).cast("string").alias("fp"),
                     F.lit("D").alias("_op"))))
-    write_delta(fp_delta, os.path.join(target_dir, "fp"), seq)
+    write_delta(fp_delta, os.path.join(target_dir, "fp"), seq,
+                stats_col=id_col)
     band_tombs = revoked.crossJoin(
         sp.range(n_bands).select(F.col("id").cast("int")
                                  .alias("band_idx"))) \
@@ -306,7 +311,8 @@ def _admit_batch_delta(batch: DataFrame, batch_id: int, target_dir: str,
                   .join(kept_ids, id_col, "left_semi")
                   .withColumn("_op", F.lit("U"))
                   .unionByName(band_tombs))
-    write_delta(band_delta, os.path.join(target_dir, "bands"), seq)
+    write_delta(band_delta, os.path.join(target_dir, "bands"), seq,
+                stats_col=id_col)
 
 
 def read_corpus_merged(spark, target_dir: str,

@@ -110,13 +110,13 @@ def streaming_pq_index_maintain_delta(
         with open(_codebook_path(target_dir), "w") as f:
             json.dump(books, f)
         write_base(pq_encode(init_items, books, id_col, vec_col),
-                   ledger, 0)
+                   ledger, 0, stats_col=id_col)
 
     books = read_codebooks(target_dir)
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         write_delta(pq_encode(batch, books, id_col, vec_col), ledger,
-                    batch_id + 1)
+                    batch_id + 1, stats_col=id_col)
 
     q = (
         vec_stream.writeStream.foreachBatch(_apply)
