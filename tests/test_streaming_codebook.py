@@ -334,3 +334,39 @@ def test_ledger_stats_prune_range_reads(spark, tmp_path):
     got2 = {r["k"]: r["v"] for r in read_merged(
         spark, ledger, ["k"], key_range=(40, 60)).collect()}
     assert got2 == want
+
+
+def test_compact_vacuum_split_preserves_history(spark, tmp_path):
+    """OPTIMIZE/VACUUM split: a fold with vacuum_absorbed=False leaves
+    absorbed entries on disk — fresh reads touch only the new base,
+    as_of time travel still resolves across the fold — and a later
+    vacuum() reclaims exactly the absorbed set."""
+    from wde_spark.streaming.compaction import (compact, ledger_entries,
+                                                plan_entries, read_merged,
+                                                vacuum, write_base,
+                                                write_delta)
+
+    ledger = str(tmp_path / "optvac")
+    write_base(spark.createDataFrame([(1, "a"), (2, "b")],
+                                     "k int, v string"), ledger, 0)
+    write_delta(spark.createDataFrame([(2, "B", "U"), (3, "c", "U")],
+                                      "k int, v string, _op string"),
+                ledger, 1)
+    res = compact(spark, ledger, ["k"], vacuum_absorbed=False)
+    assert res == {"new_base": 1, "removed": []}
+    # history retained on disk, invisible to fresh reads
+    assert ledger_entries(ledger) == [(0, "b"), (1, "b"), (1, "d")]
+    assert plan_entries(ledger) == [(1, "b")]
+    assert {r["k"]: r["v"] for r in
+            read_merged(spark, ledger, ["k"]).collect()} == {
+        1: "a", 2: "B", 3: "c"}
+    # time travel across the fold still works (pre-fold entries intact)
+    assert {r["k"]: r["v"] for r in
+            read_merged(spark, ledger, ["k"], as_of=0).collect()} == {
+        1: "a", 2: "b"}
+    # vacuum reclaims exactly the absorbed set
+    assert sorted(vacuum(ledger)) == ["b0", "d1"]
+    assert ledger_entries(ledger) == [(1, "b")]
+    assert {r["k"]: r["v"] for r in
+            read_merged(spark, ledger, ["k"]).collect()} == {
+        1: "a", 2: "B", 3: "c"}

@@ -267,26 +267,33 @@ def maybe_compact(spark, target_dir: str, key_cols,
     return compact(spark, target_dir, key_cols)
 
 
-def compact(spark, target_dir: str, key_cols) -> dict:
-    """Fold the latest base + all later deltas into a new base at the
-    ledger's max sequence, then delete what was merged. The merged read
-    BEFORE equals the base read AFTER by construction (same LWW pick,
-    materialized); returns {'new_base': seq, 'removed': [...]}."""
+def compact(spark, target_dir: str, key_cols,
+            vacuum_absorbed: bool = True) -> dict:
+    """Fold the live base + deltas into a new base at the ledger's max
+    live sequence. The merged read BEFORE equals the base read AFTER by
+    construction (same LWW pick, materialized); returns
+    {'new_base': seq, 'removed': [...]}.
+
+    `vacuum_absorbed=False` is the OPTIMIZE/VACUUM split: the fold
+    lands (readers that list the ledger from now on touch only the new
+    base) but absorbed entries stay on disk — in-flight readers that
+    already planned over them never lose a directory, and `as_of` time
+    travel keeps working across the fold — until a later `vacuum`
+    reclaims them after the retention delay the deployment chooses."""
     import shutil
 
-    entries = ledger_entries(target_dir)
-    if not entries:
+    live = plan_entries(target_dir)
+    if not live:
         raise FileNotFoundError(f"no ledger entries under {target_dir}")
-    top = entries[-1][0]
-    bases = [s for s, k in entries if k == "b"]
-    if bases and max(bases) == top and entries[-1][1] == "b":
-        return {"new_base": top, "removed": []}  # already compact
+    if len(live) == 1 and live[0][1] == "b":
+        return {"new_base": live[0][0], "removed": []}  # already compact
+    top = max(s for s, _k in live)
     snapshot = read_merged(spark, target_dir, key_cols).cache()
     snapshot.count()  # materialize BEFORE touching the ledger
     # preserve data-skipping across folds: if any live entry recorded
     # stats, the folded base records them on the same column
     stats_col = next(
-        (st["col"] for seq, kind in plan_entries(target_dir)
+        (st["col"] for seq, kind in live
          if (st := entry_stats(target_dir, kind, seq)) is not None),
         None)
     tmp = _entry_dir(target_dir, "b", top) + ".compacting"
@@ -296,13 +303,22 @@ def compact(spark, target_dir: str, key_cols) -> dict:
         _write_stats(snapshot, tmp, stats_col)
     snapshot.unpersist()
     os.rename(tmp, _entry_dir(target_dir, "b", top))
-    removed = []
-    start = max(bases) if bases else None
-    for seq, kind in entries:
-        if kind == "b" and seq == start and seq != top:
-            shutil.rmtree(_entry_dir(target_dir, "b", seq))
-            removed.append(f"b{seq}")
-        elif kind == "d" and (start is None or seq > start):
-            shutil.rmtree(_entry_dir(target_dir, "d", seq))
-            removed.append(f"d{seq}")
+    removed = vacuum(target_dir) if vacuum_absorbed else []
     return {"new_base": top, "removed": removed}
+
+
+def vacuum(target_dir: str) -> list:
+    """Delete every absorbed entry — anything a fresh merged read no
+    longer touches (superseded bases, folded deltas). Run it only after
+    in-flight readers have drained (the table formats' retention
+    delay); until then absorbed entries serve as_of history and keep
+    concurrent readers' plans valid."""
+    import shutil
+
+    live = set(plan_entries(target_dir))
+    removed = []
+    for seq, kind in ledger_entries(target_dir):
+        if (seq, kind) not in live:
+            shutil.rmtree(_entry_dir(target_dir, kind, seq))
+            removed.append(f"{kind}{seq}")
+    return removed
