@@ -2109,50 +2109,44 @@ from . import queries_ext  # noqa: E402,F401
 # greens rotate back in, topped up with the oldest r5-vintage rows per
 # `tools/plan_rotation.py`'s proposal (its last three r5 slots yield to
 # the late registrations and rotate in r9).
-# Round-11 window (tools/plan_rotation.py proposal, applied verbatim):
-# the flagship keeps its slot; the 6 r10-only registry entries with no
-# driver row ever (the r10 verdict's top item) seat first rows; then the
-# oldest-evidence rotation — the r6-vintage rows that yielded their r10
-# seats to the r9 program — topped up with the oldest r7-vintage rows.
+# Round-12 window (tools/plan_rotation.py proposal, applied verbatim):
+# every registry entry now has at least one green driver row (the r11
+# verdict's cross-round ledger), so the window is pure oldest-evidence
+# rotation: the flagship keeps its slot; the three r7-vintage rows that
+# yielded their r11 seats to the compaction additions
+# (fingerprint_documents, ngram_jaccard_pairs, snm_neardup_documents)
+# lead as the r11 verdict ordered; then the remaining r7-vintage greens
+# by evidence age, topped up with the oldest r8-vintage rows.
 _DRIVER_PRIORITY = [
     # --- flagship (keeps a driver row every round) ---
     "semantic_dedup_embeddings",
-    # --- never driver-checked (local-receipt-green only; first rows) ---
-    "jpeg420_segment_parallel_documents",
-    "streaming_token_budget_documents",
-    "tiff_packbits_documents",
-    "curriculum_pacing_documents",
-    "streaming_curriculum_documents",
-    "streaming_curriculum_pacing_documents",
-    # --- net-new this round (first rows; seated in-window so the r10
-    # verdict's landed-after-the-pin evidence gap does not recur) ---
-    "codebook_compaction_embeddings",
-    "dedup_admission_compaction_documents",
-    "pq_codes_compaction_ann",
-    # --- r6-vintage rows (oldest evidence first, rotation tool order) ---
-    "resolve_ladder_parts", "group_collect_langs",
-    "q15_top_supplier", "q18_large_volume_orders",
-    "bloom_semi_join_lineitem", "dedup_weights_documents",
-    "quantile_sketch_gate", "data_quality_orders",
-    "dedup_increment_documents", "dedup_recall_audit_documents",
-    "corpus_drift_documents", "lm_quality_documents",
-    "dsir_sample_documents", "nb_classify_documents",
-    "source_overlap_documents", "duplicate_spans_documents",
-    "substr_increment_documents", "strip_duplicate_spans_documents",
-    "source_scorecard_documents", "embedding_recall_audit_embeddings",
-    "dedup_corpus_semantic_documents", "lm_gated_admission_documents",
-    "dsir_gated_admission_documents", "ivfpq_residual_recall_gate",
-    "bpe_merges_documents", "frame_runs_multimodal",
-    "nb_gated_admission_documents", "kmeans_clusters_embeddings",
-    "export_shards_documents", "token_budget_mixture_documents",
-    "cluster_cap_embeddings", "contamination_by_source_documents",
-    "cluster_prototypes_embeddings", "export_manifest_stream_documents",
-    "cluster_drift_embeddings", "packed_sequences_documents",
-    # --- r7-vintage rows (next-oldest evidence; ngram_jaccard_pairs,
-    # snm_neardup_documents, and fingerprint_documents yield their
-    # seats to the r11 net-new entries and lead the r12 rotation) ---
-    "anti_join_idle_customers", "topk_orders_salted",
-    "lww_latest_order_agg", "window_frames_running",
+    # --- r7-vintage rows (oldest evidence; the three r11 yields lead) ---
+    "fingerprint_documents", "ngram_jaccard_pairs",
+    "snm_neardup_documents", "neardup_lsh_verified",
+    "quality_score_documents", "simhash_documents",
+    "lsh_ann_embeddings", "lsh_ann_recall_gate",
+    "ivf_ann_embeddings", "ivf_ann_recall_gate",
+    "embedding_neardup_exact", "multimodal_frames",
+    "tumbling_events", "sliding_events",
+    "session_events", "session_events_bucketed",
+    "string_pipeline_documents", "q2_cheapest_part_per_brand",
+    "q12_priority_by_status", "q13_customer_distribution",
+    "q16_supplier_part_counts", "q17_small_quantity_revenue",
+    "q22_idle_rich_customers", "cube_orders",
+    "percentile_prices", "grouping_sets_orders",
+    "set_ops_all_forms", "multimodal_audio_chunks",
+    "stratified_sample_documents", "tfidf_top_terms_documents",
+    "pack_token_budget_documents", "fuzzy_name_pairs",
+    "q21_single_late_supplier", "doremi_mixture_documents",
+    "substr_leakage_documents", "quality_quota_sample_documents",
+    "pca_scores_embeddings", "pca_balanced_shards_embeddings",
+    "knn_label_propagation_embeddings", "pca_incremental_moments_embeddings",
+    "pca2_scores_embeddings", "packed_bpe_sequences_documents",
+    "stateful_sessions_events", "curation_pipeline_documents",
+    # --- r8-vintage rows (next-oldest evidence, rotation tool order) ---
+    "agg_order_stats", "rollup_lineitem",
+    "pivot_order_status", "semi_join_active_customers",
+    "outer_join_nation_coverage",
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]
