@@ -583,3 +583,31 @@ def test_delta_ledger_admission_matches_cow_and_compaction(spark, tmp_path):
     streaming_dedup_admission_delta(stream, corpus0, target, ckpt)
     for sub in ("corpus", "fp", "bands"):
         assert ledger_entries(os.path.join(target, sub)) == [(2, "b")]
+
+
+def test_delta_admission_banding_params_frozen(spark, tmp_path):
+    """Banding parameters are persisted at bootstrap_delta time and
+    asserted on every admission: band-tombstone enumeration depends on
+    them, so driving a ledger with a different num_hashes/bands must
+    fail loudly instead of silently missing (or inventing) band_idx
+    tombstone keys."""
+    import os
+
+    import pytest
+
+    from wde_spark.streaming.dedup_admission import (_admit_batch_delta,
+                                                     bootstrap_delta)
+
+    corpus0 = D.dedup_corpus(spark.createDataFrame(CORPUS, SCHEMA))
+    target = str(tmp_path / "bandguard")
+    bootstrap_delta(corpus0, target, num_hashes=16, bands="auto")
+    assert os.path.exists(os.path.join(target, "_dedup_params.json"))
+    batch = spark.createDataFrame(BATCH[:2], SCHEMA)
+    with pytest.raises(ValueError, match="bootstrapped"):
+        _admit_batch_delta(batch, 0, target, "text", "doc_id",
+                           num_hashes=8, bands=4, shingle_k=2,
+                           threshold=0.2, max_bucket=None)
+    # matching parameters admit cleanly
+    _admit_batch_delta(batch, 0, target, "text", "doc_id",
+                       num_hashes=16, bands="auto", shingle_k=2,
+                       threshold=0.2, max_bucket=None)

@@ -236,7 +236,9 @@ def test_compaction_lww_tombstones_and_time_travel(spark, tmp_path):
 
 def test_maybe_compact_cadence(spark, tmp_path):
     """maybe_compact folds only past the entry budget, keeping read
-    amplification bounded while appends accrue."""
+    amplification bounded while appends accrue. vacuum_mode='immediate'
+    reclaims absorbed entries in the same tick (the single-writer
+    harness shape)."""
     from wde_spark.streaming.compaction import (ledger_entries,
                                                 maybe_compact, read_merged,
                                                 write_base, write_delta)
@@ -248,7 +250,8 @@ def test_maybe_compact_cadence(spark, tmp_path):
     for i in range(1, 5):
         write_delta(spark.createDataFrame(
             [(i + 1, f"v{i}")], "k int, v string"), ledger, i)
-        if maybe_compact(spark, ledger, ["k"], max_entries=3) is not None:
+        if maybe_compact(spark, ledger, ["k"], max_entries=3,
+                         vacuum_mode="immediate") is not None:
             folded_at.append(i)
     # entries grow 2,3,4(fold->1),2 — exactly one fold, at the 3rd append
     assert folded_at == [3]
@@ -256,6 +259,53 @@ def test_maybe_compact_cadence(spark, tmp_path):
     got = {r["k"]: r["v"]
            for r in read_merged(spark, ledger, ["k"]).collect()}
     assert got == {1: "a", 2: "v1", 3: "v2", 4: "v3", 5: "v4"}
+
+
+def test_maybe_compact_deferred_vacuum_retention(spark, tmp_path):
+    """The default cadence ('defer') is the OPTIMIZE/VACUUM split with a
+    one-fold retention delay: each fold leaves what IT absorbed on disk
+    — a reader that planned over the pre-fold entries still resolves,
+    and as_of history survives one fold back — and reclaims only what
+    the PREVIOUS fold absorbed."""
+    from wde_spark.streaming.compaction import (ledger_entries,
+                                                maybe_compact, plan_entries,
+                                                read_merged, write_base,
+                                                write_delta)
+
+    ledger = str(tmp_path / "defercadence")
+    write_base(spark.createDataFrame([(1, "a")], "k int, v string"),
+               ledger, 0)
+    # a reader plans over the pre-fold ledger and materializes LATER
+    for i in (1, 2, 3):
+        write_delta(spark.createDataFrame(
+            [(i + 1, f"v{i}")], "k int, v string"), ledger, i)
+    inflight = read_merged(spark, ledger, ["k"])  # planned pre-fold
+    res1 = maybe_compact(spark, ledger, ["k"], max_entries=3)
+    assert res1 is not None and res1["new_base"] == 3
+    # first fold vacuums nothing (no earlier fold's debris to reclaim)
+    assert res1["removed"] == []
+    assert plan_entries(ledger) == [(3, "b")]
+    assert set(ledger_entries(ledger)) == {
+        (0, "b"), (1, "d"), (2, "d"), (3, "d"), (3, "b")}
+    # the in-flight pre-fold reader still resolves (directories intact)
+    assert {r["k"]: r["v"] for r in inflight.collect()} == {
+        1: "a", 2: "v1", 3: "v2", 4: "v3"}
+    # and as_of history one fold back still works
+    assert {r["k"] for r in
+            read_merged(spark, ledger, ["k"], as_of=1).collect()} == {1, 2}
+    # second fold reclaims exactly what the FIRST fold absorbed
+    for i in (4, 5, 6):
+        write_delta(spark.createDataFrame(
+            [(i + 1, f"v{i}")], "k int, v string"), ledger, i)
+    res2 = maybe_compact(spark, ledger, ["k"], max_entries=3)
+    assert res2 is not None and res2["new_base"] == 6
+    assert sorted(res2["removed"]) == ["b0", "d1", "d2", "d3"]
+    assert set(ledger_entries(ledger)) == {
+        (3, "b"), (4, "d"), (5, "d"), (6, "d"), (6, "b")}
+    got = {r["k"]: r["v"]
+           for r in read_merged(spark, ledger, ["k"]).collect()}
+    assert got == {1: "a", 2: "v1", 3: "v2", 4: "v3", 5: "v4",
+                   6: "v5", 7: "v6"}
 
 
 def test_compacted_read_plan_is_scan_and_live_read_never_shuffles_base(
@@ -370,3 +420,91 @@ def test_compact_vacuum_split_preserves_history(spark, tmp_path):
     assert {r["k"]: r["v"] for r in
             read_merged(spark, ledger, ["k"]).collect()} == {
         1: "a", 2: "B", 3: "c"}
+
+
+def test_manifest_atomic_commit_hides_partial_writes(spark, tmp_path):
+    """Readers plan from the MANIFEST, not the directory listing: an
+    entry directory without a commit (a writer killed mid-write, or a
+    fold killed before its single atomic commit) is invisible — the
+    ledger stays readable with its pre-crash content — and the next
+    fold simply overwrites the partial output."""
+    import os
+
+    from wde_spark.streaming.compaction import (compact, ledger_entries,
+                                                read_merged, write_base,
+                                                write_delta)
+
+    ledger = str(tmp_path / "crashsafe")
+    write_base(spark.createDataFrame([(1, "a"), (2, "b")],
+                                     "k int, v string"), ledger, 0)
+    write_delta(spark.createDataFrame([(3, "c", "U")],
+                                      "k int, v string, _op string"),
+                ledger, 1)
+    # simulate a fold killed mid-write: the folded base directory exists
+    # (with garbage part-files) but its manifest commit never landed
+    partial = os.path.join(ledger, "b1")
+    os.makedirs(partial)
+    with open(os.path.join(partial, "part-00000.parquet"), "wb") as fh:
+        fh.write(b"\x00\x01 not parquet")
+    assert ledger_entries(ledger) == [(0, "b"), (1, "d")]  # b1 invisible
+    assert {r["k"]: r["v"] for r in
+            read_merged(spark, ledger, ["k"]).collect()} == {
+        1: "a", 2: "b", 3: "c"}
+    # the retried fold overwrites the partial directory and commits
+    res = compact(spark, ledger, ["k"])
+    assert res["new_base"] == 1
+    assert ledger_entries(ledger) == [(1, "b")]
+    assert {r["k"]: r["v"] for r in
+            read_merged(spark, ledger, ["k"]).collect()} == {
+        1: "a", 2: "b", 3: "c"}
+
+
+def test_manifest_adopts_legacy_listdir_ledger(spark, tmp_path):
+    """A pre-manifest ledger (entry directories, no `_manifest/`) keeps
+    reading via the listdir fallback, and the first write through the
+    current API adopts it into the manifest without changing what a
+    merged read returns."""
+    import os
+    import shutil
+
+    from wde_spark.streaming.compaction import (ledger_entries,
+                                                read_merged, write_base,
+                                                write_delta)
+
+    ledger = str(tmp_path / "legacy")
+    write_base(spark.createDataFrame([(1, "a")], "k int, v string"),
+               ledger, 0)
+    write_delta(spark.createDataFrame([(2, "b", "U")],
+                                      "k int, v string, _op string"),
+                ledger, 1)
+    shutil.rmtree(os.path.join(ledger, "_manifest"))  # pre-manifest disk
+    assert ledger_entries(ledger) == [(0, "b"), (1, "d")]  # fallback
+    write_delta(spark.createDataFrame([(3, "c", "U")],
+                                      "k int, v string, _op string"),
+                ledger, 2)  # adopts + commits atomically
+    assert os.path.isdir(os.path.join(ledger, "_manifest"))
+    assert ledger_entries(ledger) == [(0, "b"), (1, "d"), (2, "d")]
+    assert {r["k"]: r["v"] for r in
+            read_merged(spark, ledger, ["k"]).collect()} == {
+        1: "a", 2: "b", 3: "c"}
+
+
+def test_write_delta_key_contract_assertion(spark, tmp_path):
+    """`write_delta(key_cols=...)` enforces the one-row-per-key-per-
+    delta contract that makes the LWW merge deterministic (within one
+    delta there is no tiebreaker beyond the ledger sequence)."""
+    import pytest
+
+    from wde_spark.streaming.compaction import write_base, write_delta
+
+    ledger = str(tmp_path / "contract")
+    write_base(spark.createDataFrame([(1, "a")], "k int, v string"),
+               ledger, 0, key_cols=["k"])
+    with pytest.raises(ValueError, match="one-row-per-key"):
+        write_delta(spark.createDataFrame(
+            [(2, "first", "U"), (2, "second", "U")],
+            "k int, v string, _op string"), ledger, 1, key_cols=["k"])
+    # a clean delta passes the same gate
+    write_delta(spark.createDataFrame([(2, "b", "U")],
+                                      "k int, v string, _op string"),
+                ledger, 1, key_cols=["k"])

@@ -257,7 +257,8 @@ def streaming_codebook_maintain_delta(emb_stream: DataFrame,
                     (F.col("s") + F.col("s_add")).alias("s"),
                     "boot")
         )
-        write_delta(delta.coalesce(1), ledger, batch_id + 1)
+        write_delta(delta.coalesce(1), ledger, batch_id + 1,
+                    key_cols=["cell", "d"])
 
     q = (
         emb_stream.writeStream.foreachBatch(_apply)

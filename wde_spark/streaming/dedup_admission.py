@@ -166,6 +166,37 @@ def bootstrap_v0(init_corpus: DataFrame, target_dir: str, text_col: str,
     st.bands.write.mode("overwrite").parquet(os.path.join(v0, "bands"))
 
 
+_PARAMS_FILE = "_dedup_params.json"
+
+
+def _params_path(target_dir: str) -> str:
+    return os.path.join(target_dir, _PARAMS_FILE)
+
+
+def _check_params(target_dir: str, num_hashes: int, n_bands: int,
+                  shingle_k: int) -> None:
+    """Assert the banding the caller resolved matches what the ledger
+    was bootstrapped with — a ledger driven with different
+    num_hashes/bands would enumerate tombstones for band_idx keys that
+    don't exist (or miss ones that do) with no error. Mirrors the
+    'parameters must match' precondition `dedup_state` documents.
+    Ledgers that predate the sidecar (no params file) stay unguarded."""
+    import json
+
+    p = _params_path(target_dir)
+    if not os.path.exists(p):
+        return
+    with open(p) as fh:
+        want = json.load(fh)
+    got = {"num_hashes": num_hashes, "n_bands": n_bands,
+           "shingle_k": shingle_k}
+    if got != want:
+        raise ValueError(
+            f"dedup-admission ledger at {target_dir} was bootstrapped "
+            f"with {want} but is being driven with {got}; banding "
+            f"parameters are frozen at bootstrap_delta time")
+
+
 def bootstrap_delta(init_corpus: DataFrame, target_dir: str,
                     text_col: str = "text", id_col: str = "doc_id",
                     num_hashes: int = 16, bands: int | str = "auto",
@@ -173,8 +204,12 @@ def bootstrap_delta(init_corpus: DataFrame, target_dir: str,
     """DELTA-LEDGER twin of `bootstrap_v0`: the (already-deduplicated)
     init corpus and its dedup state land as ledger bases
     (`{target_dir}/{corpus,fp,bands}/b0`, `streaming/compaction.py`
-    layout) instead of a `v0` snapshot."""
-    from ..operators.incremental import dedup_state
+    layout) instead of a `v0` snapshot. The resolved banding parameters
+    are persisted next to the ledgers and asserted on every admission —
+    tombstone enumeration depends on them (see `_check_params`)."""
+    import json
+
+    from ..operators.incremental import _resolve_bands, dedup_state
     from .compaction import ledger_entries, write_base
 
     # any entry means the ledger is live — compaction may have folded
@@ -183,12 +218,17 @@ def bootstrap_delta(init_corpus: DataFrame, target_dir: str,
         return
     st = dedup_state(init_corpus, text_col, id_col, num_hashes, bands,
                      shingle_k)
+    os.makedirs(target_dir, exist_ok=True)
+    with open(_params_path(target_dir), "w") as fh:
+        json.dump({"num_hashes": num_hashes,
+                   "n_bands": _resolve_bands(bands, num_hashes, 0.7),
+                   "shingle_k": shingle_k}, fh)
     write_base(init_corpus, os.path.join(target_dir, "corpus"), 0,
-               stats_col=id_col)
+               stats_col=id_col, key_cols=[id_col])
     write_base(st.fingerprints, os.path.join(target_dir, "fp"), 0,
-               stats_col=id_col)
+               stats_col=id_col, key_cols=[id_col])
     write_base(st.bands, os.path.join(target_dir, "bands"), 0,
-               stats_col=id_col)
+               stats_col=id_col, key_cols=[id_col, "band_idx"])
 
 
 def streaming_dedup_admission_delta(
@@ -268,6 +308,7 @@ def _admit_batch_delta(batch: DataFrame, batch_id: int, target_dir: str,
 
     sp = batch.sparkSession
     n_bands = _resolve_bands(bands, num_hashes, 0.7)
+    _check_params(target_dir, num_hashes, n_bands, shingle_k)
     corpus = read_merged(sp, os.path.join(target_dir, "corpus"),
                          [id_col], as_of=batch_id)
     state = DedupState(
@@ -289,7 +330,7 @@ def _admit_batch_delta(batch: DataFrame, batch_id: int, target_dir: str,
                       .alias(c) for c in other],
             F.lit("D").alias("_op")))
     write_delta(corpus_delta, os.path.join(target_dir, "corpus"), seq,
-                stats_col=id_col)
+                stats_col=id_col, key_cols=[id_col])
     kept_ids = kept.select(id_col)
     # the increment already computed and checkpointed the batch's fp and
     # band tables — subset by kept ids instead of re-deriving shingles
@@ -300,7 +341,7 @@ def _admit_batch_delta(batch: DataFrame, batch_id: int, target_dir: str,
                     id_col, F.lit(None).cast("string").alias("fp"),
                     F.lit("D").alias("_op"))))
     write_delta(fp_delta, os.path.join(target_dir, "fp"), seq,
-                stats_col=id_col)
+                stats_col=id_col, key_cols=[id_col])
     band_tombs = revoked.crossJoin(
         sp.range(n_bands).select(F.col("id").cast("int")
                                  .alias("band_idx"))) \
@@ -312,7 +353,7 @@ def _admit_batch_delta(batch: DataFrame, batch_id: int, target_dir: str,
                   .withColumn("_op", F.lit("U"))
                   .unionByName(band_tombs))
     write_delta(band_delta, os.path.join(target_dir, "bands"), seq,
-                stats_col=id_col)
+                stats_col=id_col, key_cols=[id_col, "band_idx"])
 
 
 def read_corpus_merged(spark, target_dir: str,

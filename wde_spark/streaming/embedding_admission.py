@@ -116,7 +116,7 @@ def streaming_pq_index_maintain_delta(
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         write_delta(pq_encode(batch, books, id_col, vec_col), ledger,
-                    batch_id + 1, stats_col=id_col)
+                    batch_id + 1, stats_col=id_col, key_cols=[id_col])
 
     q = (
         vec_stream.writeStream.foreachBatch(_apply)
