@@ -450,3 +450,33 @@ def test_no_unbounded_driver_collect_in_package_source():
     assert not offenders, (
         "unadjudicated .collect() in package source (bounded? add to the "
         f"allowlist with a justification): {offenders}")
+
+
+def test_segment_parallel_split_decode_stays_narrow(spark):
+    """The segment-parallel JPEG pipeline's decode kernel caches the
+    JFIF header it sees on seg_id 0 per task, which is only sound while
+    the split->decode chain is NARROW (no repartition between the two
+    mapInPandas kernels — same task, stable row order). Pin the shape:
+    exactly ONE exchange in the whole pipeline (the media_id
+    reassembly), and both the split and decode kernels sit BELOW it on
+    the map side. If a repartition ever slips between them, this fails
+    before images silently null-route."""
+    from wde_spark.operators.multimodal import (attach_jpegs_420_dri,
+                                                segment_parallel_rgba_stats)
+    from wde_spark.core.catalog import load_table
+
+    docs = load_table(spark, SF_CORRECT, "documents") \
+        .filter("doc_id < 20")
+    media = attach_jpegs_420_dri(docs)
+    df = segment_parallel_rgba_stats(media)
+    df.collect()  # finalize AQE so the real exchange placement shows
+    # the finalized string repeats the tree under '== Initial Plan ==';
+    # pin the executed (final) section only
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning") == 1
+    # plan prints root-first: reassemble above the media_id exchange,
+    # split+decode intact below it (same task, narrow chain)
+    exch = plan.index("Exchange hashpartitioning")
+    assert plan.index("reassemble_kernel") < exch
+    assert plan.index("decode_kernel") > exch
+    assert plan.index("split_kernel") > plan.index("decode_kernel")
