@@ -94,6 +94,50 @@ def main() -> None:
         post_read = time.time() - t0
         post_hash = _snapshot_hash(read_merged(spark, ledger, ["k"]))
         assert pre_hash == post_hash, (pre_hash, post_hash)
+
+        # phase 2 — SIZE-TARGETED folds keep part-file count flat across
+        # repeated append-then-fold cycles (the r11 receipt accreted
+        # 24 -> 41 files through ONE unsized fold); the unsized twin on
+        # a copied ledger shows the accretion the targeting removes
+        import subprocess
+
+        unsized = ledger + "_unsized"
+        shutil.rmtree(unsized, ignore_errors=True)
+        subprocess.run(["cp", "-r", ledger, unsized], check=True)
+        cycles = {"sized": [], "unsized": []}
+        seq0 = n_deltas
+        for cycle in range(3):
+            for j in range(1, 5):
+                seq = seq0 + cycle * 4 + j
+                n_over = delta_rows // 10
+                over = spark.range(n_over).select(
+                    ((F.col("id") * 104729 + seq) % base_rows).alias("k"))
+                fresh = spark.range(delta_rows - n_over).select(
+                    (F.col("id") + next_key).alias("k"))
+                next_key += delta_rows - n_over
+                delta = over.unionByName(fresh).select(
+                    "k", F.md5(F.concat_ws("@", F.lit(seq),
+                                           F.col("k").cast("string")))
+                    .alias("payload"))
+                for tgt in (ledger, unsized):
+                    write_delta(delta.repartition(1), tgt, seq)
+            for tag, tgt, tfb in (("sized", ledger, 128 * 1024 * 1024),
+                                  ("unsized", unsized, None)):
+                t0 = time.time()
+                compact(spark, tgt, ["k"], target_file_bytes=tfb)
+                csec = time.time() - t0
+                amp = read_amplification(tgt)
+                t0 = time.time()
+                rows = read_merged(spark, tgt, ["k"]).count()
+                rsec = time.time() - t0
+                cycles[tag].append({
+                    "cycle": cycle + 1, "files": amp["files"],
+                    "rows": rows, "compact_sec": round(csec, 3),
+                    "read_sec": round(rsec, 3)})
+        assert _snapshot_hash(read_merged(spark, ledger, ["k"])) == \
+            _snapshot_hash(read_merged(spark, unsized, ["k"]))
+        shutil.rmtree(unsized, ignore_errors=True)
+
         print(json.dumps({
             "metric": "compaction_read_amplification",
             "base_rows": base_rows, "delta_rows": delta_rows,
@@ -102,10 +146,12 @@ def main() -> None:
             "post": {"entries": post_amp["entries"],
                      "files": post_amp["files"], "rows": post_n,
                      "read_sec": round(post_read, 3)},
+            "fold_cycles": cycles,
             "snapshot_equal": True,
         }))
     finally:
         shutil.rmtree(ledger, ignore_errors=True)
+        shutil.rmtree(ledger + "_unsized", ignore_errors=True)
 
 
 if __name__ == "__main__":

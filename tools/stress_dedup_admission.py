@@ -32,8 +32,11 @@ decisions exercise every batch. Expected shape: admit_sec stays flat
 (batch-sized work + state stream) while rebuild_sec grows with the
 corpus — the gap IS the rescanned text.
 
-Usage: python tools/stress_dedup_admission.py [init_rows] [batch_rows] [n_batches]
-Prints one JSON line (pipe to measurements/).
+Usage: python tools/stress_dedup_admission.py [init_rows] [batch_rows] [n_batches] [rebuild_every]
+Prints one JSON line (pipe to measurements/). `rebuild_every` (default 1)
+runs the O(corpus) full-rebuild comparator only on every k-th batch —
+the 10x-corpus variant sets it to n_batches so the receipt pays the
+rebuild once, at the end, where it is largest.
 """
 
 from __future__ import annotations
@@ -70,6 +73,7 @@ def main() -> None:
     init_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     batch_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000
     n_batches = int(sys.argv[3]) if len(sys.argv) > 3 else 6
+    rebuild_every = int(sys.argv[4]) if len(sys.argv) > 4 else 1
 
     spark = get_session("stress_dedup_admission")
     par = spark.sparkContext.defaultParallelism
@@ -132,12 +136,17 @@ def main() -> None:
             compact_sec = time.time() - t0
             delta_rows = read_corpus_merged(spark, target_d).count()
 
-            all_raw = spark.read.parquet(os.path.join(raw_dir, "*.parquet"))
-            t0 = time.time()
-            rebuilt_rows = dedup_corpus(all_raw).count()
-            rebuild_sec = time.time() - t0
-            assert corpus_rows == delta_rows == rebuilt_rows, (
-                corpus_rows, delta_rows, rebuilt_rows)
+            assert corpus_rows == delta_rows, (corpus_rows, delta_rows)
+            rebuild_sec = None
+            rebuilt_rows = None
+            if i % rebuild_every == 0:
+                all_raw = spark.read.parquet(
+                    os.path.join(raw_dir, "*.parquet"))
+                t0 = time.time()
+                rebuilt_rows = dedup_corpus(all_raw).count()
+                rebuild_sec = time.time() - t0
+                assert corpus_rows == rebuilt_rows, (
+                    corpus_rows, rebuilt_rows)
             rows.append({
                 "batch": i, "corpus_rows": corpus_rows,
                 "rebuilt_rows": rebuilt_rows,
@@ -145,7 +154,8 @@ def main() -> None:
                 "admit_delta_sec": round(admit_delta_sec, 3),
                 "compact_sec": round(compact_sec, 3),
                 "folded": folded,
-                "rebuild_sec": round(rebuild_sec, 3),
+                "rebuild_sec": (round(rebuild_sec, 3)
+                                if rebuild_sec is not None else None),
             })
 
         print(json.dumps({
