@@ -2109,17 +2109,22 @@ from . import queries_ext  # noqa: E402,F401
 # greens rotate back in, topped up with the oldest r5-vintage rows per
 # `tools/plan_rotation.py`'s proposal (its last three r5 slots yield to
 # the late registrations and rotate in r9).
-# Round-12 window (tools/plan_rotation.py proposal, applied verbatim):
-# every registry entry now has at least one green driver row (the r11
-# verdict's cross-round ledger), so the window is pure oldest-evidence
+# Round-12 window (tools/plan_rotation.py proposal, applied verbatim,
+# plus the round's one net-new entry seated in-window so the r10
+# verdict's landed-after-the-pin evidence gap does not recur): every
+# prior registry entry has at least one green driver row (the r11
+# verdict's cross-round ledger), so the rest is pure oldest-evidence
 # rotation: the flagship keeps its slot; the three r7-vintage rows that
 # yielded their r11 seats to the compaction additions
 # (fingerprint_documents, ngram_jaccard_pairs, snm_neardup_documents)
 # lead as the r11 verdict ordered; then the remaining r7-vintage greens
-# by evidence age, topped up with the oldest r8-vintage rows.
+# by evidence age, topped up with the oldest r8-vintage rows (the last
+# r8 slot yields to the net-new clustered-ledger query).
 _DRIVER_PRIORITY = [
     # --- flagship (keeps a driver row every round) ---
     "semantic_dedup_embeddings",
+    # --- net-new this round (first driver row) ---
+    "ledger_clustered_range_documents",
     # --- r7-vintage rows (oldest evidence; the three r11 yields lead) ---
     "fingerprint_documents", "ngram_jaccard_pairs",
     "snm_neardup_documents", "neardup_lsh_verified",
@@ -2146,7 +2151,6 @@ _DRIVER_PRIORITY = [
     # --- r8-vintage rows (next-oldest evidence, rotation tool order) ---
     "agg_order_stats", "rollup_lineitem",
     "pivot_order_status", "semi_join_active_customers",
-    "outer_join_nation_coverage",
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]

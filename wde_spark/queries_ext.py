@@ -8400,3 +8400,112 @@ def palette_thumbnails_documents(spark: SparkSession,
     docs = load_table(spark, sf_dir, "documents", spread=True)
     thumbs = MM.resize_images(MM.attach_palette_images(docs), 8, 8)
     return MM.thumbnail_stats(thumbs)
+
+
+def _doc_ledger_clustered_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per parquet snapshot) a documents DELTA LEDGER and
+    fold it RANGE-CLUSTERED: base b0 = doc_id%3==0, delta d1 = %3==1
+    upserts, delta d2 = %3==2 upserts (minus the %10==7 keys) plus
+    tombstones for EVERY doc_id%10==7 — so the merged table is exactly
+    `documents WHERE doc_id % 10 <> 7`, an oracle DuckDB states
+    directly. All writes carry `stats_col`/`key_cols` (entry-level
+    data skipping + the LWW write contract), and the fold runs with
+    `cluster_cols=["doc_id"]` + a small `target_file_bytes`, so the
+    compacted base is range-clustered across several part-files —
+    the layout `stress_cluster_layout.py` receipts for pruning. Same
+    staging + atomic-rename cache as the other builders."""
+    import hashlib
+    import json
+    import shutil
+    import tempfile
+
+    src_parquet = os.path.join(sf_dir, "documents.parquet")
+    try:
+        mtime = str(int(os.path.getmtime(src_parquet)))
+    except OSError:
+        mtime = "0"
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{mtime}".encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"wde_doc_ledger_{tag}")
+    ledger = os.path.join(base, "ledger")
+    done = os.path.join(base, "_COMPLETE")
+    if os.path.exists(done):
+        return ledger
+    from .streaming.compaction import (compact, read_amplification,
+                                       write_base, write_delta)
+
+    if os.path.exists(base):
+        shutil.rmtree(base, ignore_errors=True)
+    stage = f"{base}.build.{os.getpid()}"
+    shutil.rmtree(stage, ignore_errors=True)
+    sledger = os.path.join(stage, "ledger")
+    docs = load_table(spark, sf_dir, "documents")
+    write_base(docs.filter(F.col("doc_id") % 3 == 0), sledger, 0,
+               stats_col="doc_id", key_cols=["doc_id"])
+    write_delta(docs.filter(F.col("doc_id") % 3 == 1), sledger, 1,
+                stats_col="doc_id", key_cols=["doc_id"])
+    upserts = docs.filter((F.col("doc_id") % 3 == 2)
+                          & (F.col("doc_id") % 10 != 7))
+    tombs = docs.filter(F.col("doc_id") % 10 == 7).select(
+        "doc_id", *[F.lit(None).cast(docs.schema[c].dataType).alias(c)
+                    for c in docs.columns if c != "doc_id"],
+        F.lit("D").alias("_op"))
+    write_delta(upserts.withColumn("_op", F.lit("U")).unionByName(tombs),
+                sledger, 2, stats_col="doc_id", key_cols=["doc_id"])
+    pre = read_amplification(sledger)
+    res = compact(spark, sledger, ["doc_id"],
+                  target_file_bytes=64 * 1024,
+                  cluster_cols=["doc_id"])
+    with open(os.path.join(stage, "cluster_stats.json"), "w") as fh:
+        json.dump({"pre": pre, "post": read_amplification(sledger),
+                   "removed": res["removed"]}, fh)
+    with open(os.path.join(stage, "_COMPLETE"), "w") as fh:
+        fh.write("ok")
+    try:
+        os.rename(stage, base)
+    except OSError:
+        if not os.path.exists(done):
+            raise
+        shutil.rmtree(stage, ignore_errors=True)
+    return ledger
+
+
+@query(
+    "ledger_clustered_range_documents",
+    """
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE doc_id % 10 <> 7
+      AND doc_id BETWEEN
+        (SELECT CAST(FLOOR(COUNT(*) / 4.0) AS BIGINT) FROM documents)
+        AND (SELECT CAST(FLOOR(COUNT(*) / 4.0) AS BIGINT)
+                    + CAST(FLOOR(COUNT(*) / 10.0) AS BIGINT)
+             FROM documents)
+    ORDER BY doc_id
+    """,
+)
+def ledger_clustered_range_documents(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """RANGE READ over a range-clustered, manifest-committed delta
+    ledger: documents maintained as base + upsert/tombstone deltas
+    (merged table = `doc_id % 10 <> 7`), folded with
+    `compact(cluster_cols=["doc_id"], target_file_bytes=64KB)` so the
+    base is range-clustered across part-files, then read through
+    `read_merged(key_range=(n//4, n//4 + n//10))` — the two-granularity
+    data-skipping path: entry-level `_ledger_stats` pruning picks the
+    one live base, the pushed range filter prunes parquet row groups
+    inside it via the clustered footer min/max. DuckDB states the same
+    table + range directly against the raw parquet.
+
+    At 100 TB: the read is ONE pruned FileScan — no window, no join
+    (the fold already materialized LWW), and the clustered layout means
+    the scan touches ~(range fraction) of the files instead of all of
+    them (receipt: measurements/stress_cluster_layout_r12.json)."""
+    from .streaming.compaction import read_merged
+
+    ledger = _doc_ledger_clustered_dir(spark, sf_dir)
+    n = load_table(spark, sf_dir, "documents").count()
+    lo, hi = n // 4, n // 4 + n // 10
+    return (read_merged(spark, ledger, ["doc_id"], key_range=(lo, hi))
+            .select("doc_id", "lang", "source", "n_chars")
+            .orderBy("doc_id"))
