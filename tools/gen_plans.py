@@ -69,6 +69,7 @@ PICKS = {
     "codebook_compaction_embeddings": "Delta-ledger codebook after compaction: the merge-on-read collapses to ONE plain parquet scan of the folded base (no LWW window, no union) — the read amplification compaction exists to buy back; each maintenance step was an O(batch) delta append, never a full-state rewrite.",
     "dedup_admission_compaction_documents": "Delta-ledger dedup admission after compaction: the corpus-sized table the COW form rewrote per batch is now ONE folded base scan; each maintenance step appended only admitted upserts + revoked tombstones (corpus, fingerprints, and enumerable band keys alike).",
     "pq_codes_compaction_ann": "Delta-ledger PQ index after compaction: the ADC scan reads the folded codes base (one FileScan) joined to broadcast per-query LUTs; each maintenance step was a pure O(batch) code append with NO ledger read — per-batch cost independent of index size.",
+    "ledger_clustered_range_documents": "Range read over a range-clustered folded ledger: entry-level stats pruning picks the one live base, then ONE FileScan with the range filter PUSHED to parquet — the clustered layout's footer min/max skips the out-of-range files/row groups (receipt: stress_cluster_layout_r12.json).",
 }
 
 HEADER = """# PLANS — physical-plan audit of representative queries
