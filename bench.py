@@ -158,6 +158,7 @@ HEADLINE = [
     "codebook_compaction_embeddings",
     "dedup_admission_compaction_documents",
     "pq_codes_compaction_ann",
+    "ledger_clustered_range_documents",
 ]
 
 

@@ -480,3 +480,21 @@ def test_segment_parallel_split_decode_stays_narrow(spark):
     assert plan.index("reassemble_kernel") < exch
     assert plan.index("decode_kernel") > exch
     assert plan.index("split_kernel") > plan.index("decode_kernel")
+
+
+def test_clustered_ledger_range_read_is_one_pruned_scan(spark):
+    """The clustered-ledger range read must be ONE FileScan of the
+    folded base with the range predicates PUSHED to parquet (entry
+    pruning happened at plan time; the clustered footer min/max does
+    the rest inside the scan) — no LWW window, no join, no union."""
+    from wde_spark.queries import QUERIES
+
+    df = QUERIES["ledger_clustered_range_documents"](spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().toString()
+    assert "PushedFilters: [IsNotNull(doc_id), GreaterThanOrEqual(doc_id" \
+        in plan
+    exec_plan = _plan(df)
+    assert exec_plan.count("FileScan parquet") == 1
+    assert "Window" not in exec_plan and "Join" not in exec_plan
+    # column pruning: text (the wide column) never read
+    assert "text" not in plan.split("ReadSchema")[1][:200]
