@@ -611,3 +611,45 @@ def test_delta_admission_banding_params_frozen(spark, tmp_path):
     _admit_batch_delta(batch, 0, target, "text", "doc_id",
                        num_hashes=16, bands="auto", shingle_k=2,
                        threshold=0.2, max_bucket=None)
+
+
+def test_auto_compact_admission_equals_plain(spark, tmp_path):
+    """The auto-compacting delta admission (in-stream OPTIMIZE on all
+    three ledgers, deferred vacuum) admits exactly the same corpus as
+    the plain delta maintainer, with the live read plan bounded."""
+    import os
+
+    from wde_spark.streaming.compaction import plan_entries
+    from wde_spark.streaming.dedup_admission import (
+        read_corpus_merged, streaming_dedup_admission_delta)
+
+    corpus0 = D.dedup_corpus(spark.createDataFrame(CORPUS, SCHEMA))
+    results = {}
+    for tag, auto in (("plain", None), ("auto", 1)):
+        src = tmp_path / f"docsac_{tag}"
+        now = time.time()
+        for i, rows in enumerate((BATCH[:4], BATCH[4:])):
+            fdir = str(src / f"f{i}.parquet")
+            spark.createDataFrame(rows, SCHEMA).coalesce(1) \
+                .write.mode("overwrite").parquet(fdir)
+            for name in os.listdir(fdir):
+                os.utime(os.path.join(fdir, name),
+                         (now - 600 + i * 60, now - 600 + i * 60))
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src / "*.parquet"))
+        )
+        target = str(tmp_path / f"ledac_{tag}")
+        streaming_dedup_admission_delta(
+            stream, corpus0, target, str(tmp_path / f"ckac_{tag}"),
+            auto_compact=auto)
+        results[tag] = target
+    got_auto = _kept_ids(read_corpus_merged(spark, results["auto"]))
+    got_plain = _kept_ids(read_corpus_merged(spark, results["plain"]))
+    assert got_auto == got_plain == _full(spark, CORPUS + BATCH)
+    for sub in ("corpus", "fp", "bands"):
+        assert len(plan_entries(
+            os.path.join(results["auto"], sub))) <= 2
+        assert len(plan_entries(
+            os.path.join(results["plain"], sub))) == 3

@@ -508,3 +508,52 @@ def test_write_delta_key_contract_assertion(spark, tmp_path):
     write_delta(spark.createDataFrame([(2, "b", "U")],
                                       "k int, v string, _op string"),
                 ledger, 1, key_cols=["k"])
+
+
+def test_auto_compact_maintainer_equals_manual(spark, tmp_path):
+    """`auto_compact` (the in-stream OPTIMIZE cadence) bounds ledger
+    length DURING the stream without changing a row: the auto-compacted
+    delta maintainer lands on exactly the codebook the plain delta
+    maintainer (no folds) produces, and its ledger stays within the
+    entry budget plus the one-fold retention tail."""
+    from wde_spark.streaming.codebook_maintenance import (
+        bootstrap_codebook_delta, read_codebook_merged,
+        streaming_codebook_maintain_delta)
+    from wde_spark.streaming.compaction import plan_entries
+
+    emb = _emb(spark)
+    targets = {}
+    for tag, auto in (("plain", None), ("auto", 1)):
+        target = str(tmp_path / f"cbkac_{tag}")
+        bootstrap_codebook_delta(emb.filter(F.col("vec_id") % 5 != 0),
+                                 target)
+        feed = str(tmp_path / f"feedac_{tag}")
+        now = time.time()
+        for i, pred in ((0, F.col("vec_id") % 10 == 0),
+                        (1, F.col("vec_id") % 10 == 5)):
+            fdir = os.path.join(feed, f"b{i}.parquet")
+            emb.filter(pred).coalesce(1).write.mode("overwrite") \
+                .parquet(fdir)
+            for name in os.listdir(fdir):
+                os.utime(os.path.join(fdir, name),
+                         (now - 600 + i * 60, now - 600 + i * 60))
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(feed, "*.parquet"))
+        )
+        streaming_codebook_maintain_delta(
+            stream, target, str(tmp_path / f"ckptac_{tag}"),
+            auto_compact=auto)
+        targets[tag] = target
+    got_auto = _codebook_rows(read_codebook_merged(spark, targets["auto"]))
+    got_plain = _codebook_rows(
+        read_codebook_merged(spark, targets["plain"]))
+    assert got_auto == got_plain
+    # budget=1 folded after each over-budget append: the live plan is
+    # back to one base (+ at most the deltas since the last fold)
+    live = plan_entries(os.path.join(targets["auto"], "state"))
+    assert len(live) <= 2
+    # the plain twin kept all three entries (b0 + two deltas)
+    assert len(plan_entries(
+        os.path.join(targets["plain"], "state"))) == 3

@@ -220,7 +220,8 @@ def bootstrap_codebook_delta(init_emb: DataFrame, target_dir: str,
 def streaming_codebook_maintain_delta(emb_stream: DataFrame,
                                       target_dir: str,
                                       checkpoint_dir: str,
-                                      vec_col: str = "embedding") -> None:
+                                      vec_col: str = "embedding",
+                                      auto_compact: int | None = None) -> None:
     """DELTA-LEDGER twin of `streaming_codebook_maintain` — the
     table-format write path for maintained state that is CORPUS-sized
     in general (here model-sized, so the semantics stay exactly
@@ -234,8 +235,17 @@ def streaming_codebook_maintain_delta(emb_stream: DataFrame,
 
     Replay contract: batch `b` reads the ledger `as_of=b` (its own
     delta at b+1 excluded), so a foreachBatch re-run rewrites `d{b+1}`
-    with identical bytes."""
-    from .compaction import read_merged, write_delta
+    with identical bytes.
+
+    `auto_compact` (an entry budget) runs `maybe_compact` after each
+    append — the in-stream OPTIMIZE, so read amplification stays
+    bounded DURING a long stream, not just after a manual post-stream
+    fold. The cadence is the deferred-vacuum one by necessity: the fold
+    fires inside a not-yet-committed foreachBatch, so the entries this
+    batch's own replay would read (`as_of=b`, pre-fold) must survive —
+    'defer' keeps them until the next fold, by which point the batch is
+    committed (replays touch at most the LAST batch)."""
+    from .compaction import maybe_compact, read_merged, write_delta
 
     ledger = os.path.join(target_dir, "state")
 
@@ -259,6 +269,9 @@ def streaming_codebook_maintain_delta(emb_stream: DataFrame,
         )
         write_delta(delta.coalesce(1), ledger, batch_id + 1,
                     key_cols=["cell", "d"])
+        if auto_compact is not None:
+            maybe_compact(sp, ledger, ["cell", "d"],
+                          max_entries=auto_compact)
 
     q = (
         emb_stream.writeStream.foreachBatch(_apply)

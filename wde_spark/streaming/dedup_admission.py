@@ -243,6 +243,7 @@ def streaming_dedup_admission_delta(
     shingle_k: int = 2,
     threshold: float = 0.2,
     max_bucket: int | None = 64,
+    auto_compact: int | None = None,
 ) -> None:
     """DELTA-LEDGER twin of `streaming_dedup_admission` — the corpus AND
     both dedup-state tables are maintained as merge-on-read ledgers
@@ -269,7 +270,14 @@ def streaming_dedup_admission_delta(
 
     Replay contract: batch `b` reads every ledger `as_of=b` (its own
     deltas at b+1 excluded), so a foreachBatch re-run rewrites the same
-    deltas with the same bytes."""
+    deltas with the same bytes.
+
+    `auto_compact` (an entry budget) runs `maybe_compact` on all three
+    ledgers after each admission — the in-stream OPTIMIZE with the
+    deferred-vacuum cadence, safe inside an uncommitted foreachBatch
+    (see `streaming_codebook_maintain_delta`): the `as_of=b` entries a
+    replay of the current batch would read survive until the NEXT
+    fold, by which point the batch is committed."""
     bootstrap_delta(init_corpus, target_dir, text_col, id_col,
                     num_hashes, bands, shingle_k)
 
@@ -277,6 +285,14 @@ def streaming_dedup_admission_delta(
         _admit_batch_delta(batch, batch_id, target_dir, text_col,
                            id_col, num_hashes, bands, shingle_k,
                            threshold, max_bucket)
+        if auto_compact is not None:
+            from .compaction import maybe_compact
+
+            for sub, keys in (("corpus", [id_col]), ("fp", [id_col]),
+                              ("bands", [id_col, "band_idx"])):
+                maybe_compact(batch.sparkSession,
+                              os.path.join(target_dir, sub), keys,
+                              max_entries=auto_compact)
 
     q = (
         docs_stream.writeStream.foreachBatch(_apply)

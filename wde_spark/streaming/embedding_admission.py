@@ -83,6 +83,7 @@ def streaming_pq_index_maintain_delta(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    auto_compact: int | None = None,
 ) -> None:
     """DELTA-LEDGER twin of `streaming_pq_index_maintain` — the
     remaining corpus-sized COW family moved to the table-format write
@@ -95,8 +96,12 @@ def streaming_pq_index_maintain_delta(
     rewritten per batch). Queries merge-on-read (a plain base scan once
     compacted); encoding determinism gives the same replay contract as
     the COW twin, and the same batch-invariance the ADC oracle
-    replays."""
-    from .compaction import ledger_entries, write_base, write_delta
+    replays. `auto_compact` (an entry budget) runs `maybe_compact`
+    after each append — the in-stream OPTIMIZE with the deferred-vacuum
+    cadence, safe inside an uncommitted foreachBatch (see
+    `streaming_codebook_maintain_delta`)."""
+    from .compaction import (ledger_entries, maybe_compact, write_base,
+                             write_delta)
 
     os.makedirs(target_dir, exist_ok=True)
     ledger = os.path.join(target_dir, "codes")
@@ -117,6 +122,9 @@ def streaming_pq_index_maintain_delta(
     def _apply(batch: DataFrame, batch_id: int) -> None:
         write_delta(pq_encode(batch, books, id_col, vec_col), ledger,
                     batch_id + 1, stats_col=id_col, key_cols=[id_col])
+        if auto_compact is not None:
+            maybe_compact(batch.sparkSession, ledger, [id_col],
+                          max_entries=auto_compact)
 
     q = (
         vec_stream.writeStream.foreachBatch(_apply)
