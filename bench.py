@@ -158,7 +158,12 @@ HEADLINE = [
     "codebook_compaction_embeddings",
     "dedup_admission_compaction_documents",
     "pq_codes_compaction_ann",
+    # r12 additions: the range-clustered folded ledger (two-granularity
+    # data skipping: entry stats + clustered parquet footers) and the
+    # change feed between snapshots (CDC read: window deltas only,
+    # O(changed rows) regardless of table size)
     "ledger_clustered_range_documents",
+    "ledger_change_feed_documents",
 ]
 
 

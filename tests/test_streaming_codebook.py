@@ -557,3 +557,38 @@ def test_auto_compact_maintainer_equals_manual(spark, tmp_path):
     # the plain twin kept all three entries (b0 + two deltas)
     assert len(plan_entries(
         os.path.join(targets["plain"], "state"))) == 3
+
+
+def test_change_feed_between_snapshots(spark, tmp_path):
+    """`read_changes(from, to)` emits each key's NET change across the
+    window — final upsert values or a delete — reading ONLY the window's
+    deltas (no base), and keeps working across a fold as long as the
+    absorbed deltas haven't been vacuumed (the retention trade)."""
+    from wde_spark.streaming.compaction import (compact, read_changes,
+                                                write_base, write_delta)
+
+    ledger = str(tmp_path / "cdcfeed")
+    write_base(spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string"), ledger, 0)
+    write_delta(spark.createDataFrame(
+        [(2, "B1", "U"), (4, "d", "U")], "k int, v string, _op string"),
+        ledger, 1)
+    write_delta(spark.createDataFrame(
+        [(2, "B2", "U"), (3, None, "D")], "k int, v string, _op string"),
+        ledger, 2)
+    # full window (0, 2]: k=2 nets to its FINAL upsert B2 (not B1),
+    # k=4 upserts, k=3 deletes; k=1 (untouched) absent
+    got = {r["k"]: (r["_change"], r["v"]) for r in
+           read_changes(spark, ledger, ["k"], 0).collect()}
+    assert got == {2: ("U", "B2"), 3: ("D", None), 4: ("U", "d")}
+    # sub-window (1, 2]: only d2's changes
+    got12 = {r["k"]: (r["_change"], r["v"]) for r in
+             read_changes(spark, ledger, ["k"], 1, 2).collect()}
+    assert got12 == {2: ("U", "B2"), 3: ("D", None)}
+    # empty window -> empty frame with the feed schema
+    assert read_changes(spark, ledger, ["k"], 2, 2).count() == 0
+    # a fold with the OPTIMIZE/VACUUM split keeps the feed readable
+    compact(spark, ledger, ["k"], vacuum_absorbed=False)
+    got_after = {r["k"]: (r["_change"], r["v"]) for r in
+                 read_changes(spark, ledger, ["k"], 0, 2).collect()}
+    assert got_after == got

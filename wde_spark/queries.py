@@ -2119,12 +2119,13 @@ from . import queries_ext  # noqa: E402,F401
 # (fingerprint_documents, ngram_jaccard_pairs, snm_neardup_documents)
 # lead as the r11 verdict ordered; then the remaining r7-vintage greens
 # by evidence age, topped up with the oldest r8-vintage rows (the last
-# r8 slot yields to the net-new clustered-ledger query).
+# two r8 slots yield to the net-new ledger queries).
 _DRIVER_PRIORITY = [
     # --- flagship (keeps a driver row every round) ---
     "semantic_dedup_embeddings",
-    # --- net-new this round (first driver row) ---
+    # --- net-new this round (first driver rows) ---
     "ledger_clustered_range_documents",
+    "ledger_change_feed_documents",
     # --- r7-vintage rows (oldest evidence; the three r11 yields lead) ---
     "fingerprint_documents", "ngram_jaccard_pairs",
     "snm_neardup_documents", "neardup_lsh_verified",
@@ -2150,7 +2151,7 @@ _DRIVER_PRIORITY = [
     "stateful_sessions_events", "curation_pipeline_documents",
     # --- r8-vintage rows (next-oldest evidence, rotation tool order) ---
     "agg_order_stats", "rollup_lineitem",
-    "pivot_order_status", "semi_join_active_customers",
+    "pivot_order_status",
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]

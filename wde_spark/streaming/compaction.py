@@ -583,3 +583,64 @@ def vacuum(target_dir: str, retain=None) -> list:
     if removed_pairs and _list_commits(target_dir) is not None:
         _append_commit(target_dir, {"remove": removed_pairs})
     return removed
+
+
+def read_changes(spark, target_dir: str, key_cols,
+                 from_seq: int, to_seq: int | None = None) -> DataFrame:
+    """CHANGE FEED: the net per-key changes between two ledger
+    snapshots — every key whose LWW row differs between `as_of=from_seq`
+    and `as_of=to_seq` (default: the newest sequence), as upsert rows
+    (`_change = 'U'`, the new values) and delete rows (`_change = 'D'`,
+    values NULL). The table-format CDC idiom: an incremental consumer
+    (index refresher, downstream materialization) processes exactly
+    what changed instead of diffing two full snapshots.
+
+    Reads ONLY the deltas in (from_seq, to_seq] — never a base: a base
+    at seq b <= from_seq is already reflected in the from-snapshot, and
+    a folded base INSIDE the window only restates what its absorbed
+    deltas said (folds never change the merged table), so deltas alone
+    carry every change. Cost is O(changed rows), independent of table
+    size — the whole point. LWW within the window picks each key's
+    final state; a key that ends tombstoned emits 'D' (regardless of
+    intermediate upserts), a key that ends upserted emits 'U' with its
+    final values.
+
+    NOTE: a consumer at `from_seq` must read the feed before vacuum
+    reclaims the window's deltas (same retention trade as `as_of`);
+    `maybe_compact`'s deferred cadence guarantees one fold of slack.
+
+    Edge: a key whose final window state equals its from-snapshot state
+    (re-upserted with identical values) still emits 'U' — the feed is
+    write-level, like the table formats' CDF, not a value-diff."""
+    key_cols = list(key_cols)
+    if to_seq is None:
+        entries = ledger_entries(target_dir)
+        if not entries:
+            raise FileNotFoundError(
+                f"no ledger entries under {target_dir}")
+        to_seq = max(s for s, _k in entries)
+    if to_seq < from_seq:
+        raise ValueError(f"to_seq {to_seq} < from_seq {from_seq}")
+    deltas = [(s, k) for s, k in ledger_entries(target_dir)
+              if k == "d" and from_seq < s <= to_seq]
+    if not deltas:
+        # no deltas in the window: nothing changed (a lone fold inside
+        # the window restates, never changes). Empty frame, schema from
+        # the newest entry.
+        entries = ledger_entries(target_dir)
+        seq, kind = entries[-1]
+        empty = spark.read.parquet(
+            _entry_dir(target_dir, kind, seq)).limit(0)
+        if "_op" not in empty.columns:
+            empty = empty.withColumn("_op", F.lit("U"))
+        return empty.withColumnRenamed("_op", "_change")
+    parts = [spark.read.parquet(_entry_dir(target_dir, "d", s))
+             .withColumn("_seq", F.lit(s)) for s, _k in deltas]
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    w = Window.partitionBy(*key_cols).orderBy(F.col("_seq").desc())
+    return (merged.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .drop("_rk", "_seq")
+            .withColumnRenamed("_op", "_change"))
