@@ -121,29 +121,25 @@ def quantile_gate_approx(scored: DataFrame, score_col: str, group_col: str,
     )
 
 
-def curriculum_order(docs: DataFrame, difficulty_col, n_stages: int = 3,
-                     id_col: str = "doc_id",
-                     salt: str = "cur",
-                     max_domain: int = 200_000) -> DataFrame:
-    """Curriculum schedule: split the corpus into `n_stages` difficulty
-    stages (exact NTILE terciles under (difficulty, id) order), shuffle
-    WITHIN each stage (salted md5), and interleave the stages round-robin
-    — training round r sees one doc from every stage, easy to hard, so
-    the model never starves of either. Output adds `stage` (1-based) and
-    `sched_pos` (the deterministic total order: (in-stage rank − 1) ·
-    n_stages + stage − 1).
+def _staged(docs: DataFrame, difficulty_col, n_stages: int,
+            id_col: str, max_domain: int,
+            keep_cols: tuple = ()) -> DataFrame | None:
+    """Shared STAGING core of `curriculum_order` / `curriculum_pacing`
+    (phases 1-2): the bounded-domain two-phase global (difficulty, id)
+    rank followed by NTILE arithmetic. Returns a frame with
+    (id, *keep_cols, stage) — or None for an empty input (callers map
+    that to their own empty shape).
 
-    Scale shape — NO global window anywhere:
-      * the global (difficulty, id) rank is two-phase: per-difficulty
-        counts to the driver (bounded by the difficulty domain; coarsen
-        the column first if it is unbounded) → exclusive offsets
-        broadcast back → window partitioned BY difficulty value;
-      * NTILE is then pure arithmetic on that rank (group sizes
-        ceil/floor of n/n_stages, exactly SQL NTILE's split);
-      * the in-stage shuffle rank is the same two-phase primitive in
-        ONE job for all stages, keyed by (stage, md5-prefix bucket).
-    """
-    assert 2 <= n_stages <= 16
+    Optimization (r12, guide §2.3/§5): the input is PROJECTED to
+    (id, _dnull, _diff, *keep_cols) BEFORE anything runs, so no exchange
+    ever carries the text payload (previously the full text column
+    flowed through the staging window's exchange, and any token-count
+    keep_col was re-tokenized per pass). The phase-1 offsets collect
+    prunes keep_cols entirely (count-only), so an expensive keep_col is
+    first evaluated when the caller materializes the returned frame —
+    the public callers persist it, sharing one evaluation of the
+    projection AND the phase-1 rank window across their second eager
+    collect and the final execution."""
     spark = docs.sparkSession
     # The difficulty domain must be INTEGRAL: a float score in (0, 1)
     # — the common shape for model-scored difficulty — would truncate
@@ -164,8 +160,12 @@ def curriculum_order(docs: DataFrame, difficulty_col, n_stages: int = 3,
     # null-safe — a NULL must neither crash the driver sort nor
     # silently drop the row
     dn = difficulty_col.cast("long")
-    d = (docs.withColumn("_dnull", dn.isNull().cast("int"))
-         .withColumn("_diff", F.coalesce(dn, F.lit(0))))
+    d = docs.select(
+        F.col(id_col),
+        dn.isNull().cast("int").alias("_dnull"),
+        F.coalesce(dn, F.lit(0)).alias("_diff"),
+        *[c if not isinstance(c, str) else F.col(c) for c in keep_cols],
+    )
     # phase 1: exclusive offsets per difficulty value (bounded domain);
     # the same collect yields n_total — no separate count job. The
     # domain is capped: an unbounded domain (raw byte lengths over a
@@ -187,9 +187,7 @@ def curriculum_order(docs: DataFrame, difficulty_col, n_stages: int = 3,
                     for r in totals_rows)
     n_total = sum(c for _n, _v, c in totals)
     if n_total == 0:
-        return (d.withColumn("stage", F.lit(0))
-                .withColumn("sched_pos", F.lit(0).cast("long"))
-                .drop("_dnull", "_diff"))
+        return None
     offs, acc = [], 0
     for nn, v, c in totals:
         offs.append((nn, v, acc))
@@ -212,7 +210,58 @@ def curriculum_order(docs: DataFrame, difficulty_col, n_stages: int = 3,
         F.ceil(F.col("_rank") / F.lit(q + 1))
     ).otherwise(
         F.lit(rem) + F.ceil((F.col("_rank") - big) / F.lit(max(q, 1))))
-    staged = ranked.withColumn("stage", stage.cast("int")).drop("_rank")
+    return (ranked.withColumn("stage", stage.cast("int"))
+            .drop("_rank", "_dnull", "_diff"))
+
+
+def curriculum_order(docs: DataFrame, difficulty_col, n_stages: int = 3,
+                     id_col: str = "doc_id",
+                     salt: str = "cur",
+                     max_domain: int = 200_000,
+                     keep_cols: tuple | None = None) -> DataFrame:
+    """Curriculum schedule: split the corpus into `n_stages` difficulty
+    stages (exact NTILE terciles under (difficulty, id) order), shuffle
+    WITHIN each stage (salted md5), and interleave the stages round-robin
+    — training round r sees one doc from every stage, easy to hard, so
+    the model never starves of either. Output adds `stage` (1-based) and
+    `sched_pos` (the deterministic total order: (in-stage rank − 1) ·
+    n_stages + stage − 1).
+
+    `keep_cols` — which non-id input columns survive into the output
+    (default None = all of them, the historical contract). Callers that
+    only consume (id, stage, sched_pos) pass `()` so the persisted
+    staging projection stays metadata-narrow and wide payload columns
+    (document text!) never enter the staging cache or any exchange.
+
+    Scale shape — NO global window anywhere:
+      * the global (difficulty, id) rank is two-phase: per-difficulty
+        counts to the driver (bounded by the difficulty domain; coarsen
+        the column first if it is unbounded) → exclusive offsets
+        broadcast back → window partitioned BY difficulty value;
+      * NTILE is then pure arithmetic on that rank (group sizes
+        ceil/floor of n/n_stages, exactly SQL NTILE's split);
+      * the in-stage shuffle rank is the same two-phase primitive in
+        ONE job for all stages, keyed by (stage, md5-prefix bucket);
+      * the staging input is projected narrow up front (no payload
+        column ever enters an exchange); `persist_staging=True` shares
+        one evaluation of an expensive projection across the eager
+        collects and the final execution (r12, guide §1.2/§2.3).
+    """
+    assert 2 <= n_stages <= 16
+    spark = docs.sparkSession
+    if keep_cols is None:
+        keep_cols = tuple(c for c in docs.columns if c != id_col)
+    staged = _staged(docs, difficulty_col, n_stages, id_col, max_domain,
+                     keep_cols=keep_cols)
+    if staged is not None:
+        # one evaluation of (scan -> phase-1 rank -> stage) serves both
+        # the phase-3 offsets collect and the final execution (r12)
+        from pyspark import StorageLevel
+        staged = staged.persist(StorageLevel.MEMORY_AND_DISK)
+    if staged is None:  # empty input — historical empty shape
+        return (docs.select(id_col, *keep_cols)
+                .withColumn("stage", F.lit(0))
+                .withColumn("sched_pos", F.lit(0).cast("long")))
     # phase 3: shuffle within each stage, interleave round-robin — ONE
     # job for all stages: the prefix-sum buckets are (stage, md5 prefix),
     # so the per-bucket totals collect is n_stages·256 rows and the only
@@ -243,7 +292,7 @@ def curriculum_order(docs: DataFrame, difficulty_col, n_stages: int = 3,
             "sched_pos",
             ((F.col("_srk") - 1) * n_stages + F.col("stage") - 1)
             .cast("long"))
-        .drop("_hx", "_bkt", "_soff", "_srk", "_dnull", "_diff")
+        .drop("_hx", "_bkt", "_soff", "_srk")
     )
 
 
@@ -251,7 +300,8 @@ def curriculum_pacing(docs: DataFrame, difficulty_col, tok_col,
                       quotas, n_stages: int = 3,
                       id_col: str = "doc_id", salt: str = "cur",
                       n_buckets: int = 256,
-                      max_domain: int = 200_000) -> DataFrame:
+                      max_domain: int = 200_000,
+                      extra_cols: tuple = ()) -> DataFrame:
     """Per-stage curriculum PACING: compose `curriculum_order`'s staging
     with `token_budget_mixture`'s token-budget admission — each stage's
     docs, taken in the curriculum's own in-stage salted order, fill
@@ -276,11 +326,30 @@ def curriculum_pacing(docs: DataFrame, difficulty_col, tok_col,
     assert len(quotas) == n_stages and all(len(q) == len(quotas[0])
                                            for q in quotas)
     spark = docs.sparkSession
-    staged = curriculum_order(docs, difficulty_col, n_stages=n_stages,
-                              id_col=id_col, salt=salt,
-                              max_domain=max_domain) \
-        .withColumn("_tok", (tok_col if not isinstance(tok_col, str)
-                             else F.col(tok_col)).cast("long"))
+    # Staging WITHOUT the schedule rank (r12, guide §1.2): pacing never
+    # consumes sched_pos, so the old path's phase-3 prefix-sum collect —
+    # a full extra pass over the corpus — was computed and thrown away.
+    # `_staged` also persists the narrow (id, diff, tok[, extra])
+    # projection, so the token count is computed once and the text
+    # column never reaches an exchange.
+    tok_expr = (tok_col if not isinstance(tok_col, str)
+                else F.col(tok_col)).cast("long").alias("_tok")
+    staged = _staged(docs, difficulty_col, n_stages, id_col, max_domain,
+                     keep_cols=(tok_expr,
+                                *[F.col(c) for c in extra_cols]))
+    if staged is not None:
+        # one evaluation of (scan -> tokenize -> phase-1 rank -> stage)
+        # serves both the token-offsets collect and the final execution
+        from pyspark import StorageLevel
+        staged = staged.persist(StorageLevel.MEMORY_AND_DISK)
+    if staged is None:  # empty input — match the historical empty shape
+        id_t = dict(docs.dtypes)[id_col]
+        return docs.sparkSession.createDataFrame(
+            [], f"{id_col} {id_t}, stage int, n_tok long, cum_tok long, "
+                f"phase int" + "".join(
+                    f", {c} {t}" for c, t in
+                    (docs.select(*extra_cols).dtypes if extra_cols
+                     else [])))
     # two-phase exclusive prefix sum of tokens per (stage, hash bucket),
     # under the SAME in-stage order the curriculum schedule uses
     plen = 1
@@ -321,7 +390,8 @@ def curriculum_pacing(docs: DataFrame, difficulty_col, tok_col,
     return (with_cum.withColumn("phase", phase)
             .filter(F.col("phase").isNotNull())
             .select(id_col, "stage",
-                    F.col("_tok").alias("n_tok"), "cum_tok", "phase"))
+                    F.col("_tok").alias("n_tok"), "cum_tok", "phase",
+                    *extra_cols))
 
 
 def curriculum_order_approx(docs: DataFrame, difficulty_col,

@@ -7241,10 +7241,12 @@ def curriculum_order_documents(spark: SparkSession,
     from .operators.sampling import curriculum_order
 
     docs = load_table(spark, sf_dir, "documents", spread=True)
+    # keep_cols=() — only (doc_id, stage, sched_pos) are consumed, so
+    # the staging cache holds three metadata columns, never the text
     out = curriculum_order(
         docs,
         F.coalesce(F.floor(F.octet_length("text") / 64), F.lit(-1)),
-        n_stages=3, salt="cur")
+        n_stages=3, salt="cur", keep_cols=())
     return out.select("doc_id", "stage", "sched_pos")
 
 

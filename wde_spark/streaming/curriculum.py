@@ -118,8 +118,10 @@ def read_paced(spark, target_dir: str, quotas, n_stages: int = 3,
     from ..operators.sampling import curriculum_pacing
 
     ledger = spark.read.parquet(latest_version_dir(target_dir))
-    paced = curriculum_pacing(ledger, F.col(bucket_col),
-                              F.col(tok_col), quotas,
-                              n_stages=n_stages, id_col=id_col,
-                              salt=salt)
-    return paced.join(ledger.select(id_col, "arrived_batch"), id_col)
+    # provenance rides through the pacing pipeline as a passthrough
+    # column (r12) — the old per-id rejoin shuffled the paced output and
+    # the ledger a second time for a column every row already carried
+    return curriculum_pacing(ledger, F.col(bucket_col),
+                             F.col(tok_col), quotas,
+                             n_stages=n_stages, id_col=id_col,
+                             salt=salt, extra_cols=("arrived_batch",))
