@@ -75,9 +75,29 @@ def spread_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
     already parallelizes — on a real multi-file 100 TB table this never
     triggers; on a single-file bench input it is the difference between
     1 core and all of them for compute-heavy row-local stages (shingling,
-    hashing, regex), at the cost of shuffling the (small) raw rows once."""
+    hashing, regex), at the cost of shuffling the (small) raw rows once.
+
+    The scan's task count is ESTIMATED from the input file sizes and
+    `spark.sql.files.maxPartitionBytes`/`openCostInBytes` (the same
+    arithmetic FilePartition uses) instead of `df.rdd.getNumPartitions()`
+    — the RDD conversion forced a full physical planning pass per call,
+    ~50 ms of pure driver time on every spread load (r12, guide §5: the
+    driver should do almost no work). Non-local files fall back to the
+    exact RDD count."""
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() * 2 <= target:
+    try:
+        files = [f[len("file:"):] if f.startswith("file:") else f
+                 for f in df.inputFiles()]
+        sizes = [os.path.getsize(f) for f in files]
+        max_pb = int(spark.conf.get("spark.sql.files.maxPartitionBytes",
+                                    str(128 * 1024 * 1024)).rstrip("b"))
+        open_cost = int(spark.conf.get("spark.sql.files.openCostInBytes",
+                                       str(4 * 1024 * 1024)).rstrip("b"))
+        total = sum(sizes) + open_cost * len(sizes)
+        n_parts = max(1, -(-total // max_pb)) if sizes else 1
+    except (OSError, ValueError):
+        n_parts = df.rdd.getNumPartitions()
+    if n_parts * 2 <= target:
         return df.repartition(target)
     return df
 

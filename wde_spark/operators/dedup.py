@@ -168,6 +168,8 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     Observed bucket sizes on the synthetic corpus are <= 5, so the default
     cap of 64 changes nothing at test scale — it exists for the 100-TB run.
     Pass None to disable."""
+    from pyspark import StorageLevel
+
     stacked = lsh_band_table(docs, text_col, id_col, num_hashes, bands,
                              shingle_k, shingle_table)
     if max_bucket is not None:
@@ -177,6 +179,14 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
             "__bsz",
             F.count("*").over(Window.partitionBy("band_idx", "band_hash")),
         ).filter(F.col("__bsz") <= max_bucket).drop("__bsz")
+    # Persist the (tiny: n_docs x bands rows) band table before the
+    # self-join (r12, guide §1.2): the planner broadcasts one side, which
+    # defeats exchange reuse — without the persist the ENTIRE minhash
+    # pipeline (shingle explode -> digest -> 16-min agg -> band hash ->
+    # bucket-cap window) executed once PER SIDE (observed in the sf0.1
+    # plan: two full copies of the pipeline, the broadcast side built
+    # from its own InMemoryTableScan of the shingle cache).
+    stacked = stacked.persist(StorageLevel.MEMORY_AND_DISK)
     a = stacked.alias("a")
     b = stacked.alias("b")
     return (
@@ -285,6 +295,13 @@ def sorted_neighborhood_pairs(docs: DataFrame, text_col: str = "text",
         F.row_number().over(
             Window.partitionBy("blk").orderBy("norm_text", id_col)),
     ).drop("norm_text")
+    from pyspark import StorageLevel
+
+    # Persist the (id, blk, rn) rank table before the neighbor equi-join
+    # (r12, guide §1.2): the join's broadcast side defeats exchange
+    # reuse, so without the persist the block-sort window (and the text
+    # scan + two exchanges feeding it) executed once per join side.
+    ranked = ranked.persist(StorageLevel.MEMORY_AND_DISK)
     a = ranked.select(
         F.col(id_col).alias("id_a"), "blk", "rn",
         F.explode(F.array(*[F.lit(k) for k in range(1, window + 1)]))

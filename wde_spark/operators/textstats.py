@@ -218,7 +218,8 @@ def tfidf_topk(docs: DataFrame, k: int = 3, text_col: str = "text",
     """Top-k terms per document by smoothed tf-idf.
 
     Plan: ONE tokenize+explode feeds both the per-(doc,term) tf aggregate
-    and the document-frequency aggregate (Catalyst reuses the exchange);
+    and the document-frequency aggregate (via an explicit persist of the
+    tf table — exchange reuse does not fire across the df broadcast);
     idf = ln((N+1)/(df+1)) + 1 from exact integer counts; rank on the
     ROUNDED score (6 dp) with a term tiebreak so ordering is reproducible
     across engines and libm implementations (raw doubles from different
@@ -226,11 +227,19 @@ def tfidf_topk(docs: DataFrame, k: int = 3, text_col: str = "text",
     df agg, rank window — all on bounded-cardinality keys."""
     from pyspark.sql import Window
 
+    from pyspark import StorageLevel
+
     tok = docs.select(
         F.col(id_col),
         F.explode(tokens(F.col(text_col))).alias("term"),
     ).filter(F.col("term") != "")
-    tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    # Persist the (doc, term, tf) aggregate (r12, guide §1.2): it feeds
+    # both the df aggregate (a broadcast side) and the scored join, and
+    # exchange reuse does not fire across that broadcast — without the
+    # persist the tokenize+explode+agg pipeline executed twice (observed
+    # in the sf0.1 plan: two full scan->Generate->HashAggregate subtrees).
+    tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = docs.select(F.countDistinct(id_col).alias("n_docs"))
     scored = (
