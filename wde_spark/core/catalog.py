@@ -56,13 +56,29 @@ def _read_events(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+# Analyzed-DataFrame memo, keyed per Spark application (r12, guide §5:
+# driver-side work). `spark.read.parquet` eagerly lists the path and reads
+# the parquet footer for schema inference (~80 ms measured) on EVERY call;
+# a bench pass calls load_table hundreds of times against the same
+# immutable inputs. DataFrames are immutable plan handles, so reusing the
+# analyzed handle within one application is pure plan reuse — no data or
+# results are cached (each action still scans the parquet), and a fresh
+# process/session starts cold.
+_DF_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str,
                spread: bool = False) -> DataFrame:
-    path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
-        df = _read_events(spark, path)
-    else:
-        df = spark.read.parquet(path)
+    key = (spark.sparkContext.applicationId,
+           os.path.abspath(sf_dir), name)
+    df = _DF_MEMO.get(key)
+    if df is None:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if name == "events":
+            df = _read_events(spark, path)
+        else:
+            df = spark.read.parquet(path)
+        _DF_MEMO[key] = df
     if spread:
         df = spread_scan(spark, df)
     return df

@@ -1769,6 +1769,8 @@ def q21_single_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     the subqueries become two counters on a groupBy the plan already needs,
     and the join-back to the late rows reuses the orderkey partitioning, so
     the whole query is two shuffles + broadcast dims at any scale."""
+    from pyspark import StorageLevel
+
     o = load_table(spark, sf_dir, "orders") \
         .filter(F.col("o_orderstatus") == "F") \
         .select("o_orderkey", "o_orderdate")
@@ -1781,15 +1783,24 @@ def q21_single_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAYS"),
         )
     )
-    per_order = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey")))
-        .alias("n_late_supp"),
+    # r12 (guide §2.3 "aggregate before you shuffle", §1.2): fold the raw
+    # line items to (order, supplier) granularity ONCE — the per-order
+    # counters become plain aggregates over pair rows (no
+    # countDistinct-Expand doubling the agg input) and the blame rollup
+    # reads pair rows instead of re-scanning lineitem a second time.
+    # per_pair is persisted: the per_order side broadcasts, which would
+    # otherwise force the scan+join+agg pipeline to run once per side.
+    per_pair = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum(F.when(F.col("late"), 1).otherwise(0)).alias("late_rows"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    per_order = per_pair.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum((F.col("late_rows") > 0).cast("int")).alias("n_late_supp"),
     ).filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
     blamed = (
-        li.filter("late")
+        per_pair.filter(F.col("late_rows") > 0)
         .join(per_order, "l_orderkey")
-        .groupBy("l_suppkey").agg(F.count("*").alias("numwait"))
+        .groupBy("l_suppkey").agg(F.sum("late_rows").alias("numwait"))
     )
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
