@@ -221,6 +221,13 @@ def sessionize_bucketed(
         "__s_local",
         F.sum("__new").over(wl.rowsBetween(Window.unboundedPreceding, 0)),
     )
+    from pyspark import StorageLevel
+
+    # Persist the locally-sessionized events (r12, guide §1.2): the
+    # summary side broadcasts, which defeats exchange reuse — without the
+    # persist the scan + per-(user, bucket) session window executed once
+    # for the summary build and again for the final join probe side.
+    local = local.persist(StorageLevel.MEMORY_AND_DISK)
 
     summary = local.groupBy(user_col, "__b").agg(
         F.max("__s_local").alias("__n"),
