@@ -249,6 +249,27 @@ def test_pack_stream_conservation_and_density(spark):
     assert {tuple(r) for r in out2} == {tuple(r) for r in out}
 
 
+def test_global_prefix_sum_share_pass_identical_and_cached(spark):
+    """`share_pass=True` must be a pure execution-plan change: identical
+    (id, start) assignment to the unshared form, and the final pass must
+    read the persisted keyed frame (InMemoryTableScan) instead of
+    re-running the input pipeline — the r12 fix for the weight
+    expression evaluating once per phase."""
+    from wde_spark.operators.layout import global_prefix_sum
+
+    rows = [(i, (i * 13) % 40 + 1) for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    plain = global_prefix_sum(docs, "n_tok")
+    shared = global_prefix_sum(docs, "n_tok", share_pass=True)
+    try:
+        assert sorted(map(tuple, plain.collect())) \
+            == sorted(map(tuple, shared.collect()))
+        final_plan = shared._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in final_plan
+    finally:
+        spark.catalog.clearCache()
+
+
 def test_rendezvous_shard_minimal_movement(spark):
     """HRW property: growing 8 -> 9 shards moves keys ONLY to the new
     shard, and roughly 1/9 of them; survivors keep their assignment."""

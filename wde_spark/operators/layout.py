@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def zorder_value(a: str, b: str, bits: int = 16) -> Column:
@@ -58,7 +59,8 @@ def write_zordered(
 
 
 def global_prefix_sum(df: DataFrame, weight_col, id_col: str = "doc_id",
-                      salt: str = "wde", n_buckets: int = 256) -> DataFrame:
+                      salt: str = "wde", n_buckets: int = 256,
+                      share_pass: bool = False) -> DataFrame:
     """Distributed EXCLUSIVE prefix sum of `weight_col` under the total
     order of a salted md5 of `id_col` — the primitive behind global
     ranking (`export_shards`, weight 1) and token-stream packing
@@ -74,7 +76,16 @@ def global_prefix_sum(df: DataFrame, weight_col, id_col: str = "doc_id",
     is the hash's own prefix order. Adds columns `start` (long,
     exclusive prefix sum) and `_w` is consumed; `weight_col` may be any
     Column expression. At 100 TB raise `n_buckets` so buckets stay
-    executor-sized; the driver still sees only n_buckets rows."""
+    executor-sized; the driver still sees only n_buckets rows.
+
+    `share_pass=True` persists the keyed frame so df's upstream pipeline
+    (and the weight expression) evaluates ONCE, serving both the eager
+    bucket-totals collect and the final pass — otherwise both passes
+    re-run it (Spark cannot reuse a plan across a collect boundary).
+    Callers must pass a metadata-narrow df (project before calling): the
+    cache holds every input column. Leave False when df is a bare pruned
+    scan — re-reading one parquet column is cheaper than building the
+    cache (measured; same trade as the curriculum staging cache)."""
     hx = F.md5(F.concat(F.lit(salt + "|"),
                         F.col(id_col).cast("string")))
     plen = 1
@@ -87,6 +98,8 @@ def global_prefix_sum(df: DataFrame, weight_col, id_col: str = "doc_id",
         .withColumn("_hx", hx)
         .withColumn("_bkt", F.substring("_hx", 1, plen))
     )
+    if share_pass:
+        keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
     totals = keyed.groupBy("_bkt").agg(F.sum("_w").alias("_t"))
     rows = sorted((r["_bkt"], r["_t"]) for r in totals.collect())
     offs, acc = [], 0
@@ -175,13 +188,16 @@ def pack_stream(docs: DataFrame, seq_len: int, weight_col: str = "n_tok",
     executes.
 
     Relational end-to-end: `global_prefix_sum` places each doc at its
-    stream offset (two-phase, no single-partition window), the
+    stream offset (two-phase, no single-partition window; `share_pass`
+    caches the (id, n_tok) frame — ~16 bytes/row — so the caller's
+    tokenize/count pipeline runs once, not once per phase), the
     window-overlap explode emits ceil(w/seq_len)+1 rows per doc, and
     every output column is integer arithmetic — reproducible, and
     verifiable against a naive SQL running sum. Zero-token docs carry no
     stream mass and are dropped (no position to assign)."""
     assert seq_len > 0
-    ps = global_prefix_sum(docs, weight_col, id_col, salt, n_buckets)
+    ps = global_prefix_sum(docs, weight_col, id_col, salt, n_buckets,
+                           share_pass=True)
     e = (
         ps.filter(F.col(weight_col) > 0)
         .withColumn("_end", F.col("start") + F.col(weight_col))
