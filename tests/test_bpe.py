@@ -153,9 +153,14 @@ def test_learn_bpe_merges_matches_driver_trainer(spark):
         for w in t.split():
             wf[w] = wf.get(w, 0) + 1
     want = B.train_bpe_merges(wf, 12)
-    got = B.learn_bpe_merges(docs, 12)
+    # local_vocab_max=0 forces the distributed per-iteration arm — the
+    # size-adaptive switch would otherwise collect this tiny vocab and
+    # make the differential assertion vacuous.
+    got = B.learn_bpe_merges(docs, 12, local_vocab_max=0)
     assert got == want
     assert len(got) == 12 and got[0] == ("l", "o")  # 'lo' appears 7x
+    # the small-vocab arm must agree with both.
+    assert B.learn_bpe_merges(docs, 12) == want
 
 
 def test_learn_bpe_merges_overlapping_runs(spark):
@@ -164,15 +169,17 @@ def test_learn_bpe_merges_overlapping_runs(spark):
     docs = spark.createDataFrame([(1, "aaaa aaaa aab")],
                                  "doc_id long, text string")
     want = B.train_bpe_merges({"aaaa": 2, "aab": 1}, 4)
-    got = B.learn_bpe_merges(docs, 4)
+    got = B.learn_bpe_merges(docs, 4, local_vocab_max=0)
     assert got == want
     assert got[0] == ("a", "a")
+    assert B.learn_bpe_merges(docs, 4) == want
 
 
 def test_learn_bpe_merges_exhausts_pairs(spark):
     """Asking for more merges than exist stops early, like the driver
     trainer."""
     docs = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
-    got = B.learn_bpe_merges(docs, 10)
+    got = B.learn_bpe_merges(docs, 10, local_vocab_max=0)
     assert got == B.train_bpe_merges({"ab": 2}, 10)
     assert got == [("a", "b")]
+    assert B.learn_bpe_merges(docs, 10) == got

@@ -403,6 +403,9 @@ def test_no_unbounded_driver_collect_in_package_source():
         ("queries_ext.py", "truth = {r.source for r in exact.collect()}"),
         # 256 bucket totals (two-phase prefix sum)
         ("operators/layout.py", 'sorted((r["_bkt"], r["_t"])'),
+        # BPE small-vocab arm: collect gated on seg.count() <=
+        # local_vocab_max — bounded by the threshold, Heaps'-law sized
+        ("operators/bpe.py", '"".join(r["sym"]): r["freq"]'),
         # per-difficulty-value counts (curriculum staging): bounded by
         # the max_domain post-check (explicit raise with coarsening
         # guidance); plain collect because CollectLimit costs ~0.3 s

@@ -194,7 +194,9 @@ def train_bpe_merges(word_freqs: dict[str, int],
 
 
 def learn_bpe_merges(docs: DataFrame, num_merges: int,
-                     text_col: str = "text") -> list[tuple[str, str]]:
+                     text_col: str = "text",
+                     local_vocab_max: int = 1 << 17
+                     ) -> list[tuple[str, str]]:
     """DISTRIBUTED BPE training — the same algorithm as
     `train_bpe_merges` with the corpus-scale halves kept in Spark: the
     word-frequency aggregation AND the per-iteration pair counting and
@@ -213,7 +215,17 @@ def learn_bpe_merges(docs: DataFrame, num_merges: int,
     reaches the analyzer (same rationale as `incremental.dedup_increment`).
 
     Differential contract (pinned in tests): identical merge sequence to
-    `train_bpe_merges` over the same word frequencies."""
+    `train_bpe_merges` over the same word frequencies.
+
+    Size-adaptive execution (the broadcast-join-choice idiom): the
+    word-frequency table is Heaps'-law sized, so it is often SMALL even
+    when the corpus is not. After the one corpus pass builds it, a vocab
+    of <= `local_vocab_max` rows is collected (bounded by the threshold
+    — a few MB of (word, freq)) and trained with `train_bpe_merges`
+    directly, replacing 2·num_merges scheduler round trips with one
+    driver loop over in-memory state; a larger vocab takes the
+    distributed per-iteration path unchanged. Identical merge sequence
+    either way (the differential contract above covers both arms)."""
     wf = (
         docs.select(F.explode(
             F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w"))
@@ -224,6 +236,15 @@ def learn_bpe_merges(docs: DataFrame, num_merges: int,
         F.sequence(F.lit(1), F.length("w")),
         lambda i: F.col("w").substr(i, F.lit(1)))
     seg = wf.select(chars.alias("sym"), "freq").localCheckpoint()
+
+    if seg.count() <= local_vocab_max:
+        # bounded collect: at most local_vocab_max (word, freq) rows —
+        # the "~10^5-entry vocab reaches this loop" regime of
+        # `train_bpe_merges`, reached through the same one corpus pass.
+        word_freqs = {
+            "".join(r["sym"]): r["freq"] for r in seg.collect()
+        }
+        return train_bpe_merges(word_freqs, num_merges)
 
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
