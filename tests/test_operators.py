@@ -582,6 +582,36 @@ def test_connected_components_label_raises_auto_escalates(spark):
     assert ok == {0}
 
 
+def test_connected_components_auto_early_escalation(spark, monkeypatch):
+    """r12: "auto" hands a still-moving graph to the star algorithm after
+    `escalate_after` label rounds instead of burning the whole max_iter
+    budget — identical output either way. Pin BOTH the budget actually
+    passed to the label arm and result equality across budgets."""
+    from wde_spark.operators import graph as G
+
+    chain = [(i, i + 1) for i in range(30)]
+    df = spark.createDataFrame(chain, "id_a long, id_b long")
+
+    seen = {}
+    real = G._connected_components_label
+
+    def spy(edges, id_a, id_b, max_iter):
+        seen["budget"] = max_iter
+        return real(edges, id_a, id_b, max_iter)
+
+    monkeypatch.setattr(G, "_connected_components_label", spy)
+    out = {(r.node, r.component)
+           for r in G.connected_components(df, max_iter=20).collect()}
+    assert seen["budget"] == 6          # not the full max_iter
+    assert {c for _, c in out} == {0}
+    # explicit label mode keeps its full budget (historical contract)
+    out2 = {(r.node, r.component)
+            for r in G.connected_components(
+                df, max_iter=40, algorithm="label").collect()}
+    assert seen["budget"] == 40
+    assert out2 == out
+
+
 def test_connected_components_star_path_1000(spark):
     """The Kiveris et al. escalation path: a 1,000-node path graph
     (diameter 999 — min-label propagation would need 999 rounds) closes

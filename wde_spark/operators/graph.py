@@ -34,7 +34,8 @@ from pyspark.sql import functions as F
 
 def connected_components(edges: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b", max_iter: int = 20,
-                         algorithm: str = "auto") -> DataFrame:
+                         algorithm: str = "auto",
+                         escalate_after: int = 6) -> DataFrame:
     """(node, component) for every node in `edges`; component = min node id
     reachable. Deterministic for any input order.
 
@@ -44,7 +45,15 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
       "star"  — large-star/small-star, O(log n) rounds, diameter-proof.
       "auto"  — label propagation first (cheapest for the dedup-clique
                 graphs this operator exists for: diameter 1-2), escalating
-                to the star algorithm if the round budget runs out.
+                to the star algorithm after `escalate_after` rounds
+                without convergence. A clique graph certifies its seed in
+                1 round; a graph still moving after 6 is chain-shaped and
+                every further label round is a shuffle the star algorithm
+                replaces with O(log n) total — burning the full `max_iter`
+                budget first (the pre-r12 behavior) paid ~14 wasted
+                shuffle rounds on long-diameter semantic graphs. Both
+                arms return identical output, so the switch point is
+                purely an execution choice.
     """
     if algorithm not in ("label", "star", "auto"):
         raise ValueError(
@@ -58,7 +67,9 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
     if algorithm == "star":
         return connected_components_star(edges, id_a, id_b)
     try:
-        return _connected_components_label(edges, id_a, id_b, max_iter)
+        budget = max_iter if algorithm == "label" \
+            else min(max_iter, escalate_after)
+        return _connected_components_label(edges, id_a, id_b, budget)
     except _NonConvergence:
         if algorithm == "label":
             raise RuntimeError(
@@ -190,7 +201,11 @@ def connected_components_star(edges: DataFrame, id_a: str = "id_a",
         # …and no root is itself a child.
         chained = e.select(F.col("lo").alias("hi")).join(
             e.select("hi"), "hi", "left_semi")
-        converged = multi.isEmpty() and chained.isEmpty()
+        # ONE take(1) action for both certificates instead of two —
+        # isEmpty is a scheduler round trip and this loop runs O(log n)
+        # times; the union short-circuits on the first violating row.
+        converged = multi.select(F.lit(1).alias("one")).unionByName(
+            chained.select(F.lit(1).alias("one"))).isEmpty()
     if not converged:
         raise RuntimeError(
             f"connected_components_star did not converge in {max_iter} "

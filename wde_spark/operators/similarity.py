@@ -32,6 +32,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.storagelevel import StorageLevel
 
 
 def _as_double(c: Column) -> Column:
@@ -543,6 +544,13 @@ def embedding_neardup(items: DataFrame, threshold: float = 0.95,
     - candidates travel as (id, sig) rows only; payload vectors are
       joined back per-id for verification, so the L-fold signature
       multiplication never carries the vector column.
+
+    The (id, v, nrm) frame feeds three consumers (signature build and
+    both verification sides) and the capped signature table feeds both
+    self-join sides; each is persisted once — without the persist every
+    broadcast consumer re-runs the scan→cast→norm (resp. sig-UDF →
+    explode → cap-window) pipeline, the same broadcast-defeats-reuse
+    shape fixed for minhash/SNM/tfidf this round (r12 §2).
     """
     spark = items.sparkSession
     if n_planes == "auto":
@@ -558,14 +566,15 @@ def embedding_neardup(items: DataFrame, threshold: float = 0.95,
     # fused cosine: same subexpression, same a·b multiplication order)
     v = items.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("v")
-    ).withColumn("nrm", l2norm(F.col("v"), dim))
+    ).withColumn("nrm", l2norm(F.col("v"), dim)) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     sg = v.select(F.col(id_col),
                   F.explode(sig(F.col("v"))).alias("sig"))
     if max_bucket is not None:
-        # same key the candidate join shuffles on; AQE reuses the exchange
         sg = sg.withColumn(
             "__bsz", F.count("*").over(Window.partitionBy("sig"))
         ).filter(F.col("__bsz") <= max_bucket).drop("__bsz")
+    sg = sg.persist(StorageLevel.MEMORY_AND_DISK)
     cand = (
         sg.alias("a").join(
             sg.alias("b"),
