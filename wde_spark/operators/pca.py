@@ -41,6 +41,23 @@ def _dims(vec: Column, dim: int) -> list[Column]:
     return [vec.getItem(i).cast("double") for i in range(dim)]
 
 
+# SQL-string twins of the Column construction above. The power-iteration
+# loops issue hundreds of Column API calls per pass (each one a driver
+# round trip, ~1 ms — the measured cost of a pass was expression BUILD,
+# not data); one selectExpr call with pre-rendered strings is ~10x
+# cheaper to construct and analyzes the same tree. `repr(float)` is the
+# shortest round-trip form and CAST('<repr>' AS DOUBLE) parses back to
+# the bit-identical double, so the SQL twin computes exactly what the
+# Column form did.
+
+def _d(val: float) -> str:
+    return f"CAST('{val!r}' AS DOUBLE)"
+
+
+def _x_sql(vec_col: str, i: int) -> str:
+    return f"CAST(`{vec_col}`[{i}] AS DOUBLE)"
+
+
 def power_iteration_pc1(emb: DataFrame, dim: int = 64, iters: int = 3,
                         vec_col: str = "embedding",
                         seed: str = "pca") -> tuple[list[float],
@@ -49,10 +66,10 @@ def power_iteration_pc1(emb: DataFrame, dim: int = 64, iters: int = 3,
     estimate of the centered covariance after `iters` power iterations.
     Driver traffic: one dim-wide row per iteration plus one for the mean
     — bounded model state, never rows."""
-    x = _dims(F.col(vec_col), dim)
-    mu_row = emb.agg(F.count(F.lit(1)).alias("_n"),
-                     *[F.avg(x[i]).alias(f"m{i}")
-                       for i in range(dim)]).first()
+    mu_row = emb.selectExpr(
+        "COUNT(1) AS _n",
+        *[f"AVG({_x_sql(vec_col, i)}) AS m{i}" for i in range(dim)]
+    ).first()
 
     v = hyperplanes(dim, 1, seed)[0]
     nrm = math.sqrt(sum(c * c for c in v))
@@ -68,12 +85,22 @@ def power_iteration_pc1(emb: DataFrame, dim: int = 64, iters: int = 3,
     mu = [float(mu_row[f"m{i}"]) if mu_row[f"m{i}"] is not None else 0.0
           for i in range(dim)]
 
+    cs = [f"({_x_sql(vec_col, i)} - {_d(mu[i])})" for i in range(dim)]
     for _ in range(iters):
-        c = [x[i] - F.lit(mu[i]) for i in range(dim)]
-        t = sum((c[i] * F.lit(v[i]) for i in range(1, dim)),
-                c[0] * F.lit(v[0]))
-        w_row = emb.agg(*[F.sum(c[i] * t).alias(f"w{i}")
-                          for i in range(dim)]).first()
+        # project the per-row dot ONCE, then aggregate c_i * t over the
+        # projection: same values in the same per-partition order (the
+        # projection adds no exchange), so the sums are bit-identical to
+        # inlining t into all dim aggregates — but the tree is O(dim) +
+        # dim small products instead of O(dim²), which is what the
+        # build/analysis/codegen cost of each pass actually was.
+        # SQL `+` is left-associative, matching the Column-fold order.
+        t_sql = " + ".join(f"{cs[i]} * {_d(v[i])}" for i in range(dim))
+        w_row = (
+            emb.selectExpr(f"({t_sql}) AS _t",
+                           *[f"{cs[i]} AS c{i}" for i in range(dim)])
+            .selectExpr(*[f"SUM(c{i} * _t) AS w{i}" for i in range(dim)])
+            .first()
+        )
         if w_row is None:
             break
         w = [float(w_row[f"w{i}"]) if w_row[f"w{i}"] is not None else 0.0
@@ -95,10 +122,11 @@ def pca_project(emb: DataFrame, mu: list[float], v: list[float],
     corpus's dominant-direction outliers, and score quantiles drive
     variance-balanced sharding."""
     dim = len(v)
-    x = _dims(F.col(vec_col), dim)
-    t = sum(((x[i] - F.lit(mu[i])) * F.lit(v[i]) for i in range(1, dim)),
-            (x[0] - F.lit(mu[0])) * F.lit(v[0]))
-    return emb.select(F.col(id_col), F.round(t, 6).alias(score_col))
+    t_sql = " + ".join(
+        f"({_x_sql(vec_col, i)} - {_d(mu[i])}) * {_d(v[i])}"
+        for i in range(dim))
+    return emb.selectExpr(f"`{id_col}`",
+                          f"ROUND(({t_sql}), 6) AS {score_col}")
 
 
 def power_iteration_components(emb: DataFrame, n_components: int = 2,
@@ -113,10 +141,10 @@ def power_iteration_components(emb: DataFrame, n_components: int = 2,
     arithmetic, no extra data pass for the deflation itself). Init for
     component j is md5 hyperplane j of the seed family. Driver state:
     (n_components+1) dim-wide rows total per iteration sweep."""
-    x = _dims(F.col(vec_col), dim)
-    mu_row = emb.agg(F.count(F.lit(1)).alias("_n"),
-                     *[F.avg(x[i]).alias(f"m{i}")
-                       for i in range(dim)]).first()
+    mu_row = emb.selectExpr(
+        "COUNT(1) AS _n",
+        *[f"AVG({_x_sql(vec_col, i)}) AS m{i}" for i in range(dim)]
+    ).first()
     inits = hyperplanes(dim, n_components, seed)
     comps: list[list[float]] = []
     if mu_row is None or mu_row["_n"] == 0:
@@ -134,18 +162,28 @@ def power_iteration_components(emb: DataFrame, n_components: int = 2,
     # into every one of the dim deflation columns — an O(dim²·dim)
     # expression tree Catalyst chokes on. Cost: one O(n·dim) residual
     # materialization per EXTRA component, same order as one data pass.
-    c = [F.col(f"c{i}") for i in range(dim)]
-    work = emb.select(*[(x[i] - F.lit(mu[i])).alias(f"c{i}")
-                        for i in range(dim)]).localCheckpoint()
+    cn = [f"c{i}" for i in range(dim)]
+    work = emb.selectExpr(
+        *[f"({_x_sql(vec_col, i)} - {_d(mu[i])}) AS c{i}"
+          for i in range(dim)]).localCheckpoint()
+
+    def _t_sql(v: list[float]) -> str:
+        # SQL `+` is left-associative, matching the old Column fold
+        return " + ".join(f"{cn[i]} * {_d(v[i])}" for i in range(dim))
+
     for j in range(n_components):
         v = inits[j]
         nrm = math.sqrt(sum(cv * cv for cv in v))
         v = [cv / nrm for cv in v]
         for _ in range(iters):
-            t = sum((c[i] * F.lit(v[i]) for i in range(1, dim)),
-                    c[0] * F.lit(v[0]))
-            w_row = work.agg(*[F.sum(c[i] * t).alias(f"w{i}")
-                               for i in range(dim)]).first()
+            # same projected-dot restructure as power_iteration_pc1:
+            # bit-identical sums, O(dim) tree instead of O(dim²)
+            w_row = (
+                work.selectExpr(f"({_t_sql(v)}) AS _t", *cn)
+                .selectExpr(*[f"SUM(c{i} * _t) AS w{i}"
+                              for i in range(dim)])
+                .first()
+            )
             if w_row is None:
                 break
             w = [float(w_row[f"w{i}"]) if w_row[f"w{i}"] is not None
@@ -156,12 +194,10 @@ def power_iteration_components(emb: DataFrame, n_components: int = 2,
             v = [c_ / nrm for c_ in w]
         comps.append(v)
         if j < n_components - 1:
-            t = sum((c[i] * F.lit(v[i]) for i in range(1, dim)),
-                    c[0] * F.lit(v[0]))
             work = (
-                work.select(t.alias("_t"), *[c[i] for i in range(dim)])
-                .select(*[(c[i] - F.col("_t") * F.lit(v[i]))
-                          .alias(f"c{i}") for i in range(dim)])
+                work.selectExpr(f"({_t_sql(v)}) AS _t", *cn)
+                .selectExpr(*[f"(c{i} - (_t * {_d(v[i])})) AS c{i}"
+                              for i in range(dim)])
                 .localCheckpoint()
             )
     return mu, comps
@@ -180,27 +216,25 @@ def pca_project_components(emb: DataFrame, mu: list[float],
     staged) — all column arithmetic, no materialization. Rounded to
     6 dp."""
     dim = len(mu)
-    x = _dims(F.col(vec_col), dim)
-    c = [F.col(f"c{i}") for i in range(dim)]
-    cur = emb.select(F.col(id_col),
-                     *[(x[i] - F.lit(mu[i])).alias(f"c{i}")
-                       for i in range(dim)])
+    cn = [f"c{i}" for i in range(dim)]
+    cur = emb.selectExpr(
+        f"`{id_col}`",
+        *[f"({_x_sql(vec_col, i)} - {_d(mu[i])}) AS c{i}"
+          for i in range(dim)])
     n = len(comps)
     for j, vl in enumerate(comps, start=1):
-        t = sum((c[i] * F.lit(vl[i]) for i in range(1, dim)),
-                c[0] * F.lit(vl[0]))
-        prev = [F.col(f"t{l}") for l in range(1, j)]
-        cur = cur.select(F.col(id_col), *prev, t.alias(f"t{j}"),
-                         *[c[i] for i in range(dim)])
+        t_sql = " + ".join(f"{cn[i]} * {_d(vl[i])}" for i in range(dim))
+        prev = [f"t{l}" for l in range(1, j)]
+        cur = cur.selectExpr(f"`{id_col}`", *prev,
+                             f"({t_sql}) AS t{j}", *cn)
         if j < n:
-            cur = cur.select(
-                F.col(id_col), *prev, F.col(f"t{j}"),
-                *[(c[i] - F.col(f"t{j}") * F.lit(vl[i])).alias(f"c{i}")
+            cur = cur.selectExpr(
+                f"`{id_col}`", *prev, f"t{j}",
+                *[f"(c{i} - (t{j} * {_d(vl[i])})) AS c{i}"
                   for i in range(dim)])
-    return cur.select(
-        F.col(id_col),
-        *[F.round(F.col(f"t{j}"), 6).alias(f"pc{j}_score")
-          for j in range(1, n + 1)])
+    return cur.selectExpr(
+        f"`{id_col}`",
+        *[f"ROUND(t{j}, 6) AS pc{j}_score" for j in range(1, n + 1)])
 
 
 def second_moments(emb: DataFrame, dim: int = 64,
