@@ -383,53 +383,63 @@ def train_ivf_centroids(items: DataFrame, n_cells: int = 16, iters: int = 2,
 
     Centroids (n_cells × dim doubles) are driver-side between iterations —
     they are the *model*, not the data; at 100 TB the data never leaves the
-    executors."""
+    executors. The normalized (vid, v) frame is persisted for the
+    training loop (the standard cache-the-iterated-input discipline —
+    Spark's own k-means does the same) and released before returning:
+    without it the scan → cast → normalize pipeline re-runs for the
+    dimension vote, the seed scan, and every Lloyd iteration."""
     spark = items.sparkSession
     v = items.select(
         F.col(id_col).alias("vid"), _normalize(_as_double(F.col(vec_col))).alias("v")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # seed only from vectors of the table's dominant dimension, with every
     # element finite — one NULL/zero-norm/mis-sized row must not poison the
     # quantizer (a mixed-dim centroid list can't even form a matrix)
-    dim_row = (
-        v.filter(F.col("v").isNotNull())
-        .groupBy(F.size("v").alias("d")).count()
-        .orderBy(F.desc("count"), F.asc("d")).first()
-    )
-    if dim_row is None:
-        return []
-    dim = dim_row.d
-    clean = v.filter(
-        (F.size("v") == dim)
-        & ~F.exists("v", lambda x: x.isNull() | F.isnan(x))
-    )
-    seed_rows = (
-        clean.orderBy(F.md5(F.col("vid").cast("string")), F.col("vid"))
-        .limit(n_cells).select("v").collect()
-    )
-    centroids = [list(r.v) for r in seed_rows]
-    # fewer vectors than requested cells: every vector is its own centroid
-    n_cells = min(n_cells, len(centroids))
-    if n_cells == 0:
-        return []
-    centroids = centroids[:n_cells]
-    for _ in range(iters):
-        probe = _probe_cells_udf(spark, centroids, nprobe=1)
-        assigned = v.withColumn("cell", probe(F.col("v"))[0])
-        means = (
-            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cell", "pos").agg(F.avg("x").alias("m"))
-            .groupBy("cell")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-            .select("cell", F.col("pm.m").alias("cv"))
-            .collect()
+    try:
+        dim_row = (
+            v.filter(F.col("v").isNotNull())
+            .groupBy(F.size("v").alias("d")).count()
+            .orderBy(F.desc("count"), F.asc("d")).first()
         )
-        # collect() fully materialized this iteration's assignment — the
-        # per-iteration model broadcast can be released immediately.
-        probe.bc.unpersist()
-        new = dict((r.cell, list(r.cv)) for r in means)
-        centroids = [new.get(i, centroids[i]) for i in range(n_cells)]
-    return centroids
+        if dim_row is None:
+            return []
+        dim = dim_row.d
+        clean = v.filter(
+            (F.size("v") == dim)
+            & ~F.exists("v", lambda x: x.isNull() | F.isnan(x))
+        )
+        seed_rows = (
+            clean.orderBy(F.md5(F.col("vid").cast("string")), F.col("vid"))
+            .limit(n_cells).select("v").collect()
+        )
+        centroids = [list(r.v) for r in seed_rows]
+        # fewer vectors than requested cells: every vector is its own
+        # centroid
+        n_cells = min(n_cells, len(centroids))
+        if n_cells == 0:
+            return []
+        centroids = centroids[:n_cells]
+        for _ in range(iters):
+            probe = _probe_cells_udf(spark, centroids, nprobe=1)
+            assigned = v.withColumn("cell", probe(F.col("v"))[0])
+            means = (
+                assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+                .groupBy("cell", "pos").agg(F.avg("x").alias("m"))
+                .groupBy("cell")
+                .agg(F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))).alias("pm"))
+                .select("cell", F.col("pm.m").alias("cv"))
+                .collect()
+            )
+            # collect() fully materialized this iteration's assignment —
+            # the per-iteration model broadcast can be released
+            # immediately.
+            probe.bc.unpersist()
+            new = dict((r.cell, list(r.cv)) for r in means)
+            centroids = [new.get(i, centroids[i]) for i in range(n_cells)]
+        return centroids
+    finally:
+        v.unpersist()
 
 
 def ivf_ann(items: DataFrame, queries: DataFrame, k: int = 5,
@@ -724,7 +734,20 @@ def _train_pq_vdf(spark, v: DataFrame, m: int, k_codes: int,
     """Codebook trainer over a prepared (vid, v) frame — shared by
     `train_pq_codebooks` (v = normalized vectors) and the residual-IVFPQ
     trainer (v = vector − assigned coarse centroid). Deterministic:
-    md5-ordered seeding, fixed Lloyd iterations, stable argmin."""
+    md5-ordered seeding, fixed Lloyd iterations, stable argmin. The
+    prepared frame is persisted for the loop (dimension vote + seed +
+    every iteration re-ran the whole preparation pipeline — for the
+    residual trainer that includes the coarse-assignment Arrow pass)
+    and released before returning."""
+    v = v.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        return _train_pq_vdf_inner(v, m, k_codes, iters, spark)
+    finally:
+        v.unpersist()
+
+
+def _train_pq_vdf_inner(v: DataFrame, m: int, k_codes: int,
+                        iters: int, spark) -> list[list[list[float]]]:
     dim_row = (
         v.filter(F.col("v").isNotNull())
         .groupBy(F.size("v").alias("d")).count()
