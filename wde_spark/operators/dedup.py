@@ -552,9 +552,16 @@ def dedup_corpus(docs: DataFrame, text_col: str = "text",
     historical constant (pinned by tests). The bucket-cap equivalence
     caveat (see `dedup_increment`) is parameterized on the RESOLVED
     banding and holds identically under chosen params."""
+    from pyspark import StorageLevel
+
     reps = exact_dedup(docs, text_col, id_col)
+    # survivors feeds the whole near-dup pipeline AND the final
+    # anti-join base; without the persist the input pipeline (often a
+    # gated/joined composition upstream) re-runs once per consumer
+    # (r12 §2, the broadcast-defeats-reuse shape)
     survivors = docs.join(
-        reps.select(F.col("keep_id").alias(id_col)), id_col, "left_semi")
+        reps.select(F.col("keep_id").alias(id_col)), id_col, "left_semi") \
+        .persist(StorageLevel.MEMORY_AND_DISK)
 
     pairs = neardup_lsh_verified(
         survivors, text_col, id_col, num_hashes=num_hashes, bands=bands,

@@ -4119,8 +4119,13 @@ def dedup_corpus_semantic_documents(spark: SparkSession,
     docs = load_table(spark, sf_dir, "documents", spread=True) \
         .select("doc_id", "text")
     emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    from pyspark import StorageLevel
+
+    # the documents⋈embeddings composition feeds the exact tier and the
+    # survivor semi-join probe — persist so it runs once (r12 §2 shape)
     joined = docs.join(emb, docs.doc_id == emb.vec_id) \
-        .select("doc_id", "text", "embedding")
+        .select("doc_id", "text", "embedding") \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     kept_text = D.dedup_corpus(joined, max_bucket=None)
     kept = D.semantic_dedup(kept_text, threshold=0.35, id_col="doc_id",
                             vec_col="embedding", n_planes=6, n_tables=8,
@@ -6277,11 +6282,17 @@ def curation_pipeline_documents(spark: SparkSession,
     scores = LM.lm_quality(docs, lm).select("doc_id", "avg_logp")
     cont = CU.decontaminate(docs, docs.filter(F.col("doc_id") % 17 == 0)) \
         .select("doc_id", "contaminated")
+    from pyspark import StorageLevel
+
+    # gated embeds the LM scoring and decontamination joins and feeds
+    # BOTH the dedup tiers and the final source rollup — persist so the
+    # gate pipeline runs once (r12 §2 shape)
     gated = (
         docs.join(scores, "doc_id").join(cont, "doc_id")
         .filter((F.col("avg_logp") >= _LM_GATE_CUTOFF)
                 & ~F.col("contaminated"))
         .select("doc_id", "text", "source")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     kept = D.dedup_corpus(gated.select("doc_id", "text"))
     return (
