@@ -2844,7 +2844,13 @@ def dedup_increment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
     corpus_part = docs.filter(F.col("doc_id") % 5 != 0)
     batch = docs.filter(F.col("doc_id") % 5 == 0)
-    kept0 = D.dedup_corpus(corpus_part, max_bucket=None)
+    # kept0 (the whole bootstrap dedup) feeds the derived dedup state
+    # (fingerprints + bands), candidate verification, AND the final
+    # anti-join/union — persist so the bootstrap runs once (r12 §2)
+    from pyspark import StorageLevel
+
+    kept0 = D.dedup_corpus(corpus_part, max_bucket=None) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     res = I.dedup_increment(kept0, batch, max_bucket=None)
     return kept0.join(res.revoked, "doc_id", "left_anti") \
         .unionByName(res.kept).select("doc_id")
