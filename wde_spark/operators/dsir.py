@@ -209,6 +209,14 @@ def doremi_schedule(ratios: DataFrame, docs: DataFrame, eta: float = 1.0,
     domain-count-sized frame (single digits); the unroll costs no extra
     corpus passes."""
     per, tot = _doremi_domain_stats(ratios, docs, id_col, domain_col)
+    # per/tot are domain-count-sized (single-digit rows) but their plans
+    # embed the whole corpus join + LM-ratio scoring; every unrolled
+    # step references them on BOTH sides of a broadcast normalizer, so
+    # without lineage truncation the corpus pipeline executes ~2×steps
+    # times (r12 §2 shape). One eager checkpoint each collapses the step
+    # algebra to in-memory single-row frames.
+    per = per.localCheckpoint(eager=True)
+    tot = tot.localCheckpoint(eager=True)
     cur = (
         per.crossJoin(F.broadcast(tot))
         .withColumn("share",
