@@ -612,6 +612,49 @@ def test_connected_components_auto_early_escalation(spark, monkeypatch):
     assert out2 == out
 
 
+def test_connected_components_escalation_contracts_through_labels(spark,
+                                                                  monkeypatch):
+    """r12: when "auto" escalates, the star arm must start from the graph
+    CONTRACTED through the partial labels (supernode = k-hop min id), not
+    from the raw edges — the escalate_after label rounds' work is reused.
+    Pin (a) the edge set handed to the star arm is strictly smaller than
+    the raw edge set, (b) every contracted endpoint is a label value, and
+    (c) the final output equals the pure-label answer."""
+    from wde_spark.operators import graph as G
+
+    # two long chains (escalate) + a triangle (collapses during the label
+    # rounds, so its supernode reaches star with no edges — exercises the
+    # coalesce-expansion arm)
+    edges = [(i, i + 1) for i in range(40)] \
+        + [(100 + i, 101 + i) for i in range(40)] \
+        + [(500, 501), (501, 502), (500, 502)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+
+    seen = {}
+    real_star = G.connected_components_star
+
+    def spy(e, id_a="id_a", id_b="id_b", max_iter=64):
+        seen["star_edges"] = e.count()
+        return real_star(e, id_a, id_b, max_iter)
+
+    monkeypatch.setattr(G, "connected_components_star", spy)
+    out = {(r.node, r.component)
+           for r in G.connected_components(df, max_iter=20).collect()}
+    # 83 raw edges. Pure chains contract only near the head (min-label
+    # propagation SHIFTS labels along a path rather than colliding them:
+    # label(n) = n-7 is injective past the first 8 nodes), but the
+    # triangle vanishes entirely and each chain loses its first 7 edges:
+    # 83 -> 66. Dense pockets are where contraction bites — on the real
+    # sf0.1 semantic graph it is 1577 nodes -> 195 supernodes and star
+    # alternations 5 -> 3 (measurements/cc_contraction_r12.json).
+    assert 0 < seen["star_edges"] <= 66
+    want = {(r.node, r.component)
+            for r in G.connected_components(
+                df, max_iter=100, algorithm="label").collect()}
+    assert out == want
+    assert {c for _, c in out} == {0, 100, 500}
+
+
 def test_connected_components_star_path_1000(spark):
     """The Kiveris et al. escalation path: a 1,000-node path graph
     (diameter 999 — min-label propagation would need 999 rounds) closes

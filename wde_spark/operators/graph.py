@@ -70,17 +70,56 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
         budget = max_iter if algorithm == "label" \
             else min(max_iter, escalate_after)
         return _connected_components_label(edges, id_a, id_b, budget)
-    except _NonConvergence:
+    except _NonConvergence as nc:
         if algorithm == "label":
             raise RuntimeError(
                 f"connected_components did not converge in {max_iter} "
                 f"rounds (component diameter exceeds max_iter); raise "
                 f"max_iter or use algorithm='star'") from None
-        return connected_components_star(edges, id_a, id_b)
+        if nc.labels is None:
+            return connected_components_star(edges, id_a, id_b)
+        # Label-seeded contraction (r12): the escalate_after label rounds
+        # already computed, for every node, the min id within its k-hop
+        # neighborhood — a valid supernode assignment (each label class is
+        # a connected subset containing its label node).  Mapping every
+        # edge through the labels and dropping self-loops yields a
+        # contracted graph with IDENTICAL component structure but ~(k+2)×
+        # smaller diameter and far fewer nodes, so the star algorithm
+        # starts from the partial work instead of discarding it: fewer
+        # alternations over smaller edge tables.  The component label is
+        # unchanged — the min id m of a component satisfies label(m)=m, so
+        # it survives contraction and star still returns it as the min.
+        lab = nc.labels  # (node, label), checkpointed
+        la = lab.select(F.col("node").alias("__n"), F.col("label").alias("__la"))
+        lb = lab.select(F.col("node").alias("__m"), F.col("label").alias("__lb"))
+        contracted = (
+            edges.select(F.col(id_a).alias("__n"), F.col(id_b).alias("__m"))
+            .join(la, "__n").join(lb, "__m")
+            .filter(F.col("__la") != F.col("__lb"))
+            .select(F.col("__la").alias(id_a), F.col("__lb").alias(id_b))
+            .distinct()
+        )
+        comp = connected_components_star(contracted, id_a, id_b)
+        # Expand: component(node) = star_component(label(node)); label
+        # classes whose whole component collapsed within the label rounds
+        # have no contracted edges and keep their label as the component.
+        return (
+            lab.join(comp, lab.label == comp.node, "left")
+            .select(
+                lab.node.alias("node"),
+                F.coalesce(comp.component, lab.label).alias("component"),
+            )
+        )
 
 
 class _NonConvergence(Exception):
-    """Internal: label propagation exhausted its round budget."""
+    """Internal: label propagation exhausted its round budget; carries the
+    partially-propagated (node, label) frame so the caller can contract the
+    graph through it instead of restarting from raw edges."""
+
+    def __init__(self, labels: DataFrame | None = None):
+        super().__init__()
+        self.labels = labels
 
 
 def _connected_components_label(edges: DataFrame, id_a: str, id_b: str,
@@ -129,8 +168,10 @@ def _connected_components_label(edges: DataFrame, id_a: str, id_b: str,
         prev_sum = cur_sum
     if not converged:
         # silent truncation would return WRONG components — fail loudly
-        # (the public wrapper turns this into star-algorithm escalation)
-        raise _NonConvergence
+        # (the public wrapper turns this into star-algorithm escalation,
+        # seeded with the partial labels so the rounds spent here are not
+        # wasted)
+        raise _NonConvergence(labels)
     return labels.select("node", F.col("label").alias("component"))
 
 
