@@ -1091,7 +1091,12 @@ def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-5 for 8 query vectors — the ANN baseline.
     JVM-side fold (zip_with + aggregate), broadcast query side."""
     emb = load_table(spark, sf_dir, "embeddings", spread=True)
-    return SIM.cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=5, dim=64)
+    # Query side is 8 rows and gets collected/broadcast by the operator:
+    # deriving it from the UNspread scan keeps the round-robin exchange
+    # (which exists for the compute-heavy ITEM side) out of its plan —
+    # one less stage per query job. Same rows either way.
+    q = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 8)
+    return SIM.cosine_topk(emb, q, k=5, dim=64)
 
 
 @query(
@@ -1160,7 +1165,8 @@ def lsh_ann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-rank entirely in SQL, so the approximate result itself is
     hash-checked, not just its shape."""
     emb = load_table(spark, sf_dir, "embeddings", spread=True)
-    return SIM.lsh_ann_multi(emb, emb.filter(F.col("vec_id") < 8), k=5,
+    q = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 8)
+    return SIM.lsh_ann_multi(emb, q, k=5,
                              n_planes=6, n_tables=48)
 
 
@@ -1182,7 +1188,7 @@ def lsh_ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle can state — the hash check fails exactly when ANN recall
     regresses."""
     emb = load_table(spark, sf_dir, "embeddings", spread=True)
-    q = emb.filter(F.col("vec_id") < 8)
+    q = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 8)
     return SIM.topk_recall_gate(
         SIM.lsh_ann_multi(emb, q, k=5, n_planes=6, n_tables=48),
         SIM.cosine_topk(emb, q, k=5, dim=64),
@@ -1271,7 +1277,8 @@ def ivf_ann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     which holds for the synthetic tables; the Spark path additionally
     null-routes non-finite rows — see `_probe_cells_udf`.)"""
     emb = load_table(spark, sf_dir, "embeddings", spread=True)
-    return SIM.ivf_ann(emb, emb.filter(F.col("vec_id") < 8), k=5,
+    q = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 8)
+    return SIM.ivf_ann(emb, q, k=5,
                        n_cells=16, nprobe=6)
 
 
@@ -1288,7 +1295,7 @@ def ivf_ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     chance rate ~1%). See `lsh_ann_recall_gate` for why a threshold gate is
     the honest oracle for ANN over near-uniform random vectors."""
     emb = load_table(spark, sf_dir, "embeddings", spread=True)
-    q = emb.filter(F.col("vec_id") < 8)
+    q = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 8)
     return SIM.topk_recall_gate(
         SIM.ivf_ann(emb, q, k=5, n_cells=16, nprobe=6),
         SIM.cosine_topk(emb, q, k=5, dim=64),
@@ -1404,7 +1411,8 @@ def pq_ann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     (All-finite vectors assumed by the SQL, as with the IVF oracle; the
     Spark path null-routes bad rows.)"""
     emb = load_table(spark, sf_dir, "embeddings", spread=True)
-    return SIM.pq_ann(emb, emb.filter(F.col("vec_id") < 8), k=5,
+    q = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 8)
+    return SIM.pq_ann(emb, q, k=5,
                       m=16, k_codes=16, refine=8)
 
 
@@ -1422,7 +1430,7 @@ def pq_ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     chance rate ~1%). See `lsh_ann_recall_gate` for why a threshold gate
     is the honest oracle for ANN over near-uniform random vectors."""
     emb = load_table(spark, sf_dir, "embeddings", spread=True)
-    q = emb.filter(F.col("vec_id") < 8)
+    q = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 8)
     return SIM.topk_recall_gate(
         SIM.pq_ann(emb, q, k=5, m=16, k_codes=16, refine=8),
         SIM.cosine_topk(emb, q, k=5, dim=64),
@@ -1566,7 +1574,7 @@ def streaming_pq_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.embedding_admission import ann_query
 
     index_dir = _streaming_pq_index_dir(spark, sf_dir)
-    queries_df = load_table(spark, sf_dir, "embeddings", spread=True) \
+    queries_df = load_table(spark, sf_dir, "embeddings") \
         .filter(F.col("vec_id") < 8)
     return ann_query(spark, index_dir, queries_df, k=5)
 

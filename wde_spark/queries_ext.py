@@ -3039,7 +3039,7 @@ def ivfpq_ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import similarity as SIM2
 
     emb = load_table(spark, sf_dir, "embeddings", spread=True)
-    q = emb.filter(F.col("vec_id") < 8)
+    q = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 8)
     return SIM2.topk_recall_gate(
         SIM2.ivfpq_ann(emb, q, k=5, n_cells=16, nprobe=6, m=16,
                        k_codes=16, refine=8),
@@ -4431,7 +4431,7 @@ def ivfpq_residual_recall_gate(spark: SparkSession,
     from .operators import similarity as SIM2
 
     emb = load_table(spark, sf_dir, "embeddings", spread=True)
-    q = emb.filter(F.col("vec_id") < 8)
+    q = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 8)
     return SIM2.topk_recall_gate(
         SIM2.ivfpq_residual_ann(emb, q, k=5, n_cells=16, nprobe=6, m=16,
                                 k_codes=16, refine=8),
@@ -8342,7 +8342,7 @@ def pq_codes_compaction_ann(spark: SparkSession,
     from .streaming.embedding_admission import ann_query_merged
 
     index_dir = _streaming_pq_delta_dir(spark, sf_dir)
-    queries_df = load_table(spark, sf_dir, "embeddings", spread=True) \
+    queries_df = load_table(spark, sf_dir, "embeddings") \
         .filter(F.col("vec_id") < 8)
     return ann_query_merged(spark, index_dir, queries_df, k=5)
 
