@@ -187,6 +187,15 @@ CALIB_REF_SEC = 0.316  # = 0.3872 / 1.2254, see measurements/calib_probe_r08.jso
 # must not nuke the units: clamp the factor to a sane band and record the
 # raw probe times so a reader can see a clamped half.
 CALIB_FACTOR_BAND = (0.5, 3.0)
+# The probe is a PARALLEL aggregate, so its throughput — and with it the
+# normalization — assumes the reference host's core count. A run at a
+# different SPARK_GRAFT_CPUS still measures and prints (the driver's
+# scaling runs), but must NOT bank minima: at e.g. 8 cores the clamped
+# factor under-normalizes scheduler-bound tail queries by up to ~2x and
+# would overwrite the ledger with bogus "minima" (observed r12 session 3:
+# an 8-core smoke rewrote the sf0.1 ledger 41.4 -> 24.1 before being
+# restored from git).
+CALIB_REF_CPUS = 32
 
 
 def _calibrate(spark, runs: int = CALIB_RUNS) -> list[float]:
@@ -554,15 +563,23 @@ def main() -> None:
     best = {n: best[n] for n in HEADLINE if n in best}
     best_norm = {n: best_norm[n] for n in HEADLINE if n in best_norm}
 
-    best_known_all[str(sf)] = best_known
-    # Units marker (r8): per-query values are normalized REFERENCE-HOST
-    # seconds (raw / calibration factor), not raw wall seconds.
-    best_known_all["_units"] = "sec_ref_host"
-    best_known_all["_calib"] = {
-        "ref_sec": CALIB_REF_SEC, "rows": CALIB_ROWS, "runs": CALIB_RUNS,
-        "receipt": "measurements/calib_probe_r08.json"}
-    with open(best_path, "w") as fh:
-        json.dump(best_known_all, fh, indent=1, sort_keys=True)
+    # Ledger update gate: normalized units are only comparable at the
+    # reference core count (see CALIB_REF_CPUS) — low-core scaling runs
+    # measure and print but leave the minima ledger untouched.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(CALIB_REF_CPUS)))
+    ledger_frozen = cpus != CALIB_REF_CPUS
+    if not ledger_frozen:
+        best_known_all[str(sf)] = best_known
+        # Units marker (r8): per-query values are normalized
+        # REFERENCE-HOST seconds (raw / calibration factor), not raw wall
+        # seconds.
+        best_known_all["_units"] = "sec_ref_host"
+        best_known_all["_calib"] = {
+            "ref_sec": CALIB_REF_SEC, "rows": CALIB_ROWS,
+            "runs": CALIB_RUNS,
+            "receipt": "measurements/calib_probe_r08.json"}
+        with open(best_path, "w") as fh:
+            json.dump(best_known_all, fh, indent=1, sort_keys=True)
 
     total = round(sum(best.values()), 3)
     jif1 = _cpu_jiffies()
@@ -618,6 +635,12 @@ def main() -> None:
         "loadavg_start": round(load0, 2),
         "loadavg_end": round(os.getloadavg()[0], 2),
         "steal_pct": steal_pct,
+        # True when this run's core count differs from CALIB_REF_CPUS:
+        # measured and printed as usual, but bench_best.json was NOT
+        # updated (normalized units are not comparable across core
+        # counts).
+        "ledger_frozen": ledger_frozen,
+        "cpus": cpus,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "bench_detail.json"), "w") as fh:
