@@ -565,8 +565,12 @@ def main() -> None:
 
     # Ledger update gate: normalized units are only comparable at the
     # reference core count (see CALIB_REF_CPUS) — low-core scaling runs
-    # measure and print but leave the minima ledger untouched.
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(CALIB_REF_CPUS)))
+    # measure and print but leave the minima ledger untouched. Resolution
+    # MIRRORS get_session() (core/session.py): env var first, then the
+    # real core count — with the env unset on a non-32-core host the run
+    # executes at os.cpu_count(), and the gate must reflect the cores
+    # Spark actually used, not assume the reference count.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
     ledger_frozen = cpus != CALIB_REF_CPUS
     if not ledger_frozen:
         best_known_all[str(sf)] = best_known

@@ -211,3 +211,30 @@ def test_attach_qoi_stats_dispatch(spark):
     assert rows[0]["px_sum"] == int((r + g + bl).sum()) + 255 * w * h
     assert rows[1]["px_sum"] == int((r + g + bl + a1).sum())
     assert rows[1]["n_transparent"] == int((a1 == 0).sum())
+
+
+def test_fp_decimal_matches_naive_join():
+    """_fp_decimal (the LUT/map-vectorized media fingerprint) must be
+    byte-identical to the naive '-'.join(str(int(v)) for v in flat) it
+    replaced — for the uint8 fast path, signed samples, and empties."""
+    import hashlib
+
+    import numpy as np
+
+    from wde_spark.operators.multimodal import _fp_decimal
+
+    def naive(flat):
+        return hashlib.md5(
+            "-".join(str(int(v)) for v in flat).encode()).hexdigest()
+
+    rng = np.random.RandomState(7)
+    cases = [
+        rng.randint(0, 256, size=997).astype(np.uint8),      # LUT path
+        np.array([0, 255, 128], dtype=np.uint8),
+        np.array([], dtype=np.uint8),                        # empty image
+        rng.randint(-32768, 32768, size=503).astype(np.int16),  # audio
+        rng.randint(-2**31, 2**31, size=101).astype(np.int64),
+        np.array([], dtype=np.int16),
+    ]
+    for flat in cases:
+        assert _fp_decimal(flat) == naive(flat)

@@ -49,13 +49,16 @@ def _lzw_decode(data: bytes, mcs: int, n_pixels: int):
         return None
     clear = 1 << mcs
     eoi = clear + 1
-    out = np.empty(n_pixels, dtype=np.uint8)
-    filled = 0
+    # sequences as BYTES appended to one bytearray (a per-code numpy
+    # slice assignment over tuple entries costs ~1µs of dispatch per
+    # code — the dominant decode cost; bytes concat + extend are C-speed
+    # and value-identical)
+    out = bytearray()
 
-    roots = [(i,) for i in range(clear)]
+    roots = [bytes((i,)) for i in range(clear)]
     table: list = []
     width = mcs + 1
-    prev: tuple = ()
+    prev: bytes = b""
 
     bitbuf = 0
     bitcnt = 0
@@ -73,12 +76,14 @@ def _lzw_decode(data: bytes, mcs: int, n_pixels: int):
         bitcnt -= width
 
         if code == clear:
-            table = list(roots) + [(), ()]  # slots for clear/eoi
+            table = list(roots) + [b"", b""]  # slots for clear/eoi
             width = mcs + 1
-            prev = ()
+            prev = b""
             continue
         if code == eoi:
-            return out[:filled] if filled == n_pixels else None
+            if len(out) != n_pixels:
+                return None
+            return np.frombuffer(bytes(out), dtype=np.uint8)
         if not table:
             return None  # first code must be a clear per the spec
         if code < len(table):
@@ -86,16 +91,15 @@ def _lzw_decode(data: bytes, mcs: int, n_pixels: int):
             if not seq:
                 return None  # the clear/eoi placeholder slots
         elif code == len(table) and prev:
-            seq = prev + (prev[0],)  # the KwKwK case
+            seq = prev + prev[:1]  # the KwKwK case
         else:
             return None
-        if filled + len(seq) > n_pixels:
+        if len(out) + len(seq) > n_pixels:
             return None
-        out[filled:filled + len(seq)] = seq
-        filled += len(seq)
+        out += seq
         if prev:
             if len(table) < 4096:
-                table.append(prev + (seq[0],))
+                table.append(prev + seq[:1])
                 if len(table) == (1 << width) and width < 12:
                     width += 1
         prev = seq
@@ -128,7 +132,7 @@ def _lzw_encode(indices: np.ndarray, mcs: int) -> bytes:
 
     output(clear)
     seq: tuple = ()
-    for k in map(int, indices):
+    for k in indices.tolist():
         cand = seq + (k,)
         if cand in table:
             seq = cand
@@ -335,18 +339,39 @@ def decode_gif_frames(payload: bytes):
     return w, h, np.stack(out)
 
 
+def _rgba_keys(flat: np.ndarray) -> np.ndarray:
+    """Pack (n, 4) uint8 RGBA rows into uint32 keys whose numeric order
+    IS the rows' lexicographic order — the vectorization device for
+    palette building and index mapping."""
+    f = flat.astype(np.uint32)
+    return (f[:, 0] << 24) | (f[:, 1] << 16) | (f[:, 2] << 8) | f[:, 3]
+
+
 def _build_palette(flat: np.ndarray):
-    """Lexicographic RGBA palette + index lookup for <= 256 colors with
-    at most one alpha-0 entry; raises ValueError outside that."""
-    colors = np.unique(flat, axis=0)
-    if colors.shape[0] > 256:
+    """Lexicographic RGBA palette + sorted key table for <= 256 colors
+    with at most one alpha-0 entry; raises ValueError outside that.
+    np.unique over the packed uint32 keys replaces the axis=0 structured
+    sort AND the python-dict index lookup: searchsorted over the sorted
+    keys returns the identical lexicographic palette index for every
+    pixel (`_index_rgba`)."""
+    keys = np.unique(_rgba_keys(flat))
+    if keys.shape[0] > 256:
         raise ValueError("more than 256 distinct colors")
+    colors = np.stack([(keys >> 24) & 0xFF, (keys >> 16) & 0xFF,
+                       (keys >> 8) & 0xFF, keys & 0xFF],
+                      axis=1).astype(np.uint8)
     if (colors[:, 3] == 0).sum() > 1:
         raise ValueError("GIF has a single transparent index")
-    lut = {tuple(c): i for i, c in enumerate(colors)}
     transparent = next(
         (i for i, c in enumerate(colors) if c[3] == 0), None)
-    return colors, lut, transparent
+    return colors, keys, transparent
+
+
+def _index_rgba(flat: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Map every RGBA row to its palette index (uint8), vectorized —
+    value-identical to the dict lookup it replaced: `keys` is sorted, so
+    searchsorted returns the exact position of each pixel's key."""
+    return np.searchsorted(keys, _rgba_keys(flat)).astype(np.uint8)
 
 
 def encode_gif_animated(patches, w: int, h: int,
@@ -363,7 +388,7 @@ def encode_gif_animated(patches, w: int, h: int,
     allpx = np.concatenate(
         [np.asarray(p[2], dtype=np.uint8).reshape(-1, 4)
          for p in patches])
-    colors, lut, transparent = _build_palette(allpx)
+    colors, ckeys, transparent = _build_palette(allpx)
     bits = max(2, int(np.ceil(np.log2(max(colors.shape[0], 2)))))
     table = np.zeros((1 << bits, 3), dtype=np.uint8)
     table[:colors.shape[0]] = colors[:, :3]
@@ -382,9 +407,7 @@ def encode_gif_animated(patches, w: int, h: int,
             gpacked |= 0x01
             tr = transparent
         out += bytes((0x21, 0xF9, 4, gpacked, 0, 0, tr, 0))
-        idx = np.fromiter(
-            (lut[tuple(p)] for p in arr.reshape(-1, 4)),
-            count=ih * iw, dtype=np.uint8).reshape(ih, iw)
+        idx = _index_rgba(arr.reshape(-1, 4), ckeys).reshape(ih, iw)
         inter = interlace_odd and f % 2 == 1
         ipacked = 0x40 if inter else 0
         out += bytes((0x2C,)) + left.to_bytes(2, "little") \
@@ -423,10 +446,8 @@ def encode_gif(rgba: np.ndarray, interlace: bool = False) -> bytes:
     if not np.isin(alpha, (0, 255)).all():
         raise ValueError("alpha must be 0 or 255")
     flat = arr.reshape(-1, 4)
-    colors, lut, transparent = _build_palette(flat)
-    idx = np.fromiter(
-        (lut[tuple(p)] for p in flat), count=flat.shape[0],
-        dtype=np.uint8).reshape(h, w)
+    colors, ckeys, transparent = _build_palette(flat)
+    idx = _index_rgba(flat, ckeys).reshape(h, w)
 
     # color table size: power of two >= n_colors, >= 4 (gct field >= 2^2)
     bits = max(2, int(np.ceil(np.log2(max(colors.shape[0], 2)))))

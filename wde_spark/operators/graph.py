@@ -80,15 +80,18 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
             return connected_components_star(edges, id_a, id_b)
         # Label-seeded contraction (r12): the escalate_after label rounds
         # already computed, for every node, the min id within its k-hop
-        # neighborhood — a valid supernode assignment (each label class is
-        # a connected subset containing its label node).  Mapping every
-        # edge through the labels and dropping self-loops yields a
-        # contracted graph with IDENTICAL component structure but ~(k+2)×
-        # smaller diameter and far fewer nodes, so the star algorithm
-        # starts from the partial work instead of discarding it: fewer
-        # alternations over smaller edge tables.  The component label is
-        # unchanged — the min id m of a component satisfies label(m)=m, so
-        # it survives contraction and star still returns it as the min.
+        # neighborhood.  The invariant that makes contraction sound is
+        # NOT that label classes are connected (propagation shifts labels
+        # along chains, so class L generally neither contains node L nor
+        # is connected) — it is that label(n) is always the id of a node
+        # REACHABLE from n (same component), so quotienting nodes by
+        # label and mapping every edge through it preserves component
+        # structure exactly: a contracted graph with far fewer nodes and
+        # ~(k+2)× smaller diameter, and the star algorithm starts from
+        # the partial work instead of discarding it.  The component label
+        # is unchanged — the component min m satisfies label(m)=m (it can
+        # never adopt a smaller id), so it survives contraction and star
+        # still returns it as the min.
         lab = nc.labels  # (node, label), checkpointed
         la = lab.select(F.col("node").alias("__n"), F.col("label").alias("__la"))
         lb = lab.select(F.col("node").alias("__m"), F.col("label").alias("__lb"))
@@ -99,6 +102,11 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
             .select(F.col("__la").alias(id_a), F.col("__lb").alias(id_b))
             .distinct()
         )
+        # Materialize once: star eagerly evaluates its input twice (both
+        # `nodes` and `e` localCheckpoint eagerly), which would re-run the
+        # two label joins + distinct above — the module's own
+        # materialize-once discipline applies to the contraction too.
+        contracted = contracted.localCheckpoint(eager=True)
         comp = connected_components_star(contracted, id_a, id_b)
         # Expand: component(node) = star_component(label(node)); label
         # classes whose whole component collapsed within the label rounds

@@ -24,6 +24,7 @@ surface — extension parity documented in COVERAGE.md).
 
 from __future__ import annotations
 
+import functools
 import struct
 
 import numpy as np
@@ -93,9 +94,13 @@ def quant_table(quality: int) -> np.ndarray:
     return np.clip(q, 1, 255)
 
 
+@functools.lru_cache(maxsize=None)
 def _canonical_codes(bits, vals):
     """Canonical Huffman code assignment per T.81 C.2: returns
-    {symbol: (code, length)}."""
+    {symbol: (code, length)}. Cached — bits/vals are the fixed Annex-K
+    tuples for the encoder (2 tables ever) and parsed header tuples for
+    any decoder that wants it, so rebuilding the dict per image was pure
+    per-row overhead in the Arrow kernels."""
     out = {}
     code = 0
     k = 0
@@ -184,30 +189,49 @@ def _category(v: int) -> int:
     return int(abs(v)).bit_length()
 
 
-def _encode_block(plane8: np.ndarray, q, m, dc_codes, ac_codes, bw,
-                  prev_dc: int) -> int:
-    """DCT + quantize + entropy-code ONE 8x8 block of a component plane;
-    returns the new DC predictor."""
-    blk = plane8.astype(np.float64) - 128.0
+def _fdct_quant_blocks(blocks: np.ndarray, q) -> np.ndarray:
+    """DCT + quantize ALL blocks of an image at once: (n, 8, 8) uint8 →
+    (n, 64) int64 zigzag coefficients. One batched matmul pair replaces
+    2n tiny BLAS calls — numpy's stacked matmul runs the identical gemm
+    per 8x8 slice, so every coefficient is bit-identical to the per-block
+    form (asserted by the differential test); per-row Python/numpy
+    dispatch was the dominant encode cost in the Arrow kernels."""
+    m = _dct_matrix()
+    blk = blocks.astype(np.float64) - 128.0
     coef = m @ blk @ m.T
     # the DC basis is constant, so F(0,0) = sum/8 EXACTLY — replace the
     # float-rounded inner products (odd DC sums land on the quantizer's
     # half boundary, where matmul noise would otherwise decide the
     # round and break the integer-exact DC-only tier)
-    coef[0, 0] = blk.sum() / 8.0
+    coef[:, 0, 0] = blk.sum(axis=(1, 2)) / 8.0
     # symmetric round-half-up via floor(x/q + 0.5)
-    zz = np.floor(coef / q + 0.5).astype(np.int64).reshape(64)
-    zz = zz[_ZIGZAG]
-    diff = int(zz[0]) - prev_dc
-    new_dc = int(zz[0])
+    zz = np.floor(coef / q + 0.5).astype(np.int64) \
+        .reshape(-1, 64)[:, _ZIGZAG]
+    # last nonzero AC index per block, batched (0 = DC-only block): the
+    # per-block reverse scan was 63 Python steps per block, almost all
+    # of them over zeros on real quantized data
+    nz = zz[:, 1:] != 0
+    last_nz = np.where(nz.any(axis=1),
+                       63 - np.argmax(nz[:, ::-1], axis=1), 0)
+    return zz, last_nz.tolist()
+
+
+def _encode_block_zz(zz: list, last_nz: int, dc_codes, ac_codes, bw,
+                     prev_dc: int) -> int:
+    """Entropy-code ONE block's precomputed zigzag coefficients (a plain
+    Python int list from `_fdct_quant_blocks(...)[0].tolist()`, with its
+    batch-computed last-nonzero index); returns the new DC predictor.
+    Pure Python — the bitstream is inherently sequential; all numpy work
+    happens batched upstream."""
+    new_dc = zz[0]
+    diff = new_dc - prev_dc
     s = _category(diff)
     bw.put(*dc_codes[s])
     if s:
         bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
     run = 0
-    last_nz = int(np.nonzero(zz[1:])[0][-1]) + 1 if np.any(zz[1:]) else 0
     for k in range(1, last_nz + 1):
-        v = int(zz[k])
+        v = zz[k]
         if v == 0:
             run += 1
             continue
@@ -254,15 +278,16 @@ def encode_jpeg_gray(pixels: np.ndarray, quality: int = 50) -> bytes:
     assert h > 0 and w > 0
     arr = np.pad(arr, ((0, -h % 8), (0, -w % 8)), mode="edge")
     q = quant_table(quality)
-    m = _dct_matrix()
     dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
     ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
     bw = _BitWriter()
+    # gather blocks in scan order (by, bx), batch the DCT+quantize
+    blocks = (arr.reshape(arr.shape[0] // 8, 8, arr.shape[1] // 8, 8)
+              .transpose(0, 2, 1, 3).reshape(-1, 8, 8))
+    zzmat, last = _fdct_quant_blocks(blocks, q)
     prev_dc = 0
-    for by in range(0, arr.shape[0], 8):
-        for bx in range(0, arr.shape[1], 8):
-            prev_dc = _encode_block(arr[by:by + 8, bx:bx + 8], q, m,
-                                    dc_codes, ac_codes, bw, prev_dc)
+    for zz, ln in zip(zzmat.tolist(), last):
+        prev_dc = _encode_block_zz(zz, ln, dc_codes, ac_codes, bw, prev_dc)
     return _headers(q, h, w, 1) + bw.flush() + b"\xFF\xD9"
 
 
@@ -303,17 +328,18 @@ def encode_jpeg_rgb(pixels: np.ndarray, quality: int = 50) -> bytes:
     ycc = rgb_to_ycbcr(arr)
     ycc = np.pad(ycc, ((0, -h % 8), (0, -w % 8), (0, 0)), mode="edge")
     q = quant_table(quality)
-    m = _dct_matrix()
     dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
     ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
     bw = _BitWriter()
+    # gather blocks in scan order (by, bx, c) — one MCU = one block per
+    # component — and batch the DCT+quantize across all of them
+    blocks = (ycc.reshape(ycc.shape[0] // 8, 8, ycc.shape[1] // 8, 8, 3)
+              .transpose(0, 2, 4, 1, 3).reshape(-1, 8, 8))
+    zzmat, last = _fdct_quant_blocks(blocks, q)
     prev = [0, 0, 0]
-    for by in range(0, ycc.shape[0], 8):
-        for bx in range(0, ycc.shape[1], 8):
-            for c in range(3):  # one MCU = one block per component
-                prev[c] = _encode_block(
-                    ycc[by:by + 8, bx:bx + 8, c], q, m,
-                    dc_codes, ac_codes, bw, prev[c])
+    for i, (zz, ln) in enumerate(zip(zzmat.tolist(), last)):
+        c = i % 3
+        prev[c] = _encode_block_zz(zz, ln, dc_codes, ac_codes, bw, prev[c])
     return _headers(q, h, w, 3) + bw.flush() + b"\xFF\xD9"
 
 
@@ -348,33 +374,36 @@ def encode_jpeg_420(pixels: np.ndarray, quality: int = 50,
     cb_pl = subsample_420(ycc[:, :, 1])
     cr_pl = subsample_420(ycc[:, :, 2])
     q = quant_table(quality)
-    m = _dct_matrix()
     dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
     ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
     bw = _BitWriter()
-    prev = [0, 0, 0]
     n_mcu_x = ycc.shape[1] // 16
     n_mcu_y = ycc.shape[0] // 16
-    mcu_i = 0
-    rst = 0
     total = n_mcu_x * n_mcu_y
-    for my in range(n_mcu_y):
-        for mx in range(n_mcu_x):
-            for dy, dx in ((0, 0), (0, 8), (8, 0), (8, 8)):
-                yy, xx = my * 16 + dy, mx * 16 + dx
-                prev[0] = _encode_block(
-                    y_pl[yy:yy + 8, xx:xx + 8], q, m,
-                    dc_codes, ac_codes, bw, prev[0])
-            cy, cx = my * 8, mx * 8
-            prev[1] = _encode_block(cb_pl[cy:cy + 8, cx:cx + 8], q, m,
-                                    dc_codes, ac_codes, bw, prev[1])
-            prev[2] = _encode_block(cr_pl[cy:cy + 8, cx:cx + 8], q, m,
-                                    dc_codes, ac_codes, bw, prev[2])
-            mcu_i += 1
-            if restart and mcu_i % restart == 0 and mcu_i < total:
-                bw.marker(0xD0 + rst)
-                rst = (rst + 1) % 8
-                prev = [0, 0, 0]
+    # gather blocks in MCU emission order — per MCU: Y(0,0) Y(0,8)
+    # Y(8,0) Y(8,8), Cb, Cr — and batch the DCT+quantize across all
+    yb = (y_pl.reshape(n_mcu_y, 2, 8, n_mcu_x, 2, 8)
+          .transpose(0, 3, 1, 4, 2, 5).reshape(total, 4, 8, 8))
+    cb = (cb_pl.reshape(n_mcu_y, 8, n_mcu_x, 8)
+          .transpose(0, 2, 1, 3).reshape(total, 1, 8, 8))
+    cr = (cr_pl.reshape(n_mcu_y, 8, n_mcu_x, 8)
+          .transpose(0, 2, 1, 3).reshape(total, 1, 8, 8))
+    zzmat, last = _fdct_quant_blocks(
+        np.concatenate([yb, cb, cr], axis=1).reshape(-1, 8, 8), q)
+    zz_rows = zzmat.tolist()
+    prev = [0, 0, 0]
+    rst = 0
+    comp_of = (0, 0, 0, 0, 1, 2)
+    for mcu_i in range(total):
+        base = mcu_i * 6
+        for b in range(6):
+            c = comp_of[b]
+            prev[c] = _encode_block_zz(zz_rows[base + b], last[base + b],
+                                       dc_codes, ac_codes, bw, prev[c])
+        if restart and (mcu_i + 1) % restart == 0 and mcu_i + 1 < total:
+            bw.marker(0xD0 + rst)
+            rst = (rst + 1) % 8
+            prev = [0, 0, 0]
     return (_headers(q, h, w, 3, subsample=True, restart=restart)
             + bw.flush() + b"\xFF\xD9")
 
@@ -543,8 +572,12 @@ def _parse_scan_params(payload: bytes):
         return None
 
 
+@functools.lru_cache(maxsize=256)
 def _huff_decoder(bits, vals):
-    """mincode/maxcode/valptr decode tables per T.81 F.2.2.3."""
+    """mincode/maxcode/valptr decode tables per T.81 F.2.2.3. Cached by
+    the (bits, vals) header tuples — every fixture (and virtually every
+    real-world corpus) reuses a handful of tables, so rebuilding the
+    three dicts per image per component was pure per-row overhead."""
     mincode, maxcode, valptr = {}, {}, {}
     code = 0
     k = 0
@@ -571,10 +604,13 @@ def _read_symbol(br: _BitReader, tbl) -> int:
     raise ValueError("invalid Huffman code")
 
 
-def _decode_block(br, dc_tbl, ac_tbl, q, m, prev_dc):
-    """Entropy-decode + dequantize + IDCT one block; returns
-    (pixels8x8 uint8, new_dc)."""
-    zz = np.zeros(64, dtype=np.int64)
+def _decode_block_zz(br, dc_tbl, ac_tbl, prev_dc):
+    """Entropy-decode ONE block into a plain Python list of 64 zigzag
+    coefficients; returns (zz, new_dc). Pure Python — the bitstream is
+    inherently sequential; dequantize+IDCT happen batched downstream
+    (`_idct_blocks`), which removed the dominant per-block numpy
+    dispatch cost from the Arrow decode kernels."""
+    zz = [0] * 64
     s = _read_symbol(br, dc_tbl)
     if s > 11:
         raise ValueError("DC category out of range")
@@ -601,12 +637,22 @@ def _decode_block(br, dc_tbl, ac_tbl, q, m, prev_dc):
             v = (v << 1) | br.bit()
         zz[k] = _extend(v, size)
         k += 1
-    nat = np.zeros(64, dtype=np.int64)
-    nat[_ZIGZAG] = zz
-    coef = nat.reshape(8, 8) * q
-    blk = m.T @ (coef.astype(np.float64)) @ m
-    px = np.clip(np.floor(blk + 128.5), 0, 255).astype(np.uint8)
-    return px, prev_dc
+    return zz, prev_dc
+
+
+def _idct_blocks(zz_rows, q) -> np.ndarray:
+    """Dequantize + IDCT ALL blocks of an image at once: a list of
+    64-int zigzag rows → (n, 8, 8) uint8 pixels. The batched matmul pair
+    runs the identical gemm per 8x8 slice, so every pixel is
+    bit-identical to the per-block form (asserted by the differential
+    test)."""
+    m = _dct_matrix()
+    zz = np.asarray(zz_rows, dtype=np.int64).reshape(-1, 64)
+    nat = np.zeros((zz.shape[0], 64), dtype=np.int64)
+    nat[:, _ZIGZAG] = zz
+    coef = nat.reshape(-1, 8, 8) * q
+    blk = m.T @ coef.astype(np.float64) @ m
+    return np.clip(np.floor(blk + 128.5), 0, 255).astype(np.uint8)
 
 
 def _decode_scan(payload, pos, w, h, q, specs, samplings, restart):
@@ -623,50 +669,39 @@ def _decode_scan(payload, pos, w, h, q, specs, samplings, restart):
         return None
     tbls = [(_huff_decoder(*dc), _huff_decoder(*ac)) for dc, ac in specs]
     br = _BitReader(payload, pos)
-    m = _dct_matrix()
-    if is420:
-        y_pl = np.empty((my_n * 16, mx_n * 16), dtype=np.uint8)
-        cb_pl = np.empty((my_n * 8, mx_n * 8), dtype=np.uint8)
-        cr_pl = np.empty((my_n * 8, mx_n * 8), dtype=np.uint8)
-    else:
-        planes = [np.empty((my_n * 8, mx_n * 8), dtype=np.uint8)
-                  for _ in range(n_comp)]
+    bpm = 6 if is420 else n_comp
     prev = [0] * n_comp
-    mcu_i = 0
     rst = 0
     total = mx_n * my_n
-    for my in range(my_n):
-        for mx in range(mx_n):
-            if is420:
-                for dy, dx in ((0, 0), (0, 8), (8, 0), (8, 8)):
-                    blk, prev[0] = _decode_block(
-                        br, *tbls[0], q, m, prev[0])
-                    y_pl[my * 16 + dy:my * 16 + dy + 8,
-                         mx * 16 + dx:mx * 16 + dx + 8] = blk
-                blk, prev[1] = _decode_block(br, *tbls[1], q, m, prev[1])
-                cb_pl[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = blk
-                blk, prev[2] = _decode_block(br, *tbls[2], q, m, prev[2])
-                cr_pl[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = blk
-            else:
-                for c in range(n_comp):
-                    blk, prev[c] = _decode_block(
-                        br, *tbls[c], q, m, prev[c])
-                    planes[c][my * 8:my * 8 + 8,
-                              mx * 8:mx * 8 + 8] = blk
-            mcu_i += 1
-            if restart and mcu_i % restart == 0 and mcu_i < total:
-                br.sync_restart(rst)
-                rst = (rst + 1) % 8
-                prev = [0] * n_comp
+    # Phase 1 — sequential entropy decode (pure Python) collecting every
+    # block's zigzag coefficients in MCU emission order.
+    rows: list = []
+    for mcu_i in range(1, total + 1):
+        if is420:
+            for _b in range(4):
+                zz, prev[0] = _decode_block_zz(br, *tbls[0], prev[0])
+                rows.append(zz)
+            zz, prev[1] = _decode_block_zz(br, *tbls[1], prev[1])
+            rows.append(zz)
+            zz, prev[2] = _decode_block_zz(br, *tbls[2], prev[2])
+            rows.append(zz)
+        else:
+            for c in range(n_comp):
+                zz, prev[c] = _decode_block_zz(br, *tbls[c], prev[c])
+                rows.append(zz)
+        if restart and mcu_i % restart == 0 and mcu_i < total:
+            br.sync_restart(rst)
+            rst = (rst + 1) % 8
+            prev = [0] * n_comp
     # after the scan only pad bits and EOI may remain
     tail = payload[br.p:]
     if not tail.startswith(b"\xFF\xD9"):
         return None
-    if is420:
-        planes = [y_pl,
-                  np.repeat(np.repeat(cb_pl, 2, axis=0), 2, axis=1),
-                  np.repeat(np.repeat(cr_pl, 2, axis=0), 2, axis=1)]
-    return [pl[:h, :w].copy() for pl in planes]
+    # Phase 2 — batched dequant+IDCT, then the same vectorized
+    # blockgrid→plane scatter (+ chroma upsample + crop) the
+    # segment-parallel path uses; pinned byte-identical in tests.
+    ab = _idct_blocks(rows, q).reshape(total, bpm, 8, 8)
+    return reassemble_segments(w, h, samplings, restart, [ab])
 
 
 # ---------------------------------------------------------------------------
@@ -741,25 +776,24 @@ def decode_restart_segment(seg: bytes, n_mcus: int, q, specs,
     tbls = [(_huff_decoder(*dc), _huff_decoder(*ac))
             for dc, ac in specs]
     br = _BitReader(seg, 0)
-    m = _dct_matrix()
-    out = np.empty((n_mcus, bpm, 8, 8), dtype=np.uint8)
     prev = [0] * n_comp
-    for k in range(n_mcus):
+    rows: list = []
+    for _k in range(n_mcus):
         if is420:
-            for b in range(4):
-                blk, prev[0] = _decode_block(br, *tbls[0], q, m, prev[0])
-                out[k, b] = blk
-            blk, prev[1] = _decode_block(br, *tbls[1], q, m, prev[1])
-            out[k, 4] = blk
-            blk, prev[2] = _decode_block(br, *tbls[2], q, m, prev[2])
-            out[k, 5] = blk
+            for _b in range(4):
+                zz, prev[0] = _decode_block_zz(br, *tbls[0], prev[0])
+                rows.append(zz)
+            zz, prev[1] = _decode_block_zz(br, *tbls[1], prev[1])
+            rows.append(zz)
+            zz, prev[2] = _decode_block_zz(br, *tbls[2], prev[2])
+            rows.append(zz)
         else:
             for c in range(n_comp):
-                blk, prev[c] = _decode_block(br, *tbls[c], q, m, prev[c])
-                out[k, c] = blk
+                zz, prev[c] = _decode_block_zz(br, *tbls[c], prev[c])
+                rows.append(zz)
     if br.p != len(seg):
         raise ValueError("trailing bytes in restart segment")
-    return out
+    return _idct_blocks(rows, q).reshape(n_mcus, bpm, 8, 8)
 
 
 def reassemble_segments(w: int, h: int, samplings, restart: int,
