@@ -40,6 +40,9 @@ RIFF_MAGIC = b"RIFF"
 # than this many bytes (mirrors png_codec / wav_codec caps)
 _MAX_FRAME_BYTES = 256 * 1024 * 1024
 
+# 256 one-byte strings for RLE run fills (bytes((v,)) allocates per packet)
+_BYTE = [bytes((v,)) for v in range(256)]
+
 
 def is_avi(payload: bytes) -> bool:
     return (len(payload) >= 12 and payload[:4] == RIFF_MAGIC
@@ -73,7 +76,10 @@ def _decode_rle8(blob: bytes, width: int, height: int):
     leaves them undefined; zero is the deterministic choice). Returns
     None when a packet would write or seek out of bounds, or when the
     stream ends without an end-of-bitmap escape."""
-    out = np.zeros((height, width), dtype=np.uint8)
+    # rows as bytearrays: packet writes are C-speed slice assignments
+    # instead of per-packet numpy row-slice dispatch (value-identical;
+    # zero-fill comes from the bytearray init)
+    rows = [bytearray(width) for _ in range(height)]
     pos, x, y = 0, 0, 0
     n = len(blob)
     while True:
@@ -84,14 +90,15 @@ def _decode_rle8(blob: bytes, width: int, height: int):
         if c > 0:  # encoded run
             if y >= height or x + c > width:
                 return None
-            out[y, x:x + c] = v
+            rows[y][x:x + c] = _BYTE[v] * c
             x += c
         elif v == 0:  # end of line
             if y >= height:
                 return None
             x, y = 0, y + 1
         elif v == 1:  # end of bitmap
-            return out
+            return np.frombuffer(b"".join(rows), dtype=np.uint8) \
+                .reshape(height, width)
         elif v == 2:  # delta skip
             if pos + 2 > n:
                 return None
@@ -102,7 +109,7 @@ def _decode_rle8(blob: bytes, width: int, height: int):
         else:  # absolute mode: v literal bytes, padded to even length
             if y >= height or x + v > width or pos + v > n:
                 return None
-            out[y, x:x + v] = np.frombuffer(blob, np.uint8, v, pos)
+            rows[y][x:x + v] = blob[pos:pos + v]
             x += v
             pos += v + (v & 1)
 

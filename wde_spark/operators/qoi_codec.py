@@ -52,13 +52,17 @@ def decode_qoi(payload: bytes):
         if payload[-8:] != _END:
             return None
         data = payload[14:-8]
-        out = np.empty((n, 4), dtype=np.uint8)
-        index = [(0, 0, 0, 0)] * 64
-        px = (0, 0, 0, 255)
+        # pixel state as ONE packed int (r<<24 | g<<16 | b<<8 | a):
+        # int compares/appends are several times cheaper than 4-tuples,
+        # and the final unpack to (h, w, 4) is one vectorized pass —
+        # value-identical to the tuple state machine (fuzz-pinned)
+        out: list[int] = []
+        index = [0] * 64
+        r, g, b, a = 0, 0, 0, 255
+        px = 255
         pos = 0
-        i = 0
         dlen = len(data)
-        while i < n:
+        while len(out) < n:
             if pos >= dlen:
                 return None
             b0 = data[pos]
@@ -66,42 +70,49 @@ def decode_qoi(payload: bytes):
             if b0 == 0xFE:  # QOI_OP_RGB
                 if pos + 3 > dlen:
                     return None
-                px = (data[pos], data[pos + 1], data[pos + 2], px[3])
+                r, g, b = data[pos], data[pos + 1], data[pos + 2]
                 pos += 3
             elif b0 == 0xFF:  # QOI_OP_RGBA
                 if pos + 4 > dlen:
                     return None
-                px = (data[pos], data[pos + 1], data[pos + 2],
-                      data[pos + 3])
+                r, g, b, a = (data[pos], data[pos + 1], data[pos + 2],
+                              data[pos + 3])
                 pos += 4
             elif b0 >> 6 == 0:  # QOI_OP_INDEX
                 px = index[b0 & 0x3F]
+                r, g, b, a = (px >> 24, (px >> 16) & 0xFF,
+                              (px >> 8) & 0xFF, px & 0xFF)
+                out.append(px)
+                continue
             elif b0 >> 6 == 1:  # QOI_OP_DIFF (bias 2, alpha unchanged)
-                px = ((px[0] + ((b0 >> 4) & 3) - 2) & 0xFF,
-                      (px[1] + ((b0 >> 2) & 3) - 2) & 0xFF,
-                      (px[2] + (b0 & 3) - 2) & 0xFF, px[3])
+                r = (r + ((b0 >> 4) & 3) - 2) & 0xFF
+                g = (g + ((b0 >> 2) & 3) - 2) & 0xFF
+                b = (b + (b0 & 3) - 2) & 0xFF
             elif b0 >> 6 == 2:  # QOI_OP_LUMA
                 if pos >= dlen:
                     return None
                 dg = (b0 & 0x3F) - 32
                 b1 = data[pos]
                 pos += 1
-                px = ((px[0] + dg + ((b1 >> 4) & 0x0F) - 8) & 0xFF,
-                      (px[1] + dg) & 0xFF,
-                      (px[2] + dg + (b1 & 0x0F) - 8) & 0xFF, px[3])
+                r = (r + dg + ((b1 >> 4) & 0x0F) - 8) & 0xFF
+                g = (g + dg) & 0xFF
+                b = (b + dg + (b1 & 0x0F) - 8) & 0xFF
             else:  # QOI_OP_RUN (bias -1; 0xFE/0xFF handled above)
                 run = (b0 & 0x3F) + 1
-                if i + run > n:
+                if len(out) + run > n:
                     return None
-                out[i:i + run] = px
-                i += run
+                out.extend([px] * run)
                 continue
-            index[_hash(*px)] = px
-            out[i] = px
-            i += 1
+            px = (r << 24) | (g << 16) | (b << 8) | a
+            index[(r * 3 + g * 5 + b * 7 + a * 11) % 64] = px
+            out.append(px)
         if pos != dlen:
             return None  # trailing chunk bytes: refuse, don't guess
-        return w, h, out.reshape(h, w, 4)
+        packed = np.array(out, dtype=np.uint32)
+        rgba = np.stack([(packed >> 24) & 0xFF, (packed >> 16) & 0xFF,
+                         (packed >> 8) & 0xFF, packed & 0xFF],
+                        axis=1).astype(np.uint8)
+        return w, h, rgba.reshape(h, w, 4)
     except (struct.error, ValueError, IndexError):
         return None
 
@@ -119,12 +130,19 @@ def encode_qoi(rgba: np.ndarray, channels: int = 4) -> bytes:
     assert h > 0 and w > 0
     out = bytearray(b"qoif" + struct.pack(">II", w, h)
                     + bytes((channels, 0)))
-    index = [(0, 0, 0, 0)] * 64
-    px = (0, 0, 0, 255)
+    # pixel state as ONE packed int + batch-precomputed hashes: int
+    # compares replace 4-tuple equality and the per-pixel _hash() call —
+    # value-identical op stream (fuzz-pinned against the tuple form)
+    flat = arr.reshape(-1, 4).astype(np.uint32)
+    keys = ((flat[:, 0] << 24) | (flat[:, 1] << 16)
+            | (flat[:, 2] << 8) | flat[:, 3]).tolist()
+    hashes = ((flat[:, 0] * 3 + flat[:, 1] * 5 + flat[:, 2] * 7
+               + flat[:, 3] * 11) % 64).tolist()
+    index = [0] * 64
+    px = 255  # (0, 0, 0, 255) packed
     run = 0
-    flat = [tuple(int(v) for v in p) for p in arr.reshape(-1, 4)]
-    for p in flat:
-        if p == px:
+    for k, hx in zip(keys, hashes):
+        if k == px:
             run += 1
             if run == 62:
                 out.append(0xC0 | (run - 1))
@@ -133,15 +151,16 @@ def encode_qoi(rgba: np.ndarray, channels: int = 4) -> bytes:
         if run:
             out.append(0xC0 | (run - 1))
             run = 0
-        hx = _hash(*p)
-        if index[hx] == p:
+        if index[hx] == k:
             out.append(hx)
         else:
-            index[hx] = p
-            if p[3] == px[3]:
-                dr = (p[0] - px[0] + 128) % 256 - 128
-                dg = (p[1] - px[1] + 128) % 256 - 128
-                db = (p[2] - px[2] + 128) % 256 - 128
+            index[hx] = k
+            if (k & 0xFF) == (px & 0xFF):
+                dr = ((k >> 24) - (px >> 24) + 128) % 256 - 128
+                dg = (((k >> 16) & 0xFF) - ((px >> 16) & 0xFF)
+                      + 128) % 256 - 128
+                db = (((k >> 8) & 0xFF) - ((px >> 8) & 0xFF)
+                      + 128) % 256 - 128
                 if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
                     out.append(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2)
                                | (db + 2))
@@ -150,10 +169,12 @@ def encode_qoi(rgba: np.ndarray, channels: int = 4) -> bytes:
                     out.append(0x80 | (dg + 32))
                     out.append(((dr - dg + 8) << 4) | (db - dg + 8))
                 else:
-                    out += bytes((0xFE, p[0], p[1], p[2]))
+                    out += bytes((0xFE, k >> 24, (k >> 16) & 0xFF,
+                                  (k >> 8) & 0xFF))
             else:
-                out += bytes((0xFF, *p))
-        px = p
+                out += bytes((0xFF, k >> 24, (k >> 16) & 0xFF,
+                              (k >> 8) & 0xFF, k & 0xFF))
+        px = k
     if run:
         out.append(0xC0 | (run - 1))
     return bytes(out) + _END

@@ -77,21 +77,18 @@ ADPCM_STEPS = (
 ADPCM_INDEX_ADJ = (-1, -1, -1, -1, 2, 4, 6, 8)
 
 
-def _decode_adpcm_block(block: bytes):
-    """Decode one mono IMA ADPCM block: 4-byte header (int16 predictor =
-    sample 0, step index, reserved 0) + data bytes of two nibbles each
-    (low first). Returns the int16 samples (1 + 2*(len-4) of them) or
-    None when the header is malformed (index > 88, reserved != 0)."""
-    pred = int.from_bytes(block[:2], "little", signed=True)
-    index = block[2]
-    if index > 88 or block[3] != 0:
-        return None
-    out = np.empty(1 + 2 * (len(block) - 4), dtype=np.int16)
-    out[0] = pred
-    j = 1
-    for byte in block[4:]:
-        for n in (byte & 0x0F, byte >> 4):
-            step = ADPCM_STEPS[index]
+def _adpcm_tables():
+    """(index, nibble) → signed diff and → next index, precomputed once:
+    the per-nibble state update collapses to two list lookups + a clamp —
+    the published formulas evaluated ahead of time, value-identical."""
+    cached = getattr(_adpcm_tables, "_cached", None)
+    if cached is not None:
+        return cached
+    diff_t, next_t = [], []
+    for index in range(89):
+        step = ADPCM_STEPS[index]
+        drow, nrow = [], []
+        for n in range(16):
             diff = step >> 3
             if n & 1:
                 diff += step >> 2
@@ -101,11 +98,35 @@ def _decode_adpcm_block(block: bytes):
                 diff += step
             if n & 8:
                 diff = -diff
-            pred = min(32767, max(-32768, pred + diff))
-            index = min(88, max(0, index + ADPCM_INDEX_ADJ[n & 7]))
-            out[j] = pred
-            j += 1
-    return out
+            drow.append(diff)
+            nrow.append(min(88, max(0, index + ADPCM_INDEX_ADJ[n & 7])))
+        diff_t.append(drow)
+        next_t.append(nrow)
+    _adpcm_tables._cached = (diff_t, next_t)
+    return diff_t, next_t
+
+
+def _decode_adpcm_block(block: bytes):
+    """Decode one mono IMA ADPCM block: 4-byte header (int16 predictor =
+    sample 0, step index, reserved 0) + data bytes of two nibbles each
+    (low first). Returns the int16 samples (1 + 2*(len-4) of them) or
+    None when the header is malformed (index > 88, reserved != 0)."""
+    pred = int.from_bytes(block[:2], "little", signed=True)
+    index = block[2]
+    if index > 88 or block[3] != 0:
+        return None
+    diff_t, next_t = _adpcm_tables()
+    out = [pred]
+    for byte in block[4:]:
+        for n in (byte & 0x0F, byte >> 4):
+            pred += diff_t[index][n]
+            if pred > 32767:
+                pred = 32767
+            elif pred < -32768:
+                pred = -32768
+            index = next_t[index][n]
+            out.append(pred)
+    return np.array(out, dtype=np.int16)
 
 
 def decode_wav(payload: bytes):
