@@ -465,3 +465,41 @@ def test_restart_distributed_corrupt_and_pixel_cap(spark):
         spark, _corrupt_first_segment(enc)) is None
     with pytest.raises(ValueError, match="max_pixels"):
         decode_jpeg_restart_distributed(spark, enc, max_pixels=100)
+
+
+def test_batched_block_transforms_match_naive_reference():
+    """r13: DCT/quantize and dequantize/IDCT run batched across all
+    blocks of an image; this pins them bitwise against the naive
+    per-block formulation they replaced (same ops, one block at a
+    time) on random content."""
+    import numpy as np
+
+    from wde_spark.operators.jpeg_codec import (_ZIGZAG, _dct_matrix,
+                                                _fdct_quant_blocks,
+                                                _idct_blocks, quant_table)
+
+    rng = np.random.RandomState(77)
+    m = _dct_matrix()
+    for quality in (10, 50, 90):
+        q = quant_table(quality)
+        blocks = rng.randint(0, 256, size=(37, 8, 8)).astype(np.uint8)
+        zz, last = _fdct_quant_blocks(blocks, q)
+        for i in range(blocks.shape[0]):
+            blk = blocks[i].astype(np.float64) - 128.0
+            coef = m @ blk @ m.T
+            coef[0, 0] = blk.sum() / 8.0
+            ref = np.floor(coef / q + 0.5).astype(np.int64).reshape(64)
+            ref = ref[_ZIGZAG]
+            assert np.array_equal(zz[i], ref), f"fdct block {i} q{quality}"
+            nz = np.nonzero(ref[1:])[0]
+            ref_last = int(nz[-1]) + 1 if nz.size else 0
+            assert last[i] == ref_last
+        # decode direction over the quantized coefficients
+        px = _idct_blocks(zz.tolist(), q)
+        for i in range(blocks.shape[0]):
+            nat = np.zeros(64, dtype=np.int64)
+            nat[_ZIGZAG] = zz[i]
+            coef = nat.reshape(8, 8) * q
+            blk = m.T @ coef.astype(np.float64) @ m
+            ref_px = np.clip(np.floor(blk + 128.5), 0, 255).astype(np.uint8)
+            assert np.array_equal(px[i], ref_px), f"idct block {i} q{quality}"

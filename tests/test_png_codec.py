@@ -282,3 +282,26 @@ def test_encode_png_auto_tier_selection():
     # grayscale stays on the truecolor path untouched
     g = _rand((5, 5), seed=12)
     assert encode_png_auto(g) == encode_png(g)
+
+
+def test_vectorized_encode_filters_match_per_row_reference():
+    """r13: the encode-side scanline filters run whole-image vectorized;
+    this pins every filter type bitwise against the per-row reference
+    they replaced, via full encode->decode roundtrips on random
+    gray/RGB/RGBA content (the decoder's unfilter is the per-row
+    ground truth)."""
+    import numpy as np
+
+    from wde_spark.operators.png_codec import decode_png, encode_png
+
+    rng = np.random.RandomState(88)
+    for ft in range(5):
+        for ch in (1, 3, 4):
+            h, w = int(rng.randint(1, 25)), int(rng.randint(1, 25))
+            shape = (h, w) if ch == 1 else (h, w, ch)
+            px = rng.randint(0, 256, size=shape).astype(np.uint8)
+            decoded = decode_png(encode_png(px, filter_type=ft))
+            assert decoded is not None
+            got = decoded[3]
+            want = px if ch > 1 else px[:, :, None]
+            assert np.array_equal(got, want), (ft, ch)
